@@ -1,0 +1,137 @@
+"""Feed operators — the HTTP Feeds spec's own data-processing surface.
+
+Each operator is a pure DataFrame→DataFrame transform over the envelope
+schema (http_feeds_spark.schema.ENVELOPE). Spec citations are to
+/root/reference/README.md (the HTTP Feeds specification).
+
+100 TB posture, per operator:
+- Offset scans are range predicates on the monotone ``seq`` column →
+  Parquet min/max row-group skipping + partition pruning when the landing
+  zone is partitioned by seq-range/date. Never "find the id row then skip"
+  — the spec requires the position to survive deletion of the cursor event
+  (README.md:154), and a range predicate trivially does.
+- Compaction / read-model are a single window per key (linear, one hash
+  shuffle on ``subject``) — never groupBy + collect_list (OOM at scale) and
+  never a self-join (quadratic).
+- Dedup is dropDuplicates (map-side partial aggregation) on the unique id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mint_seq(df: DataFrame, time_col: str = "time", id_col: str = "id") -> DataFrame:
+    """Assign the total order required by README.md:148-151.
+
+    For raw CloudEvents input whose ids are unordered UUIDs, mint ``seq``
+    as row_number over (time, id) — deterministic because the pair is
+    unique. For composite ``sequence::uuid`` ids (README.md:159) prefer
+    :func:`parse_seq` instead; and at true 100 TB ingest, seq should be
+    assigned by the writer (one global window is a single-reducer sort).
+    This operator exists for bounded replays/bootstraps.
+    """
+    w = Window.orderBy(F.col(time_col), F.col(id_col))
+    return df.withColumn("seq", F.row_number().over(w).cast("long"))
+
+
+def parse_seq(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Extract the numeric order prefix from composite ids.
+
+    README.md:159 sanctions ids like ``0000001000001::5f8de8ff-...`` where
+    "the prefix is a database sequence that is interpreted when querying
+    the database for the next batch". A split+cast is codegen'd JVM-side —
+    no UDF.
+    """
+    return df.withColumn("seq", F.split(F.col(id_col), "::").getItem(0).cast("long"))
+
+
+def offset_scan(feed: DataFrame, last_seq: int | None) -> DataFrame:
+    """Events strictly after the cursor (README.md:12, :150-154, :300).
+
+    ``lastEventId`` absent/null ⇒ from the beginning (README.md:300).
+    The predicate is on seq, so the scan "respects the original position"
+    even when the cursor event itself has been compacted away
+    (README.md:154) — a deleted row cannot un-order a range predicate.
+    """
+    if last_seq is None:
+        return feed
+    return feed.filter(F.col("seq") > F.lit(last_seq))
+
+
+def paginate(feed: DataFrame, last_seq: int | None, batch_size: int) -> DataFrame:
+    """One bounded batch after the cursor (README.md:11, :79-82).
+
+    orderBy+limit plans as TakeOrderedAndProject (per-partition top-k then
+    a k-row merge on the driver) — no global sort materialization.
+    An empty result signals the feed end (README.md:82).
+    """
+    return offset_scan(feed, last_seq).orderBy("seq").limit(batch_size)
+
+
+def compact(feed: DataFrame, key: str = "subject", order_col: str = "seq") -> DataFrame:
+    """Log compaction: keep only the newest entry per subject.
+
+    README.md:181-267: "remove entries from the feed when another entry
+    was added to the feed with the same subject". One window, one shuffle
+    on the key; rank column is dropped so output stays envelope-shaped.
+    At 100 TB this runs as the periodic landing-zone rewrite job
+    (maintenance), and as the query-time view shown here.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_tombstoned(compacted: DataFrame) -> DataFrame:
+    """Remove subjects whose latest entry is a DELETE (README.md:270-292).
+
+    The spec: a DELETE entry instructs consumers to delete the aggregate
+    from their read models (README.md:290); absent ``method`` defaults to
+    PUT (README.md:314). Applied after compaction, the latest-method test
+    is exactly tombstone removal.
+    """
+    return compacted.filter(F.coalesce(F.col("method"), F.lit("PUT")) != F.lit("DELETE"))
+
+
+def read_model(feed: DataFrame, key: str = "subject", order_col: str = "seq") -> DataFrame:
+    """Aggregate-feed materialization (README.md:168-179).
+
+    Replaying to the end of the feed and keeping, per subject, the latest
+    full-state PUT — dropping DELETEd subjects — yields the consistent
+    read model the spec promises ("the client has a consistent state when
+    reaching the end of the feed", README.md:177).
+    """
+    return drop_tombstoned(compact(feed, key=key, order_col=order_col))
+
+
+def dedup_by_id(feed: DataFrame) -> DataFrame:
+    """Idempotent-consumer dedup on the unique event id.
+
+    Delivery is at-least-once (README.md:113); the ``id`` field exists
+    for "deduplication and idempotency" (README.md:309,114). Exact-once
+    *effects* are restored by dropping redelivered ids. dropDuplicates
+    does map-side partial dedup before the shuffle.
+    """
+    return feed.dropDuplicates(["id"])
+
+
+def route_types(feed: DataFrame, types: list[str]) -> DataFrame:
+    """Multi-type feed routing (README.md:162-166, :310).
+
+    One feed may carry several event types of one bounded context; ``type``
+    selects the payload schema. Filter is a pushdown-friendly IN predicate.
+    """
+    return feed.filter(F.col("type").isin(types))
+
+
+def principal_filter(feed: DataFrame, predicate) -> DataFrame:
+    """Server-side per-principal filtering (README.md:321-328).
+
+    Plain row-level-security predicate; Catalyst pushes it into the scan.
+    """
+    return feed.filter(predicate)

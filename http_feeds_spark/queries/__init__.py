@@ -1,0 +1,52 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+:class:`Query`: a named callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) the equivalent DuckDB oracle SQL. ``__spark_entry__.py``
+re-exports this registry as ``queries()`` / ``oracle_sql()``.
+
+Rules enforced by convention (FIXTURES.md oracle-alignment notes):
+- every computed column is aliased identically in Spark and oracle SQL;
+- double aggregations go through DECIMAL so the sum is order-independent
+  and bit-identical across engines;
+- top-k ties are broken by a unique key;
+- timestamps stay µs-aligned (UTC session TZ both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, None => rows-only check
+    group: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, group: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, group=group)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    """Import all query modules (side-effect: registration) and return."""
+    from http_feeds_spark.queries import (  # noqa: F401
+        feed_queries,
+        llm,
+        relational,
+        streaming_queries,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,259 @@
+"""Group A — the HTTP Feeds spec's own operator surface (SURVEY.md §2.A).
+
+All run over the driver `events` table mapped onto the CloudEvents envelope
+(see http_feeds_spark.sources.tables.events_as_feed). Fixed literal cursors /
+batch sizes keep results deterministic for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import feed as ops
+from http_feeds_spark.queries import register
+from http_feeds_spark.sources.tables import EVENTS_AS_FEED_SQL, load_table, events_as_feed
+
+CURSOR = 500  # fixed lastEventId position for offset-scan queries
+BATCH = 100  # fixed page size for pagination
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_feed(load_table(spark, sf_dir, "events"))
+
+
+# --- A1: feed scan -----------------------------------------------------------
+
+
+@register(
+    "q_feed_scan",
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL})",
+    group="A",
+)
+def q_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — full chronological feed scan as CloudEvents envelope rows.
+
+    README.md:8-13 (feed = GET endpoint returning the chronological event
+    sequence); envelope fields README.md:306-316.
+    """
+    return _feed(spark, sf_dir)
+
+
+# --- A2: offset scan ---------------------------------------------------------
+
+
+@register(
+    "q_last_event_id",
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR}",
+    group="A",
+)
+def q_last_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — events strictly after `lastEventId` (README.md:12,:150-154,:300).
+
+    Range predicate on the monotone seq — position survives compaction of
+    the cursor event (README.md:154). Pushed down to the Parquet scan.
+    """
+    return ops.offset_scan(_feed(spark, sf_dir), CURSOR)
+
+
+# --- A3: pagination ----------------------------------------------------------
+
+
+@register(
+    "q_batch_page",
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR} ORDER BY seq LIMIT {BATCH}",
+    group="A",
+)
+def q_batch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — one bounded batch after the cursor (README.md:11,:79-82).
+
+    Plans as TakeOrderedAndProject: per-partition top-k, k-row driver merge.
+    """
+    return ops.paginate(_feed(spark, sf_dir), CURSOR, BATCH)
+
+
+# --- A4: strong ordering / id assignment -------------------------------------
+
+
+@register(
+    "q_event_order",
+    oracle=f"""
+    SELECT
+      id,
+      CAST(row_number() OVER (ORDER BY time, id) AS BIGINT) AS minted_seq,
+      CAST(split_part(id, '::', 1) AS BIGINT) AS parsed_seq
+    FROM ({EVENTS_AS_FEED_SQL})
+    """,
+    group="A",
+)
+def q_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — mint a total order and parse composite ids (README.md:148-159).
+
+    ``minted_seq`` = row_number over (time, id) (what an ingest job would
+    assign for unordered-UUID feeds); ``parsed_seq`` = numeric prefix of
+    the spec's ``sequence::uuid`` composite form (README.md:159). On this
+    fixture both equal seq+1 offset/seq — the oracle cross-checks each.
+    """
+    f = _feed(spark, sf_dir).select("id", "time")
+    minted = ops.mint_seq(f).withColumnRenamed("seq", "minted_seq")
+    parsed = ops.parse_seq(minted).withColumnRenamed("seq", "parsed_seq")
+    return parsed.select("id", "minted_seq", "parsed_seq")
+
+
+# --- A5: compaction ----------------------------------------------------------
+
+_COMPACT_SQL = f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT f.*, row_number() OVER (PARTITION BY subject ORDER BY seq DESC) AS __rn
+  FROM ({EVENTS_AS_FEED_SQL}) f
+) WHERE __rn = 1
+"""
+
+
+@register("q_compaction", oracle=_COMPACT_SQL, group="A")
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — log compaction: newest entry per subject (README.md:181-267).
+
+    Single window per key: one hash shuffle on subject, linear in rows —
+    the 100 TB-safe shape (never collect_list, never self-join).
+    """
+    return ops.compact(_feed(spark, sf_dir))
+
+
+# --- A6: tombstones ----------------------------------------------------------
+
+
+@register(
+    "q_tombstone",
+    oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE coalesce(method, 'PUT') <> 'DELETE'",
+    group="A",
+)
+def q_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — drop subjects whose latest entry is a DELETE (README.md:270-292)."""
+    return ops.drop_tombstoned(ops.compact(_feed(spark, sf_dir)))
+
+
+# --- A7: read model ----------------------------------------------------------
+
+
+@register(
+    "q_read_model",
+    oracle=f"""
+    SELECT seq, id, type, time, subject,
+           CAST(json_extract(data, '$.k') AS BIGINT) AS k
+    FROM ({_COMPACT_SQL})
+    WHERE coalesce(method, 'PUT') <> 'DELETE'
+    """,
+    group="A",
+)
+def q_read_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — aggregate-feed materialization (README.md:168-179). FLAGSHIP.
+
+    Compaction ∘ tombstone-filter ∘ payload projection: the consistent
+    latest-state-per-subject snapshot a consumer holds at feed end
+    (README.md:177), with the JSON payload projected to typed columns.
+    """
+    rm = ops.read_model(_feed(spark, sf_dir))
+    return rm.select(
+        "seq",
+        "id",
+        "type",
+        "time",
+        "subject",
+        F.get_json_object("data", "$.k").cast("long").alias("k"),
+    )
+
+
+# --- A10: dedup by id --------------------------------------------------------
+
+
+@register(
+    "q_dedup_id",
+    oracle=f"SELECT DISTINCT * FROM (SELECT * FROM ({EVENTS_AS_FEED_SQL}) UNION ALL SELECT * FROM ({EVENTS_AS_FEED_SQL}))",
+    group="A",
+)
+def q_dedup_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — idempotent-consumer dedup (README.md:113-114,:309).
+
+    At-least-once delivery is simulated by a redelivered union of the feed
+    with itself; dropDuplicates on the unique id restores exactly-once
+    effects. Map-side partial dedup runs before the shuffle.
+    """
+    f = _feed(spark, sf_dir)
+    return ops.dedup_by_id(f.unionAll(f))
+
+
+# --- A11: type routing -------------------------------------------------------
+
+
+@register(
+    "q_type_route",
+    oracle=f"""
+    SELECT seq, id, subject, time,
+           CAST(json_extract(data, '$.k') AS BIGINT) AS k
+    FROM ({EVENTS_AS_FEED_SQL})
+    WHERE type IN ('org.http-feeds.example.purchase', 'org.http-feeds.example.signup')
+    """,
+    group="A",
+)
+def q_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — multi-type feed routing + per-type payload projection
+    (README.md:162-166,:310)."""
+    routed = ops.route_types(
+        _feed(spark, sf_dir),
+        ["org.http-feeds.example.purchase", "org.http-feeds.example.signup"],
+    )
+    return routed.select(
+        "seq",
+        "id",
+        "subject",
+        "time",
+        F.get_json_object("data", "$.k").cast("long").alias("k"),
+    )
+
+
+# --- A12: per-principal filtering --------------------------------------------
+
+
+@register(
+    "q_principal_filter",
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE CAST(subject AS BIGINT) % 5 = 0",
+    group="A",
+)
+def q_principal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — server-side filtering by authenticated principal
+    (README.md:321-328): a row-level predicate over the feed."""
+    f = _feed(spark, sf_dir)
+    return ops.principal_filter(f, F.col("subject").cast("long") % 5 == 0)
+
+
+# --- A14: CloudEvents parse / serialize --------------------------------------
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs-precision ISO-8601 UTC
+
+
+@register(
+    "q_cloudevents_parse",
+    # Round-trip identity: serialize(parse(x)) == x, so the oracle is the feed.
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL})",
+    group="A",
+)
+def q_cloudevents_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — CloudEvents envelope (de)serialization (README.md:304-318).
+
+    Serializes each envelope row to its on-the-wire JSON object
+    (application/cloudevents-batch+json carries an array of these,
+    README.md:10-11) with to_json, then parses back with from_json using
+    the engine envelope StructType. Timestamps use an explicit µs format
+    so `time` (ISO 8601 UTC, README.md:312) round-trips losslessly.
+    """
+    from http_feeds_spark.schema import ENVELOPE
+
+    f = _feed(spark, sf_dir)
+    wire = f.select(
+        F.to_json(F.struct(*[F.col(c) for c in f.columns]), {"timestampFormat": _TS_FMT}).alias("json")
+    )
+    parsed = wire.select(
+        F.from_json("json", ENVELOPE, {"timestampFormat": _TS_FMT}).alias("e")
+    )
+    return parsed.select("e.*")
