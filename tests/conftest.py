@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from http_feeds_spark.session import get_spark
 
-    s = get_spark(app_name="http-feeds-spark-tests", shuffle_partitions=8)
+    # small fixtures: modest parallelism beats 32 threads of overhead
+    s = get_spark(app_name="http-feeds-spark-tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 
