@@ -1,0 +1,94 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Design (SURVEY §2 D4): media travels as `binary` columns beside relational
+data — Spark's columnar Parquet + Arrow paths handle binary natively, so
+images/audio/video are first-class without engine changes. Decoding and
+feature extraction run as Arrow-batched `mapInPandas` operators: one
+Python worker per partition, whole byte-batches per Arrow transfer.
+
+The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this container,
+so `decode_image` raises NotImplementedError behind an import-try, and the
+pipeline is exercised end-to-end with `fake_image_features` — a
+deterministic byte-histogram extractor with the exact same schema,
+batching, and partitioning as the real path would have.
+
+Scale posture: per-row Python cost is amortized by Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch); there is no shuffle — the
+operator is map-only and scales linearly with executors. Binary columns
+should be stored in their own Parquet column chunk (automatic) so
+relational scans never read the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = "doc_id long, n_bytes long, features array<double>"
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column + typed metadata struct, simulating
+    a multimodal table (media bytes + envelope)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("content_type"),
+            F.length(F.col("payload")).alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real image decode — requires PIL, not present in this container.
+
+    Kept as the documented integration point: swap in
+    ``PIL.Image.open(io.BytesIO(payload))`` when the codec is available.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "use fake_image_features for the plumbing path"
+        ) from e
+    raise NotImplementedError("real decode intentionally unimplemented in v1")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    The worker function is defined inline (a closure) so cloudpickle
+    serializes it BY VALUE: executors then don't need this package on
+    their PYTHONPATH — the robust posture for pushing code to a cluster
+    whose workers don't share the driver's filesystem.
+    """
+    feature_dim = FEATURE_DIM
+
+    def fake_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # deterministic stand-in feature extractor (byte histogram) with
+        # the same signature/batching a real image decoder would have
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                hist = [0.0] * feature_dim
+                for byte in b:
+                    hist[byte % feature_dim] += 1.0
+                n = max(len(b), 1)
+                feats.append([h / n for h in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(fake_image_features, schema=FEATURES_SCHEMA)

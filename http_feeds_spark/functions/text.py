@@ -1,0 +1,79 @@
+"""Text-analysis functions for the documents corpus.
+
+Everything here is built-in-expression based (split / transform /
+regexp_*), engine-exact against DuckDB equivalents where an oracle exists.
+Per-row O(len) work: scan-parallel, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+# ASCII-safe so Java and RE2-style regex dialects agree.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Marker stopwords per language for the lang-id heuristic. The priority
+# order below breaks score ties deterministically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "und", "das", "ein"],
+    "es": ["el", "y", "los", "una"],
+    "fr": ["le", "et", "les", "une"],
+    "zh": ["de5", "he2", "shi4", "zai4"],  # romanized placeholders
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def words(col) -> Column:
+    """Whitespace tokens (the corpus is single-space word soup)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(col, " ")
+
+
+def token_count(col) -> Column:
+    """BPE-ish regex token count (SURVEY §2 D5)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when len < n."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.when(F.size(tokens) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def marker_score(tokens: Column, markers: list[str]) -> Column:
+    """How many tokens (with multiplicity) are in the marker list."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def add_winnow_fingerprints(df, shingles_col: str, out_col: str = "fps", window: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every shingle, keep the minimum hash of each sliding window of
+    `window` consecutive hashes, dedup. md5-prefix "hashes" (hex strings)
+    are used so the DuckDB oracle computes the identical value — string
+    min is well-defined and engine-independent.
+
+    DataFrame-level on purpose: each intermediate array is materialized as
+    a column so it is evaluated once per row. Folding them into one nested
+    expression re-evaluates the inner arrays per lambda element (Spark
+    does not CSE across higher-order-function boundaries) — measured as a
+    >100× slowdown.
+    """
+    hashes = F.transform(F.col(shingles_col), lambda s: F.substring(F.md5(s), 1, 16))
+    df = df.withColumn("__wf_hashes", hashes)
+    df = df.withColumn("__wf_nw", F.size("__wf_hashes") - window + 1)
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0] — never
+    # build the index list unless there is at least one full window
+    mins = F.when(
+        F.col("__wf_nw") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__wf_nw")),
+            lambda i: F.array_min(F.slice(F.col("__wf_hashes"), i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(mins))).drop("__wf_hashes", "__wf_nw")

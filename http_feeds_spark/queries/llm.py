@@ -1,0 +1,476 @@
+"""Group D — LLM training-data pipeline operators (SURVEY.md §2.D).
+
+Dedup (exact / MinHash-LSH / SimHash / embedding-LSH), similarity search
+(brute-force cosine + IVF probe), text analysis (stats, quality, lang-id,
+BPE-ish tokens, winnowing fingerprints), multimodal binary columns.
+
+Every operator documents its 100 TB strategy: banding/bucketing instead of
+all-pairs, broadcast of small side only, map-only where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import minhash as mh
+from http_feeds_spark.functions import multimodal as mm
+from http_feeds_spark.functions import text as tx
+from http_feeds_spark.functions import vectors as vec
+from http_feeds_spark.queries import register
+from http_feeds_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- D1: exact dedup ---------------------------------------------------------
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    group="D",
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — exact dedup by content hash: one shuffle on the 256-bit hash
+    (uniform keys ⇒ no skew), min-id survivor policy. At 100 TB: hash at
+    scan time so the shuffle carries 32 bytes + id per row, never the text."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- D2a: MinHash-LSH near-dup ----------------------------------------------
+
+
+@register("q_llm_dedup_near", oracle=None, group="D")
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2a — near-duplicate pairs via MinHash(64) + LSH banding (16×4).
+
+    shingle(3-word) → signature → band-bucket equi-join → exact-Jaccard
+    verify (≥ 0.5 on shingle sets). No all-pairs stage anywhere: the only
+    joins are equi-joins on (band_id, band_hash) and on doc_id — the
+    standard web-scale dedup shape. Signatures come from the explode +
+    64×min-aggregate formulation (see functions/minhash.py) — scalar
+    codegen all the way, map-side partial aggregation. Rows-only check
+    (pair set depends on hash constants); recall asserted in tests with
+    planted dups.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = (
+        docs.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= 3)
+        .withColumn("shingles", F.array_distinct(tx.word_shingles(F.col("tokens"), 3)))
+        .select("doc_id", "shingles")
+        # barrier: the shingle table feeds three consumers (signatures +
+        # both sides of the verify join); materializing it once keeps
+        # Catalyst from re-optimizing the HOF lineage under each
+        .localCheckpoint()
+    )
+    cands = mh.minhash_candidates(sh, "shingles", "doc_id", k=64, bands=16, rows=4)
+
+    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# --- D2b: SimHash near-dup ---------------------------------------------------
+
+
+@register("q_llm_simhash", oracle=None, group="D")
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2b — SimHash(64) near-dup: Hamming distance ≤ 3 via the pigeonhole
+    band trick (4×16-bit blocks; any pair within distance 3 must agree on
+    ≥1 whole block, so candidates come from an equi-join on block values;
+    exact distance = popcount of XOR on the packed 64-bit signatures).
+    Explode + 64 conditional-sum aggregates — scalar codegen, map-side
+    partial agg. Rows-only check."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.withColumn("tokens", tx.words(F.lower("text"))).select("doc_id", "tokens")
+    sigs = mh.simhash_cols(toks, "tokens", "doc_id")
+    return mh.simhash_candidates(sigs, "doc_id", max_hamming=3)
+
+
+# --- D3a: brute-force cosine top-k (exact baseline) --------------------------
+
+_COSINE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {vec.duck_cosine('e.embedding', 'q.qv')} AS cosine_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("q_llm_cosine", oracle=_COSINE_ORACLE, group="D")
+def q_llm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3a — exact cosine top-10 for a query vector (vec_id 0), the
+    brute-force ANN baseline. Query vector broadcast-cross-joined (1 row);
+    per-row O(dim) JVM expressions; top-k = TakeOrderedAndProject (per-
+    partition heaps, 10-row merge). Scales linearly — the exact-re-rank
+    stage of any large ANN system. Bit-exact vs the DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", vec.cosine("embedding", "qv").alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --- D3b: IVF-style ANN probe search ----------------------------------------
+
+
+@register("q_llm_ann_ivf", oracle=None, group="D")
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b — IVF (inverted-file) ANN: the 100 TB scale path.
+
+    Deterministic toy "training": the 16 lowest-id vectors serve as
+    centroids (production: k-means sample). Every vector is assigned to
+    its nearest centroid (broadcast 16-row cross join + window argmin —
+    vectors shuffle once, partitioned by cluster). A query then probes
+    only the 4 nearest clusters and exact-ranks within — touching ~1/4 of
+    the data here, ~nprobe/nlist of it in general. Rows-only check;
+    recall@10 vs the exact baseline asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", sq_dist(F.col("embedding"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("qd2", sq_dist(F.col("cvec"), F.col("qv")))
+        .orderBy("qd2", "cid")
+        .limit(4)
+        .select(F.col("cid").alias("cluster"))
+    )
+
+    return (
+        assign.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cluster", vec.cosine("embedding", "qv").alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --- D2c: embedding near-dup via sign-band LSH -------------------------------
+
+
+@register("q_llm_dedup_embed", oracle=None, group="D")
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2c — embedding near-duplicate pairs (cosine ≥ 0.99) via sign-band
+    LSH: the 64-dim sign pattern is cut into 4 bands of 16 signs; highly
+    similar vectors agree on at least one full band (multi-probe
+    pigeonhole), so candidates come from band equi-joins — no all-pairs.
+    Verified with exact cosine. Rows-only check; planted-duplicate recall
+    asserted in tests."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    signs = emb.withColumn(
+        "sig", F.transform(F.col("embedding"), lambda x: (x >= 0).cast("int"))
+    ).withColumn("blocks", mh.simhash_blocks(F.col("sig"), 4)).select("vec_id", "embedding", "blocks")
+    banded = signs.select("vec_id", "embedding", F.posexplode("blocks").alias("block_id", "block_val"))
+    a = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "block_id", "block_val")
+    b = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "block_id", "block_val")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .distinct()
+        .withColumn("cosine_sim", vec.cosine("ea", "eb"))
+        .filter(F.col("cosine_sim") >= 0.99)
+        .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+# --- D5: text stats ----------------------------------------------------------
+
+
+@register(
+    "q_llm_textstats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    group="D",
+)
+def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — corpus statistics per (lang, source): doc counts, word counts,
+    char totals. Map-side partial aggregation; one shuffle on the two
+    low-cardinality keys."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tx.words("text")).cast("long")).alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+# --- D6: quality filter ------------------------------------------------------
+
+
+@register(
+    "q_llm_quality",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> list_contains(['the','and','of','a'], t))) AS INTEGER) AS n_stopwords
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es')
+      AND n_chars BETWEEN 100 AND 2000
+      AND len(string_split(text, ' ')) >= 10
+    """,
+    group="D",
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — quality gate: language whitelist, length bounds, minimum word
+    count; emits per-doc quality features (chars/word, stopword count).
+    Pure scan-side predicates — pushes down, no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(tx.words("text"))
+    return (
+        d.filter(F.col("lang").isin("en", "de", "es") & F.col("n_chars").between(100, 2000) & (n_words >= 10))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_words.alias("n_words"),
+            (F.col("n_chars").cast("double") / n_words).alias("chars_per_word"),
+            tx.marker_score(tx.words(F.lower("text")), ["the", "and", "of", "a"]).alias("n_stopwords"),
+        )
+    )
+
+
+# --- D5b: BPE-ish token counting --------------------------------------------
+
+
+@register(
+    "q_llm_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{tx.TOKEN_RE}')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '{tx.TOKEN_RE}'))) AS INTEGER) AS n_unique_tokens
+    FROM documents
+    """,
+    group="D",
+)
+def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b — tokenizer-style counting with a BPE-ish regex (letter runs /
+    digit runs / punctuation singles). regexp_extract_all is codegen'd;
+    ASCII-only pattern keeps Java and RE2 dialects identical."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(tx.TOKEN_RE), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+# --- D5c: language-ID heuristic ---------------------------------------------
+
+
+def _duck_marker(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "q_llm_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_duck_marker('en')} AS s_en,
+             {_duck_marker('de')} AS s_de,
+             {_duck_marker('es')} AS s_es,
+             {_duck_marker('fr')} AS s_fr,
+             {_duck_marker('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(s_en AS INTEGER) AS s_en, CAST(s_de AS INTEGER) AS s_de,
+           CAST(s_es AS INTEGER) AS s_es, CAST(s_fr AS INTEGER) AS s_fr,
+           CAST(s_zh AS INTEGER) AS s_zh,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM s
+    """,
+    group="D",
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c — marker-stopword language-ID heuristic: score each language by
+    marker-token hits, pick the argmax with a fixed priority tie-break.
+    Map-only, codegen'd. (The synthetic corpus shares one vocabulary, so
+    accuracy is not meaningful here — the operator contract is.)"""
+    d = _docs(spark, sf_dir)
+    toks = tx.words(F.lower("text"))
+    scores = {lang: tx.marker_score(toks, tx.LANG_MARKERS[lang]) for lang in tx.LANG_PRIORITY}
+    df = d.select(
+        "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in tx.LANG_PRIORITY]
+    )
+    c = F.col
+    pred = (
+        F.when((c("s_en") >= c("s_de")) & (c("s_en") >= c("s_es")) & (c("s_en") >= c("s_fr")) & (c("s_en") >= c("s_zh")), "en")
+        .when((c("s_de") >= c("s_es")) & (c("s_de") >= c("s_fr")) & (c("s_de") >= c("s_zh")), "de")
+        .when((c("s_es") >= c("s_fr")) & (c("s_es") >= c("s_zh")), "es")
+        .when(c("s_fr") >= c("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+# --- D5d: winnowing fingerprints ---------------------------------------------
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 6
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS shingles
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, list_transform(shingles, s -> substring(md5(s), 1, 16)) AS hashes
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) >= 4
+                  THEN list_sort(list_distinct(list_transform(
+                         generate_series(1, len(hashes) - 3),
+                         i -> list_min(hashes[i:i+3]))))
+                  ELSE [] END AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           fps[1] AS first_fp,
+           fps[len(fps)] AS last_fp
+    FROM w
+    """,
+    group="D",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5d — winnowing document fingerprints (Schleimer et al. 2003):
+    3-word shingles → md5-prefix hashes → min of each 4-hash sliding
+    window → distinct sorted fingerprint set. String-min is engine-
+    independent, so the oracle reproduces it exactly. Map-only."""
+    d = _docs(spark, sf_dir)
+    # materialize each stage as a column: Spark does not CSE across
+    # higher-order-function lambdas, so nesting these would re-evaluate
+    # the inner arrays per element (measured >100× slower). The non-empty
+    # filter runs EARLY on the cheap token count (>=6 tokens ⟺ >=4
+    # windows ⟺ fps non-empty): filtering on size(fps) afterwards would
+    # push the whole fingerprint expression down into the Filter node.
+    staged = (
+        d.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= 6)
+        .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
+    )
+    staged = tx.add_winnow_fingerprints(staged, "shingles", "fps", 4)
+    return staged.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.element_at("fps", 1).alias("first_fp"),
+        F.element_at("fps", -1).alias("last_fp"),
+    )
+
+
+# --- D4: multimodal binary columns -------------------------------------------
+
+
+@register(
+    "q_mm_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    group="D",
+)
+def q_mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4a — multimodal carriage: opaque binary payload beside relational
+    columns, with byte-length + content-hash metadata. Binary columns get
+    their own Parquet chunk, so relational scans never touch the bytes
+    (column pruning) — the load-bearing property for media at 100 TB."""
+    d = mm.with_binary_payload(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("text", 256).alias("content_hash"),
+    )
+
+
+@register("q_mm_features", oracle=None, group="D")
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4b — Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic byte-histogram stand-in for the real image
+    decoder — codecs absent in this container; see
+    functions/multimodal.py). Map-only: scales linearly, no shuffle.
+    Rows-only check; determinism asserted in tests."""
+    d = mm.with_binary_payload(_docs(spark, sf_dir))
+    feats = mm.extract_features(d)
+    return feats.select("doc_id", "n_bytes", F.round(F.element_at("features", 1), 9).alias("f0"))

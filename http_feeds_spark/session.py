@@ -34,6 +34,14 @@ def get_spark(
     ``spark.driver.memory`` is the only memory knob; on a cluster the same
     builder is used with master/memory supplied by the deployment.
     """
+    # make this package importable in Python workers even when the driver
+    # process was started from another directory (UDF closures may still
+    # reference module-level helpers)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

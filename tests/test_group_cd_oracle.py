@@ -1,0 +1,135 @@
+"""Group C (stream-replay) and Group D (LLM-pipeline) oracle parity +
+semantic tests for the rows-only operators."""
+
+from __future__ import annotations
+
+import pytest
+
+ORACLE_QUERIES = [
+    # C
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
+    # D
+    "q_llm_dedup_exact",
+    "q_llm_cosine",
+    "q_llm_textstats",
+    "q_llm_quality",
+    "q_llm_tokens",
+    "q_llm_langid",
+    "q_llm_fingerprint",
+    "q_mm_binary",
+]
+
+ROWS_ONLY = ["q_llm_dedup_near", "q_llm_simhash", "q_llm_dedup_embed", "q_llm_ann_ivf", "q_mm_features"]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    from tests.oracle_harness import check_query
+
+    report = check_query(spark, name, sf_dir)
+    assert report["match"], report
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    from http_feeds_spark.queries import registry
+
+    df = registry()[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """Planted-duplicate recall: clone 5 docs with one word dropped; the
+    MinHash-LSH pipeline must pair each clone with its original."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import minhash as mh
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    clones = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) - instr(reverse(text), ' '))").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(clones)
+    sh = (
+        corpus.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= 3)
+        .withColumn("shingles", F.array_distinct(tx.word_shingles(F.col("tokens"), 3)))
+        .select("doc_id", "shingles")
+    )
+    cands = mh.minhash_candidates(sh)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        cands.join(a, "a").join(b, "b")
+        .withColumn("j", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= 0.5)
+        .select("a", "b")
+        .collect()
+    )
+    found = {(r.a, r.b) for r in pairs}
+    for i in range(5):
+        assert (i, i + 1_000_000) in found, f"planted near-dup {i} not found; got {found}"
+
+
+def test_embed_lsh_finds_planted_near_dups(spark, sf_dir):
+    """Sign-band LSH must recover planted ~identical embeddings."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import minhash as mh
+    from http_feeds_spark.functions import vectors as vec
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(100)
+    clones = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.000001).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    signs = corpus.withColumn("sig", F.transform("embedding", lambda x: (x >= 0).cast("int"))).withColumn(
+        "blocks", mh.simhash_blocks(F.col("sig"), 4)
+    )
+    banded = signs.select("vec_id", "embedding", F.posexplode("blocks").alias("block_id", "block_val"))
+    a = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "block_id", "block_val")
+    b = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "block_id", "block_val")
+    pairs = (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .distinct()
+        .withColumn("cos", vec.cosine("ea", "eb"))
+        .filter(F.col("cos") >= 0.99)
+        .select("a", "b")
+        .collect()
+    )
+    found = {(r.a, r.b) for r in pairs}
+    for i in range(5):
+        assert (i, i + 1_000_000) in found
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF probe search must recover most of the exact top-10."""
+    from http_feeds_spark.queries import registry
+
+    exact = [r.vec_id for r in registry()["q_llm_cosine"].fn(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in registry()["q_llm_ann_ivf"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_mm_features_deterministic(spark, sf_dir):
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_features"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) > 0
