@@ -227,6 +227,69 @@ def q_principal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.principal_filter(f, F.col("subject").cast("long") % 5 == 0)
 
 
+# --- A1/A8 live: HTTP connector round-trip -----------------------------------
+
+
+@register(
+    "q_http_roundtrip",
+    # the spec's worked example has a fully determined outcome: after
+    # compaction + the DELETE tombstone only subject 9521234512349 remains
+    # (README.md:242-266, :279-292)
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS seq,
+           '9521234512349' AS subject,
+           'org.http-feeds.example.inventory' AS type,
+           CAST(0 AS BIGINT) AS quantity
+    """,
+    group="A",
+)
+def q_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8 — end-to-end through the HTTP connector: an in-process stub
+    server serves the spec's own worked example (3 inventory events,
+    README.md:29-65, plus the DELETE tombstone, :279-288) as
+    application/cloudevents-batch+json; the engine reads it with the
+    `httpfeed` source, mints seq from the composite ids (:159), and
+    materializes the read model (:168-179). The result is fully
+    determined by the spec — the oracle is its literal value."""
+    import sys as _sys
+
+    for p in ["/root/repo", "/root/repo/tests"]:
+        if p not in _sys.path:
+            _sys.path.insert(0, p)
+    from feed_server import FeedState, serve
+
+    from http_feeds_spark.operators import feed as ops
+    from http_feeds_spark.sources import http_feed
+
+    state = FeedState()
+    state.append("org.http-feeds.example.inventory", "9521234567899",
+                 {"sku": "9521234567899", "quantity": 5}, time_iso="2021-01-01T00:00:01.000000Z")
+    state.append("org.http-feeds.example.inventory", "9521234512349",
+                 {"sku": "9521234512349", "quantity": 0}, time_iso="2021-12-01T00:00:15.000000Z")
+    state.append("org.http-feeds.example.inventory", "9521234567899",
+                 {"sku": "9521234567899", "quantity": 4}, time_iso="2021-01-01T00:00:22.000000Z")
+    state.append("org.http-feeds.example.inventory", "9521234567899", None,
+                 method="DELETE", time_iso="2021-12-31T00:00:01.000000Z")
+    state.compact()
+
+    srv, url = serve(state)
+    try:
+        http_feed.register(spark)
+        wire = spark.read.format("httpfeed").option("url", url).load()
+        rm = ops.read_model(ops.parse_seq(wire))
+        out = rm.select(
+            "seq",
+            "subject",
+            "type",
+            F.get_json_object("data", "$.quantity").cast("long").alias("quantity"),
+        )
+        # materialize before the server goes away
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        srv.shutdown()
+
+
 # --- A14: CloudEvents parse / serialize --------------------------------------
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs-precision ISO-8601 UTC

@@ -63,6 +63,9 @@ def get_spark(
         # no nanos timestamp type — read as long, convert on load (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # python streaming sources + many short-lived UDF stages: give the
+        # worker fork/connect-back path headroom under load (default 15s)
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,290 @@
+"""Streaming tests: the HTTP feed connector against a spec-conformant stub
+server, stream-batch equivalence, and stateful compaction.
+
+Each test encodes normative spec sentences (SURVEY.md §5):
+- empty array = feed end (README.md:82)
+- client persists lastEventId; resume returns only newer events (:111, :12)
+- position preserved when the cursor event was compacted away (:154)
+- at-least-once + idempotent consumer (:113-114)
+- aggregate-feed read model = latest per subject minus tombstones (:168-179)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def feed():
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    yield state, url
+    srv.shutdown()
+
+
+def _seed_inventory(state):
+    """The spec's worked example: 3 inventory events (README.md:29-65),
+    later a DELETE tombstone for subject 9521234567899 (:279-288)."""
+    state.append("org.http-feeds.example.inventory", "9521234567899",
+                 {"sku": "9521234567899", "updated": "2022-01-01T00:00:01Z", "quantity": 5},
+                 time_iso="2021-01-01T00:00:01.000000Z")
+    state.append("org.http-feeds.example.inventory", "9521234512349",
+                 {"sku": "9521234512349", "updated": "2022-01-01T00:00:12Z", "quantity": 0},
+                 time_iso="2021-12-01T00:00:15.000000Z")
+    state.append("org.http-feeds.example.inventory", "9521234567899",
+                 {"sku": "9521234567899", "updated": "2022-01-01T00:00:21Z", "quantity": 4},
+                 time_iso="2021-01-01T00:00:22.000000Z")
+
+
+def test_batch_read_whole_feed(spark, feed):
+    state, url = feed
+    _seed_inventory(state)
+    from http_feeds_spark.sources import http_feed
+
+    http_feed.register(spark)
+    df = spark.read.format("httpfeed").option("url", url).load()
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 3
+    assert rows[0].subject == "9521234567899"
+    assert rows[0].specversion == "1.0"
+    assert '"quantity": 5' in rows[0].data or '"quantity":5' in rows[0].data
+
+
+def test_batch_read_respects_cursor_and_feed_end(spark, feed):
+    state, url = feed
+    _seed_inventory(state)
+    from http_feeds_spark.sources import http_feed
+    from tests.feed_server import make_id
+
+    http_feed.register(spark)
+    after2 = (
+        spark.read.format("httpfeed").option("url", url)
+        .option("lastEventId", make_id(2)).load()
+    )
+    rows = after2.collect()
+    assert [r.id for r in rows] == [make_id(3)]  # strictly newer only (:12)
+    at_head = (
+        spark.read.format("httpfeed").option("url", url)
+        .option("lastEventId", make_id(3)).load()
+    )
+    assert at_head.count() == 0  # empty array = feed end (:82)
+
+
+def test_deleted_cursor_position_preserved(spark, feed):
+    """README.md:150-154: scrolling must work even when the lastEventId
+    event has been compacted away."""
+    state, url = feed
+    _seed_inventory(state)
+    state.compact()  # removes seq 1 (older entry for 9521234567899)
+    from http_feeds_spark.sources import http_feed
+    from tests.feed_server import make_id
+
+    http_feed.register(spark)
+    # cursor = seq 1, which no longer exists in the log
+    df = (
+        spark.read.format("httpfeed").option("url", url)
+        .option("lastEventId", make_id(1)).load()
+    )
+    assert sorted(r.id for r in df.collect()) == [make_id(2), make_id(3)]
+
+
+def test_streaming_subscription_and_checkpoint_resume(spark, feed):
+    """A8 simple polling as a Structured Streaming query: all events arrive
+    exactly once (per id) across restarts; offset = lastEventId persisted
+    in the checkpoint (:111)."""
+    state, url = feed
+    _seed_inventory(state)
+    from http_feeds_spark.sources import http_feed
+    from tests.feed_server import make_id
+
+    http_feed.register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt, out = f"{tmp}/ckpt", f"{tmp}/out"
+
+        def run_stream():
+            q = (
+                spark.readStream.format("httpfeed").option("url", url).load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+            return q
+
+        q = run_stream()
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                try:
+                    if spark.read.parquet(out).count() >= 3:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).count() == 3
+
+        # restart: new events appended while the stream was down
+        state.append("org.http-feeds.example.inventory", "9521234599999",
+                     {"sku": "9521234599999", "quantity": 1},
+                     time_iso="2021-12-30T00:00:00.000000Z")
+        q = run_stream()
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if spark.read.parquet(out).count() >= 4:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        got = spark.read.parquet(out)
+        assert got.count() == 4  # no redelivery of the first three
+        assert got.select("id").distinct().count() == 4
+        assert got.filter(F.col("id") == make_id(4)).count() == 1
+
+
+def test_streaming_compaction_read_model(spark, feed):
+    """C5: stateful latest-per-subject over the live feed equals the batch
+    read model, including the DELETE tombstone (README.md:270-292)."""
+    state, url = feed
+    _seed_inventory(state)
+    # tombstone: delete subject 9521234567899 (README.md:279-288)
+    state.append("org.http-feeds.example.inventory", "9521234567899", None,
+                 method="DELETE", time_iso="2021-12-31T00:00:01.000000Z")
+
+    from http_feeds_spark.operators import feed as ops
+    from http_feeds_spark.sources import http_feed
+    from http_feeds_spark.streaming.compaction import latest_per_subject_stream
+
+    http_feed.register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = spark.readStream.format("httpfeed").option("url", url).load()
+        stream = ops.parse_seq(stream)  # composite ids carry the order (:159)
+        latest = latest_per_subject_stream(stream)
+        q = (
+            latest.writeStream.format("memory").queryName("read_model_stream")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                n = spark.sql("SELECT count(DISTINCT subject) c FROM read_model_stream").collect()[0].c
+                if n >= 2:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+
+        # take the latest emission per subject (update mode emits per change)
+        snap = spark.sql(
+            """
+            SELECT subject, seq, method, is_deleted FROM (
+              SELECT *, row_number() OVER (PARTITION BY subject ORDER BY seq DESC) rn
+              FROM read_model_stream
+            ) WHERE rn = 1
+            """
+        ).collect()
+        by_subject = {r.subject: r for r in snap}
+        # deleted subject surfaces as a tombstone marker; live subject has latest PUT
+        assert by_subject["9521234567899"].is_deleted
+        assert not by_subject["9521234512349"].is_deleted
+
+        # live view equals the batch read model on the same feed
+        batch = ops.read_model(
+            ops.parse_seq(spark.read.format("httpfeed").option("url", url).load())
+        )
+        live = [s for s, r in by_subject.items() if not r.is_deleted]
+        assert sorted(live) == sorted(r.subject for r in batch.collect())
+
+
+def test_stream_batch_equivalence_tumbling(spark, sf_dir):
+    """C3: a tumbling-window aggregation over a file stream of the events
+    table equals the batch answer (replay equivalence)."""
+    import glob
+    import shutil
+
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in registry()["q_stream_tumbling"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.repartition(4).write.parquet(src)  # several files → several micro-batches
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("tumbling_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM tumbling_stream").collect()
+        }
+    assert stream_rows == batch_rows
+
+
+def test_stream_dedup_within_watermark(spark, feed):
+    """C6: dropDuplicatesWithinWatermark heals at-least-once redelivery."""
+    state, url = feed
+    _seed_inventory(state)
+    from http_feeds_spark.sources import http_feed
+
+    http_feed.register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = spark.readStream.format("httpfeed").option("url", url).load()
+        deduped = stream.withWatermark("time", "10 minutes").dropDuplicatesWithinWatermark(["id"])
+        q = (
+            deduped.writeStream.format("memory").queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0].c >= 3:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        n = spark.sql("SELECT count(*) c, count(DISTINCT id) d FROM dedup_stream").collect()[0]
+        assert n.c == n.d == 3
