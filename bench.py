@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Execution is measured with the noop sink (computes the full result,
+writes nothing) — the standard way to bench Spark plans without sink
+cost. One warm-up action runs first so JVM/codegen startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the bench workload: one representative per operator family
+HEADLINE = [
+    "q_agg_group",        # TPC-H Q1-shape aggregation
+    "q_join_broadcast",   # star join, broadcast dim
+    "q_join_inner",       # shuffle/broadcast equi-join + filter
+    "q_window_rank",      # window top-n per key (compaction shape)
+    "q_topk",             # agg + TakeOrderedAndProject
+    "q_read_model",       # feed compaction + tombstones + JSON projection
+    "q_stream_tumbling",  # windowed event aggregation
+    "q_llm_dedup_exact",  # content-hash dedup
+    "q_llm_cosine",       # vector similarity top-k
+    "q_llm_dedup_near",   # MinHash-LSH near-dup pipeline
+    "q_llm_textstats",    # corpus statistics
+    "q_llm_tokens",       # regex tokenization
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.session import get_spark
+
+    spark = get_spark(app_name="http-feeds-spark-bench")
+    reg = registry()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
