@@ -1,0 +1,51 @@
+"""Landing-zone maintenance: background compaction of archived feeds.
+
+The spec treats compaction as a server-side background rewrite that
+shrinks the log while preserving positions (/root/reference/README.md:
+181-192, :236, :292). On the consumer/engine side the analogue is a
+periodic batch job over the Parquet landing zone (same role as Kafka log
+cleaning or Delta OPTIMIZE): rewrite each feed archive keeping only the
+newest entry per subject, dropping fully-tombstoned subjects, range-
+partitioned by `seq` so offset scans keep pruning files.
+
+100 TB posture: the rewrite is a single window per key (one shuffle);
+output is range-partitioned on seq so `seq > cursor` scans skip whole
+files via Parquet min/max; tombstones older than `keep_tombstones_for`
+replays can be physically dropped once consumers are past them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import feed as ops
+
+
+def compact_landing_zone(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    drop_tombstoned_subjects: bool = True,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite a feed archive compacted; returns the compacted DataFrame
+    (also written to `out_path`).
+
+    Positions survive: `seq` values are preserved verbatim, so any
+    consumer cursor remains valid against the compacted archive
+    (README.md:150-154).
+    """
+    feed = spark.read.parquet(in_path)
+    compacted = ops.compact(feed)
+    if drop_tombstoned_subjects:
+        compacted = ops.drop_tombstoned(compacted)
+    n = target_partitions or max(1, compacted.rdd.getNumPartitions())
+    # range-partition by seq: keeps offset scans file-prunable after rewrite
+    (
+        compacted.repartitionByRange(n, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return spark.read.parquet(out_path)

@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None, group: str = ""):
 def registry() -> dict[str, Query]:
     """Import all query modules (side-effect: registration) and return."""
     from http_feeds_spark.queries import (  # noqa: F401
+        extended,
         feed_queries,
         llm,
         relational,

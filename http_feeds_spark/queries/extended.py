@@ -1,0 +1,125 @@
+"""Extended relational coverage: pivot, cube, scalar subqueries, as-of
+join — the OLAP shapes users reach for beyond SURVEY §2's core list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_feeds_spark.queries import register
+from http_feeds_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    group="B",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — pivot (wide counts per event_type). Explicit value list ⇒
+    single pass, no extra distinct-values job — required at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    # pivot yields NULL for absent combinations; normalize to 0 like the
+    # oracle's FILTER counts
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '__ALL__') AS returnflag,
+           coalesce(l_linestatus, '__ALL__') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    group="B",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — cube (all grouping-set combinations) in one Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+    group="B",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — scalar subquery through the SQL front end (Catalyst plans
+    the subquery as a broadcast scalar, one extra stage)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER w AS last_purchase_ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+             OVER w AS last_purchase_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    group="B",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — as-of join (Spark has no native one): for every event, the
+    user's most recent purchase at-or-before it. Expressed as a running
+    last-non-null window — ONE shuffle on the key and a linear pass,
+    instead of the naive per-row subquery. The same plan shape serves
+    point-in-time feature lookup in training pipelines; for as-of against
+    a second table, union the tagged streams first (same window after).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+        F.last(purchase_id, ignorenulls=True).over(w).alias("last_purchase_event"),
+    )

@@ -119,35 +119,37 @@ def test_streaming_subscription_and_checkpoint_resume(spark, feed):
             )
             return q
 
-        q = run_stream()
-        try:
-            deadline = time.time() + 60
-            while time.time() < deadline:
-                q.processAllAvailable()
+        def run_until(n_rows: int, attempts: int = 3) -> None:
+            # transient worker startup failures kill the streaming query;
+            # restarting from the checkpoint IS the spec's recovery story
+            # (README.md:111) — exercise it instead of flaking
+            for attempt in range(attempts):
+                q = run_stream()
                 try:
-                    if spark.read.parquet(out).count() >= 3:
-                        break
+                    deadline = time.time() + 60
+                    while time.time() < deadline:
+                        q.processAllAvailable()
+                        try:
+                            if spark.read.parquet(out).count() >= n_rows:
+                                return
+                        except Exception:
+                            pass
+                        time.sleep(0.3)
+                    return  # deadline reached; let the assertion decide
                 except Exception:
-                    pass
-                time.sleep(0.3)
-        finally:
-            q.stop()
+                    if attempt == attempts - 1:
+                        raise
+                finally:
+                    q.stop()
+
+        run_until(3)
         assert spark.read.parquet(out).count() == 3
 
         # restart: new events appended while the stream was down
         state.append("org.http-feeds.example.inventory", "9521234599999",
                      {"sku": "9521234599999", "quantity": 1},
                      time_iso="2021-12-30T00:00:00.000000Z")
-        q = run_stream()
-        try:
-            deadline = time.time() + 60
-            while time.time() < deadline:
-                q.processAllAvailable()
-                if spark.read.parquet(out).count() >= 4:
-                    break
-                time.sleep(0.3)
-        finally:
-            q.stop()
+        run_until(4)
         got = spark.read.parquet(out)
         assert got.count() == 4  # no redelivery of the first three
         assert got.select("id").distinct().count() == 4
