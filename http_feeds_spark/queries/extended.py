@@ -87,6 +87,59 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="B",
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — exact interpolated quantiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). At 100 TB the approx sketch
+    (percentile_approx, one-pass mergeable) replaces this; exact is the
+    correctness baseline. Rounded to absorb interpolation-formula ULPs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99_qty"),
+    )
+
+
+@register("q_llm_ngram_sim", oracle=None, group="D")
+def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2d — n-gram Jaccard document similarity: 2-gram shingle sets,
+    MinHash-LSH candidates (no all-pairs), exact Jaccard scores ≥ 0.3.
+    The lower n and threshold make this the 'similar documents' variant
+    of the near-dup pipeline (same scalable shape). Rows-only check."""
+    from http_feeds_spark.functions import minhash as mh
+    from http_feeds_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= 2)
+        .withColumn("shingles", F.array_distinct(tx.word_shingles(F.col("tokens"), 2)))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    cands = mh.minhash_candidates(sh, "shingles", "doc_id", k=64, bands=32, rows=2)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
     "q_asof_join",
     oracle="""
     SELECT event_id, user_id, ts,

@@ -6,7 +6,13 @@ import tempfile
 
 import pytest
 
-EXTENDED = ["q_pivot", "q_cube", "q_scalar_subquery", "q_asof_join"]
+EXTENDED = ["q_pivot", "q_cube", "q_scalar_subquery", "q_asof_join", "q_agg_quantile"]
+
+
+def test_ngram_sim_runs(spark, sf_dir):
+    from http_feeds_spark.queries import registry
+
+    assert registry()["q_llm_ngram_sim"].fn(spark, sf_dir).count() >= 0
 
 
 @pytest.mark.parametrize("name", EXTENDED)
