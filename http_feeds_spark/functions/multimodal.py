@@ -92,3 +92,58 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(fake_image_features, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image-resize operator plumbing (mapInPandas, Arrow-batched).
+
+    The real path would decode with PIL and `img.resize((w, h))`; codecs
+    are absent in this container, so the stand-in emits a deterministic
+    fixed-size byte grid sampled from the payload — same schema, batch
+    shape, and partitioning as the real operator. Map-only: linear scale.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) or b"\x00"
+                step = max(1, len(b) // (width * height))
+                thumbs.append(bytes(b[i * step % len(b)] for i in range(width * height)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (row explosion inside mapInPandas — the batch-iterator shape a real
+    ffmpeg-backed sampler would have). The stand-in cuts the payload into
+    n_frames evenly spaced byte slices."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) or b"\x00"
+                span = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    off = i * span
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame"].append(b[off : off + span])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(do_sample, schema=FRAMES_SCHEMA)

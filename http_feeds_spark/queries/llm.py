@@ -464,6 +464,50 @@ def q_mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_wordfreq",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+    group="D",
+)
+def q_llm_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5e — corpus word frequency: explode tokens → count → top-20.
+    The canonical explode + agg + TakeOrdered pipeline; at 100 TB the
+    explode is map-side and the shuffle carries (word, partial count)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tx.words(F.lower("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+@register("q_mm_resize", oracle=None, group="D")
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4c — image-resize plumbing (mapInPandas; deterministic stand-in
+    for the PIL path — codecs absent here, see functions/multimodal.py).
+    Output keeps the binary thumb column out of the checked projection."""
+    d = mm.with_binary_payload(_docs(spark, sf_dir))
+    resized = mm.resize_images(d, 16, 16)
+    return resized.select("doc_id", "width", "height", F.length("thumb").alias("thumb_bytes"))
+
+
+@register("q_mm_frames", oracle=None, group="D")
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4d — video frame-sampling plumbing: one row per sampled frame
+    (row-exploding mapInPandas, the ffmpeg-sampler shape)."""
+    d = mm.with_binary_payload(_docs(spark, sf_dir))
+    frames = mm.sample_frames(d, 4)
+    return frames.select("doc_id", "frame_idx", "frame_off", F.length("frame").alias("frame_bytes"))
+
+
 @register("q_mm_features", oracle=None, group="D")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4b — Arrow-batched feature extraction over binary payloads via
