@@ -19,10 +19,19 @@ ORACLE_QUERIES = [
     "q_llm_tokens",
     "q_llm_langid",
     "q_llm_fingerprint",
+    "q_llm_wordfreq",
     "q_mm_binary",
 ]
 
-ROWS_ONLY = ["q_llm_dedup_near", "q_llm_simhash", "q_llm_dedup_embed", "q_llm_ann_ivf", "q_mm_features"]
+ROWS_ONLY = [
+    "q_llm_dedup_near",
+    "q_llm_simhash",
+    "q_llm_dedup_embed",
+    "q_llm_ann_ivf",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
