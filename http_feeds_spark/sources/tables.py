@@ -31,7 +31,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
     BIGINT of nanoseconds and is truncated to µs here — the same µs value
     DuckDB produces, keeping the oracle aligned (FIXTURES.md notes).
+
+    The two SQL confs are (re)applied at call time because the driver
+    invokes queries with ITS OWN SparkSession — a vanilla session would
+    otherwise fail outright on the nanos column (verified), and a
+    non-UTC session would shift rendered timestamps vs the oracle. Both
+    are runtime-settable; setting them is idempotent.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
