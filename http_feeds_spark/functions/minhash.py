@@ -36,9 +36,13 @@ def minhash_signature_cols(df: DataFrame, shingles_col: str, doc_col: str = "doc
     a scalar codegen'd hash — no higher-order functions anywhere.
     """
     ex = df.select(doc_col, F.explode(F.col(shingles_col)).alias("__sh"))
-    hashed = ex.select(
+    # hash the variable-length shingle ONCE; derive each permutation by
+    # hashing the fixed-width long with the seed literal (xxhash64 over
+    # (long, int) — no per-permutation string allocation)
+    base = ex.select(doc_col, F.xxhash64("__sh").alias("__h"))
+    hashed = base.select(
         doc_col,
-        *[F.xxhash64(F.concat(F.col("__sh"), F.lit(f"#{i}"))).alias(f"__h{i}") for i in range(k)],
+        *[F.xxhash64(F.col("__h"), F.lit(i)).alias(f"__h{i}") for i in range(k)],
     )
     return hashed.groupBy(doc_col).agg(*[F.min(f"__h{i}").alias(f"mh{i}") for i in range(k)])
 
