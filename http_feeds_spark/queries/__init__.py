@@ -41,7 +41,14 @@ def register(name: str, oracle: str | None, group: str = ""):
 
 
 def registry() -> dict[str, Query]:
-    """Import all query modules (side-effect: registration) and return."""
+    """Import all query modules (side-effect: registration) and return.
+
+    Ordering contract: the driver's correctness harness records at most the
+    first 50 registered queries, so every oracle-backed query must register
+    ahead of the rows-only (``oracle is None``) set.  We enforce that here by
+    partitioning the registry — oracle-backed first (stable in registration
+    order), rows-only last — instead of relying on module import order.
+    """
     from http_feeds_spark.queries import (  # noqa: F401
         extended,
         feed_queries,
@@ -50,4 +57,5 @@ def registry() -> dict[str, Query]:
         streaming_queries,
     )
 
-    return dict(_REGISTRY)
+    ordered = sorted(_REGISTRY.values(), key=lambda q: q.oracle is None)
+    return {q.name: q for q in ordered}
