@@ -214,6 +214,83 @@ def test_streaming_compaction_read_model(spark, feed):
         assert sorted(live) == sorted(r.subject for r in batch.collect())
 
 
+def test_foreach_batch_upsert_epochs(spark):
+    """C5 sink path: multi-micro-batch upsert into the bucketed epoch
+    read model — updates, tombstone deletes, inserts; partial rewrites
+    (a batch touching k subjects rewrites only their buckets, and the
+    manifest keeps untouched buckets pointing at the older epoch)."""
+    import json
+    import os
+
+    from http_feeds_spark.streaming.compaction import (
+        foreach_batch_upsert,
+        read_read_model,
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "subject string, seq long, time timestamp, type string, "
+            "method string, data string, is_deleted boolean"
+        )
+
+    t = __import__("datetime").datetime(2022, 1, 1)
+    ty = "org.http-feeds.example.inventory"
+    with tempfile.TemporaryDirectory() as tmp:
+        src, root = f"{tmp}/src", f"{tmp}/model"
+        os.makedirs(src)
+        # micro-batch 1: four PUTs
+        rows_df(
+            [(f"s{i}", i, t, ty, "PUT", f'{{"v": {i}}}', False) for i in range(1, 5)]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        schema = rows_df([]).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_upsert(root, num_buckets=8))
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            snap1 = {r.subject: r for r in read_read_model(spark, root).collect()}
+            assert sorted(snap1) == ["s1", "s2", "s3", "s4"]
+
+            # micro-batch 2: update s1, tombstone s2, insert s5
+            rows_df(
+                [
+                    ("s1", 10, t, ty, "PUT", '{"v": 100}', False),
+                    ("s2", 11, t, ty, "DELETE", None, True),
+                    ("s5", 12, t, ty, "PUT", '{"v": 5}', False),
+                ]
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        snap2 = {r.subject: r for r in read_read_model(spark, root).collect()}
+        assert sorted(snap2) == ["s1", "s3", "s4", "s5"]  # s2 deleted
+        assert snap2["s1"].seq == 10 and snap2["s1"].data == '{"v": 100}'
+        assert snap2["s3"].seq == 3  # untouched row carried over
+
+        # partial rewrite: ≥2 live epochs, and the newest epoch holds only
+        # the buckets touched by batch 2 (strictly fewer than the total)
+        manifest = json.load(open(os.path.join(root, "_MANIFEST.json")))
+        live_epochs = set(manifest["buckets"].values())
+        assert len(live_epochs) >= 2
+        newest = max(live_epochs)
+        new_buckets = [
+            d for d in os.listdir(os.path.join(root, newest)) if d.startswith("bucket=")
+        ]
+        assert 0 < len(new_buckets) <= 3  # at most the 3 touched subjects
+        assert len(new_buckets) < len(manifest["buckets"])
+        # GC: no unreferenced epoch dirs remain
+        on_disk = {d for d in os.listdir(root) if d.startswith("epoch=")}
+        assert on_disk == live_epochs
+
+
 def test_stream_batch_equivalence_tumbling(spark, sf_dir):
     """C3: a tumbling-window aggregation over a file stream of the events
     table equals the batch answer (replay equivalence)."""
