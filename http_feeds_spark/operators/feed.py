@@ -22,18 +22,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def mint_seq(df: DataFrame, time_col: str = "time", id_col: str = "id") -> DataFrame:
+def mint_seq(df: DataFrame, time_col: str = "time", id_col: str = "id",
+             num_partitions: int | None = None) -> DataFrame:
     """Assign the total order required by README.md:148-151.
 
     For raw CloudEvents input whose ids are unordered UUIDs, mint ``seq``
-    as row_number over (time, id) — deterministic because the pair is
-    unique. For composite ``sequence::uuid`` ids (README.md:159) prefer
-    :func:`parse_seq` instead; and at true 100 TB ingest, seq should be
-    assigned by the writer (one global window is a single-reducer sort).
-    This operator exists for bounded replays/bootstraps.
+    as the global rank over (time, id) — deterministic because the pair
+    is unique. For composite ``sequence::uuid`` ids (README.md:159)
+    prefer :func:`parse_seq`; at true 100 TB ingest seq is assigned by
+    the writer. This operator serves bounded replays/bootstraps — and
+    even there it must not be a single-reducer sort, so it is built as a
+    distributed sort with per-bucket offsets (the zipWithIndex shape):
+
+    1. bucket boundaries = ``percentile_approx(time)`` — ONE small
+       deterministic aggregate, collected as ≤N literal values. (Not
+       ``repartitionByRange``: its sampled boundaries differ between the
+       count pass and the rank pass, which silently mis-bases the seq.)
+    2. ``__bkt`` = number of boundaries below the row's time — a pure
+       map-side expression, identical in every pass; equal-time rows
+       always share a bucket, so (time, id) order within buckets is the
+       global order across buckets;
+    3. per-bucket row counts → cumulative bases (≤N rows of metadata);
+    4. ``seq = base(bucket) + local row_number`` — each task ranks only
+       its own slice (one balanced hash exchange on ``__bkt``).
     """
-    w = Window.orderBy(F.col(time_col), F.col(id_col))
-    return df.withColumn("seq", F.row_number().over(w).cast("long"))
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    fracs = [i / parts for i in range(1, parts)]
+    cuts = df.agg(
+        F.percentile_approx(time_col, fracs).alias("qs")
+    ).collect()[0]["qs"] or []
+    bounds = sorted(set(cuts))
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + (F.col(time_col) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bkt", bkt)
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("n")).collect()
+    }
+    bases, acc = [], 0
+    for bucket in sorted(counts):
+        bases.append((bucket, acc))
+        acc += counts[bucket]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "__bkt int, __base long")
+    w = Window.partitionBy("__bkt").orderBy(F.col(time_col), F.col(id_col))
+    return (
+        bucketed.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(base_df), "__bkt")
+        .withColumn("seq", (F.col("__base") + F.col("__local")).cast("long"))
+        .drop("__bkt", "__base", "__local")
+    )
 
 
 def parse_seq(df: DataFrame, id_col: str = "id") -> DataFrame:

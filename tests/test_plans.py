@@ -54,3 +54,23 @@ def test_compaction_single_shuffle(spark, sf_dir):
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     assert plans.uses_whole_stage_codegen(q(spark, "q_agg_group", sf_dir))
+
+
+def test_mint_seq_no_global_sort(spark, sf_dir):
+    """mint_seq must never collapse to a single-reducer sort: the rank is
+    assigned per time-bucket slice + cumulative base, so the plan has a
+    balanced hash exchange on the bucket but no SinglePartition
+    exchange."""
+    df = q(spark, "q_event_order", sf_dir)
+    p = plans.executed_plan(df)
+    assert "Exchange SinglePartition" not in p, p
+    assert "hashpartitioning(__bkt" in p  # the per-slice rank shape
+
+
+def test_ann_ivf_assignment_map_only(spark, sf_dir):
+    """IVF cluster assignment must be map-only: every join in the plan is
+    a broadcast (1-row centroid array / 4-row probe list / query vector),
+    so the corpus is never hash-shuffled before the final top-k."""
+    p = plans.executed_plan(q(spark, "q_llm_ann_ivf", sf_dir))
+    assert plans.shuffle_count(q(spark, "q_llm_ann_ivf", sf_dir)) == 0, p
+    assert "row_number" not in p  # the old windowed-argmin shape
