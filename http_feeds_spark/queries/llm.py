@@ -10,7 +10,7 @@ all-pairs, broadcast of small side only, map-only where possible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import minhash as mh
@@ -58,7 +58,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_dedup_near", oracle=None, group="D")
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2a — near-duplicate pairs via MinHash(64) + LSH banding (16×4).
+    """D2a — near-duplicate pairs via MinHash(32) + LSH banding (16×2).
 
     shingle(3-word) → signature → band-bucket equi-join → exact-Jaccard
     verify (≥ 0.5 on shingle sets). No all-pairs stage anywhere: the only
@@ -80,7 +80,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Catalyst from re-optimizing the HOF lineage under each
         .localCheckpoint()
     )
-    cands = mh.minhash_candidates(sh, "shingles", "doc_id", k=64, bands=16, rows=4)
+    cands = mh.minhash_candidates(sh, "shingles", "doc_id")
 
     a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
@@ -150,12 +150,15 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3b — IVF (inverted-file) ANN: the 100 TB scale path.
 
     Deterministic toy "training": the 16 lowest-id vectors serve as
-    centroids (production: k-means sample). Every vector is assigned to
-    its nearest centroid (broadcast 16-row cross join + window argmin —
-    vectors shuffle once, partitioned by cluster). A query then probes
-    only the 4 nearest clusters and exact-ranks within — touching ~1/4 of
-    the data here, ~nprobe/nlist of it in general. Rows-only check;
-    recall@10 vs the exact baseline asserted in tests."""
+    centroids (production: k-means sample). Assignment is MAP-ONLY: the
+    16 centroids are collapsed into a single broadcast array row, every
+    vector computes all 16 distances in one projection, and the argmin is
+    array_min over (d2, cid) structs — no expansion, no shuffle. (The
+    tempting crossJoin + row_number window hash-shuffles a 16×-expanded
+    corpus just to take a minimum — at 100 TB that shuffle IS the query
+    cost.) A query then probes only the 4 nearest clusters and
+    exact-ranks within — touching ~nprobe/nlist of the data. Rows-only
+    check; recall@10 vs the exact baseline asserted in tests."""
     emb = _emb(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -168,13 +171,20 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # one row: [(cid, cvec) × 16] — broadcast to every task
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                sq_dist(F.col("embedding"), c["cvec"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+    )
     assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("d2", sq_dist(F.col("embedding"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__best", best)
+        .select("vec_id", "embedding", F.col("__best.cid").alias("cluster"))
     )
 
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -204,21 +214,27 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2c — embedding near-duplicate pairs (cosine ≥ 0.99) via sign-band
     LSH: the 64-dim sign pattern is cut into 4 bands of 16 signs; highly
     similar vectors agree on at least one full band (multi-probe
-    pigeonhole), so candidates come from band equi-joins — no all-pairs.
-    Verified with exact cosine. Rows-only check; planted-duplicate recall
-    asserted in tests."""
+    pigeonhole), so candidates come from ids-only band equi-joins (see
+    functions/minhash.py::sign_band_candidates — the candidate distinct
+    never carries the vectors). Verified with exact cosine after
+    re-joining the embeddings.
+
+    The synthetic corpus has no natural ≥0.99 pairs at small SF, which
+    would make a rows-only driver check vacuous — so the query plants 5
+    deterministic clones (vec_id + 1e6, embedding × 1.000001) and must
+    recover them; planted-duplicate recall is also asserted in tests."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    signs = emb.withColumn(
-        "sig", F.transform(F.col("embedding"), lambda x: (x >= 0).cast("int"))
-    ).withColumn("blocks", mh.simhash_blocks(F.col("sig"), 4)).select("vec_id", "embedding", "blocks")
-    banded = signs.select("vec_id", "embedding", F.posexplode("blocks").alias("block_id", "block_val"))
-    a = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "block_id", "block_val")
-    b = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "block_id", "block_val")
+    clones = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.000001).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    cand = mh.sign_band_candidates(corpus, "vec_id", "embedding", 4)
+    ea = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, ["block_id", "block_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ea", "eb")
-        .distinct()
+        cand.join(ea, "a")
+        .join(eb, "b")
         .withColumn("cosine_sim", vec.cosine("ea", "eb"))
         .filter(F.col("cosine_sim") >= 0.99)
         .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -90,38 +90,16 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
 
 
 def test_embed_lsh_finds_planted_near_dups(spark, sf_dir):
-    """Sign-band LSH must recover planted ~identical embeddings."""
-    from pyspark.sql import functions as F
+    """Sign-band LSH must recover planted ~identical embeddings — the
+    registered q_llm_dedup_embed plants its own clones (vec_id + 1e6), so
+    the production query itself is the recall fixture."""
+    from http_feeds_spark.queries import registry
 
-    from http_feeds_spark.functions import minhash as mh
-    from http_feeds_spark.functions import vectors as vec
-    from http_feeds_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(100)
-    clones = emb.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * 1.000001).cast("float")).alias("embedding"),
-    )
-    corpus = emb.unionByName(clones)
-    signs = corpus.withColumn("sig", F.transform("embedding", lambda x: (x >= 0).cast("int"))).withColumn(
-        "blocks", mh.simhash_blocks(F.col("sig"), 4)
-    )
-    banded = signs.select("vec_id", "embedding", F.posexplode("blocks").alias("block_id", "block_val"))
-    a = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "block_id", "block_val")
-    b = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "block_id", "block_val")
-    pairs = (
-        a.join(b, ["block_id", "block_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ea", "eb")
-        .distinct()
-        .withColumn("cos", vec.cosine("ea", "eb"))
-        .filter(F.col("cos") >= 0.99)
-        .select("a", "b")
-        .collect()
-    )
+    pairs = registry()["q_llm_dedup_embed"].fn(spark, sf_dir).collect()
     found = {(r.a, r.b) for r in pairs}
     for i in range(5):
         assert (i, i + 1_000_000) in found
+    assert all(r.cosine_sim >= 0.99 for r in pairs)
 
 
 def test_ann_ivf_recall(spark, sf_dir):
