@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from http_feeds_spark.operators import feed as ops
 from http_feeds_spark.queries import register
-from http_feeds_spark.sources.tables import EVENTS_AS_FEED_SQL, load_table, events_as_feed
+from http_feeds_spark.sources.tables import (
+    EVENTS_AS_FEED_SQL,
+    TYPE_PREFIX,
+    load_table,
+    events_as_feed,
+)
 
 CURSOR = 500  # fixed lastEventId position for offset-scan queries
 BATCH = 100  # fixed page size for pagination
@@ -190,26 +195,35 @@ def q_dedup_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_type_route",
     oracle=f"""
     SELECT seq, id, subject, time,
-           CAST(json_extract(data, '$.k') AS BIGINT) AS k
+           CASE WHEN type = '{TYPE_PREFIX}purchase'
+                THEN CAST(json_extract(data, '$.k') AS BIGINT) END AS purchase_k,
+           CASE WHEN type = '{TYPE_PREFIX}signup'
+                THEN CAST(json_extract(data, '$.k') AS BIGINT) END AS signup_k
     FROM ({EVENTS_AS_FEED_SQL})
-    WHERE type IN ('org.http-feeds.example.purchase', 'org.http-feeds.example.signup')
+    WHERE type IN ('{TYPE_PREFIX}purchase', '{TYPE_PREFIX}signup')
     """,
     group="A",
 )
 def q_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 — multi-type feed routing + per-type payload projection
-    (README.md:162-166,:310)."""
-    routed = ops.route_types(
-        _feed(spark, sf_dir),
-        ["org.http-feeds.example.purchase", "org.http-feeds.example.signup"],
-    )
-    return routed.select(
-        "seq",
-        "id",
-        "subject",
-        "time",
-        F.get_json_object("data", "$.k").cast("long").alias("k"),
-    )
+    """A11 — multi-type feed routing + per-type payload deserialization
+    through the payload schema registry (README.md:162-166, :310: `type`
+    "may be used to specify and deserialize the payload").
+
+    Schemas are registered per event type (http_feeds_spark.schema);
+    parsing is ONE from_json with the merged registry schema, and the
+    per-type typed columns are generated from the registry — the plan
+    holds a single JsonToStructs regardless of how many types register.
+    """
+    from pyspark.sql import types as T
+
+    from http_feeds_spark import schema as S
+
+    types = [f"{TYPE_PREFIX}purchase", f"{TYPE_PREFIX}signup"]
+    for t in types:
+        S.register_payload_schema(t, T.StructType([T.StructField("k", T.LongType())]))
+    routed = ops.route_types(_feed(spark, sf_dir), types)
+    parsed = S.parse_payloads(routed)
+    return parsed.select("seq", "id", "subject", "time", *S.typed_payload_columns(types=types))
 
 
 # --- A12: per-principal filtering --------------------------------------------

@@ -51,6 +51,78 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# --- per-type payload schema registry (README.md:310: `type` "may be used
+# to specify and deserialize the payload") ----------------------------------
+#
+# The spec's payload is schemaless per envelope but typed per event `type`.
+# Consumers register one StructType per type; parsing then happens ONCE per
+# row with the merged union schema (from_json ignores absent fields), and
+# per-type projections are generated from the registry — at 100 schemas the
+# plan still contains a single JsonToStructs, not 100 conditional parses.
+
+_PAYLOAD_SCHEMAS: dict[str, T.StructType] = {}
+
+
+def register_payload_schema(event_type: str, schema: T.StructType) -> None:
+    """Register (or replace) the payload schema for one event type."""
+    _PAYLOAD_SCHEMAS[event_type] = schema
+
+
+def payload_schema_for(event_type: str) -> T.StructType | None:
+    return _PAYLOAD_SCHEMAS.get(event_type)
+
+
+def registered_payload_types() -> list[str]:
+    return sorted(_PAYLOAD_SCHEMAS)
+
+
+def merged_payload_schema() -> T.StructType:
+    """Union of all registered payload fields (name-keyed). A field name
+    claimed by two types with different Spark types is a registry error —
+    surfaced here, at plan time, not as silent nulls at run time."""
+    fields: dict[str, T.StructField] = {}
+    for event_type, schema in sorted(_PAYLOAD_SCHEMAS.items()):
+        for f in schema.fields:
+            prev = fields.get(f.name)
+            if prev is not None and prev.dataType != f.dataType:
+                raise TypeError(
+                    f"payload field {f.name!r} registered with conflicting types "
+                    f"({prev.dataType} vs {f.dataType} from {event_type!r})"
+                )
+            fields[f.name] = f
+    return T.StructType([fields[n] for n in sorted(fields)])
+
+
+def parse_payloads(df, type_col: str = "type", data_col: str = "data"):
+    """Parse the JSON payload into a typed ``payload`` struct column using
+    the merged registry schema — one JsonToStructs for the whole feed.
+    Rows of unregistered types parse too (absent fields are null); use
+    :func:`typed_payload_columns` for per-type projections."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("payload", F.from_json(F.col(data_col), merged_payload_schema()))
+
+
+def typed_payload_columns(type_col: str = "type", types: list[str] | None = None):
+    """One typed column per (registered type, field): ``<field>`` gated on
+    the row's type — the registry-driven routing projection. Generated
+    from the registry, so adding a 101st schema changes no query code.
+    ``types`` pins the projection to a subset (default: every registered
+    type, sorted)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for event_type in sorted(types) if types is not None else registered_payload_types():
+        schema = _PAYLOAD_SCHEMAS[event_type]
+        short = event_type.rsplit(".", 1)[-1]
+        for f in schema.fields:
+            cols.append(
+                F.when(F.col(type_col) == event_type, F.col(f"payload.{f.name}"))
+                .alias(f"{short}_{f.name}")
+            )
+    return cols
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
