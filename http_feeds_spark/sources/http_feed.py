@@ -50,6 +50,18 @@ from http_feeds_spark.schema import WIRE_ENVELOPE
 FIELDS = [f.name for f in WIRE_ENVELOPE.fields]
 
 
+def _seq_or_none(event_id: str | None) -> int | None:
+    """Ordered numeric prefix of a composite ``sequence::uuid`` id
+    (README.md:159); None for opaque ids."""
+    if not event_id:
+        return None
+    head = event_id.split("::", 1)[0]
+    try:
+        return int(head)
+    except ValueError:
+        return None
+
+
 def _parse_time(v: str | None):
     if v is None:
         return None
@@ -80,9 +92,28 @@ def _event_to_row(e: dict) -> tuple:
     )
 
 
+# Immutable-page cache (README.md:330-332: full batches "can be cached for
+# a long time" — the server marks them with Cache-Control max-age). Keyed
+# by (url, cursor); populated only for responses the SERVER declared
+# cacheable, so head pages (no header) are always re-fetched. Process-local
+# and bounded — a safety net for re-walks/replays, not a bulk-bootstrap
+# mechanism (bootstrap should replay the Parquet landing zone, see module
+# docstring).
+_PAGE_CACHE: dict[tuple[str, str | None], list[dict]] = {}
+_PAGE_CACHE_MAX = 1024
+
+
+def _cacheable(cache_control: str | None) -> bool:
+    cc = (cache_control or "").lower()
+    return "max-age" in cc and "no-store" not in cc and "no-cache" not in cc
+
+
 def fetch_batch(url: str, last_event_id: str | None, timeout_ms: int | None,
-                max_wait_s: float = 30.0) -> list[dict]:
+                max_wait_s: float = 30.0, use_cache: bool = False) -> list[dict]:
     """One GET against the feed endpoint (README.md:69-82)."""
+    cache_key = (url, last_event_id)
+    if use_cache and cache_key in _PAGE_CACHE:
+        return _PAGE_CACHE[cache_key]
     params = {}
     if last_event_id is not None:
         params["lastEventId"] = last_event_id
@@ -91,10 +122,15 @@ def fetch_batch(url: str, last_event_id: str | None, timeout_ms: int | None,
     full = url + ("?" + urllib.parse.urlencode(params) if params else "")
     req = urllib.request.Request(full, headers={"Accept": "application/cloudevents-batch+json"})
     with urllib.request.urlopen(req, timeout=max_wait_s) as resp:
+        cache_control = resp.headers.get("Cache-Control")
         body = resp.read()
     events = json.loads(body)
     if not isinstance(events, list):
         raise ValueError(f"feed endpoint returned non-array body: {body[:200]!r}")
+    if use_cache and events and _cacheable(cache_control):
+        if len(_PAGE_CACHE) >= _PAGE_CACHE_MAX:
+            _PAGE_CACHE.pop(next(iter(_PAGE_CACHE)))
+        _PAGE_CACHE[cache_key] = events
     return events
 
 
@@ -129,19 +165,35 @@ class HttpFeedStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # Replay for recovery: walk the cursor from start to end. The
-        # server honors the position even if the cursor event was deleted
-        # (README.md:150-154), so this is safe across compactions.
+        # server honors the START position even if the cursor event was
+        # deleted (README.md:150-154) — and the spec equally allows the
+        # END-offset event to be compacted away between the original batch
+        # and this replay. So termination is by POSITION (the ordered
+        # numeric prefix of composite ids, README.md:159), not identity:
+        # stop once an event at or past the end position was returned, and
+        # never emit events past it (they belong to later batches — an
+        # identity-only loop would replay them as duplicates). Opaque
+        # (non-composite) ids fall back to the identity match.
         cursor = start.get("lastEventId")
         stop = end.get("lastEventId")
+        stop_pos = _seq_or_none(stop)
         out: list[tuple] = []
-        while cursor != stop:
-            events = fetch_batch(self.url, cursor, None)
+        done = cursor == stop
+        while not done:
+            events = fetch_batch(self.url, cursor, None, use_cache=True)
             if not events:
                 break
             for e in events:
+                pos = _seq_or_none(e["id"])
+                if stop_pos is not None and pos is not None and pos > stop_pos:
+                    done = True
+                    break
                 out.append(_event_to_row(e))
                 cursor = e["id"]
-                if cursor == stop:
+                if cursor == stop or (
+                    stop_pos is not None and pos is not None and pos >= stop_pos
+                ):
+                    done = True
                     break
         return iter(out)
 
@@ -168,9 +220,12 @@ class HttpFeedBatchReader(DataSourceReader):
         return [_WholeFeed()]
 
     def read(self, partition) -> Iterator[tuple]:
+        # use_cache: full immutable pages (server-marked Cache-Control,
+        # README.md:330-332) are served from the process-local page cache
+        # on re-walks, so only the mutable head page re-fetches.
         cursor = self.start_from
         while True:
-            events = fetch_batch(self.url, cursor, None)
+            events = fetch_batch(self.url, cursor, None, use_cache=True)
             if not events:
                 return
             for e in events:

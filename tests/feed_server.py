@@ -42,6 +42,7 @@ class FeedState:
         self.lock = threading.Condition()
         self.events: list[dict] = []
         self.next_seq = 1
+        self.request_count = 0
 
     def append(self, type_: str, subject: str | None, data: dict | None,
                method: str | None = None, time_iso: str | None = None) -> dict:
@@ -96,6 +97,8 @@ class _Handler(BaseHTTPRequestHandler):
     state: FeedState = None  # set by serve()
 
     def do_GET(self):
+        with self.state.lock:
+            self.state.request_count += 1
         q = parse_qs(urlparse(self.path).query)
         last = q.get("lastEventId", [None])[0]
         timeout = q.get("timeout", [None])[0]

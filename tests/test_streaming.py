@@ -214,6 +214,138 @@ def test_streaming_compaction_read_model(spark, feed):
         assert sorted(live) == sorted(r.subject for r in batch.collect())
 
 
+def test_long_poll_holds_and_releases(feed):
+    """A9 (README.md:118-146): with `timeout`, the server holds the
+    connection on an exhausted head until new events arrive (early
+    return) or the timeout lapses (empty array)."""
+    import threading
+
+    from http_feeds_spark.sources.http_feed import fetch_batch
+    from tests.feed_server import make_id
+
+    state, url = feed
+    _seed_inventory(state)
+    head = make_id(3)
+
+    # expiry: exhausted head + short timeout → hold ~timeout, then []
+    t0 = time.monotonic()
+    assert fetch_batch(url, head, timeout_ms=400) == []
+    assert time.monotonic() - t0 >= 0.35
+
+    # release: append from another thread mid-hold → early return
+    def appender():
+        time.sleep(0.3)
+        state.append("org.http-feeds.example.inventory", "9521234500001",
+                     {"sku": "9521234500001", "quantity": 9},
+                     time_iso="2021-12-30T00:00:00.000000Z")
+
+    threading.Thread(target=appender, daemon=True).start()
+    t0 = time.monotonic()
+    events = fetch_batch(url, head, timeout_ms=5000)
+    elapsed = time.monotonic() - t0
+    assert [e["id"] for e in events] == [make_id(4)]
+    assert elapsed < 4.0  # returned on append, not at timeout expiry
+
+
+def test_long_poll_streaming_e2e(spark, feed):
+    """A9 end-to-end through the connector: a stream with
+    .option("timeout", ...) long-polls the exhausted head and picks up an
+    event appended mid-hold."""
+    import threading
+
+    from http_feeds_spark.sources import http_feed
+    from tests.feed_server import make_id
+
+    state, url = feed
+    _seed_inventory(state)
+    http_feed.register(spark)
+
+    def appender():
+        time.sleep(1.0)
+        state.append("org.http-feeds.example.inventory", "9521234500002",
+                     {"sku": "9521234500002", "quantity": 2},
+                     time_iso="2021-12-30T00:00:01.000000Z")
+
+    threading.Thread(target=appender, daemon=True).start()
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            spark.readStream.format("httpfeed")
+            .option("url", url)
+            .option("timeout", "8000")
+            .load()
+            .writeStream.format("memory").queryName("longpoll_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                got = {r.id for r in spark.sql("SELECT id FROM longpoll_stream").collect()}
+                if make_id(4) in got:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert make_id(4) in got  # appended mid-hold, delivered by long poll
+
+
+def test_replay_stops_at_compacted_end_offset(feed):
+    """ADVICE: the END-offset event may be compacted away between the
+    original micro-batch and a recovery replay (README.md:150-154 allows
+    deleting the cursor event). The replay must stop on POSITION — never
+    walking past the end offset into later batches (duplicates)."""
+    from http_feeds_spark.sources.http_feed import HttpFeedStreamReader
+    from tests.feed_server import make_id
+
+    state, url = feed
+    # seq1=A, seq2=B, seq3=C, then C updated at seq4, A at seq5
+    for i, subj in enumerate(["A", "B", "C"], start=1):
+        state.append("t", subj, {"v": i}, time_iso="2021-01-01T00:00:01.000000Z")
+    state.append("t", "C", {"v": 4}, time_iso="2021-01-01T00:00:02.000000Z")
+    state.append("t", "A", {"v": 5}, time_iso="2021-01-01T00:00:03.000000Z")
+    # original batch ended at seq3; compaction then removed seq1 and seq3
+    state.compact()
+    assert [e["id"] for e in state.events] == [make_id(2), make_id(4), make_id(5)]
+
+    reader = HttpFeedStreamReader({"url": url})
+    rows = list(
+        reader.readBetweenOffsets(
+            {"lastEventId": make_id(1)}, {"lastEventId": make_id(3)}
+        )
+    )
+    ids = [r[1] for r in rows]  # id is field 1 of the wire envelope
+    assert ids == [make_id(2)]  # seq4/seq5 belong to later batches
+
+
+def test_page_cache_skips_immutable_pages(feed):
+    """A13 (README.md:330-332): full batches are immutable and cacheable;
+    a second bootstrap must serve them from the page cache and re-fetch
+    only the mutable (partial) head page."""
+    from http_feeds_spark.sources.http_feed import (
+        _PAGE_CACHE,
+        HttpFeedBatchReader,
+    )
+
+    state, url = feed
+    # 2.5 server pages: 100-event full pages are marked cacheable
+    for i in range(250):
+        state.append("t", f"s{i}", {"v": i}, time_iso="2021-01-01T00:00:01.000000Z")
+
+    _PAGE_CACHE.clear()
+    reader = HttpFeedBatchReader({"url": url})
+    assert len(list(reader.read(None))) == 250
+    first_walk = state.request_count
+    assert len(list(reader.read(None))) == 250
+    second_walk = state.request_count - first_walk
+    # walk 1: 2 full + 1 partial + 1 empty = 4 GETs; walk 2: the two full
+    # pages come from cache → only the partial head + empty-end GETs
+    assert second_walk < first_walk
+    assert second_walk == first_walk - 2
+    _PAGE_CACHE.clear()
+
+
 def test_foreach_batch_upsert_epochs(spark):
     """C5 sink path: multi-micro-batch upsert into the bucketed epoch
     read model — updates, tombstone deletes, inserts; partial rewrites
