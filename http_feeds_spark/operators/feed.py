@@ -86,6 +86,46 @@ def parse_seq(df: DataFrame, id_col: str = "id") -> DataFrame:
     return df.withColumn("seq", F.split(F.col(id_col), "::").getItem(0).cast("long"))
 
 
+def parse_seq_uuid6(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Extract the order key from time-ordered UUIDv6 ids — the spec's
+    OTHER sanctioned id encoding (README.md:156).
+
+    A UUIDv6 carries its 60-bit Gregorian timestamp in the leading hex
+    digits, already in most-significant-first order:
+    ``tttttttt-tttt-6ttt-...`` → time_high(32) ‖ time_mid(16) ‖
+    time_low(12, after the version nibble). seq = that 60-bit value —
+    pure string slicing + base-16 conv, codegen'd JVM-side, no UDF.
+    """
+    c = F.col(id_col)
+    hex_ts = F.concat(
+        F.substring(c, 1, 8), F.substring(c, 10, 4), F.substring(c, 16, 3)
+    )
+    return df.withColumn("seq", F.conv(hex_ts, 16, 10).cast("long"))
+
+
+_UUID6_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-6[0-9a-fA-F]{3}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+
+def parse_seq_auto(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Dispatch on the id encoding per row: composite ``sequence::uuid``
+    (README.md:159) → numeric prefix; time-ordered UUIDv6 (README.md:156)
+    → 60-bit timestamp; anything else → null (opaque ids carry no
+    position — callers fall back to :func:`mint_seq`)."""
+    c = F.col(id_col)
+    composite = F.split(c, "::").getItem(0).cast("long")
+    uuid6 = F.conv(
+        F.concat(F.substring(c, 1, 8), F.substring(c, 10, 4), F.substring(c, 16, 3)),
+        16,
+        10,
+    ).cast("long")
+    seq = (
+        F.when(c.contains("::"), composite)
+        .when(c.rlike(_UUID6_RE), uuid6)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.withColumn("seq", seq)
+
+
 def offset_scan(feed: DataFrame, last_seq: int | None) -> DataFrame:
     """Events strictly after the cursor (README.md:12, :150-154, :300).
 

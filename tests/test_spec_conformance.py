@@ -91,6 +91,50 @@ def test_default_method_is_put(spark, golden_feed):
     assert sorted(r.subject for r in rm.collect()) == ["9521234512349", "9521234567899"]
 
 
+def test_uuid6_ids_carry_the_order(spark):
+    """README.md:156: time-ordered UUIDv6 is a sanctioned id encoding;
+    its 60-bit timestamp must parse into a seq that orders events by time
+    and supports position-stable offset scans (README.md:148-154)."""
+    import uuid as uuid_mod
+
+    from http_feeds_spark.operators import feed as ops
+
+    def uuid6(ts_100ns: int, node: int) -> str:
+        # assemble per the UUIDv6 layout: time_high(32) ‖ time_mid(16)
+        # ‖ version=6 ‖ time_low(12) ‖ variant+clock_seq ‖ node
+        time_high = (ts_100ns >> 28) & 0xFFFFFFFF
+        time_mid = (ts_100ns >> 12) & 0xFFFF
+        time_low = ts_100ns & 0xFFF
+        fields = (time_high, time_mid, 0x6000 | time_low, 0x80, 0x00, node)
+        return str(uuid_mod.UUID(fields=fields))
+
+    base = 0x1EC9414C232AB00  # an arbitrary Gregorian 100-ns timestamp
+    rows = [(uuid6(base + i, 0x91560955E826), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "id string, expected_order int")
+
+    parsed = ops.parse_seq_uuid6(df)
+    got = [r.expected_order for r in parsed.orderBy("seq").collect()]
+    assert got == [0, 1, 2, 3, 4]
+    seqs = {r.expected_order: r.seq for r in parsed.collect()}
+    assert seqs[0] == base and seqs[4] == base + 4
+
+    # offset scan over UUIDv6: strictly-newer events only (README.md:12)
+    after = ops.offset_scan(parsed, seqs[2]).select("expected_order").collect()
+    assert sorted(r.expected_order for r in after) == [3, 4]
+
+    # auto-dispatch: composite prefix, UUIDv6 timestamp, opaque → null
+    mixed = spark.createDataFrame(
+        [("0000001000001::5f8de8ff-30d8-4fab-8f5a-c32f326d6f26",),
+         (rows[0][0],),
+         ("not-an-ordered-id",)],
+        "id string",
+    )
+    auto = {r.id: r.seq for r in ops.parse_seq_auto(mixed).collect()}
+    assert auto["0000001000001::5f8de8ff-30d8-4fab-8f5a-c32f326d6f26"] == 1000001
+    assert auto[rows[0][0]] == base
+    assert auto["not-an-ordered-id"] is None
+
+
 def test_at_least_once_idempotency(spark, golden_feed):
     """README.md:113-114: consumers must process idempotently; dedup by id
     restores exactly-once effects after redelivery."""
