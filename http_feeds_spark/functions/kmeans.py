@@ -1,0 +1,108 @@
+"""Deterministic mini k-means for IVF coarse quantization (SURVEY §2 D3b).
+
+Lloyd's algorithm shaped for Spark at 100 TB:
+
+- **Assignment is map-only**: the k centroids travel as ONE broadcast
+  row holding an array of (cid, vector) structs; each row computes all k
+  squared distances in a single projection and takes the argmin with
+  ``array_min`` over (d2, cid) structs. No expansion join, no window, no
+  shuffle.
+- **Update is an aggregate, not a collect of data**: per-dimension sums
+  come from ``posexplode`` + groupBy(cluster, dim) with map-side partial
+  aggregation — the shuffle carries k×dim partial sums per partition,
+  never vectors. The k×dim result (metadata, e.g. 16×64 doubles) is
+  collected to build the next round's broadcast literals.
+- **Deterministic end to end**: seeds are the k lowest-id vectors (no
+  RNG), and the update sums run in DECIMAL so the means are independent
+  of partition order — reruns and different cluster layouts give
+  bit-identical centroids (the property recall tests rely on).
+
+Iterations are a driver-side loop of fixed depth (each is one narrow
+aggregate job) — the standard pattern for iterative refinement where the
+model is small and the data is huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sq_dist(a, b) -> Column:
+    """Sequential double-precision squared L2 distance of two arrays."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
+    """[(cid, vector), ...] → one array<struct<cid,cvec>> literal column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment (see module docstring)."""
+    best = F.array_min(
+        F.transform(
+            _centroid_literal(centroids),
+            lambda c: F.struct(sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")),
+        )
+    )
+    return emb.withColumn(out_col, best["cid"])
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Train k centroids with `iters` Lloyd rounds; returns
+    [(cid, vector), ...] with cid in [0, k). Deterministic (see module
+    docstring); empty clusters keep their previous centroid."""
+    seed_rows = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )  # k vectors — model-sized, not data-sized
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    if not centroids:
+        return []
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = assign_clusters(emb, centroids, vec_col)
+        sums = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )  # k×dim rows of partial-sum metadata
+        acc: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.dim] = float(r.s)
+            counts[r.cluster] = r.n
+        centroids = [
+            (cid, [v / counts[cid] for v in acc[cid]]) if cid in acc else (cid, prev)
+            for cid, prev in centroids
+        ]
+    return centroids

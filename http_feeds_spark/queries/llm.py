@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_feeds_spark.functions import kmeans as km
 from http_feeds_spark.functions import minhash as mh
 from http_feeds_spark.functions import multimodal as mm
 from http_feeds_spark.functions import text as tx
@@ -153,56 +154,35 @@ def q_llm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3b — IVF (inverted-file) ANN: the 100 TB scale path.
 
-    Deterministic toy "training": the 16 lowest-id vectors serve as
-    centroids (production: k-means sample). Assignment is MAP-ONLY: the
-    16 centroids are collapsed into a single broadcast array row, every
-    vector computes all 16 distances in one projection, and the argmin is
-    array_min over (d2, cid) structs — no expansion, no shuffle. (The
-    tempting crossJoin + row_number window hash-shuffles a 16×-expanded
-    corpus just to take a minimum — at 100 TB that shuffle IS the query
-    cost.) A query then probes only the 4 nearest clusters and
-    exact-ranks within — touching ~nprobe/nlist of the data. Rows-only
-    check; recall@10 vs the exact baseline asserted in tests."""
+    Coarse quantizer: deterministic mini k-means (Lloyd, 2 rounds, seeded
+    by the 16 lowest-id vectors — functions/kmeans.py). Assignment is
+    MAP-ONLY: the centroids travel as literal (cid, cvec) structs, every
+    vector computes all 16 distances in one projection, argmin via
+    array_min over (d2, cid) structs — no expansion join, no window, no
+    shuffle. (The tempting crossJoin + row_number window hash-shuffles a
+    16×-expanded corpus just to take a minimum — at 100 TB that shuffle
+    IS the query cost.) The centroid update aggregates k×dim partial
+    sums — the shuffle never carries vectors. A query probes only the 4
+    nearest clusters (cluster list computed driver-side from the
+    model-sized centroids) and exact-ranks within — touching
+    ~nprobe/nlist of the data. Rows-only check; recall@10 vs the exact
+    baseline asserted in tests."""
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+    assign = km.assign_clusters(emb, cents, "embedding").select(
+        "vec_id", "embedding", "cluster"
     )
 
-    def sq_dist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # one row: [(cid, cvec) × 16] — broadcast to every task
-    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                sq_dist(F.col("embedding"), c["cvec"]).alias("d2"), c["cid"].alias("cid")
-            ),
-        )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probe = sorted(
+        (sum((float(a) - float(b)) ** 2 for a, b in zip(vec, qv)), cid)
+        for cid, vec in cents
     )
-    assign = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .withColumn("__best", best)
-        .select("vec_id", "embedding", F.col("__best.cid").alias("cluster"))
-    )
+    probe_ids = [cid for _, cid in probe[:4]]
 
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .withColumn("qd2", sq_dist(F.col("cvec"), F.col("qv")))
-        .orderBy("qd2", "cid")
-        .limit(4)
-        .select(F.col("cid").alias("cluster"))
-    )
-
     return (
-        assign.join(F.broadcast(probe), "cluster")
-        .filter(F.col("vec_id") != 0)
+        assign.filter(F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select("vec_id", "cluster", vec.cosine("embedding", "qv").alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")

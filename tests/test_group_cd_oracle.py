@@ -102,6 +102,36 @@ def test_embed_lsh_finds_planted_near_dups(spark, sf_dir):
     assert all(r.cosine_sim >= 0.99 for r in pairs)
 
 
+def test_kmeans_deterministic_and_improves(spark, sf_dir):
+    """IVF training contract: bit-identical centroids across runs (no
+    RNG, decimal sums) and Lloyd rounds never worsen the quantization
+    cost vs the raw seeds."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trained = km.kmeans_centroids(emb, k=8, iters=2)
+    again = km.kmeans_centroids(emb, k=8, iters=2)
+    assert trained == again
+    seeds = km.kmeans_centroids(emb, k=8, iters=0)
+
+    def cost(cents):
+        best = F.array_min(
+            F.transform(
+                km._centroid_literal(cents),
+                lambda c: F.struct(
+                    km.sq_dist(F.col("embedding"), c["cvec"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return emb.select(F.sum(best["d2"]).alias("c")).collect()[0].c
+
+    assert cost(trained) <= cost(seeds)
+
+
 def test_ann_ivf_recall(spark, sf_dir):
     """IVF probe search must recover most of the exact top-10."""
     from http_feeds_spark.queries import registry

@@ -67,6 +67,71 @@ def test_mint_seq_no_global_sort(spark, sf_dir):
     assert "hashpartitioning(__bkt" in p  # the per-slice rank shape
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO exchange on either side — the write-time shuffle
+    replaces every per-query shuffle (the 100 TB co-location story)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import bucketing
+    from http_feeds_spark.sources.tables import load_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        bucketing.write_bucketed(orders, "orders_b", f"{tmp}/orders_b", "o_custkey", 8)
+        bucketing.write_bucketed(
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "customer_b", f"{tmp}/customer_b", "o_custkey", 8,
+        )
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = bucketing.read_bucketed(spark, "orders_b").join(
+                    bucketing.read_bucketed(spark, "customer_b"), "o_custkey"
+                )
+                p = plans.executed_plan(joined)
+                assert "SortMergeJoin" in p, p
+                assert "Exchange" not in p, p
+                # and it computes the same rows as the plain join
+                n_plain = orders.join(
+                    customer, orders.o_custkey == customer.c_custkey
+                ).count()
+                assert joined.count() == n_plain
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """salted_join must equal the plain join and spread the hot key's
+    rows across multiple salt values (the skew-mitigation contract)."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators.skew import salted_join
+    from http_feeds_spark.sources.tables import load_table
+
+    # manufacture skew: point 30% of orders at custkey 1
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    salted = salted_join(orders, customer, "o_custkey", [1], "o_orderkey", buckets=8)
+    plain = orders.join(customer, "o_custkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("o_custkey").count().filter("o_custkey = 1").collect()
+    b = plain.groupBy("o_custkey").count().filter("o_custkey = 1").collect()
+    assert a[0]["count"] == b[0]["count"] and a[0]["count"] > 0
+
+
 def test_ann_ivf_assignment_map_only(spark, sf_dir):
     """IVF cluster assignment must be map-only: every join in the plan is
     a broadcast (1-row centroid array / 4-row probe list / query vector),
