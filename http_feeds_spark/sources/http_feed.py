@@ -257,5 +257,21 @@ class HttpFeedDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the source under the name 'httpfeed'."""
+    """Register the source under the name 'httpfeed'.
+
+    The DataSource class ships to Python workers by pickle. By default
+    cloudpickle serializes importable classes BY REFERENCE, which breaks
+    when the driver session was started outside this repo (worker:
+    ``ModuleNotFoundError: http_feeds_spark``) — exactly how an external
+    harness invokes us. Registering this module for by-value pickling
+    makes the connector self-contained: workers need no code deployment.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older pickler without the API: fall back to by-reference
     spark.dataSource.register(HttpFeedDataSource)
