@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 from http_feeds_spark.operators import feed as ops
 
 
+def write_landing_zone(
+    feed: DataFrame,
+    path: str,
+    files_per_date: int = 1,
+) -> None:
+    """Archive a feed date-partitioned: ``event_date=YYYY-MM-DD/`` dirs.
+
+    The two scan predicates consumers actually issue both prune:
+    - ``time >= X`` / date ranges skip whole directories (PartitionFilters
+      — asserted in tests/test_plans.py);
+    - ``seq > cursor`` skips files within a directory via Parquet min/max
+      (the archive is written in seq order per date).
+
+    ``files_per_date`` spreads each date over N writer tasks (hash of the
+    unique id) — one task per date is a skew trap once a hot date holds a
+    large share of the corpus."""
+    df = feed.withColumn("event_date", F.to_date("time"))
+    if files_per_date > 1:
+        df = df.repartition(
+            F.col("event_date"), F.pmod(F.xxhash64("id"), F.lit(files_per_date))
+        )
+    else:
+        df = df.repartition("event_date")
+    (
+        df.sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_landing_zone(spark: SparkSession, path: str) -> DataFrame:
+    """Read a date-partitioned feed archive (event_date is a partition
+    column — filters on it prune directories before any I/O)."""
+    return spark.read.parquet(path)
+
+
 def compact_landing_zone(
     spark: SparkSession,
     in_path: str,

@@ -67,6 +67,35 @@ def test_mint_seq_no_global_sort(spark, sf_dir):
     assert "hashpartitioning(__bkt" in p  # the per-slice rank shape
 
 
+def test_landing_zone_partition_pruning(spark, sf_dir):
+    """A date filter on the landing zone must prune directories at plan
+    time (PartitionFilters), and a seq cursor must reach the parquet scan
+    (PushedFilters) — the two predicates that make offset scans cheap at
+    100 TB."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import maintenance
+    from http_feeds_spark.sources.tables import events_as_feed, load_table
+
+    feed = events_as_feed(load_table(spark, sf_dir, "events"))
+    with tempfile.TemporaryDirectory() as tmp:
+        maintenance.write_landing_zone(feed, f"{tmp}/zone", files_per_date=2)
+        zone = maintenance.read_landing_zone(spark, f"{tmp}/zone")
+
+        a_date = feed.select(F.to_date("time").alias("d")).first()["d"]
+        day = zone.filter(F.col("event_date") == F.lit(a_date))
+        p = plans.executed_plan(day.filter(F.col("seq") > 10))
+        assert "PartitionFilters" in p and "event_date" in p.split("PartitionFilters", 1)[1][:200], p
+        assert "PushedFilters" in p and "GreaterThan(seq,10)" in p, p
+
+        # the archive round-trips the feed exactly
+        assert zone.count() == feed.count()
+        n_day = feed.filter(F.to_date("time") == F.lit(a_date)).count()
+        assert day.count() == n_day
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Two tables bucketed on the join key with equal bucket counts must
     join with NO exchange on either side — the write-time shuffle
