@@ -32,6 +32,8 @@ No third-party HTTP client: stdlib urllib keeps the source dependency-free.
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Iterator
@@ -109,8 +111,14 @@ def _cacheable(cache_control: str | None) -> bool:
 
 
 def fetch_batch(url: str, last_event_id: str | None, timeout_ms: int | None,
-                max_wait_s: float = 30.0, use_cache: bool = False) -> list[dict]:
-    """One GET against the feed endpoint (README.md:69-82)."""
+                max_wait_s: float = 30.0, use_cache: bool = False,
+                retries: int = 3, backoff_s: float = 0.2) -> list[dict]:
+    """One GET against the feed endpoint (README.md:69-82).
+
+    Transient failures (connection resets, timeouts, 5xx) retry with
+    exponential backoff — a GET is idempotent and the cursor protocol is
+    at-least-once (README.md:113), so retrying is always safe. Client
+    errors (4xx) never retry."""
     cache_key = (url, last_event_id)
     if use_cache and cache_key in _PAGE_CACHE:
         return _PAGE_CACHE[cache_key]
@@ -121,9 +129,19 @@ def fetch_batch(url: str, last_event_id: str | None, timeout_ms: int | None,
         params["timeout"] = str(timeout_ms)
     full = url + ("?" + urllib.parse.urlencode(params) if params else "")
     req = urllib.request.Request(full, headers={"Accept": "application/cloudevents-batch+json"})
-    with urllib.request.urlopen(req, timeout=max_wait_s) as resp:
-        cache_control = resp.headers.get("Cache-Control")
-        body = resp.read()
+    for attempt in range(retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=max_wait_s) as resp:
+                cache_control = resp.headers.get("Cache-Control")
+                body = resp.read()
+            break
+        except urllib.error.HTTPError as e:
+            if e.code < 500 or attempt == retries:
+                raise
+        except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
+            if attempt == retries:
+                raise
+        time.sleep(backoff_s * (2 ** attempt))
     events = json.loads(body)
     if not isinstance(events, list):
         raise ValueError(f"feed endpoint returned non-array body: {body[:200]!r}")

@@ -43,6 +43,7 @@ class FeedState:
         self.events: list[dict] = []
         self.next_seq = 1
         self.request_count = 0
+        self.fail_next_n = 0  # fault injection: next N GETs return 503
 
     def append(self, type_: str, subject: str | None, data: dict | None,
                method: str | None = None, time_iso: str | None = None) -> dict:
@@ -99,6 +100,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         with self.state.lock:
             self.state.request_count += 1
+            if self.state.fail_next_n > 0:
+                self.state.fail_next_n -= 1
+                self.send_response(503)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
         q = parse_qs(urlparse(self.path).query)
         last = q.get("lastEventId", [None])[0]
         timeout = q.get("timeout", [None])[0]

@@ -319,6 +319,30 @@ def test_replay_stops_at_compacted_end_offset(feed):
     assert ids == [make_id(2)]  # seq4/seq5 belong to later batches
 
 
+def test_fetch_retries_transient_5xx(feed):
+    """Transient server errors retry with backoff (GET is idempotent,
+    delivery at-least-once — retrying is always safe); persistent errors
+    surface, and 4xx never retries."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    from http_feeds_spark.sources.http_feed import fetch_batch
+    from tests.feed_server import make_id
+
+    state, url = feed
+    _seed_inventory(state)
+
+    state.fail_next_n = 2  # two 503s, then success
+    events = fetch_batch(url, None, None, backoff_s=0.01)
+    assert [e["id"] for e in events] == [make_id(1), make_id(2), make_id(3)]
+
+    state.fail_next_n = 10  # more failures than retries → surfaces
+    with _pytest.raises(urllib.error.HTTPError):
+        fetch_batch(url, None, None, retries=2, backoff_s=0.01)
+    state.fail_next_n = 0
+
+
 def test_page_cache_skips_immutable_pages(feed):
     """A13 (README.md:330-332): full batches are immutable and cacheable;
     a second bootstrap must serve them from the page cache and re-fetch
