@@ -263,7 +263,11 @@ def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
            CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word,
            CAST(len(list_filter(string_split(lower(text), ' '),
-                                t -> list_contains(['the','and','of','a'], t))) AS INTEGER) AS n_stopwords
+                                t -> list_contains(['the','and','of','a'], t))) AS INTEGER) AS n_stopwords,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> list_contains(['the','and','of','a'], t))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars AS punct_ratio
     FROM documents
     WHERE lang IN ('en', 'de', 'es')
       AND n_chars BETWEEN 100 AND 2000
@@ -273,10 +277,14 @@ def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 — quality gate: language whitelist, length bounds, minimum word
-    count; emits per-doc quality features (chars/word, stopword count).
-    Pure scan-side predicates — pushes down, no shuffle at all."""
+    count; emits the per-doc quality features corpus filters key on —
+    chars/word, stopword count + ratio, punctuation ratio (ASCII class so
+    the Java and DuckDB regex dialects agree). Pure scan-side predicates
+    and map-only projections — pushes down, no shuffle at all."""
     d = _docs(spark, sf_dir)
     n_words = F.size(tx.words("text"))
+    n_stop = tx.marker_score(tx.words(F.lower("text")), ["the", "and", "of", "a"])
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), F.lit(0)))
     return (
         d.filter(F.col("lang").isin("en", "de", "es") & F.col("n_chars").between(100, 2000) & (n_words >= 10))
         .select(
@@ -285,7 +293,9 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             n_words.alias("n_words"),
             (F.col("n_chars").cast("double") / n_words).alias("chars_per_word"),
-            tx.marker_score(tx.words(F.lower("text")), ["the", "and", "of", "a"]).alias("n_stopwords"),
+            n_stop.alias("n_stopwords"),
+            (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+            (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
         )
     )
 
