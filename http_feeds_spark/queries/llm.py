@@ -65,16 +65,26 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify (≥ 0.5 on shingle sets). No all-pairs stage anywhere: the only
     joins are equi-joins on (band_id, band_hash) and on doc_id — the
     standard web-scale dedup shape. Signatures come from the explode +
-    64×min-aggregate formulation (see functions/minhash.py) — scalar
-    codegen all the way, map-side partial aggregation. Rows-only check
-    (pair set depends on hash constants); recall asserted in tests with
-    planted dups.
+    k×min-aggregate formulation (see functions/minhash.py) — scalar
+    codegen all the way, map-side partial aggregation.
+
+    Shingles are hashed to 64-bit longs AT CREATION: the checkpointed
+    shingle table and the verify join then carry 8 bytes per shingle
+    instead of the ~25-byte strings, and set-Jaccard compares longs
+    (identical result modulo 2⁻⁶⁴ collisions — immaterial beside the LSH
+    approximation itself). Rows-only check (pair set depends on hash
+    constants); recall asserted in tests with planted dups.
     """
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     sh = (
         docs.withColumn("tokens", tx.words(F.lower("text")))
         .filter(F.size("tokens") >= 3)
-        .withColumn("shingles", F.array_distinct(tx.word_shingles(F.col("tokens"), 3)))
+        .withColumn(
+            "shingles",
+            F.array_distinct(
+                F.transform(tx.word_shingles(F.col("tokens"), 3), lambda s: F.xxhash64(s))
+            ),
+        )
         .select("doc_id", "shingles")
         # barrier: the shingle table feeds three consumers (signatures +
         # both sides of the verify join); materializing it once keeps

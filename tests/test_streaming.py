@@ -447,6 +447,29 @@ def test_foreach_batch_upsert_epochs(spark):
         assert on_disk == live_epochs
 
 
+def test_available_now_bounded_catchup(spark, feed):
+    """A8 as a bounded backfill: Trigger.AvailableNow drains everything
+    the feed holds at start time and then STOPS on its own — the
+    batch-backfill-through-the-streaming-path pattern (same checkpoint,
+    so a later live run resumes where the backfill ended)."""
+    state, url = feed
+    _seed_inventory(state)
+    from http_feeds_spark.sources import http_feed
+
+    http_feed.register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            spark.readStream.format("httpfeed").option("url", url).load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60), "AvailableNow query did not self-stop"
+        assert spark.read.parquet(f"{tmp}/out").count() == 3
+
+
 def test_stream_batch_equivalence_tumbling(spark, sf_dir):
     """C3: a tumbling-window aggregation over a file stream of the events
     table equals the batch answer (replay equivalence)."""
