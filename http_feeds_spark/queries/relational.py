@@ -455,7 +455,13 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_brand || '/' || p_type AS brand_type,
            CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
            regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           trim(p_name) AS name_trim,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           replace(p_name, ' ', '_') AS name_snake,
+           reverse(p_type) AS type_rev,
+           CAST(instr(p_name, 'a') AS INTEGER) AS first_a,
+           repeat(p_brand, 2) AS brand_twice
     FROM part
     """,
     group="B",
@@ -472,6 +478,12 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").like("%widget%"), 1).otherwise(0).alias("is_widget"),
         F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
         F.size(F.split("p_name", " ")).alias("n_words"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.replace("p_name", F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
     )
 
 
@@ -486,13 +498,19 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            date_trunc('month', o_orderdate) AS order_month_start,
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start,
-           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS order_dom,
+           CAST(isodow(o_orderdate) AS INTEGER) AS order_isodow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus_two_months
     FROM orders
     """,
     group="B",
 )
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B15 — scalar date/time functions; timestamps stay µs/UTC both sides."""
+    """B15 — scalar date/time functions; timestamps stay µs/UTC both
+    sides. Day-of-week goes through ISO numbering (Mon=1..Sun=7), the
+    encoding the engines share."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -503,6 +521,13 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_start"
         ),
         F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        # DATE stays off the contract surface: pandas-side normalization
+        # renders engine DATEs inconsistently (midnight-timestamp vs
+        # date), so calendar results ship as TIMESTAMP on both sides
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 2).cast("timestamp").alias("plus_two_months"),
     )
 
 
@@ -517,14 +542,21 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
     FROM lineitem
     """,
     group="B",
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16 — scalar math; identical double inputs ⇒ identical outputs
-    (no re-associated arithmetic)."""
+    """B16 — scalar math; identical double inputs ⇒ identical outputs.
+    Only IEEE-exact operations (sqrt, sign, min/max) — transcendentals
+    (exp/ln/pow with fractional exponents) go through platform libm and
+    can differ by ULPs across engines, so they stay off the oracle
+    surface."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -534,6 +566,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
     )
 
 
@@ -546,21 +582,29 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
-           CASE WHEN list_contains(['click','view'], event_type) THEN 1 ELSE 0 END AS is_browse
+           CASE WHEN list_contains(['click','view'], event_type) THEN 1 ELSE 0 END AS is_browse,
+           list_sort(string_split(event_type, 'i')) AS type_parts_sorted,
+           string_split(event_type, 'i')[1] AS type_head,
+           CAST(len(string_split(event_type, 'i')) AS INTEGER) AS type_n_parts
     FROM events
     """,
     group="B",
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17 — JSON path extraction (the feed's schemaless `data` payload
-    pattern, spec README.md:310-316) + array membership."""
+    pattern, spec README.md:310-316) + array construction, sort,
+    element access (ASCII data, so lexical sorts agree across engines)."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    parts = F.split("event_type", "i")
     return ev.select(
         "event_id",
         k.alias("k"),
         (k % 10).alias("k_mod"),
         F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0).alias("is_browse"),
+        F.sort_array(parts).alias("type_parts_sorted"),
+        F.element_at(parts, 1).alias("type_head"),
+        F.size(parts).alias("type_n_parts"),
     )
 
 
