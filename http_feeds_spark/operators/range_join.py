@@ -1,0 +1,61 @@
+"""Range-containment join — point-in-interval matching at scale.
+
+Spark plans a raw ``l.ts BETWEEN r.start AND r.end`` join as a
+BroadcastNestedLoopJoin (O(n×m) comparisons) — unusable once neither
+side broadcasts. The scalable shape bucketizes the number line:
+
+- each interval replicates into the buckets it overlaps
+  (``sequence(floor(start/w), floor(end/w))`` exploded);
+- each point maps to exactly ONE bucket (``floor(point/w)``);
+- an equi-join on the bucket + the exact containment filter yields each
+  matching pair exactly once — no dedup pass, because the point side is
+  never replicated.
+
+Cost: the interval side is replicated ~(span/width + 1)×, the join is a
+hash equi-join on uniformly distributed bucket ids. Pick ``width`` near
+the typical interval span: width ≫ span wastes bucket selectivity,
+width ≪ span replicates intervals heavily. (This is the interval-join
+strategy of stream processors and the DE-9IM gridding trick of
+geospatial engines, specialized to one dimension.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval row containing them
+    (``start <= point <= end``, numeric columns — cast timestamps with
+    unix_micros first). Output columns = both inputs' columns; callers
+    disambiguate name collisions beforehand."""
+    pts = points.withColumn(
+        "__bkt", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    ivs = (
+        intervals.withColumn(
+            "__bkts",
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            ),
+        )
+        .withColumn("__bkt", F.explode("__bkts"))
+        .drop("__bkts")
+    )
+    return (
+        pts.join(ivs, "__bkt", how)
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bkt")
+    )

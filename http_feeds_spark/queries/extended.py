@@ -139,6 +139,32 @@ def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_range_join", oracle=None, group="B")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext — range-containment join via bucketized intervals
+    (operators/range_join.py): every purchase opens a 1-hour attribution
+    window; count the events falling inside each window. The raw
+    BETWEEN-predicate formulation would plan as a nested-loop join —
+    the bucketized form is a hash equi-join plus replication bounded by
+    span/width. Rows-only check; exact equivalence to the naive
+    predicate join is asserted in tests."""
+    from http_feeds_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", F.unix_micros("ts").alias("t"), "value")
+    hour_us = 3_600_000_000
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("ws"),
+        (F.unix_micros("ts") + hour_us).alias("we"),
+    )
+    joined = range_join(pts, windows, "t", "ws", "we", bucket_width=hour_us)
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 @register(
     "q_asof_join",
     oracle="""

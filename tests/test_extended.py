@@ -23,6 +23,44 @@ def test_oracle_parity(spark, sf_dir, name):
     assert report["match"], report
 
 
+def test_range_join_equals_naive_predicate_join(spark, sf_dir):
+    """The bucketized range join must produce EXACTLY the pairs of the
+    naive BETWEEN-predicate join (which plans as a nested loop — correct
+    but unscalable; it is the semantic reference here)."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators.range_join import range_join
+    from http_feeds_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", F.unix_micros("ts").alias("t"))
+    hour_us = 3_600_000_000
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("ws"),
+        (F.unix_micros("ts") + hour_us).alias("we"),
+    )
+    got = {
+        (r.purchase_id, r.event_id)
+        for r in range_join(pts, windows, "t", "ws", "we", hour_us).collect()
+    }
+    want = {
+        (r.purchase_id, r.event_id)
+        for r in pts.join(
+            windows, (F.col("t") >= F.col("ws")) & (F.col("t") <= F.col("we"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # an odd bucket width must not change the result (windows straddling
+    # bucket boundaries replicate into both buckets)
+    got_odd = {
+        (r.purchase_id, r.event_id)
+        for r in range_join(pts, windows, "t", "ws", "we", 777_000_001).collect()
+    }
+    assert got_odd == want
+
+
 def test_compact_landing_zone(spark, sf_dir):
     """The maintenance rewrite preserves read-model semantics and seq
     positions (README.md:150-154, :181-192)."""
