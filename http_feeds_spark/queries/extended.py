@@ -165,6 +165,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_hyper_rollup", oracle=None, group="C")
+def q_hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-ext — hypertable-style continuous aggregate (operators/
+    rollup.py): hourly mergeable partials (count/sum/min/max, DECIMAL
+    sums) re-aggregated to daily — the coarse answer comes from rollup
+    rows, never re-scanning raw events, and is EXACT because every
+    stored aggregate is mergeable (avg derived at the end). Rows-only
+    check; daily-from-rollup ≡ daily-from-raw asserted in tests, along
+    with the date-partitioned materialization path."""
+    from http_feeds_spark.operators import rollup as ru
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ru.rollup_aggregate(ev, "1 hour")
+    return ru.reaggregate(hourly, "1 day")
+
+
 @register(
     "q_asof_join",
     oracle="""

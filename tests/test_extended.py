@@ -61,6 +61,36 @@ def test_range_join_equals_naive_predicate_join(spark, sf_dir):
     assert got_odd == want
 
 
+def test_hyper_rollup_exact_reaggregation(spark, sf_dir):
+    """Daily served from the hourly rollup must EQUAL daily computed
+    from raw events (mergeable partials make the hierarchy exact), and
+    the materialized rollup must round-trip through its date-partitioned
+    layout."""
+    import tempfile
+
+    from http_feeds_spark.operators import rollup as ru
+    from http_feeds_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(df):
+        return {
+            (r.bucket_start, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value, r.avg_value)
+            for r in df.collect()
+        }
+
+    from_raw = snap(ru.reaggregate(ru.rollup_aggregate(ev, "1 day"), "1 day"))
+    from_rollup = snap(ru.reaggregate(ru.rollup_aggregate(ev, "1 hour"), "1 day"))
+    assert from_rollup == from_raw and len(from_raw) > 0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ru.materialize_rollup(ev, f"{tmp}/rollup", "1 hour")
+        stored = ru.read_rollup(spark, f"{tmp}/rollup")
+        assert snap(ru.reaggregate(stored, "1 day")) == from_raw
+        # far fewer rollup rows than raw events — the serving-cost win
+        assert stored.count() < ev.count()
+
+
 def test_compact_landing_zone(spark, sf_dir):
     """The maintenance rewrite preserves read-model semantics and seq
     positions (README.md:150-154, :181-192)."""
