@@ -509,6 +509,29 @@ def q_llm_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_cm_sketch", oracle=None, group="D")
+def q_llm_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5f — count-min sketch heavy-hitter estimation
+    (functions/sketch.py): build a 4×1024 sketch over the corpus token
+    stream (one map-side-combined aggregate; the shuffle carries at most
+    d×w partial counters per partition), then estimate the exact top-20
+    words' frequencies from it. Deterministic; one-sided error bound
+    asserted in tests. Rows-only check."""
+    from http_feeds_spark.functions import sketch as sk
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tx.words(F.lower("text"))).alias("word"))
+    cm = sk.count_min_build(toks, "word")
+    top = [
+        r.word
+        for r in toks.groupBy("word").count().orderBy(F.col("count").desc(), "word").limit(20).collect()
+    ]
+    est = sk.count_min_estimate(cm, top)
+    return spark.createDataFrame(
+        sorted(est.items()), "word string, est_freq long"
+    )
+
+
 @register("q_mm_resize", oracle=None, group="D")
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4c — image-resize plumbing (mapInPandas; deterministic stand-in

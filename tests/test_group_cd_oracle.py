@@ -102,6 +102,36 @@ def test_embed_lsh_finds_planted_near_dups(spark, sf_dir):
     assert all(r.cosine_sim >= 0.99 for r in pairs)
 
 
+def test_count_min_bounds_and_merge(spark, sf_dir):
+    """CM contract: estimate ≥ true count (one-sided), within the e·N/w
+    additive bound for heavy hitters; merging two shard sketches equals
+    the whole-corpus sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import sketch as sk
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.words(F.lower("text"))).alias("word"))
+    exact = {r.word: r["count"] for r in toks.groupBy("word").count().collect()}
+    total = sum(exact.values())
+    top = sorted(exact, key=lambda w: (-exact[w], w))[:20]
+
+    cm = sk.count_min_build(toks, "word")
+    est = sk.count_min_estimate(cm, top)
+    bound = (3 * total) // 1024 + 1
+    for w in top:
+        assert exact[w] <= est[w] <= exact[w] + bound, (w, exact[w], est[w])
+
+    # mergeability: shard sketches add up to the whole-corpus sketch
+    a = sk.count_min_build(toks.filter(F.col("doc_id") % 2 == 0), "word")
+    b = sk.count_min_build(toks.filter(F.col("doc_id") % 2 == 1), "word")
+    merged = {(r.row, r.idx): r.cnt for r in sk.count_min_merge(a, b).collect()}
+    whole = {(r.row, r.idx): r.cnt for r in cm.collect()}
+    assert merged == whole
+
+
 def test_kmeans_deterministic_and_improves(spark, sf_dir):
     """IVF training contract: bit-identical centroids across runs (no
     RNG, decimal sums) and Lloyd rounds never worsen the quantization
