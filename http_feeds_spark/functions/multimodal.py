@@ -96,6 +96,41 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, thumb binary"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, rms double, peak double, n_clipped long"
+)
+
+
+def audio_features(df: DataFrame, frame_bytes: int = 2) -> DataFrame:
+    """Audio feature extraction plumbing (mapInPandas, Arrow-batched).
+
+    The real path decodes with soundfile/torchaudio and computes
+    loudness/clipping stats over PCM samples; codecs are absent in this
+    container, so the stand-in interprets the payload as `frame_bytes`-
+    wide little-endian samples — identical schema, batching, and
+    numeric shape (per-row reduction over a sample vector). Map-only."""
+
+    def do_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "rms": [], "peak": [], "n_clipped": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                usable = len(b) - (len(b) % frame_bytes)
+                samples = (
+                    np.frombuffer(b[:usable], dtype="<i2").astype(np.float64) / 32768.0
+                    if usable
+                    else np.zeros(1)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                out["peak"].append(float(np.max(np.abs(samples))))
+                out["n_clipped"].append(int((np.abs(samples) > 0.99).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(do_features, schema=AUDIO_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:

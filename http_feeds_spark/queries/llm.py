@@ -551,6 +551,19 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_off", F.length("frame").alias("frame_bytes"))
 
 
+@register("q_mm_audio", oracle=None, group="D")
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4e — audio loudness/clipping feature plumbing: vectorized numpy
+    reduction over PCM-interpreted payload bytes inside Arrow-batched
+    mapInPandas (deterministic stand-in — codecs absent; see
+    functions/multimodal.py). Map-only. Rows-only check; determinism
+    asserted in tests."""
+    d = mm.with_binary_payload(_docs(spark, sf_dir))
+    return mm.audio_features(d).select(
+        "doc_id", "n_samples", F.round("rms", 9).alias("rms"), "n_clipped"
+    )
+
+
 @register("q_mm_features", oracle=None, group="D")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4b — Arrow-batched feature extraction over binary payloads via

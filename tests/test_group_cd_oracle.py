@@ -28,9 +28,13 @@ ROWS_ONLY = [
     "q_llm_simhash",
     "q_llm_dedup_embed",
     "q_llm_ann_ivf",
+    "q_llm_cm_sketch",
+    "q_range_join",
+    "q_hyper_rollup",
     "q_mm_features",
     "q_mm_resize",
     "q_mm_frames",
+    "q_mm_audio",
 ]
 
 
@@ -172,10 +176,11 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, approx)
 
 
-def test_mm_features_deterministic(spark, sf_dir):
+@pytest.mark.parametrize("name", ["q_mm_features", "q_mm_audio"])
+def test_mm_features_deterministic(spark, sf_dir, name):
     from http_feeds_spark.queries import registry
 
-    fn = registry()["q_mm_features"].fn
+    fn = registry()[name].fn
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
