@@ -68,9 +68,10 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×min-aggregate formulation (see functions/minhash.py) — scalar
     codegen all the way, map-side partial aggregation.
 
-    Shingles are hashed to 64-bit longs AT CREATION: the checkpointed
-    shingle table and the verify join then carry 8 bytes per shingle
-    instead of the ~25-byte strings, and set-Jaccard compares longs
+    Shingles are hashed to 64-bit longs AT CREATION (tuple-hash of the n
+    token expressions — no n-gram string is ever built): the
+    checkpointed shingle table and the verify join carry 8 bytes per
+    shingle instead of ~25-byte strings, and set-Jaccard compares longs
     (identical result modulo 2⁻⁶⁴ collisions — immaterial beside the LSH
     approximation itself). Rows-only check (pair set depends on hash
     constants); recall asserted in tests with planted dups.
@@ -79,12 +80,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.withColumn("tokens", tx.words(F.lower("text")))
         .filter(F.size("tokens") >= 3)
-        .withColumn(
-            "shingles",
-            F.array_distinct(
-                F.transform(tx.word_shingles(F.col("tokens"), 3), lambda s: F.xxhash64(s))
-            ),
-        )
+        .withColumn("shingles", F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), 3)))
         .select("doc_id", "shingles")
         # barrier: the shingle table feeds three consumers (signatures +
         # both sides of the verify join); materializing it once keeps
