@@ -470,6 +470,56 @@ def test_available_now_bounded_catchup(spark, feed):
         assert spark.read.parquet(f"{tmp}/out").count() == 3
 
 
+def test_incremental_rollup_refresh_equals_batch(spark, sf_dir):
+    """Continuous-aggregate refresh: after streaming the events table in
+    micro-batches through foreach_batch_rollup, the served daily result
+    must EQUAL the batch rollup over all events (mergeable partials make
+    the incremental path exact), with partial rewrites per touched date."""
+    import json
+    import os
+
+    from http_feeds_spark.operators import rollup as ru
+    from http_feeds_spark.sources.tables import load_table
+    from http_feeds_spark.streaming.rollup_refresh import (
+        foreach_batch_rollup,
+        read_rollup_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src, root = f"{tmp}/src", f"{tmp}/rollup"
+        ev.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_rollup(root))
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def snap(df):
+            return {
+                (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+                for r in df.collect()
+            }
+
+        served = snap(ru.reaggregate(read_rollup_store(spark, root), "1 day"))
+        batch = snap(ru.reaggregate(ru.rollup_aggregate(ev, "1 hour"), "1 day"))
+        assert served == batch and len(batch) > 0
+
+        manifest = json.load(open(os.path.join(root, "_MANIFEST.json")))
+        assert len(manifest["buckets"]) > 0
+        on_disk = {d for d in os.listdir(root) if d.startswith("epoch=")}
+        assert on_disk == set(manifest["buckets"].values())  # GC ran
+
+
 def test_stream_batch_equivalence_tumbling(spark, sf_dir):
     """C3: a tumbling-window aggregation over a file stream of the events
     table equals the batch answer (replay equivalence)."""
