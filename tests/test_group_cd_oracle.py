@@ -176,6 +176,35 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, approx)
 
 
+def test_ann_ivf_full_probe_is_exact(spark, sf_dir):
+    """IVF soundness: probing ALL clusters must reproduce the exact
+    brute-force top-10 — the partition into clusters loses nothing; only
+    probe narrowing approximates."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.functions import vectors as vec
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = km.kmeans_centroids(emb, k=16, iters=2)
+    assign = km.assign_clusters(emb, cents, "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    full = [
+        r.vec_id
+        for r in (
+            assign.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", vec.cosine("embedding", "qv").alias("cs"))
+            .orderBy(F.col("cs").desc(), "vec_id")
+            .limit(10)
+        ).collect()
+    ]
+    exact = [r.vec_id for r in registry()["q_llm_cosine"].fn(spark, sf_dir).collect()]
+    assert full == exact
+
+
 @pytest.mark.parametrize("name", ["q_mm_features", "q_mm_audio"])
 def test_mm_features_deterministic(spark, sf_dir, name):
     from http_feeds_spark.queries import registry
