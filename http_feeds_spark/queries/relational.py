@@ -583,7 +583,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
            CASE WHEN list_contains(['click','view'], event_type) THEN 1 ELSE 0 END AS is_browse,
-           list_sort(string_split(event_type, 'i')) AS type_parts_sorted,
+           array_to_string(list_sort(string_split(event_type, 'i')), ',') AS type_parts_sorted,
            string_split(event_type, 'i')[1] AS type_head,
            CAST(len(string_split(event_type, 'i')) AS INTEGER) AS type_n_parts
     FROM events
@@ -593,7 +593,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17 — JSON path extraction (the feed's schemaless `data` payload
     pattern, spec README.md:310-316) + array construction, sort,
-    element access (ASCII data, so lexical sorts agree across engines)."""
+    element access (ASCII data, so lexical sorts agree across engines).
+    Array results leave as joined STRINGS: a raw array column's pandas
+    rendering depends on the session's Arrow setting (numpy vs list
+    repr), which would make the driver's hash compare session-dependent."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     parts = F.split("event_type", "i")
@@ -602,7 +605,7 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10).alias("k_mod"),
         F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0).alias("is_browse"),
-        F.sort_array(parts).alias("type_parts_sorted"),
+        F.array_join(F.sort_array(parts), ",").alias("type_parts_sorted"),
         F.element_at(parts, 1).alias("type_head"),
         F.size(parts).alias("type_n_parts"),
     )
