@@ -112,10 +112,13 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_ngram_sim", oracle=None, group="D")
 def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2d — n-gram Jaccard document similarity: 2-gram shingle sets,
-    MinHash-LSH candidates (no all-pairs), exact Jaccard scores ≥ 0.3.
-    The lower n and threshold make this the 'similar documents' variant
-    of the near-dup pipeline (same scalable shape). Rows-only check."""
+    """D2d — n-gram Jaccard document similarity: 2-gram shingle sets
+    (tuple-hashed to longs — see q_llm_dedup_near), MinHash-LSH
+    candidates with k=64 / 32×2 banding (the 0.3 threshold needs the
+    sharper s-curve: P[cand|s=0.3] ≈ 0.95 at 32 bands vs 0.78 at 16),
+    exact Jaccard verify ≥ 0.3. The lower n and threshold make this the
+    'similar documents' variant of the near-dup pipeline (same scalable
+    shape). Rows-only check."""
     from http_feeds_spark.functions import minhash as mh
     from http_feeds_spark.functions import text as tx
 
@@ -123,7 +126,7 @@ def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.withColumn("tokens", tx.words(F.lower("text")))
         .filter(F.size("tokens") >= 2)
-        .withColumn("shingles", F.array_distinct(tx.word_shingles(F.col("tokens"), 2)))
+        .withColumn("shingles", F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), 2)))
         .select("doc_id", "shingles")
         .localCheckpoint()
     )
