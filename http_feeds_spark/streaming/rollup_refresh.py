@@ -9,9 +9,15 @@ pointer-swap machinery as streaming/compaction.py — imported, not
 re-implemented). Because every stored aggregate is mergeable, the served
 result after N micro-batches is EXACTLY the batch rollup of all events
 so far (asserted in tests), regardless of how events were sliced into
-batches — at-least-once replays of a whole batch are NOT idempotent for
-sums, so this sink pairs with the connector's exactly-once-per-epoch
-replay (epoch_id-keyed dedup would be the guard on a lossier source).
+batches.
+
+Exactly-once: sums are NOT idempotent under at-least-once redelivery,
+so the manifest records the last applied epoch_id and a re-delivered
+micro-batch (same epoch_id — Spark's failure-recovery contract: the
+retried batch has the identical id and content) is skipped. The guard
+is scoped to one streaming query per rollup root: start a NEW checkpoint
+against a FRESH root (epoch_id restarts at 0 and would otherwise be
+mistaken for a replay).
 
 Layout: ``root/epoch=<version>/date=<d>/part-*.parquet`` + _MANIFEST.json
 mapping date -> epoch dir. Serving: read manifest dirs, reaggregate().
@@ -58,6 +64,9 @@ def foreach_batch_rollup(root: str, bucket: str = "1 hour"):
         import shutil
 
         spark = batch_df.sparkSession
+        manifest_peek = _load_manifest(root)
+        if manifest_peek.get("last_epoch_id") == epoch_id:
+            return  # at-least-once redelivery of an already-applied batch
         # pin the sum to one decimal width: Spark widens sum-of-decimal
         # per level, and an epoch store must keep a stable schema
         fresh = (
@@ -97,6 +106,7 @@ def foreach_batch_rollup(root: str, bucket: str = "1 hour"):
         )
         for d in touched:
             manifest["buckets"][d] = epoch_dir
+        manifest["last_epoch_id"] = epoch_id
         _store_manifest(root, manifest)
         live = set(manifest["buckets"].values())
         for name in os.listdir(root):

@@ -519,6 +519,12 @@ def test_incremental_rollup_refresh_equals_batch(spark, sf_dir):
         on_disk = {d for d in os.listdir(root) if d.startswith("epoch=")}
         assert on_disk == set(manifest["buckets"].values())  # GC ran
 
+        # exactly-once: re-delivering the last micro-batch (same
+        # epoch_id, Spark's retry contract) must not double-count
+        last_epoch = manifest["last_epoch_id"]
+        foreach_batch_rollup(root)(ev.limit(50), last_epoch)
+        assert snap(ru.reaggregate(read_rollup_store(spark, root), "1 day")) == batch
+
 
 def test_stream_batch_equivalence_tumbling(spark, sf_dir):
     """C3: a tumbling-window aggregation over a file stream of the events
