@@ -32,12 +32,13 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join point rows to every interval row containing them
+    """Inner-join point rows to every interval row containing them
     (``start <= point <= end``, numeric columns — cast timestamps with
     unix_micros first). Output columns = both inputs' columns; callers
-    disambiguate name collisions beforehand."""
+    disambiguate name collisions beforehand. Inner semantics only: the
+    containment filter runs after the bucket equi-join, which would
+    silently drop the null-extended rows of any outer variant."""
     pts = points.withColumn(
         "__bkt", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
@@ -53,7 +54,7 @@ def range_join(
         .drop("__bkts")
     )
     return (
-        pts.join(ivs, "__bkt", how)
+        pts.join(ivs, "__bkt")
         .filter(
             (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
         )

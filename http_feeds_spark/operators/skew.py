@@ -38,8 +38,11 @@ def salted_join(
     `spread_col`: a fact-side column of high cardinality (row id, event
     id) whose hash spreads the hot key's rows across `buckets` salts.
     Result equals ``fact.join(dim, key, how)`` exactly (asserted in
-    tests); only the physical distribution changes.
-    """
+    tests); only the physical distribution changes. Supported `how`:
+    inner and left — a right/full join would emit each unmatched
+    replicated dim row once PER SALT."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     hot = F.array(*[F.lit(k) for k in hot_keys])
     f = fact.withColumn(
         "__salt",
