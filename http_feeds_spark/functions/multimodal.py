@@ -107,8 +107,15 @@ def audio_features(df: DataFrame, frame_bytes: int = 2) -> DataFrame:
     The real path decodes with soundfile/torchaudio and computes
     loudness/clipping stats over PCM samples; codecs are absent in this
     container, so the stand-in interprets the payload as `frame_bytes`-
-    wide little-endian samples — identical schema, batching, and
-    numeric shape (per-row reduction over a sample vector). Map-only."""
+    wide little-endian signed PCM samples (8/16/32-bit) — identical
+    schema, batching, and numeric shape (per-row reduction over a sample
+    vector). Map-only."""
+    try:
+        dtype, full_scale = {1: ("<i1", 128.0), 2: ("<i2", 32768.0), 4: ("<i4", 2147483648.0)}[
+            frame_bytes
+        ]
+    except KeyError:
+        raise ValueError(f"frame_bytes must be 1, 2, or 4 (signed PCM), got {frame_bytes}")
 
     def do_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -119,7 +126,7 @@ def audio_features(df: DataFrame, frame_bytes: int = 2) -> DataFrame:
                 b = bytes(payload)
                 usable = len(b) - (len(b) % frame_bytes)
                 samples = (
-                    np.frombuffer(b[:usable], dtype="<i2").astype(np.float64) / 32768.0
+                    np.frombuffer(b[:usable], dtype=dtype).astype(np.float64) / full_scale
                     if usable
                     else np.zeros(1)
                 )

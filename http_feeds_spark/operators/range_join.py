@@ -21,8 +21,22 @@ geospatial engines, specialized to one dimension.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_div(colname: str, width: int) -> Column:
+    """Exact floor-division of a long column by an int width.
+
+    ``floor(col / width)`` routes through double division, which rounds
+    for |values| beyond 2^53 and can mis-bucket an endpoint (silently
+    dropping matching pairs). Instead subtract the non-negative remainder
+    (pmod) so the numerator is an exact multiple of width, then integer-
+    `div` — truncation equals floor on exact multiples, and every step is
+    64-bit integer arithmetic. (Only keys within `width` of Long.MIN could
+    underflow the subtraction — far outside any real key domain.)"""
+    q = f"(`{colname}` - pmod(`{colname}`, {width})) div {width}"
+    return F.expr(q).cast("long")
 
 
 def range_join(
@@ -39,15 +53,13 @@ def range_join(
     disambiguate name collisions beforehand. Inner semantics only: the
     containment filter runs after the bucket equi-join, which would
     silently drop the null-extended rows of any outer variant."""
-    pts = points.withColumn(
-        "__bkt", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
-    )
+    pts = points.withColumn("__bkt", _floor_div(point_col, bucket_width))
     ivs = (
         intervals.withColumn(
             "__bkts",
             F.sequence(
-                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
-                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+                _floor_div(start_col, bucket_width),
+                _floor_div(end_col, bucket_width),
             ),
         )
         .withColumn("__bkt", F.explode("__bkts"))

@@ -43,6 +43,10 @@ def salted_join(
     replicated dim row once PER SALT."""
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if not hot_keys:
+        # F.array() with zero elements has no element type and fails
+        # analysis inside array_contains — degrade to the plain join
+        return fact.join(dim, key, how)
     hot = F.array(*[F.lit(k) for k in hot_keys])
     f = fact.withColumn(
         "__salt",

@@ -198,6 +198,10 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- D2c: embedding near-dup via sign-band LSH -------------------------------
 
+# vec_ids at or above this base are synthetic clones planted by
+# q_llm_dedup_embed (flagged `planted` in its output), never corpus rows
+PLANT_BASE = 1_000_000
+
 
 @register("q_llm_dedup_embed", oracle=None, group="D")
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,11 +215,14 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic corpus has no natural ≥0.99 pairs at small SF, which
     would make a rows-only driver check vacuous — so the query plants 5
-    deterministic clones (vec_id + 1e6, embedding × 1.000001) and must
-    recover them; planted-duplicate recall is also asserted in tests."""
+    deterministic SYNTHETIC clones (vec_id + PLANT_BASE, embedding ×
+    1.000001) and must recover them. Every output row carries a
+    ``planted`` flag so fabricated pairs are explicitly distinguishable
+    from real corpus pairs; planted-duplicate recall is also asserted in
+    tests."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     clones = emb.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_BASE).alias("vec_id"),
         F.transform("embedding", lambda x: (x * 1.000001).cast("float")).alias("embedding"),
     )
     corpus = emb.unionByName(clones)
@@ -227,7 +234,12 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "b")
         .withColumn("cosine_sim", vec.cosine("ea", "eb"))
         .filter(F.col("cosine_sim") >= 0.99)
-        .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .select(
+            "a",
+            "b",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            ((F.col("a") >= PLANT_BASE) | (F.col("b") >= PLANT_BASE)).alias("planted"),
+        )
     )
 
 

@@ -106,8 +106,20 @@ _PAGE_CACHE_MAX = 1024
 
 
 def _cacheable(cache_control: str | None) -> bool:
+    """True only when the server granted a positive max-age freshness
+    lifetime — ``max-age=0`` means do-not-reuse and must not populate the
+    immutable-page cache."""
     cc = (cache_control or "").lower()
-    return "max-age" in cc and "no-store" not in cc and "no-cache" not in cc
+    if "no-store" in cc or "no-cache" in cc:
+        return False
+    for directive in cc.split(","):
+        name, _, value = directive.strip().partition("=")
+        if name == "max-age":
+            try:
+                return int(value.strip()) > 0
+            except ValueError:
+                return False
+    return False
 
 
 def fetch_batch(url: str, last_event_id: str | None, timeout_ms: int | None,

@@ -104,6 +104,11 @@ def test_embed_lsh_finds_planted_near_dups(spark, sf_dir):
     for i in range(5):
         assert (i, i + 1_000_000) in found
     assert all(r.cosine_sim >= 0.99 for r in pairs)
+    # fabricated pairs must be explicitly flagged via the planted column
+    by_pair = {(r.a, r.b): r.planted for r in pairs}
+    for i in range(5):
+        assert by_pair[(i, i + 1_000_000)] is True
+    assert all(r.planted == (r.a >= 1_000_000 or r.b >= 1_000_000) for r in pairs)
 
 
 def test_count_min_bounds_and_merge(spark, sf_dir):
@@ -214,3 +219,25 @@ def test_mm_features_deterministic(spark, sf_dir, name):
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_audio_features_frame_bytes_dtypes(spark, sf_dir):
+    """audio_features must decode samples at the declared width: a payload
+    of n bytes yields n samples at frame_bytes=1, n//2 at 2, n//4 at 4;
+    unsupported widths are rejected up front."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import multimodal as mm
+    from http_feeds_spark.sources.tables import load_table
+
+    d = mm.with_binary_payload(load_table(spark, sf_dir, "documents").limit(8))
+    n_bytes = {r.doc_id: r.n_bytes for r in d.select(
+        "doc_id", F.length("payload").alias("n_bytes")).collect()}
+    for fb in (1, 2, 4):
+        rows = mm.audio_features(d, frame_bytes=fb).collect()
+        for r in rows:
+            expect = n_bytes[r.doc_id] // fb
+            assert r.n_samples == max(expect, 1), (fb, r.doc_id)
+            assert 0.0 <= r.peak <= 1.0  # full-scale normalization per width
+    with pytest.raises(ValueError):
+        mm.audio_features(d, frame_bytes=3)

@@ -159,6 +159,10 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     a = salted.groupBy("o_custkey").count().filter("o_custkey = 1").collect()
     b = plain.groupBy("o_custkey").count().filter("o_custkey = 1").collect()
     assert a[0]["count"] == b[0]["count"] and a[0]["count"] > 0
+    # empty hot-key list degrades to the plain join (no untyped-array
+    # analysis failure)
+    unsalted = salted_join(orders, customer, "o_custkey", [], "o_orderkey")
+    assert unsalted.count() == plain.count()
 
 
 def test_ann_ivf_assignment_map_only(spark, sf_dir):

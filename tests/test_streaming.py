@@ -370,6 +370,22 @@ def test_page_cache_skips_immutable_pages(feed):
     _PAGE_CACHE.clear()
 
 
+def test_cacheable_parses_max_age_value():
+    """max-age must be a positive integer to grant caching — 'max-age=0'
+    is the server saying do-not-reuse and must not populate the cache."""
+    from http_feeds_spark.sources.http_feed import _cacheable
+
+    assert _cacheable("public, max-age=31536000")
+    assert _cacheable("max-age=1")
+    assert not _cacheable("max-age=0")
+    assert not _cacheable("public, max-age=0, must-revalidate")
+    assert not _cacheable("max-age=banana")
+    assert not _cacheable("no-store, max-age=3600")
+    assert not _cacheable("no-cache, max-age=3600")
+    assert not _cacheable(None)
+    assert not _cacheable("public")
+
+
 def test_foreach_batch_upsert_epochs(spark):
     """C5 sink path: multi-micro-batch upsert into the bucketed epoch
     read model — updates, tombstone deletes, inserts; partial rewrites
