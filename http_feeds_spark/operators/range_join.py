@@ -23,20 +23,33 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
 
 
-def _floor_div(colname: str, width: int) -> Column:
-    """Exact floor-division of a long column by an int width.
+def _floor_div(df: DataFrame, colname: str, width: int) -> Column:
+    """Floor-division of a numeric column by an int width, exact where the
+    type allows it.
 
-    ``floor(col / width)`` routes through double division, which rounds
-    for |values| beyond 2^53 and can mis-bucket an endpoint (silently
-    dropping matching pairs). Instead subtract the non-negative remainder
-    (pmod) so the numerator is an exact multiple of width, then integer-
-    `div` — truncation equals floor on exact multiples, and every step is
-    64-bit integer arithmetic. (Only keys within `width` of Long.MIN could
-    underflow the subtraction — far outside any real key domain.)"""
-    q = f"(`{colname}` - pmod(`{colname}`, {width})) div {width}"
-    return F.expr(q).cast("long")
+    Integral/decimal columns: ``floor(col / width)`` routes through double
+    division, which rounds for |values| beyond 2^53 and can mis-bucket an
+    endpoint (silently dropping matching pairs). Instead subtract the
+    non-negative remainder (pmod) so the numerator is an exact multiple of
+    width, then integer-`div` — truncation equals floor on exact
+    multiples, and every step is 64-bit integer arithmetic. (Only keys
+    within `width` of Long.MIN could underflow the subtraction — far
+    outside any real key domain.)
+
+    Float/double columns: SQL `div` rejects fractional operands, so take
+    the plain ``floor(col / width)`` path — a double already has only 53
+    mantissa bits, so the integer-exactness concern above cannot apply
+    beyond the precision the input itself carries."""
+    esc = colname.replace("`", "``")
+    if isinstance(df.schema[colname].dataType, _INTEGRAL):
+        q = f"(`{esc}` - pmod(`{esc}`, {width})) div {width}"
+        return F.expr(q).cast("long")
+    return F.floor(F.expr(f"`{esc}`") / F.lit(width)).cast("long")
 
 
 def range_join(
@@ -53,13 +66,13 @@ def range_join(
     disambiguate name collisions beforehand. Inner semantics only: the
     containment filter runs after the bucket equi-join, which would
     silently drop the null-extended rows of any outer variant."""
-    pts = points.withColumn("__bkt", _floor_div(point_col, bucket_width))
+    pts = points.withColumn("__bkt", _floor_div(points, point_col, bucket_width))
     ivs = (
         intervals.withColumn(
             "__bkts",
             F.sequence(
-                _floor_div(start_col, bucket_width),
-                _floor_div(end_col, bucket_width),
+                _floor_div(intervals, start_col, bucket_width),
+                _floor_div(intervals, end_col, bucket_width),
             ),
         )
         .withColumn("__bkt", F.explode("__bkts"))

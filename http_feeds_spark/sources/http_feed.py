@@ -113,8 +113,10 @@ def _cacheable(cache_control: str | None) -> bool:
     if "no-store" in cc or "no-cache" in cc:
         return False
     for directive in cc.split(","):
-        name, _, value = directive.strip().partition("=")
-        if name == "max-age":
+        # RFC 7234 forbids whitespace around "=", but tolerate it: a miss
+        # here only fails closed (skips the cache), so parse leniently.
+        name, _, value = directive.partition("=")
+        if name.strip() == "max-age":
             try:
                 return int(value.strip()) > 0
             except ValueError:

@@ -27,14 +27,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reach the scan because this is a plain file source (check with
     ``.explain``: PushedFilters / ReadSchema).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in Parquet, which Spark 4 has no type
-    for; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
-    BIGINT of nanoseconds and is truncated to µs here — the same µs value
-    DuckDB produces, keeping the oracle aligned (FIXTURES.md notes).
+    ``events.ts`` has shifted physical type across driver testdata
+    generations — TIMESTAMP(NANOS) (arrives as BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
+    without the UTC-adjusted flag (arrives as TIMESTAMP_NTZ under Spark
+    4's NTZ inference). Both are normalized HERE to session-TZ
+    TimestampType holding the same wall-clock value DuckDB produces, so
+    downstream code (and the JSON round-trip in q_feed_scan, whose
+    ``timestampFormat`` option does not apply to NTZ columns) sees one
+    stable type regardless of testdata vintage.
 
     The two SQL confs are (re)applied at call time because the driver
     invokes queries with ITS OWN SparkSession — a vanilla session would
-    otherwise fail outright on the nanos column (verified), and a
+    otherwise fail outright on a nanos column (verified), and a
     non-UTC session would shift rendered timestamps vs the oracle. Both
     are runtime-settable; setting them is idempotent.
     """
@@ -45,6 +50,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer DIV: double division would lose precision at ns scale
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            # same wall-clock instant under the UTC session TZ set above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

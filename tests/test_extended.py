@@ -119,3 +119,31 @@ def test_compact_landing_zone(spark, sf_dir):
         # file-level pruning survives: seq range-partitioned output
         n_after = ops.offset_scan(compacted, cursor).count()
         assert n_after == len(after)
+
+
+def test_range_join_fractional_point_column(spark, sf_dir):
+    """ADVICE r3: double point/bound columns must work (the exact `div`
+    path applies only to integral types; fractional routes via floor)."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators.range_join import range_join
+    from http_feeds_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    pts = ev.select("event_id", F.col("value").alias("v"))  # double column
+    windows = spark.range(10).select(
+        F.col("id").alias("win_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 9.5).alias("hi"),
+    )
+    got = {
+        (r.win_id, r.event_id)
+        for r in range_join(pts, windows, "v", "lo", "hi", 7).collect()
+    }
+    want = {
+        (r.win_id, r.event_id)
+        for r in pts.join(
+            windows, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -618,3 +618,12 @@ def test_stream_dedup_within_watermark(spark, feed):
             q.stop()
         n = spark.sql("SELECT count(*) c, count(DISTINCT id) d FROM dedup_stream").collect()[0]
         assert n.c == n.d == 3
+
+
+def test_cacheable_tolerates_whitespace_around_equals():
+    """ADVICE r3: 'max-age = 60' (non-RFC whitespace) should still parse."""
+    from http_feeds_spark.sources.http_feed import _cacheable
+
+    assert _cacheable("public, max-age = 60")
+    assert _cacheable("MAX-AGE =  31536000 ")
+    assert not _cacheable("max-age = 0")
