@@ -1,0 +1,138 @@
+"""Distributed connected components — duplicate-cluster closure at scale.
+
+Near-dup pipelines (MinHash/SimHash/embedding LSH, queries/llm.py) emit
+verified PAIRS; deduplication needs transitive CLOSURE (a~b, b~c ⇒
+{a,b,c} is one cluster) plus one survivor per cluster. A driver-side
+union-find over collected pairs caps out at driver memory — at 100 TB
+the pair set is itself a big distributed table, so the closure must be
+a shuffle algorithm.
+
+This is the alternating large-star / small-star algorithm of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SoCC'14), expressed
+in DataFrame ops:
+
+- **large-star(u)**: connect every neighbor larger than u to the
+  smallest node of Γ(u) ∪ {u};
+- **small-star(u)**: over edges directed larger→smaller, connect all
+  smaller neighbors (and u itself) to the minimum neighbor.
+
+Each round = one partial-aggregated groupBy (per-node min) + one
+equi-join per star, all on uniformly-hashed node ids; the edge set
+contracts toward a star forest in O(log n) rounds with high probability
+(the paper's bound; dedup graphs — short chains around clone clusters —
+converge in 2-3). Nothing data-sized ever reaches the driver: the loop
+control is a boolean `isEmpty` on the changed-edge set, and lineage is
+truncated per round with localCheckpoint so Catalyst never sees an
+unrolled multi-round plan.
+
+Skew note: a mega-cluster funnels all its edges onto its minimum node.
+The per-node min aggregation is map-side combined (hot key cost ≈ one
+long per upstream partition), and the m-join's build side is one row
+per node, so the hot root costs one fat-but-linear partition — the
+algorithm's known behavior, not a quadratic blowup; AQE skew-split
+handles the residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over larger→smaller directed edges (u > v).
+
+    Emits (w, m) for every neighbor w of u with w > u, where m is the
+    minimum of Γ(u) ∪ {u}; output stays larger→smaller directed."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over larger→smaller directed edges (u > v).
+
+    For each u, connects every smaller neighbor (and u itself) to the
+    minimum smaller neighbor; output stays larger→smaller directed."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        e.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = m.select("u", F.col("m").alias("v"))
+    return relink.union(self_link).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node of an undirected edge list with its component id.
+
+    Returns ``(node, component)`` with one row per distinct node that
+    appears in `edges` (including component roots, which map to
+    themselves); ``component`` is the MINIMUM node id of the component —
+    i.e. directly the min-id survivor of a duplicate cluster. Input
+    direction, self-loops, and duplicate edges are all tolerated.
+
+    Raises RuntimeError if the star forest has not stabilized after
+    `max_iterations` alternating rounds (the O(log n) bound makes this a
+    bug trap, not a tuning knob).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # set equality: both sides are distinct, so same count + empty
+        # one-sided difference ⇒ identical edge sets
+        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Filter a corpus to one survivor per near-duplicate cluster.
+
+    `pairs` is a verified near-dup pair list (e.g. q_llm_dedup_near's
+    output); the survivor of each cluster is its minimum id. Docs in no
+    cluster pass through untouched — the anti-join only carries the
+    (loser-id) side, never document payloads, so at 100 TB the exchange
+    is ids-only."""
+    losers = (
+        connected_components(pairs, src=src, dst=dst)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -11,6 +11,7 @@ all-pairs, broadcast of small side only, map-only where possible.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import kmeans as km
@@ -57,26 +58,10 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2a: MinHash-LSH near-dup ----------------------------------------------
 
 
-@register("q_llm_dedup_near", oracle=None, group="D")
-def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2a — near-duplicate pairs via MinHash(32) + LSH banding (16×2).
-
-    shingle(3-word) → signature → band-bucket equi-join → exact-Jaccard
-    verify (≥ 0.5 on shingle sets). No all-pairs stage anywhere: the only
-    joins are equi-joins on (band_id, band_hash) and on doc_id — the
-    standard web-scale dedup shape. Signatures come from the explode +
-    k×min-aggregate formulation (see functions/minhash.py) — scalar
-    codegen all the way, map-side partial aggregation.
-
-    Shingles are hashed to 64-bit longs AT CREATION (tuple-hash of the n
-    token expressions — no n-gram string is ever built): the
-    checkpointed shingle table and the verify join carry 8 bytes per
-    shingle instead of ~25-byte strings, and set-Jaccard compares longs
-    (identical result modulo 2⁻⁶⁴ collisions — immaterial beside the LSH
-    approximation itself). Rows-only check (pair set depends on hash
-    constants); recall asserted in tests with planted dups.
-    """
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+def _near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (a, b, jaccard) over (doc_id,
+    text) rows — the shared front half of q_llm_dedup_near (pairs) and
+    q_llm_dedup_groups (transitive clusters)."""
     sh = (
         docs.withColumn("tokens", tx.words(F.lower("text")))
         .filter(F.size("tokens") >= 3)
@@ -103,6 +88,55 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+@register("q_llm_dedup_near", oracle=None, group="D")
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2a — near-duplicate pairs via MinHash(32) + LSH banding (16×2).
+
+    shingle(3-word) → signature → band-bucket equi-join → exact-Jaccard
+    verify (≥ 0.5 on shingle sets). No all-pairs stage anywhere: the only
+    joins are equi-joins on (band_id, band_hash) and on doc_id — the
+    standard web-scale dedup shape. Signatures come from the explode +
+    k×min-aggregate formulation (see functions/minhash.py) — scalar
+    codegen all the way, map-side partial aggregation.
+
+    Shingles are hashed to 64-bit longs AT CREATION (tuple-hash of the n
+    token expressions — no n-gram string is ever built): the
+    checkpointed shingle table and the verify join carry 8 bytes per
+    shingle instead of ~25-byte strings, and set-Jaccard compares longs
+    (identical result modulo 2⁻⁶⁴ collisions — immaterial beside the LSH
+    approximation itself). Rows-only check (pair set depends on hash
+    constants); recall asserted in tests with planted dups.
+    """
+    return _near_dup_pairs(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register("q_llm_dedup_groups", oracle=None, group="D")
+def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 closure — near-dup pairs → transitive duplicate CLUSTERS with a
+    min-id survivor each (cluster_id IS the survivor doc_id).
+
+    The pair list alone does not dedup a corpus: a~b and b~c must
+    collapse to ONE kept document even when a~c never surfaced as a
+    pair. Pairs feed the alternating large-star/small-star connected-
+    components loop (operators/components.py — O(log n) shuffle rounds,
+    ids-only exchanges, no driver union-find), then one count per
+    cluster. Output: (cluster_id, doc_id, is_survivor, n_members) — one
+    row per clustered document. Rows-only check (pair set depends on
+    hash constants); transitive-chain semantics pinned in
+    tests/test_components.py.
+    """
+    from http_feeds_spark.operators.components import connected_components
+
+    pairs = _near_dup_pairs(_docs(spark, sf_dir).select("doc_id", "text"))
+    asg = connected_components(pairs, src="a", dst="b")
+    return asg.select(
+        F.col("component").alias("cluster_id"),
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+        F.count("*").over(W.partitionBy("component")).alias("n_members"),
+    )
 
 
 # --- D2b: SimHash near-dup ---------------------------------------------------

@@ -1,0 +1,139 @@
+"""Connected components + dedup_corpus (SURVEY §2 D2 'connected dups').
+
+Pins: transitive closure across chains, min-id survivor policy, parity
+with a reference union-find on a random graph, and the e2e planted-clone
+collapse through the real MinHash-LSH pair pipeline.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators.components import connected_components, dedup_corpus
+
+
+def _assignment(spark, edges):
+    e = spark.createDataFrame(edges, "a long, b long")
+    return {r.node: r.component for r in connected_components(e).collect()}
+
+
+def test_transitive_chain_collapses_to_min(spark):
+    comp = _assignment(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # a 40-link path exercises >1 large/small-star alternation
+    comp = _assignment(spark, [(i, i + 1) for i in range(100, 140)])
+    assert set(comp.values()) == {100} and len(comp) == 41
+
+
+def test_edge_direction_self_loops_and_dupes_tolerated(spark):
+    comp = _assignment(spark, [(2, 1), (1, 2), (2, 3), (3, 3), (5, 5)])
+    # (3,3)/(5,5) are self-loops: 3 is clustered via (2,3); 5 drops out
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rnd = random.Random(1234)
+    edges = [(rnd.randrange(400), rnd.randrange(400)) for _ in range(600)]
+    parent = list(range(400))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union-by-min => root is min
+
+    want = {n: find(n) for a, b in edges for n in (a, b) if a != b}
+    assert _assignment(spark, edges) == want
+
+
+def test_nonconvergence_guard_raises(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iterations=0)
+
+
+def test_dedup_corpus_keeps_one_survivor_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "a long, b long")
+    kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [1, 4, 7]
+
+
+def test_planted_transitive_clones_collapse_e2e(spark, sf_dir):
+    """Plant a clone CHAIN through the real LSH pipeline: base ~ v1 ~ v2
+    where each step mutates different word positions. Whether or not
+    the far pair (base, v2) survives the pairwise Jaccard gate, the
+    cluster must contain all three and dedup must keep exactly one."""
+    from http_feeds_spark.queries.llm import _near_dup_pairs
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    toks = base.split()
+    v1, v2 = list(toks), list(toks)
+    for i in range(0, 6):  # v1 mutates the front
+        v1[i] = f"mutA{i}"
+    for i in range(-6, 0):  # v2 mutates the tail
+        v2[i] = f"mutB{i}"
+    planted = spark.createDataFrame(
+        [
+            (1_000_001, base),
+            (1_000_002, " ".join(v1)),
+            (1_000_003, " ".join(v2)),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(planted)
+    pairs = _near_dup_pairs(corpus)
+    got_pairs = {(r.a, r.b) for r in pairs.collect()}
+    planted_pairs = {p for p in got_pairs if p[0] > 1_000_000 and p[1] > 1_000_000}
+    assert len(planted_pairs) >= 2, planted_pairs  # chain edges found by LSH
+
+    asg = {
+        r.node: r.component
+        for r in connected_components(pairs, src="a", dst="b").collect()
+        if r.node > 1_000_000
+    }
+    assert set(asg) == {1_000_001, 1_000_002, 1_000_003}
+    assert set(asg.values()) == {1_000_001}
+
+    kept = dedup_corpus(corpus, pairs)
+    survivors = sorted(
+        r.doc_id for r in kept.filter(F.col("doc_id") > 1_000_000).collect()
+    )
+    assert survivors == [1_000_001]
+    # non-clustered docs pass through
+    assert kept.count() == corpus.count() - pairs.select(
+        F.explode(F.array("a", "b")).alias("n")
+    ).distinct().count() + connected_components(pairs, src="a", dst="b").select(
+        "component"
+    ).distinct().count()
+
+
+def test_dedup_groups_query_registered(spark, sf_dir):
+    from http_feeds_spark.queries import registry
+
+    q = registry()["q_llm_dedup_groups"]
+    out = q.fn(spark, sf_dir)
+    assert out.columns == ["cluster_id", "doc_id", "is_survivor", "n_members"]
+    rows = out.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m.is_survivor for m in members) == 1
+        assert min(m.doc_id for m in members) == cid
+        assert all(m.n_members == len(members) for m in members)
