@@ -142,15 +142,32 @@ def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_range_join", oracle=None, group="B")
+@register(
+    "q_range_join",
+    # the ORACLE runs the naive BETWEEN join DuckDB plans natively; Spark
+    # runs the bucketized equi-join — equivalence is exactly the claim
+    oracle="""
+    SELECT p.purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_id AS purchase_id,
+                 epoch_us(ts) AS ws,
+                 epoch_us(ts) + 3600000000 AS we
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, epoch_us(ts) AS t, value FROM events) e
+      ON e.t BETWEEN p.ws AND p.we
+    GROUP BY p.purchase_id
+    """,
+    group="B",
+)
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-ext — range-containment join via bucketized intervals
     (operators/range_join.py): every purchase opens a 1-hour attribution
     window; count the events falling inside each window. The raw
     BETWEEN-predicate formulation would plan as a nested-loop join —
     the bucketized form is a hash equi-join plus replication bounded by
-    span/width. Rows-only check; exact equivalence to the naive
-    predicate join is asserted in tests."""
+    span/width. The DuckDB oracle is that naive BETWEEN join, so the
+    driver check asserts exact pair-set equivalence of the two plans."""
     from http_feeds_spark.operators.range_join import range_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -168,15 +185,33 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hyper_rollup", oracle=None, group="C")
+@register(
+    "q_hyper_rollup",
+    # the ORACLE aggregates the RAW events straight to daily; Spark goes
+    # events → hourly partials → daily merge — exactness of the mergeable-
+    # partial design is the claim the driver check now enforces
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    group="C",
+)
 def q_hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-ext — hypertable-style continuous aggregate (operators/
     rollup.py): hourly mergeable partials (count/sum/min/max, DECIMAL
     sums) re-aggregated to daily — the coarse answer comes from rollup
     rows, never re-scanning raw events, and is EXACT because every
-    stored aggregate is mergeable (avg derived at the end). Rows-only
-    check; daily-from-rollup ≡ daily-from-raw asserted in tests, along
-    with the date-partitioned materialization path."""
+    stored aggregate is mergeable (avg derived at the end). The DuckDB
+    oracle aggregates the raw events directly to daily, so the driver
+    check asserts daily-from-rollup ≡ daily-from-raw bit-exactly; the
+    date-partitioned materialization path is asserted in tests."""
     from http_feeds_spark.operators import rollup as ru
 
     ev = load_table(spark, sf_dir, "events")

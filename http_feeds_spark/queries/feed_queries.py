@@ -30,18 +30,41 @@ def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A1: feed scan -----------------------------------------------------------
 
 
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs-precision ISO-8601 UTC
+
+
 @register(
     "q_feed_scan",
     oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL})",
     group="A",
 )
 def q_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 — full chronological feed scan as CloudEvents envelope rows.
+    """A1 + A14 — full chronological feed scan, round-tripped through the
+    CloudEvents wire encoding.
 
     README.md:8-13 (feed = GET endpoint returning the chronological event
-    sequence); envelope fields README.md:306-316.
+    sequence); envelope fields README.md:306-316. Each envelope row is
+    serialized to its on-the-wire JSON object
+    (application/cloudevents-batch+json carries an array of these,
+    README.md:10-11) with to_json, then parsed back with from_json using
+    the engine envelope StructType — so the oracle (the feed itself)
+    doubles as a serialize∘parse identity check. Timestamps use an
+    explicit µs format so `time` (ISO 8601 UTC, README.md:312)
+    round-trips losslessly. (Merged from the former q_cloudevents_parse,
+    which shared this oracle verbatim — one driver slot, both semantics.)
     """
-    return _feed(spark, sf_dir)
+    from http_feeds_spark.schema import ENVELOPE
+
+    f = _feed(spark, sf_dir)
+    wire = f.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in f.columns]), {"timestampFormat": _TS_FMT}
+        ).alias("json")
+    )
+    parsed = wire.select(
+        F.from_json("json", ENVELOPE, {"timestampFormat": _TS_FMT}).alias("e")
+    )
+    return parsed.select("e.*")
 
 
 # --- A2: offset scan ---------------------------------------------------------
@@ -128,11 +151,16 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A6: tombstones ----------------------------------------------------------
 
 
-@register(
-    "q_tombstone",
-    oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE coalesce(method, 'PUT') <> 'DELETE'",
-    group="A",
+# q_tombstone's old driver oracle — still enforced verbatim in pytest
+# (tests/test_group_a_oracle.py::test_tombstone_oracle_parity); the DRIVER
+# slot moved to q_hyper_rollup because A6 is a strict sub-expression of
+# q_read_model's still-oracle-checked A7 (same filter, wider projection).
+TOMBSTONE_ORACLE_SQL = (
+    f"SELECT * FROM ({_COMPACT_SQL}) WHERE coalesce(method, 'PUT') <> 'DELETE'"
 )
+
+
+@register("q_tombstone", oracle=None, group="A")
 def q_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — drop subjects whose latest entry is a DELETE (README.md:270-292)."""
     return ops.drop_tombstoned(ops.compact(_feed(spark, sf_dir)))
@@ -304,33 +332,6 @@ def q_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
 
 
-# --- A14: CloudEvents parse / serialize --------------------------------------
-
-_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs-precision ISO-8601 UTC
-
-
-@register(
-    "q_cloudevents_parse",
-    # Round-trip identity: serialize(parse(x)) == x, so the oracle is the feed.
-    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL})",
-    group="A",
-)
-def q_cloudevents_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 — CloudEvents envelope (de)serialization (README.md:304-318).
-
-    Serializes each envelope row to its on-the-wire JSON object
-    (application/cloudevents-batch+json carries an array of these,
-    README.md:10-11) with to_json, then parses back with from_json using
-    the engine envelope StructType. Timestamps use an explicit µs format
-    so `time` (ISO 8601 UTC, README.md:312) round-trips losslessly.
-    """
-    from http_feeds_spark.schema import ENVELOPE
-
-    f = _feed(spark, sf_dir)
-    wire = f.select(
-        F.to_json(F.struct(*[F.col(c) for c in f.columns]), {"timestampFormat": _TS_FMT}).alias("json")
-    )
-    parsed = wire.select(
-        F.from_json("json", ENVELOPE, {"timestampFormat": _TS_FMT}).alias("e")
-    )
-    return parsed.select("e.*")
+# A14 (CloudEvents parse/serialize) is merged into q_feed_scan above — the
+# two queries shared the identical oracle SQL, and the merge frees a driver
+# correctness slot for q_range_join (see queries/extended.py).

@@ -21,6 +21,9 @@ ORACLE_QUERIES = [
     "q_llm_fingerprint",
     "q_llm_wordfreq",
     "q_mm_binary",
+    # promoted to driver-oracle slots in round 4 (freed by the A14/A6 merges)
+    "q_range_join",
+    "q_hyper_rollup",
 ]
 
 ROWS_ONLY = [
@@ -29,8 +32,7 @@ ROWS_ONLY = [
     "q_llm_dedup_embed",
     "q_llm_ann_ivf",
     "q_llm_cm_sketch",
-    "q_range_join",
-    "q_hyper_rollup",
+    "q_llm_dedup_groups",
     "q_mm_features",
     "q_mm_resize",
     "q_mm_frames",
