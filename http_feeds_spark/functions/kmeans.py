@@ -106,3 +106,85 @@ def kmeans_centroids(
             for cid, prev in centroids
         ]
     return centroids
+
+
+def probe_clusters(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only per-QUERY probe-cluster assignment: the same broadcast
+    centroid literals as assign_clusters, but keeping the `nprobe`
+    nearest clusters (array_sort over (d2, cid) structs + slice +
+    explode) instead of the single argmin. Output = input columns plus
+    one `cluster` row per probed cluster — queries replicate nprobe×,
+    corpus vectors not at all."""
+    arr = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.struct(
+            sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")
+        ),
+    )
+    return (
+        queries.withColumn("__probe", F.explode(F.slice(F.array_sort(arr), 1, nprobe)))
+        .withColumn("cluster", F.col("__probe.cid"))
+        .drop("__probe")
+    )
+
+
+def ann_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF ANN for a query TABLE (SURVEY §2 D3 at production shape: many
+    queries, not a driver-side loop). Returns (qid, id, cosine_sim, rank)
+    with rank 1..k per query.
+
+    Plan shape at 100 TB: corpus assignment is map-only (broadcast
+    centroid literals); query probe assignment is map-only on the query
+    table; the candidate join is `corpus ⋈ probes ON cluster` — with
+    `broadcast_queries` (the common case: queries ≪ corpus) that is a
+    broadcast hash join, so the CORPUS NEVER SHUFFLES; per-query top-k
+    is a window over (qid, cosine) rows — ids + one double per
+    candidate, vectors never ride the ranking exchange. For query sets
+    too large to broadcast, set broadcast_queries=False: the join
+    becomes a hash shuffle on `cluster` (corpus shuffles once — the
+    unavoidable cost at that regime; consider raising nlist so cluster
+    fan-out stays balanced)."""
+    from pyspark.sql import Window
+
+    assigned = assign_clusters(corpus, centroids, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), "cluster"
+    )
+    probes = probe_clusters(
+        queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+        centroids,
+        nprobe,
+        "__qv",
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    from http_feeds_spark.functions import vectors as vec
+
+    scored = (
+        assigned.join(probes, "cluster")
+        .where(F.col(id_col) != F.col(qid_col))
+        .select(
+            qid_col,
+            id_col,
+            vec.cosine("__cv", "__qv").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -230,6 +230,29 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_ann_batch", oracle=None, group="D")
+def q_llm_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b at production shape — IVF ANN for a query TABLE (64 query
+    vectors), not a per-query driver loop.
+
+    Same deterministic IVF index as q_llm_ann_ivf; queries are assigned
+    their 4 probe clusters map-only (broadcast centroid literals +
+    array_sort/slice), candidates come from a BROADCAST join of the
+    probe rows against the cluster-assigned corpus — the corpus never
+    shuffles — and per-query top-10 is a row_number window over
+    (query_id, cosine) rows that carries ids + one double, never
+    vectors. Rows-only check (cluster geometry is engine-specific);
+    batch recall@10 vs per-query exact is asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return km.ann_search_batch(
+        emb, queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
 # --- D2c: embedding near-dup via sign-band LSH -------------------------------
 
 # vec_ids at or above this base are synthetic clones planted by

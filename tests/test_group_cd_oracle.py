@@ -33,6 +33,7 @@ ROWS_ONLY = [
     "q_llm_ann_ivf",
     "q_llm_cm_sketch",
     "q_llm_dedup_groups",
+    "q_llm_ann_batch",
     "q_mm_features",
     "q_mm_resize",
     "q_mm_frames",
@@ -243,3 +244,82 @@ def test_audio_features_frame_bytes_dtypes(spark, sf_dir):
             assert 0.0 <= r.peak <= 1.0  # full-scale normalization per width
     with pytest.raises(ValueError):
         mm.audio_features(d, frame_bytes=3)
+
+
+def test_ann_batch_recall_and_full_probe(spark, sf_dir):
+    """Batched ANN (query TABLE): mean recall@10 vs per-query exact must
+    be >= the single-query bar (0.5), and full-probe (nprobe = nlist)
+    must reproduce the exact top-10 for EVERY query — the cluster
+    partition loses nothing, only probe narrowing approximates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.functions import vectors as vec
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # per-query exact top-10 via brute force (the semantic reference)
+    q = queries.select("query_id", F.col("embedding").alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", vec.cosine("embedding", "qv").alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .collect()
+    )
+    want: dict[int, set] = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+
+    approx = km.ann_search_batch(emb, queries, cents, k=10, nprobe=4).collect()
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(want)
+    recalls = [len(got[qid] & want[qid]) / 10 for qid in want]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    full = km.ann_search_batch(emb, queries, cents, k=10, nprobe=16).collect()
+    got_full: dict[int, set] = {}
+    for r in full:
+        got_full.setdefault(r.query_id, set()).add(r.vec_id)
+    assert got_full == want
+
+
+def test_ann_batch_corpus_never_shuffles(spark, sf_dir):
+    """Plan guard: with broadcast_queries the candidate join must be a
+    BroadcastHashJoin — no Exchange between the corpus scan and the
+    join (the per-query ranking window is the only shuffle)."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        km.ann_search_batch(emb, queries, cents, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    join_part = plan.split("BroadcastHashJoin")[-1]
+    # below the join: only the corpus scan side remains — no Exchange
+    scan_side = [ln for ln in join_part.splitlines() if "Scan parquet" in ln]
+    assert scan_side, plan
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join.split("Window")[-1], plan
