@@ -33,6 +33,8 @@ HEADLINE = [
     "q_llm_dedup_exact",  # content-hash dedup
     "q_llm_cosine",       # vector similarity top-k
     "q_llm_dedup_near",   # MinHash-LSH near-dup pipeline
+    "q_llm_dedup_groups", # + transitive closure (connected components)
+    "q_llm_ann_batch",    # batched IVF ANN (broadcast probe join)
     "q_llm_textstats",    # corpus statistics
     "q_llm_tokens",       # regex tokenization
 ]
@@ -55,8 +57,8 @@ def main() -> None:
     for name in HEADLINE:
         fn = reg[name].fn
         runs = []
-        for _ in range(2):  # min of 2: first run pays codegen compile
-            t0 = time.perf_counter()
+        for _ in range(3):  # min of 3: first run pays codegen compile,
+            t0 = time.perf_counter()  # min-of-rest absorbs machine noise
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -71,6 +73,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # environment evidence: BASELINE.md's r2->r3 bisect showed
+                # round-over-round deltas track machine load, not code
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

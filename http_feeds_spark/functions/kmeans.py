@@ -143,10 +143,18 @@ def ann_search_batch(
     qid_col: str = "query_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN for a query TABLE (SURVEY §2 D3 at production shape: many
     queries, not a driver-side loop). Returns (qid, id, cosine_sim, rank)
     with rank 1..k per query.
+
+    ``exclude_self`` (default True) drops candidates whose corpus id
+    equals the query id — correct ONLY when queries are drawn from the
+    corpus and share its id space (the self-match is a trivial cosine=1
+    hit). For an EXTERNAL query table whose ids are unrelated to corpus
+    ids, set ``exclude_self=False``: otherwise each query silently loses
+    the corpus row that happens to collide with its query_id.
 
     Plan shape at 100 TB: corpus assignment is map-only (broadcast
     centroid literals); query probe assignment is map-only on the query
@@ -174,10 +182,11 @@ def ann_search_batch(
         probes = F.broadcast(probes)
     from http_feeds_spark.functions import vectors as vec
 
+    scored = assigned.join(probes, "cluster")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(qid_col))
     scored = (
-        assigned.join(probes, "cluster")
-        .where(F.col(id_col) != F.col(qid_col))
-        .select(
+        scored.select(
             qid_col,
             id_col,
             vec.cosine("__cv", "__qv").alias("cosine_sim"),

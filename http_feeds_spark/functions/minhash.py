@@ -107,6 +107,34 @@ def jaccard(set_a: Column, set_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def verified_jaccard_pairs(
+    shingled: DataFrame,
+    shingles_col: str = "shingles",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.5,
+    materialize: bool = False,
+) -> DataFrame:
+    """The full LSH pipeline back half, shared by every Jaccard-similarity
+    query (near-dup n=3 @0.5, ngram-sim n=2 @0.3): candidates from
+    banding, exact-Jaccard verify by re-joining the shingle sets, emit
+    (a, b, jaccard). The caller owns the shingle table (and its
+    checkpoint barrier — it feeds three consumers here: signatures + both
+    verify sides)."""
+    cands = minhash_candidates(shingled, shingles_col, id_col, k, bands, rows, materialize)
+    a = shingled.select(F.col(id_col).alias("a"), F.col(shingles_col).alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("b"), F.col(shingles_col).alias("sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -52,6 +52,56 @@ def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def local_top_items(items: DataFrame, col: str, per_partition: int = 64) -> DataFrame:
+    """Heavy-hitter CANDIDATES without any full-corpus aggregation: each
+    partition emits its exact local top-M items (one Arrow-batched
+    mapInPandas pass accumulating a Counter across the partition's
+    batches), then a distinct over the ≤ M×P candidate rows. Pigeonhole:
+    any item with global share ≥ 1/M is the local top-M of at least one
+    partition, so true heavy hitters always surface. The shuffle carries
+    at most M rows per partition — sketch-sized, never vocabulary-sized."""
+    import pandas as pd
+
+    def gen(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[col].value_counts().to_dict())
+        yield pd.DataFrame({col: [w for w, _ in counts.most_common(per_partition)]})
+
+    return items.select(col).mapInPandas(gen, f"{col} string").distinct()
+
+
+def count_min_estimate_df(
+    sketch: DataFrame, candidates: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Distributed sketch probe: explode each candidate into its d cells,
+    broadcast-join the d×w sketch (model-sized build side), take the min
+    over the d cells. Absent cells are implicit zeros. Returns
+    (col, est_freq) — the scalable path when the candidate set is itself
+    a distributed table (driver-side `count_min_estimate` stays for
+    model-sized item lists)."""
+    probes = candidates.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(F.xxhash64(F.col(col), F.lit(d)), F.lit(width)).cast("int").alias("idx"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
+    joined = probes.join(F.broadcast(sketch), ["row", "idx"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_freq")
+    )
+
+
 def count_min_estimate(sketch: DataFrame, items: list[str], depth: int = 4,
                        width: int = 1024) -> dict[str, int]:
     """Frequency estimates for `items`: min over the d cells of each item.

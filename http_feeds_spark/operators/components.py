@@ -21,9 +21,12 @@ equi-join per star, all on uniformly-hashed node ids; the edge set
 contracts toward a star forest in O(log n) rounds with high probability
 (the paper's bound; dedup graphs — short chains around clone clusters —
 converge in 2-3). Nothing data-sized ever reaches the driver: the loop
-control is a boolean `isEmpty` on the changed-edge set, and lineage is
-truncated per round with localCheckpoint so Catalyst never sees an
-unrolled multi-round plan.
+control is ONE map-side-combined aggregate per round — (count,
+order-independent hash-sum) of the new edge set — compared against the
+previous round's pair; only when the cheap signature matches does the
+definitive `exceptAll` set-equality check run (in practice exactly once,
+on the final round). Lineage is truncated per round with localCheckpoint
+so Catalyst never sees an unrolled multi-round plan.
 
 Skew note: a mega-cluster funnels all its edges onto its minimum node.
 The per-node min aggregation is map-side combined (hot key cost ≈ one
@@ -79,15 +82,32 @@ def connected_components(
     """Label every node of an undirected edge list with its component id.
 
     Returns ``(node, component)`` with one row per distinct node that
-    appears in `edges` (including component roots, which map to
-    themselves); ``component`` is the MINIMUM node id of the component —
-    i.e. directly the min-id survivor of a duplicate cluster. Input
-    direction, self-loops, and duplicate edges are all tolerated.
+    appears in a NON-self-loop edge (including component roots, which map
+    to themselves); ``component`` is the MINIMUM node id of the
+    component — i.e. directly the min-id survivor of a duplicate
+    cluster. Input direction, self-loops, and duplicate edges are all
+    tolerated, but nodes appearing ONLY in self-loop edges (u == v) get
+    no output row: a self-pair carries no dedup information, and such
+    docs pass through `dedup_corpus` untouched exactly like unpaired
+    ones (pinned in tests/test_components.py).
 
     Raises RuntimeError if the star forest has not stabilized after
     `max_iterations` alternating rounds (the O(log n) bound makes this a
     bug trap, not a tuning knob).
     """
+
+    def _sig(df: DataFrame) -> tuple:
+        # one job, map-side combined: row count + order-independent sum of
+        # per-edge hashes (DECIMAL so ANSI mode never overflows). Equal
+        # signatures on distinct-deduped sets ⇒ equal sets (mod a ~2^-64
+        # hash collision — the definitive exceptAll below closes that).
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -97,14 +117,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    prev = _sig(e)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint()
-        # set equality: both sides are distinct, so same count + empty
-        # one-sided difference ⇒ identical edge sets
-        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+        sig = _sig(nxt)
+        # cheap per-round signal first; definitive set-equality only when
+        # it matches (both sides distinct ⇒ empty one-sided diff suffices)
+        if sig == prev and nxt.exceptAll(e).isEmpty():
             e = nxt
             break
-        e = nxt
+        prev, e = sig, nxt
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
@@ -114,6 +136,37 @@ def connected_components(
     )
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return members.union(roots).distinct()
+
+
+def incremental_components(
+    prior: DataFrame,
+    new_edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Incremental closure: fold a NEW batch of near-dup pairs into a
+    prior ``(node, component)`` assignment without re-deriving the old
+    pairs.
+
+    At 100 TB with streaming appends, re-running LSH + closure over the
+    full corpus per batch is the scale-killer; the prior assignment is
+    already a contracted star forest, and stars preserve connectivity
+    exactly — so feeding ``node—component`` edges (the prior rows) plus
+    the new pairs back into the SAME loop yields the identical result as
+    a full recompute over (old ∪ new) pairs (pinned in
+    tests/test_components.py), while the loop starts from depth ≤ 1
+    instead of raw chains. Cross-batch merges (a new pair bridging two
+    prior clusters) relabel both to the global minimum, exactly as a
+    full recompute would. Root self-rows (node == component) become
+    self-loops and drop out harmlessly — root membership rides on its
+    members' star edges; a prior cluster is never root-only.
+    """
+    prior_edges = prior.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    return connected_components(
+        prior_edges.unionByName(new_edges.select(src, dst)), src=src, dst=dst
+    )
 
 
 def dedup_corpus(

@@ -46,3 +46,47 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 def uses_whole_stage_codegen(df: DataFrame) -> bool:
     """Requires execution (AQE finalization)."""
     return "*(1)" in executed_plan(df, finalize=True)
+
+
+# --- structural plan-tree walking (robust to rendered-string layout) --------
+#
+# Plan guards that slice executedPlan().toString() break (or vacuously pass)
+# when Spark's textual layout shifts across versions/AQE settings. These
+# helpers walk the PHYSICAL TREE instead: node identity comes from
+# nodeName(), and AQE wrappers (AdaptiveSparkPlan, *QueryStage) are
+# descended into explicitly, so assertions bind to actual operator
+# parent/child structure.
+
+
+def physical_root(df: DataFrame):
+    """The root physical-plan JVM node (py4j handle)."""
+    return df._jdf.queryExecution().executedPlan()
+
+
+def plan_children(node) -> list:
+    """Structural children of a plan node, descending through AQE
+    wrappers: AdaptiveSparkPlan exposes its current sub-plan via
+    executedPlan(); materialized query stages via plan()."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.executedPlan()]
+    if name.endswith("QueryStage"):
+        return [node.plan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def subtree_names(node) -> list[str]:
+    """nodeName() of every node in the subtree (pre-order)."""
+    out = [node.nodeName()]
+    for c in plan_children(node):
+        out.extend(subtree_names(c))
+    return out
+
+
+def find_nodes(node, predicate) -> list:
+    """All subtree nodes whose nodeName() satisfies `predicate`."""
+    hits = [node] if predicate(node.nodeName()) else []
+    for c in plan_children(node):
+        hits.extend(find_nodes(c, predicate))
+    return hits

@@ -110,36 +110,33 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_sim_pairs(docs, tokens=None):
+    """Verified 2-gram Jaccard pairs ≥ 0.3 — the ngram-sim pipeline body,
+    shared-stage form (see llm.tokenized / llm._shingled)."""
+    from http_feeds_spark.functions import minhash as mh
+    from http_feeds_spark.queries.llm import _shingled
+
+    sh = _shingled(docs, 2, tokens)
+    # k=48 / 24×2, evaluated vs the prior k=64 / 32×2 (round 5, sf0.1):
+    # identical verified pair set (256 = 256 pairs) at 7.47s → 4.98s
+    # (−33%). s-curve: P[cand | s=0.3] = 1-(1-0.09)^24 ≈ 0.90 (vs 0.95
+    # at 32 bands), rising steeply past the verify threshold (s=0.4 →
+    # 0.985) — the planted-recall guard at jaccard≈0.42 pins it.
+    return mh.verified_jaccard_pairs(
+        sh, k=48, bands=24, rows=2, threshold=0.3, materialize=True
+    )
+
+
 @register("q_llm_ngram_sim", oracle=None, group="D")
 def q_llm_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2d — n-gram Jaccard document similarity: 2-gram shingle sets
     (tuple-hashed to longs — see q_llm_dedup_near), MinHash-LSH
-    candidates with k=64 / 32×2 banding (the 0.3 threshold needs the
-    sharper s-curve: P[cand|s=0.3] ≈ 0.95 at 32 bands vs 0.78 at 16),
-    exact Jaccard verify ≥ 0.3. The lower n and threshold make this the
-    'similar documents' variant of the near-dup pipeline (same scalable
-    shape). Rows-only check."""
-    from http_feeds_spark.functions import minhash as mh
-    from http_feeds_spark.functions import text as tx
-
+    candidates with k=48 / 24×2 banding, exact Jaccard verify ≥ 0.3.
+    The lower n and threshold make this the 'similar documents' variant
+    of the near-dup pipeline (same scalable shape); planted-recall guard
+    in tests/test_extended.py. Rows-only check."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = (
-        docs.withColumn("tokens", tx.words(F.lower("text")))
-        .filter(F.size("tokens") >= 2)
-        .withColumn("shingles", F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), 2)))
-        .select("doc_id", "shingles")
-        .localCheckpoint()
-    )
-    cands = mh.minhash_candidates(sh, "shingles", "doc_id", k=64, bands=32, rows=2)
-    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(a, "a")
-        .join(b, "b")
-        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.3)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _ngram_sim_pairs(docs)
 
 
 @register(

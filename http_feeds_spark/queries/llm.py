@@ -58,36 +58,60 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2a: MinHash-LSH near-dup ----------------------------------------------
 
 
-def _near_dup_pairs(docs: DataFrame) -> DataFrame:
-    """Verified MinHash-LSH near-dup pairs (a, b, jaccard) over (doc_id,
-    text) rows — the shared front half of q_llm_dedup_near (pairs) and
-    q_llm_dedup_groups (transitive clusters)."""
-    sh = (
+def tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens) — the ONE tokenization every Jaccard pipeline
+    shares. Checkpointed so multi-pipeline consumers (near-dup n=3 +
+    ngram-sim n=2, see `jaccard_suite`) tokenize the corpus exactly once."""
+    return (
         docs.withColumn("tokens", tx.words(F.lower("text")))
-        .filter(F.size("tokens") >= 3)
-        .withColumn("shingles", F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), 3)))
+        .select("doc_id", "tokens")
+        .localCheckpoint()
+    )
+
+
+def _shingled(docs: DataFrame, n: int, tokens: DataFrame | None = None) -> DataFrame:
+    """(doc_id, shingles): n-word tuple-hashed shingle sets. `tokens`
+    reuses a pre-tokenized table (from :func:`tokenized`) instead of
+    re-tokenizing — the shared stage between the 0.5-threshold near-dup
+    (n=3) and the 0.3-threshold ngram-sim (n=2) pipelines."""
+    src = tokens if tokens is not None else docs.withColumn(
+        "tokens", tx.words(F.lower("text"))
+    ).select("doc_id", "tokens")
+    return (
+        src.filter(F.size("tokens") >= n)
+        .withColumn("shingles", F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), n)))
         .select("doc_id", "shingles")
         # barrier: the shingle table feeds three consumers (signatures +
         # both sides of the verify join); materializing it once keeps
         # Catalyst from re-optimizing the HOF lineage under each
         .localCheckpoint()
     )
+
+
+def _near_dup_pairs(docs: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (a, b, jaccard) over (doc_id,
+    text) rows — the shared front half of q_llm_dedup_near (pairs),
+    q_llm_dedup_groups (transitive clusters) and q_llm_dedup_corpus."""
+    sh = _shingled(docs, 3, tokens)
     # materialize=False: at k=32 the signature lineage is shallow enough
     # that Catalyst handles it (measured 1.09s vs 1.33s with the barrier
     # at sf0.1); the shingle checkpoint above remains the load-bearing
     # barrier (3 consumers). k=64 pipelines should keep the default.
-    cands = mh.minhash_candidates(sh, "shingles", "doc_id", materialize=False)
-
-    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cands.join(a, "a")
-        .join(b, "b")
-        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    return mh.verified_jaccard_pairs(
+        sh, k=32, bands=16, rows=2, threshold=0.5, materialize=False
     )
-    return verified
+
+
+def jaccard_suite(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both Jaccard pipelines off ONE tokenization pass: (near_dup_pairs
+    @0.5/n=3, ngram_sim_pairs @0.3/n=2). Shingle sets differ by n so the
+    signatures cannot be shared, but the tokenize-and-lower scan — the
+    only stage that reads the full text — runs once. Identity with the
+    independent per-query runs is pinned in tests."""
+    toks = tokenized(docs)
+    from http_feeds_spark.queries.extended import _ngram_sim_pairs
+
+    return _near_dup_pairs(docs, tokens=toks), _ngram_sim_pairs(docs, tokens=toks)
 
 
 @register("q_llm_dedup_near", oracle=None, group="D")
@@ -576,24 +600,60 @@ def q_llm_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_cm_sketch", oracle=None, group="D")
 def q_llm_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5f — count-min sketch heavy-hitter estimation
+    """D5f — count-min-sketch heavy hitters, fully sketch-driven
     (functions/sketch.py): build a 4×1024 sketch over the corpus token
     stream (one map-side-combined aggregate; the shuffle carries at most
-    d×w partial counters per partition), then estimate the exact top-20
-    words' frequencies from it. Deterministic; one-sided error bound
-    asserted in tests. Rows-only check."""
+    d×w partial counters per partition); candidates come from a
+    partition-LOCAL exact top-64 (mapInPandas — ≤64 rows leave each
+    partition, pigeonhole guarantees true heavy hitters surface); each
+    candidate's frequency is then estimated by probing the broadcast
+    sketch, top-20 by estimate. NO full-corpus exact aggregation
+    anywhere — the sketch is load-bearing. One-sided error bound +
+    top-recall asserted in tests. Rows-only check."""
     from http_feeds_spark.functions import sketch as sk
 
     d = _docs(spark, sf_dir)
     toks = d.select(F.explode(tx.words(F.lower("text"))).alias("word"))
     cm = sk.count_min_build(toks, "word")
-    top = [
-        r.word
-        for r in toks.groupBy("word").count().orderBy(F.col("count").desc(), "word").limit(20).collect()
-    ]
-    est = sk.count_min_estimate(cm, top)
-    return spark.createDataFrame(
-        sorted(est.items()), "word string, est_freq long"
+    cands = sk.local_top_items(toks, "word", per_partition=64)
+    est = sk.count_min_estimate_df(cm, cands, "word")
+    return est.orderBy(F.col("est_freq").desc(), "word").limit(20)
+
+
+@register("q_llm_dedup_corpus", oracle=None, group="D")
+def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 end-to-end — the COMPLETE dedup story in one query: MinHash-LSH
+    pairs → transitive closure → min-id survivor per cluster → corpus
+    filtered to survivors + pass-through docs (operators/components.py
+    ``dedup_corpus``). Output: one row per KEPT document with its
+    cluster context (cluster_id null ⇔ doc was never clustered, i.e.
+    passed through untouched; n_removed = cluster members dropped).
+    All exchanges past the pair stage are ids-only; the corpus text
+    never rides a closure shuffle. Rows-only check (pair set depends on
+    hash constants); count invariants pinned in tests/test_components.py.
+    """
+    from http_feeds_spark.operators.components import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = _near_dup_pairs(docs)
+    asg = connected_components(pairs, src="a", dst="b")
+    clusters = asg.groupBy("component").agg(F.count("*").alias("n_members"))
+    survivors = clusters.select(
+        F.col("component").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("n_members") - 1).alias("n_removed"),
+    )
+    losers = asg.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti").join(
+        survivors, "doc_id", "left"
+    )
+    return kept.select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.length("text").alias("n_chars"),
     )
 
 

@@ -123,6 +123,50 @@ def typed_payload_columns(type_col: str = "type", types: list[str] | None = None
     return cols
 
 
+# --- VARIANT payload path (SURVEY §1.3: "keep `data` as a JSON string at
+# ingest ... project with from_json/get_json_object/variant per event type
+# downstream") ---------------------------------------------------------------
+#
+# The registry above serves DECLARED payload types. For types nobody
+# registered — the long tail of a 100-type feed — Spark 4's VariantType is
+# the right carrier: parse once into a self-describing binary encoding
+# (typed, shredding-friendly, ~8× faster to re-project than re-parsing JSON
+# strings), then extract paths with variant_get at whatever type the
+# consumer asserts. No schema registration, no merged-schema conflict
+# surface; exact equivalence with the registry path for fields both can see
+# is pinned in tests/test_schema_registry.py.
+
+
+def parse_payload_variant(df, data_col: str = "data", out_col: str = "payload_v"):
+    """Parse the JSON payload into one VARIANT column (Spark 4
+    ``parse_json``). Unlike :func:`parse_payloads` this needs NO
+    registered schemas: every well-formed payload of every event type —
+    including never-registered ones — becomes navigable. Malformed JSON
+    raises; use ``try_parse_json`` semantics via :func:`try_parse_payload_variant`
+    when the feed may carry junk."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col, F.parse_json(F.col(data_col)))
+
+
+def try_parse_payload_variant(df, data_col: str = "data", out_col: str = "payload_v"):
+    """Lenient twin of :func:`parse_payload_variant`: malformed payloads
+    yield NULL instead of failing the job (the right default for raw
+    ingest at scale)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col, F.try_parse_json(F.col(data_col)))
+
+
+def variant_field(path: str, sql_type: str, variant_col: str = "payload_v"):
+    """Typed extraction from the VARIANT payload: ``$.path`` cast to
+    `sql_type` (``variant_get`` — errors on an incompatible actual type;
+    swap in try_variant_get for null-on-mismatch)."""
+    from pyspark.sql import functions as F
+
+    return F.variant_get(F.col(variant_col), f"$.{path}", sql_type)
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

@@ -12,7 +12,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from http_feeds_spark.operators.components import connected_components, dedup_corpus
+from http_feeds_spark.operators.components import (
+    connected_components,
+    dedup_corpus,
+    incremental_components,
+)
 
 
 def _assignment(spark, edges):
@@ -121,6 +125,75 @@ def test_planted_transitive_clones_collapse_e2e(spark, sf_dir):
     ).distinct().count() + connected_components(pairs, src="a", dst="b").select(
         "component"
     ).distinct().count()
+
+
+def test_incremental_closure_matches_full_recompute(spark):
+    """Appending a batch with cross-cluster merges via the prior
+    assignment must equal the full recompute over old ∪ new pairs."""
+    batch1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    # merges clusters {1..3} and {10,11}; extends {20,21}; opens {30,31}
+    batch2 = [(3, 10), (21, 22), (30, 31)]
+    prior = connected_components(spark.createDataFrame(batch1, "a long, b long"))
+    inc = incremental_components(
+        prior, spark.createDataFrame(batch2, "a long, b long")
+    )
+    full = connected_components(
+        spark.createDataFrame(batch1 + batch2, "a long, b long")
+    )
+    assert {(r.node, r.component) for r in inc.collect()} == {
+        (r.node, r.component) for r in full.collect()
+    }
+
+
+def test_incremental_closure_random_batches(spark):
+    """Property check on random graphs: closure(closure(b1) + b2) ≡
+    closure(b1 ∪ b2), across repeated incremental application."""
+    rnd = random.Random(99)
+
+    def pairs(n):
+        return [
+            (rnd.randrange(200), rnd.randrange(200)) for _ in range(n)
+        ]
+
+    b1, b2, b3 = pairs(120), pairs(60), pairs(60)
+    asg = connected_components(spark.createDataFrame(b1, "a long, b long"))
+    for nb in (b2, b3):
+        asg = incremental_components(asg, spark.createDataFrame(nb, "a long, b long"))
+    full = connected_components(
+        spark.createDataFrame(b1 + b2 + b3, "a long, b long")
+    )
+    assert {(r.node, r.component) for r in asg.collect()} == {
+        (r.node, r.component) for r in full.collect()
+    }
+
+
+def test_dedup_corpus_query_invariants(spark, sf_dir):
+    """q_llm_dedup_corpus: kept = corpus − losers; survivors carry their
+    own id as cluster_id and the removed-member count; pass-through docs
+    have null→0 context. Cross-checked against q_llm_dedup_groups."""
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    reg = registry()
+    kept = reg["q_llm_dedup_corpus"].fn(spark, sf_dir)
+    assert kept.columns == ["doc_id", "cluster_id", "n_removed", "n_chars"]
+    rows = kept.collect()
+    groups = reg["q_llm_dedup_groups"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    losers = {r.doc_id for r in groups if not r.is_survivor}
+    survivors = {r.doc_id: r.n_members for r in groups if r.is_survivor}
+    kept_ids = {r.doc_id for r in rows}
+    assert len(kept_ids) == len(rows)  # one row per kept doc
+    assert kept_ids == {r.doc_id for r in rows}
+    assert kept_ids.isdisjoint(losers)
+    assert len(rows) == n_docs - len(losers)
+    for r in rows:
+        if r.doc_id in survivors:
+            assert r.cluster_id == r.doc_id
+            assert r.n_removed == survivors[r.doc_id] - 1
+        else:
+            assert r.cluster_id is None and r.n_removed == 0
 
 
 def test_dedup_groups_query_registered(spark, sf_dir):

@@ -15,6 +15,44 @@ def test_ngram_sim_runs(spark, sf_dir):
     assert registry()["q_llm_ngram_sim"].fn(spark, sf_dir).count() >= 0
 
 
+def test_ngram_sim_planted_recall(spark, sf_dir):
+    """Recall guard at the 0.3 threshold (protects the k=48/24×2 banding
+    choice): plant a pair with 2-gram Jaccard ≈ 0.42 — mid-band between
+    the verify threshold and the near-dup regime — and require the
+    pipeline to surface it with the right similarity."""
+    from http_feeds_spark.queries.extended import _ngram_sim_pairs
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = [f"tok{i}" for i in range(60)]
+    variant = [f"mut{i}" if i % 5 == 0 else t for i, t in enumerate(base)]
+    planted = docs.sparkSession.createDataFrame(
+        [(2_000_001, " ".join(base)), (2_000_002, " ".join(variant))],
+        "doc_id long, text string",
+    )
+    pairs = _ngram_sim_pairs(docs.union(planted))
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect() if r.a > 2_000_000}
+    assert (2_000_001, 2_000_002) in got, got
+    assert 0.3 <= got[(2_000_001, 2_000_002)] <= 0.6, got
+
+
+def test_jaccard_suite_shares_tokens_and_matches_independent_runs(spark, sf_dir):
+    """jaccard_suite must produce exactly the pair sets of the two
+    independent pipelines while tokenizing the corpus once."""
+    from http_feeds_spark.queries.extended import _ngram_sim_pairs
+    from http_feeds_spark.queries.llm import _near_dup_pairs, jaccard_suite
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near_s, sim_s = jaccard_suite(docs)
+
+    def pset(df):
+        return {(r.a, r.b, r.jaccard) for r in df.collect()}
+
+    assert pset(near_s) == pset(_near_dup_pairs(docs))
+    assert pset(sim_s) == pset(_ngram_sim_pairs(docs))
+
+
 @pytest.mark.parametrize("name", EXTENDED)
 def test_oracle_parity(spark, sf_dir, name):
     from tests.oracle_harness import check_query

@@ -144,6 +144,38 @@ def test_count_min_bounds_and_merge(spark, sf_dir):
     assert merged == whole
 
 
+def test_cm_sketch_query_is_sketch_driven(spark, sf_dir):
+    """The registered heavy-hitter query must be sketch-driven end to
+    end: candidates from the partition-local top pass, frequencies from
+    the distributed sketch probe. Contract: exact top-5 words all
+    surface in the top-20 output, every estimate respects the one-sided
+    CM bound (est ≥ true), and the distributed probe agrees with the
+    driver-side estimator bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import sketch as sk
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.words(F.lower("text"))).alias("word"))
+    exact = {r.word: r["count"] for r in toks.groupBy("word").count().collect()}
+    top5 = set(sorted(exact, key=lambda w: (-exact[w], w))[:5])
+
+    out = registry()["q_llm_cm_sketch"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    got = {r.word: r.est_freq for r in out}
+    assert top5 <= set(got), (top5, set(got))
+    for w, est in got.items():
+        assert est >= exact.get(w, 0), (w, est, exact.get(w))
+
+    # distributed probe ≡ driver-side estimator on the same candidates
+    cm = sk.count_min_build(toks, "word")
+    driver_est = sk.count_min_estimate(cm, sorted(got))
+    assert {w: driver_est[w] for w in got} == got
+
+
 def test_kmeans_deterministic_and_improves(spark, sf_dir):
     """IVF training contract: bit-identical centroids across runs (no
     RNG, decimal sums) and Lloyd rounds never worsen the quantization
@@ -298,11 +330,14 @@ def test_ann_batch_recall_and_full_probe(spark, sf_dir):
 
 def test_ann_batch_corpus_never_shuffles(spark, sf_dir):
     """Plan guard: with broadcast_queries the candidate join must be a
-    BroadcastHashJoin — no Exchange between the corpus scan and the
-    join (the per-query ranking window is the only shuffle)."""
+    BroadcastHashJoin whose STREAMED (corpus) subtree contains a parquet
+    scan and NO shuffle exchange — asserted by walking the physical plan
+    TREE (plans/inspect.py), not by slicing the rendered string, so the
+    guard binds to operator structure and survives layout changes."""
     from pyspark.sql import functions as F
 
     from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.plans import inspect as pi
     from http_feeds_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -310,16 +345,47 @@ def test_ann_batch_corpus_never_shuffles(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    plan = (
-        km.ann_search_batch(emb, queries, cents, k=5, nprobe=2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    df = km.ann_search_batch(emb, queries, cents, k=5, nprobe=2)
+    root = pi.physical_root(df)
+    joins = pi.find_nodes(root, lambda n: n == "BroadcastHashJoin")
+    assert len(joins) == 1, pi.subtree_names(root)
+    # the broadcast side carries a Broadcast* exchange/stage; the other
+    # child is the streamed corpus side — it must scan parquet directly
+    # with no shuffle anywhere beneath it
+    sides = [pi.subtree_names(c) for c in pi.plan_children(joins[0])]
+    streamed = [
+        names for names in sides if not any(n.startswith("Broadcast") for n in names)
+    ]
+    assert len(streamed) == 1, sides
+    assert any(n.startswith("Scan parquet") for n in streamed[0]), streamed
+    assert not any(
+        n == "Exchange" or "ShuffleQueryStage" in n for n in streamed[0]
+    ), streamed
+
+
+def test_ann_batch_exclude_self_external_queries(spark, sf_dir):
+    """exclude_self contract: with an EXTERNAL query table whose ids are
+    unrelated to corpus ids, exclude_self=False must NOT drop the corpus
+    row whose vec_id collides with a query_id; the default (True) serves
+    the queries-from-corpus case."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    # external queries: ids 0..3 reused by coincidence, vectors COPIED
+    # from corpus rows 0..3 so the colliding corpus row is its own top hit
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    assert "BroadcastHashJoin" in plan, plan
-    join_part = plan.split("BroadcastHashJoin")[-1]
-    # below the join: only the corpus scan side remains — no Exchange
-    scan_side = [ln for ln in join_part.splitlines() if "Scan parquet" in ln]
-    assert scan_side, plan
-    pre_join = plan.split("BroadcastHashJoin")[0]
-    assert "Exchange hashpartitioning" not in pre_join.split("Window")[-1], plan
+    with_self = km.ann_search_batch(
+        emb, queries, cents, k=5, nprobe=4, exclude_self=False
+    ).collect()
+    top1 = {r.query_id: r.vec_id for r in with_self if r.rank == 1}
+    # cosine(v, v) = 1 is maximal: each external query must see the
+    # id-colliding corpus row, ranked first
+    assert top1 == {q: q for q in range(4)}, top1
+    without = km.ann_search_batch(emb, queries, cents, k=5, nprobe=4).collect()
+    assert all(r.vec_id != r.query_id for r in without)

@@ -627,3 +627,57 @@ def test_cacheable_tolerates_whitespace_around_equals():
     assert _cacheable("public, max-age = 60")
     assert _cacheable("MAX-AGE =  31536000 ")
     assert not _cacheable("max-age = 0")
+
+
+def test_ingest_run_e2e_restart_compact_read_model(spark, feed):
+    """The orchestrated pipeline (http_feeds_spark.ingest): catch-up
+    ingest → restart mid-stream (same checkpoint resumes the cursor, no
+    duplicates) → compact → read model equals the batch answer computed
+    straight off the live feed. Covers the single-checkpoint story and
+    AvailableNow catch-up in one composition."""
+    import tempfile
+
+    from http_feeds_spark import ingest
+    from http_feeds_spark.operators import feed as ops
+
+    state, url = feed
+    _seed_inventory(state)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        # phase 1: bounded catch-up drains the 3 seeded events
+        s1 = ingest.run(spark, url, root)
+        assert s1["raw_rows"] == 3
+
+        # mid-stream: producer appends a new PUT and a DELETE tombstone
+        state.append(
+            "org.http-feeds.example.inventory", "9521234599999",
+            {"sku": "9521234599999", "quantity": 7},
+            time_iso="2021-12-30T00:00:00.000000Z",
+        )
+        state.append(
+            "org.http-feeds.example.inventory", "9521234567899", None,
+            method="DELETE", time_iso="2021-12-31T00:00:01.000000Z",
+        )
+
+        # phase 2: restart — same checkpoint, only the 2 new events land
+        s2 = ingest.run(spark, url, root, compact=True)
+        assert s2["raw_rows"] == 5  # no redelivery of phase-1 rows
+        raw = spark.read.parquet(f"{root}/raw")
+        assert raw.select("id").distinct().count() == 5
+
+        # compacted rewrite: latest per subject, tombstoned subject gone
+        assert s2["compacted_rows"] == 2  # 9521234512349 + 9521234599999
+
+        # read model (served from compacted) ≡ batch answer off the feed
+        served = {
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).collect()
+        }
+        batch = ops.read_model(
+            ops.parse_seq(
+                spark.read.format("httpfeed").option("url", url).load()
+            )
+        )
+        assert served == {(r.subject, r.seq) for r in batch.collect()}
+        assert sorted(s for s, _ in served) == ["9521234512349", "9521234599999"]
