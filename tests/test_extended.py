@@ -159,6 +159,55 @@ def test_compact_landing_zone(spark, sf_dir):
         assert n_after == len(after)
 
 
+def test_compact_landing_zone_tombstone_horizon(spark):
+    """Tombstone retention (README.md:279-292 + :154): the archive
+    rewrite may physically drop a DELETE entry only once every consumer
+    cursor is past it. Below-horizon tombstones vanish; above-horizon
+    ones survive the rewrite so a mid-replay consumer still learns of
+    the deletion."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import feed as ops
+    from http_feeds_spark.operators.maintenance import compact_landing_zone
+
+    rows = [
+        # (seq, subject, method)
+        (1, "s1", None),       # PUT s1
+        (2, "s2", None),       # PUT s2
+        (3, "s1", "DELETE"),   # tombstone s1 — BELOW horizon
+        (4, "s3", None),       # PUT s3
+        (5, "s2", "DELETE"),   # tombstone s2 — ABOVE horizon
+    ]
+    feed = spark.createDataFrame(
+        [
+            (seq, f"id{seq}", "t", "src", None, subj, method, None, "{}")
+            for seq, subj, method in rows
+        ],
+        "seq long, id string, type string, source string, time timestamp,"
+        "subject string, method string, datacontenttype string, data string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        feed.write.parquet(f"{tmp}/landing")
+        out = compact_landing_zone(
+            spark, f"{tmp}/landing", f"{tmp}/compacted",
+            tombstone_horizon_seq=4,
+        )
+        got = {(r.subject, r.seq, r.method) for r in out.collect()}
+        # s1's tombstone (seq 3 <= 4): physically dropped; s1 gone entirely
+        # s2's tombstone (seq 5 > 4): retained for mid-replay consumers
+        assert got == {("s2", 5, "DELETE"), ("s3", 4, None)}
+
+        # a consumer mid-replay (cursor=4) still sees the s2 deletion
+        replay = ops.offset_scan(out, 4).collect()
+        assert [(r.subject, r.method) for r in replay] == [("s2", "DELETE")]
+
+        # horizon=None keeps the all-consumers-caught-up behavior
+        out2 = compact_landing_zone(
+            spark, f"{tmp}/landing", f"{tmp}/compacted2"
+        )
+        assert {(r.subject, r.seq) for r in out2.collect()} == {("s3", 4)}
+
+
 def test_range_join_fractional_point_column(spark, sf_dir):
     """ADVICE r3: double point/bound columns must work (the exact `div`
     path applies only to integral types; fractional routes via floor)."""
