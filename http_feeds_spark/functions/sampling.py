@@ -1,0 +1,75 @@
+"""Deterministic sampling, splitting, and shuffling — the corpus-plumbing
+staples of a training-data pipeline.
+
+Everything here is VALUE-hash based (``xxhash64(id, seed)``), never
+RNG-based: the same row lands in the same split/sample on every run, on
+any cluster layout, at any partition count — the property training
+reproducibility actually needs. Spark's ``df.sample`` is seeded per
+partition, so a repartition silently reshuffles membership; these
+operators are immune by construction, and they are pure map-side
+projections (no shuffle, pushdown-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bucket resolution for split thresholds: 1e6 buckets → weight granularity
+# of 1e-6, plenty below any statistically meaningful split imbalance
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col, seed: int = 0, buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the id value."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(buckets)).cast("long")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (e.g. train/val/test).
+
+    Splits are disjoint and exhaustive by construction: the id's hash
+    bucket falls into one interval of the cumulative weight partition.
+    Weights must sum to ~1.0 (validated); changing `seed` re-draws the
+    whole partition, adding rows never moves existing ones.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # last split takes the remainder — exhaustive even under rounding
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~`fraction` of rows, membership stable across runs and
+    repartitions (unlike ``df.sample``, whose per-partition RNG reshuffles
+    membership when the layout changes)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(id_col, seed) < int(fraction * _BUCKETS))
+
+
+def shuffled_for_training(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic pseudorandom global order — "shuffle the corpus" for
+    training epochs; a different seed gives a different but reproducible
+    epoch order. One range exchange + sort (what a global orderBy costs);
+    ties impossible because the id breaks them."""
+    return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))

@@ -657,6 +657,31 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_train_split", oracle=None, group="D")
+def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — deterministic train/val/test split (functions/sampling.py):
+    value-hash bucketing, so membership survives reruns, repartitions and
+    corpus growth (new docs never move old ones between splits — the
+    reproducibility property training pipelines need; Spark's
+    ``df.sample`` is per-partition-seeded and has neither). Map-only.
+    Rows-only check (xxhash64 partition is engine-specific); split
+    invariants (disjoint, exhaustive, stable, ratio-correct) pinned in
+    tests/test_sampling.py."""
+    from http_feeds_spark.functions import sampling as smp
+
+    d = _docs(spark, sf_dir)
+    split = smp.with_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
 @register("q_mm_resize", oracle=None, group="D")
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4c — image-resize plumbing (mapInPandas; deterministic stand-in

@@ -1,0 +1,159 @@
+"""Streaming near-duplicate dedup — a PERSISTENT LSH index folded forward
+one document batch at a time.
+
+The batch pipelines (queries/llm.py) answer "dedup this corpus"; a
+training-data ingest needs "dedup this corpus *as it grows*" without
+re-shingling 100 TB per append. This module keeps the three artifacts the
+incremental computation needs as parquet stores under one index root:
+
+    bands/       (doc_id, band_id, band_hash)   append-only
+    shingles/    (doc_id, shingles)             append-only
+    assignment/  (node, component)              rewritten per fold
+
+Per batch: shingle + sign ONLY the new documents; candidate pairs come
+from the new docs' band rows equi-joined against (stored ∪ new) band rows
+— new↔old and new↔new pairs surface, old↔old pairs were already found
+when their later member arrived, so the cumulative candidate set equals
+the full-corpus LSH candidate set (signatures are per-doc deterministic,
+independent of batching). Candidates verify with exact Jaccard against
+the stored shingle sets, and the verified pairs fold into the persisted
+assignment via ``incremental_components`` — the prior clusters re-enter
+as star edges, so the closure converges from a depth-≤1 forest instead of
+recomputing the corpus. Result ≡ the batch pipeline over the full corpus
+(pinned in tests/test_streaming_dedup.py).
+
+100 TB posture: per-fold work is O(batch + touched index rows) — the band
+join probes the stored index by (band_id, band_hash) equi-keys, the
+verify join fetches only candidate shingle sets, and every closure
+exchange is ids-only. At-least-once ingest must dedup by doc id upstream
+(operators/feed.dedup_by_id): re-folding the same doc_id would duplicate
+index rows.
+
+Uses the same shingle/signature constants as q_llm_dedup_near (3-word
+tuple-hashed shingles, MinHash k=32, 16 bands × 2 rows, verify ≥ 0.5) so
+the streaming and batch answers are directly comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import minhash as mh
+from http_feeds_spark.functions import text as tx
+from http_feeds_spark.operators.components import (
+    connected_components,
+    incremental_components,
+)
+
+BANDS_DIR = "bands"
+SHINGLES_DIR = "shingles"
+ASSIGNMENT_DIR = "assignment"
+
+# constants matching q_llm_dedup_near (queries/llm.py)
+SHINGLE_N = 3
+MINHASH_K = 32
+LSH_BANDS = 16
+LSH_ROWS = 2
+JACCARD_THRESHOLD = 0.5
+
+
+def _paths(index_root: str) -> tuple[str, str, str]:
+    root = index_root.rstrip("/")
+    return (f"{root}/{BANDS_DIR}", f"{root}/{SHINGLES_DIR}", f"{root}/{ASSIGNMENT_DIR}")
+
+
+def _exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def _shingle_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) for the batch — same front end as the batch
+    near-dup pipeline; checkpointed because it feeds the signature
+    aggregate, the verify join, and the store append."""
+    return (
+        docs.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= SHINGLE_N)
+        .withColumn(
+            "shingles",
+            F.array_distinct(tx.hashed_word_shingles(F.col("tokens"), SHINGLE_N)),
+        )
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+
+
+def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> DataFrame:
+    """Fold one batch of (doc_id, text) rows into the index; returns the
+    updated (node, component) assignment (also persisted)."""
+    bands_path, shingles_path, asg_path = _paths(index_root)
+
+    sh_new = _shingle_batch(batch_docs)
+    sig = mh.minhash_signature_cols(sh_new, "shingles", "doc_id", k=MINHASH_K)
+    new_bands = mh.band_rows(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS).localCheckpoint()
+
+    if _exists(bands_path):
+        all_bands = spark.read.parquet(bands_path).unionByName(new_bands)
+        all_shingles = spark.read.parquet(shingles_path).unionByName(sh_new)
+    else:
+        all_bands, all_shingles = new_bands, sh_new
+
+    # candidates: NEW docs against everything (old↔old pairs surfaced in
+    # earlier folds). Probe side is the batch — small; index side is an
+    # equi-join on (band_id, band_hash).
+    left = new_bands.withColumnRenamed("doc_id", "a")
+    right = all_bands.withColumnRenamed("doc_id", "b")
+    cands = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    a = all_shingles.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b = all_shingles.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+
+    # closure: prior assignment re-enters as star edges. connected_/
+    # incremental_components checkpoint their edge input up front, so the
+    # assignment store can be rewritten safely afterwards.
+    if _exists(asg_path):
+        prior = spark.read.parquet(asg_path)
+        asg = incremental_components(prior, pairs)
+    else:
+        asg = connected_components(pairs, src="a", dst="b")
+
+    new_bands.write.mode("append").parquet(bands_path)
+    sh_new.write.mode("append").parquet(shingles_path)
+    asg.write.mode("overwrite").parquet(asg_path)
+    return asg
+
+
+def read_assignment(spark: SparkSession, index_root: str) -> DataFrame:
+    """The current (node, component) duplicate-cluster assignment."""
+    _, _, asg_path = _paths(index_root)
+    if not _exists(asg_path):
+        raise FileNotFoundError(f"no assignment at {asg_path}; fold a batch first")
+    return spark.read.parquet(asg_path)
+
+
+def survivors_filter(spark: SparkSession, docs: DataFrame, index_root: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Filter `docs` to cluster survivors + never-clustered docs using the
+    persisted assignment (ids-only anti-join, same contract as
+    operators/components.dedup_corpus)."""
+    losers = (
+        read_assignment(spark, index_root)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,84 @@
+"""Persistent streaming near-dup index (streaming/dedup.py): folding a
+corpus batch-by-batch must reproduce the batch pipeline's clusters
+exactly — including transitive chains whose members arrive in DIFFERENT
+batches — and the survivor filter must honor the final assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _corpus_with_planted_chain(spark, sf_dir):
+    """sf documents + a 3-doc clone chain (base ~ v1 ~ v2, mutations at
+    opposite ends — same fixture shape as the batch-pipeline e2e test).
+    Planted ids 1000001/1000002/1000003 land in different mod-3 batches."""
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    toks = base.split()
+    v1, v2 = list(toks), list(toks)
+    for i in range(0, 6):
+        v1[i] = f"mutA{i}"
+    for i in range(-6, 0):
+        v2[i] = f"mutB{i}"
+    planted = spark.createDataFrame(
+        [(1_000_001, base), (1_000_002, " ".join(v1)), (1_000_003, " ".join(v2))],
+        "doc_id long, text string",
+    )
+    return docs.union(planted)
+
+
+def test_fold_batches_equals_full_corpus_pipeline(spark, sf_dir, tmp_path):
+    from http_feeds_spark.operators.components import connected_components
+    from http_feeds_spark.queries.llm import _near_dup_pairs
+    from http_feeds_spark.streaming import dedup as sd
+
+    corpus = _corpus_with_planted_chain(spark, sf_dir)
+    root = str(tmp_path / "idx")
+
+    for i in range(3):
+        asg = sd.fold_batch(spark, corpus.filter(F.col("doc_id") % 3 == i), root)
+
+    got = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            _near_dup_pairs(corpus), src="a", dst="b"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the cross-batch chain collapsed to one cluster rooted at the min id
+    chain = {n: c for n, c in got if n > 1_000_000}
+    assert chain == {
+        1_000_001: 1_000_001,
+        1_000_002: 1_000_001,
+        1_000_003: 1_000_001,
+    }
+    # the returned assignment from the last fold equals the stored one
+    assert {(r.node, r.component) for r in asg.collect()} == got
+
+
+def test_survivors_filter_and_refold_safety(spark, sf_dir, tmp_path):
+    from http_feeds_spark.streaming import dedup as sd
+
+    corpus = _corpus_with_planted_chain(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    for i in range(3):
+        sd.fold_batch(spark, corpus.filter(F.col("doc_id") % 3 == i), root)
+
+    kept = sd.survivors_filter(spark, corpus, root)
+    asg = sd.read_assignment(spark, root)
+    n_losers = asg.where(F.col("node") != F.col("component")).count()
+    assert kept.count() == corpus.count() - n_losers
+    planted_kept = sorted(
+        r.doc_id for r in kept.filter(F.col("doc_id") > 1_000_000).collect()
+    )
+    assert planted_kept == [1_000_001]
+
+    # folding an EMPTY batch is a no-op on the assignment (prior clusters
+    # ride through the incremental closure unchanged)
+    before = {(r.node, r.component) for r in asg.collect()}
+    sd.fold_batch(spark, corpus.filter(F.lit(False)), root)
+    after = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+    assert after == before
