@@ -657,6 +657,39 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_dedup_stream", oracle=None, group="D")
+def q_llm_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 streaming twin — the near-dup closure computed INCREMENTALLY:
+    the corpus arrives as three hash-batches folded into a persistent
+    LSH index (streaming/dedup.py: per-batch shingle/sign, stored-band
+    probe, incremental closure), then the final assignment is shaped
+    like q_llm_dedup_groups. Stream ≡ batch equality is asserted
+    exactly in tests/test_streaming_dedup.py. Rows-only check."""
+    import shutil
+    import tempfile
+
+    from http_feeds_spark.streaming import dedup as sd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_stream_idx_")
+    try:
+        for i in range(3):
+            asg = sd.fold_batch(
+                spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i), root
+            )
+        # detach from the temp stores before they are removed (the fold
+        # result derives from checkpointed edge sets, but pin it anyway)
+        asg = asg.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return asg.select(
+        F.col("component").alias("cluster_id"),
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+        F.count("*").over(W.partitionBy("component")).alias("n_members"),
+    )
+
+
 @register("q_llm_train_split", oracle=None, group="D")
 def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-ext — deterministic train/val/test split (functions/sampling.py):

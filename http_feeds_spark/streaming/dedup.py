@@ -25,9 +25,10 @@ recomputing the corpus. Result ≡ the batch pipeline over the full corpus
 100 TB posture: per-fold work is O(batch + touched index rows) — the band
 join probes the stored index by (band_id, band_hash) equi-keys, the
 verify join fetches only candidate shingle sets, and every closure
-exchange is ids-only. At-least-once ingest must dedup by doc id upstream
-(operators/feed.dedup_by_id): re-folding the same doc_id would duplicate
-index rows.
+exchange is ids-only. At-least-once ingest is safe end to end: already-
+indexed doc ids are dropped from each batch up front (one ids-only
+anti-join against the shingle store), so re-delivered batches are
+no-ops — the streaming twin of the spec's idempotent-consumer rule.
 
 Uses the same shingle/signature constants as q_llm_dedup_near (3-word
 tuple-hashed shingles, MinHash k=32, 16 bands × 2 rows, verify ≥ 0.5) so
@@ -89,9 +90,14 @@ def _shingle_batch(docs: DataFrame) -> DataFrame:
 
 def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> DataFrame:
     """Fold one batch of (doc_id, text) rows into the index; returns the
-    updated (node, component) assignment (also persisted)."""
+    updated (node, component) assignment (also persisted). Idempotent
+    per doc id: re-delivered documents are dropped before indexing, so
+    at-least-once upstreams need no external dedup."""
     bands_path, shingles_path, asg_path = _paths(index_root)
 
+    if _exists(shingles_path):
+        seen = spark.read.parquet(shingles_path).select("doc_id")
+        batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
     sh_new = _shingle_batch(batch_docs)
     sig = mh.minhash_signature_cols(sh_new, "shingles", "doc_id", k=MINHASH_K)
     new_bands = mh.band_rows(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS).localCheckpoint()

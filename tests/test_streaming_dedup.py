@@ -59,6 +59,42 @@ def test_fold_batches_equals_full_corpus_pipeline(spark, sf_dir, tmp_path):
     assert {(r.node, r.component) for r in asg.collect()} == got
 
 
+def test_refold_same_batch_is_noop(spark, sf_dir, tmp_path):
+    """At-least-once safety: re-delivering an already-folded batch must
+    change neither the index stores nor the assignment."""
+    from http_feeds_spark.sources.tables import load_table
+    from http_feeds_spark.streaming import dedup as sd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    sd.fold_batch(spark, batch, root)
+    n_shingles = spark.read.parquet(f"{root}/shingles").count()
+    before = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+
+    sd.fold_batch(spark, batch, root)  # redelivery
+    assert spark.read.parquet(f"{root}/shingles").count() == n_shingles
+    after = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+    assert after == before
+
+
+def test_dedup_stream_query_equals_batch_groups(spark, sf_dir):
+    """The registered streaming query must reproduce q_llm_dedup_groups
+    row for row — the strongest stream≡batch statement the engine makes."""
+    from http_feeds_spark.queries import registry
+
+    reg = registry()
+
+    def rows(name):
+        return {
+            (r.cluster_id, r.doc_id, r.is_survivor, r.n_members)
+            for r in reg[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = rows("q_llm_dedup_stream"), rows("q_llm_dedup_groups")
+    assert stream == batch and len(stream) > 0
+
+
 def test_survivors_filter_and_refold_safety(spark, sf_dir, tmp_path):
     from http_feeds_spark.streaming import dedup as sd
 
