@@ -73,3 +73,48 @@ def shuffled_for_training(df: DataFrame, id_col: str, seed: int = 0) -> DataFram
     epoch order. One range exchange + sort (what a global orderBy costs);
     ties impossible because the id breaks them."""
     return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+
+
+def pack_into_bins(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "bin",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget bins (context
+    windows) by OFFSET — each doc's bin is where its start offset lands
+    in the virtual concatenation of the seed-shuffled corpus:
+
+        bin = floor((running_sum − size) / budget)
+
+    One window over the deterministic shuffle order (a single range
+    exchange — the same cost as the epoch shuffle itself, and the two
+    compose: pack the order you train in). Offset packing is the
+    streaming-concatenation semantics most LLM data loaders implement
+    (docs crossing a boundary belong to the bin where they start, bins
+    overflow by at most one tail doc); exact greedy close-when-full
+    packing needs sequential state and belongs in the loader, not the
+    engine. Deterministic end to end: same corpus + seed ⇒ identical
+    bins. Plain ANSI window arithmetic — DuckDB-parity pinned in tests.
+
+    ``order_col`` overrides the shuffle order with an explicit column
+    (e.g. curriculum order, or a plain id order for engine-parity
+    checks); default is the seeded epoch-shuffle order.
+    """
+    from pyspark.sql import Window
+
+    if order_col is None:
+        order = [F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)]
+    else:
+        order = [F.col(order_col), F.col(id_col)]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(F.col(size_col)).over(w)
+    return df.withColumn(
+        out_col,
+        F.floor((running - F.col(size_col)) / F.lit(budget)).cast("long"),
+    )

@@ -690,6 +690,33 @@ def q_llm_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_pack", oracle=None, group="D")
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — sequence packing (functions/sampling.py::pack_into_bins):
+    documents assigned to 2048-token context-window bins by offset in
+    the seed-shuffled virtual concatenation — the preprocessing step
+    between a deduped corpus and a training data loader. Emits per-bin
+    occupancy stats. One window over the epoch-shuffle order (a single
+    range exchange). Rows-only check (bin membership follows the
+    engine's hash shuffle); packing invariants + ANSI-window DuckDB
+    parity pinned in tests/test_sampling.py."""
+    from http_feeds_spark.functions import sampling as smp
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tx.words("text")).alias("n_tokens")
+    )
+    packed = smp.pack_into_bins(d, "n_tokens", budget=2048)
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("bin")
+    )
+
+
 @register("q_llm_train_split", oracle=None, group="D")
 def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-ext — deterministic train/val/test split (functions/sampling.py):
@@ -712,6 +739,80 @@ def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
         .orderBy("split")
+    )
+
+
+@register("q_llm_decontaminate", oracle=None, group="D")
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — train/test contamination detection (benchmark
+    decontamination): split the corpus deterministically
+    (functions/sampling.py), winnow-fingerprint both sides
+    (q_llm_fingerprint's machinery), and surface test documents sharing
+    ≥ 2 fingerprints with a train document.
+
+    Scale shape: fingerprints explode map-side; the only join is an
+    ids-only equi-join on the fingerprint hash (uniform md5-prefix keys);
+    candidate pairs are bounded by genuinely-shared content. Boilerplate
+    protection: fingerprints present in more than 100 train docs are
+    dropped first (the stop-n-gram rule of standard decontamination
+    pipelines) — a hot fingerprint would otherwise fan out
+    quadratically. Output one row per (test_doc, train_doc) contaminated
+    pair with overlap count and ratio. Rows-only check (split membership
+    is hash-seeded); planted-contamination recall pinned in
+    tests/test_sampling.py."""
+    from http_feeds_spark.functions import sampling as smp
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return decontaminate(
+        smp.with_split(d, "doc_id", {"train": 0.9, "test": 0.1})
+    )
+
+
+def decontaminate(
+    split_docs: DataFrame,
+    min_shared: int = 2,
+    max_fp_train_df: int = 100,
+) -> DataFrame:
+    """(doc_id, text, split['train'|'test']) → contaminated pairs
+    (test_doc_id, train_doc_id, n_shared_fps, n_test_fps, overlap_ratio).
+    See q_llm_decontaminate for the scale rationale."""
+    staged = (
+        split_docs.withColumn("tokens", tx.words(F.lower("text")))
+        .filter(F.size("tokens") >= 6)
+        .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
+    )
+    staged = tx.add_winnow_fingerprints(staged, "shingles", "fps", 4)
+    fps = staged.select(
+        "doc_id", "split", F.size("fps").alias("n_fps"), F.explode("fps").alias("fp")
+    ).localCheckpoint()
+
+    train = fps.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    # stop-fingerprint rule: boilerplate shared by many train docs carries
+    # no contamination signal and would fan the join out quadratically
+    rare = (
+        train.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_fp_train_df)
+        .select("fp")
+    )
+    train = train.join(rare, "fp")
+    test = fps.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), F.col("n_fps").alias("n_test_fps"), "fp"
+    )
+    return (
+        test.join(train, "fp")
+        .groupBy("test_doc_id", "train_doc_id", "n_test_fps")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            "n_shared_fps",
+            "n_test_fps",
+            F.round(F.col("n_shared_fps") / F.col("n_test_fps"), 6).alias("overlap_ratio"),
+        )
     )
 
 

@@ -101,3 +101,102 @@ def test_train_split_query_registered(spark, sf_dir):
     by = {r.split: r.n_docs for r in rows}
     assert by["train"] > by["val"] and by["train"] > by["test"]
     assert n == sum(by.values())
+
+
+def test_decontaminate_finds_planted_contamination(spark, sf_dir):
+    """Plant a near-copy of a train document into the test split; the
+    decontamination join must surface exactly that pair with high
+    overlap, and must never pair two docs from the same split."""
+    from http_feeds_spark.functions import sampling as smp
+    from http_feeds_spark.queries.llm import decontaminate
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = smp.with_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+
+    # pick a real train doc with enough text, and a synthetic id that the
+    # SAME hash split assigns to 'test'
+    train_row = (
+        split.filter((F.col("split") == "train") & (F.length("text") > 200))
+        .orderBy("doc_id").first()
+    )
+    probe = spark.createDataFrame(
+        [(i,) for i in range(3_000_000, 3_000_200)], "doc_id long"
+    )
+    test_id = (
+        smp.with_split(probe, "doc_id", {"train": 0.9, "test": 0.1})
+        .filter(F.col("split") == "test").orderBy("doc_id").first().doc_id
+    )
+    toks = train_row.text.split(" ")
+    toks[len(toks) // 2] = "mutated"  # near-copy, one word changed
+    contaminated = spark.createDataFrame(
+        [(test_id, " ".join(toks))], "doc_id long, text string"
+    )
+    corpus = docs.union(contaminated)
+    out = decontaminate(
+        smp.with_split(corpus, "doc_id", {"train": 0.9, "test": 0.1})
+    )
+    rows = out.collect()
+    planted = [r for r in rows if r.test_doc_id == test_id]
+    assert any(r.train_doc_id == train_row.doc_id for r in planted), rows[:10]
+    best = max(
+        (r for r in planted if r.train_doc_id == train_row.doc_id),
+        key=lambda r: r.n_shared_fps,
+    )
+    assert best.overlap_ratio > 0.5, best
+
+    # split discipline: every pair crosses the split boundary
+    splits = {r.doc_id: r.split for r in smp.with_split(
+        corpus, "doc_id", {"train": 0.9, "test": 0.1}).collect()}
+    for r in rows:
+        assert splits[r.test_doc_id] == "test" and splits[r.train_doc_id] == "train"
+
+
+def test_pack_into_bins_invariants_and_duckdb_parity(spark, sf_dir):
+    """Offset packing: bins are contiguous from 0, each bin's load is
+    bounded by budget + its largest member (a doc only overflows the bin
+    it STARTS in), membership is deterministic, and the window math
+    matches DuckDB exactly under an explicit order."""
+    import duckdb
+
+    from http_feeds_spark.functions import sampling as smp
+    from http_feeds_spark.sources.tables import load_table
+
+    budget = 500
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    packed = smp.pack_into_bins(docs, "n", budget)
+    rows = packed.collect()
+    bins = sorted({r.bin for r in rows})
+    assert bins == list(range(len(bins)))  # contiguous from 0
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r.n)
+    for b, sizes in by_bin.items():
+        assert sum(sizes) < budget + max(sizes), (b, sum(sizes))
+    # deterministic
+    again = {(r.doc_id, r.bin) for r in smp.pack_into_bins(docs, "n", budget).collect()}
+    assert again == {(r.doc_id, r.bin) for r in rows}
+
+    # DuckDB parity of the window arithmetic under an explicit order
+    spark_bins = {
+        (r.doc_id, r.bin)
+        for r in smp.pack_into_bins(docs, "n", budget, order_col="doc_id").collect()
+    }
+    pdf = docs.toPandas()
+    duck = duckdb.connect()
+    duck.register("d", pdf)
+    want = {
+        (int(a), int(b))
+        for a, b in duck.execute(
+            f"""
+            SELECT doc_id,
+                   CAST(floor((sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+                     / {budget}) AS BIGINT) AS bin
+            FROM d
+            """
+        ).fetchall()
+    }
+    assert spark_bins == want
