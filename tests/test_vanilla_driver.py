@@ -43,3 +43,22 @@ def test_sentinel_queries_from_vanilla_session(tmp_path):
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "VANILLA_OK" in out.stdout
+
+
+def test_driver_slot_budget_and_ordering():
+    """The driver's correctness harness records only the FIRST 50
+    registered queries. Two invariants keep every oracle-backed query
+    inside that window: at most 50 queries carry an oracle, and the
+    registry partitions oracle-backed queries ahead of rows-only ones.
+    A 51st oracle query must consciously displace one, never silently
+    fall off the driver's report."""
+    from http_feeds_spark.queries import registry
+
+    reg = registry()
+    oracle = [n for n, q in reg.items() if q.oracle is not None]
+    assert len(oracle) <= 50, (
+        f"{len(oracle)} oracle-backed queries exceed the driver's 50-slot "
+        "cap; demote one to a pytest-side oracle (q_tombstone pattern)"
+    )
+    names = list(reg)
+    assert names[: len(oracle)] == oracle
