@@ -122,14 +122,15 @@ def compact_now(spark: SparkSession, landing_root: str) -> DataFrame:
 def read_model(spark: SparkSession, landing_root: str) -> DataFrame:
     """The consumer-facing read model (latest live state per subject,
     README.md:168-179) from the landing zone — served from the compacted
-    rewrite when one exists (cheap scan), else derived from raw."""
-    import os
-
+    rewrite when one exists (cheap scan), else derived from raw. The
+    existence probe goes through Spark's reader (schema only) so it
+    works on any Hadoop filesystem, not just local paths."""
     raw, _, compacted = _paths(landing_root)
-    if os.path.isdir(compacted) and any(
-        f.endswith(".parquet") for f in os.listdir(compacted)
-    ):
-        # compacted is already latest-per-subject with tombstones dropped;
-        # re-applying read_model is an idempotent no-op kept for safety
-        return ops.read_model(spark.read.parquet(compacted))
-    return ops.read_model(spark.read.parquet(raw))
+    try:
+        compacted_df = spark.read.parquet(compacted)
+        compacted_df.schema
+    except Exception:
+        return ops.read_model(spark.read.parquet(raw))
+    # compacted is already latest-per-subject with tombstones dropped;
+    # re-applying read_model is an idempotent no-op kept for safety
+    return ops.read_model(compacted_df)

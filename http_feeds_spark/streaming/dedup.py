@@ -37,8 +37,6 @@ the streaming and batch answers are directly comparable.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,10 +64,16 @@ def _paths(index_root: str) -> tuple[str, str, str]:
     return (f"{root}/{BANDS_DIR}", f"{root}/{SHINGLES_DIR}", f"{root}/{ASSIGNMENT_DIR}")
 
 
-def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+def _exists(spark: SparkSession, path: str) -> bool:
+    """True when `path` is a readable parquet dataset. Probed through
+    Spark's reader (footer/schema only — no data scan) so the check
+    works on ANY Hadoop-supported filesystem (s3://, hdfs://, local),
+    not just the local FS — index roots at 100 TB are object stores."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
 
 
 def _shingle_batch(docs: DataFrame) -> DataFrame:
@@ -95,14 +99,14 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     at-least-once upstreams need no external dedup."""
     bands_path, shingles_path, asg_path = _paths(index_root)
 
-    if _exists(shingles_path):
+    if _exists(spark, shingles_path):
         seen = spark.read.parquet(shingles_path).select("doc_id")
         batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
     sh_new = _shingle_batch(batch_docs)
     sig = mh.minhash_signature_cols(sh_new, "shingles", "doc_id", k=MINHASH_K)
     new_bands = mh.band_rows(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS).localCheckpoint()
 
-    if _exists(bands_path):
+    if _exists(spark, bands_path):
         all_bands = spark.read.parquet(bands_path).unionByName(new_bands)
         all_shingles = spark.read.parquet(shingles_path).unionByName(sh_new)
     else:
@@ -132,7 +136,7 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     # closure: prior assignment re-enters as star edges. connected_/
     # incremental_components checkpoint their edge input up front, so the
     # assignment store can be rewritten safely afterwards.
-    if _exists(asg_path):
+    if _exists(spark, asg_path):
         prior = spark.read.parquet(asg_path)
         asg = incremental_components(prior, pairs)
     else:
@@ -147,7 +151,7 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
 def read_assignment(spark: SparkSession, index_root: str) -> DataFrame:
     """The current (node, component) duplicate-cluster assignment."""
     _, _, asg_path = _paths(index_root)
-    if not _exists(asg_path):
+    if not _exists(spark, asg_path):
         raise FileNotFoundError(f"no assignment at {asg_path}; fold a batch first")
     return spark.read.parquet(asg_path)
 
