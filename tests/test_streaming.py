@@ -681,3 +681,75 @@ def test_ingest_run_e2e_restart_compact_read_model(spark, feed):
         )
         assert served == {(r.subject, r.seq) for r in batch.collect()}
         assert sorted(s for s, _ in served) == ["9521234512349", "9521234599999"]
+
+
+def test_ingest_continuous_mode_and_catchup_seam(spark, feed):
+    """catch_up=False returns a live StreamingQuery on the same
+    checkpoint; a later catch-up run resumes from where the live run
+    stopped with no duplicates (one cursor story across modes)."""
+    import tempfile
+
+    from http_feeds_spark import ingest
+
+    state, url = feed
+    _seed_inventory(state)
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        q = ingest.run(spark, url, root, catch_up=False)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                try:
+                    if spark.read.parquet(f"{root}/raw").count() >= 3:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert spark.read.parquet(f"{root}/raw").count() == 3
+
+        # append while down; catch-up on the SAME checkpoint drains just it
+        state.append("org.http-feeds.example.inventory", "9521234588888",
+                     {"sku": "9521234588888", "quantity": 2},
+                     time_iso="2021-12-30T01:00:00.000000Z")
+        s = ingest.run(spark, url, root)
+        assert s["raw_rows"] == 4
+        raw = spark.read.parquet(f"{root}/raw")
+        assert raw.select("id").distinct().count() == 4
+
+
+def test_ingest_compact_mints_seq_for_opaque_ids(spark):
+    """compact_now falls back to mint_seq when the landed feed carries
+    opaque ids (null seq from parse_seq_auto) — the read model still
+    resolves latest-per-subject correctly by (time, id) order."""
+    import tempfile
+
+    from http_feeds_spark import ingest
+
+    rows = [
+        # opaque UUIDs: no composite prefix, no UUIDv6 → seq null
+        ("b1946ac9-4d3c-4b40-9c9d-000000000001", "2021-01-01T00:00:01", "s1", None, '{"v": 1}'),
+        ("b1946ac9-4d3c-4b40-9c9d-000000000002", "2021-01-01T00:00:02", "s2", None, '{"v": 2}'),
+        ("b1946ac9-4d3c-4b40-9c9d-000000000003", "2021-01-01T00:00:03", "s1", None, '{"v": 3}'),
+    ]
+    feed = spark.createDataFrame(
+        [
+            (None, "1.0", rid, "t", "src", ts, subj, method, None, data)
+            for rid, ts, subj, method, data in rows
+        ],
+        "seq long, specversion string, id string, type string, source string,"
+        "time string, subject string, method string, datacontenttype string, data string",
+    ).withColumn("time", F.to_timestamp("time"))
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        feed.write.parquet(f"{root}/raw")
+        compacted = ingest.compact_now(spark, root)
+        got = {(r.subject, r.data) for r in compacted.collect()}
+        # latest per subject by time order: s1 -> v3, s2 -> v2
+        assert got == {("s1", '{"v": 3}'), ("s2", '{"v": 2}')}
+        seqs = sorted(r.seq for r in compacted.collect())
+        assert all(s is not None for s in seqs)
+        served = ingest.read_model(spark, root)
+        assert {r.subject for r in served.collect()} == {"s1", "s2"}
