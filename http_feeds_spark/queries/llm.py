@@ -166,6 +166,49 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2b: SimHash near-dup ---------------------------------------------------
 
 
+@register("q_llm_dedup_multi", oracle=None, group="D")
+def q_llm_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 composition — MULTI-SIGNAL dedup: the connected-components
+    closure is signal-agnostic, so verified pair lists from different
+    detectors union into one edge set before clustering. Here:
+    MinHash-LSH (shingle Jaccard ≥ 0.5) ∪ SimHash (Hamming ≤ 3). The
+    signals have complementary blind spots — shingle Jaccard dies under
+    token REORDERING while SimHash is order-invariant (bag-of-tokens),
+    and SimHash misses partial-overlap dups that shingles catch — so
+    the union clusters strictly more than either alone (pinned with a
+    shuffled-copy plant in tests). Edges are ids-only either way; the
+    union adds no new shuffle shape. Output: one row per clustered doc,
+    flagged with which signal(s) linked it. Rows-only check."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    from http_feeds_spark.operators.components import connected_components
+
+    near = _near_dup_pairs(docs).select("a", "b", F.lit("minhash").alias("signal"))
+    toks = docs.withColumn("tokens", tx.words(F.lower("text"))).select("doc_id", "tokens")
+    sim = mh.simhash_candidates(
+        mh.simhash_cols(toks, "tokens", "doc_id"), "doc_id", max_hamming=3
+    ).select("a", "b", F.lit("simhash").alias("signal"))
+    pairs = near.unionByName(sim)
+    asg = connected_components(pairs.select("a", "b"), src="a", dst="b")
+    touched = pairs.select(F.explode(F.array("a", "b")).alias("doc_id"), "signal")
+    signals = touched.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("signal")).alias("signals")
+    )
+    return (
+        asg.select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("doc_id"),
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+        .join(signals, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "is_survivor",
+            F.concat_ws("+", "signals").alias("signals"),
+        )
+    )
+
+
 @register("q_llm_simhash", oracle=None, group="D")
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2b — SimHash(64) near-dup: Hamming distance ≤ 3 via the pigeonhole

@@ -210,3 +210,71 @@ def test_dedup_groups_query_registered(spark, sf_dir):
         assert sum(m.is_survivor for m in members) == 1
         assert min(m.doc_id for m in members) == cid
         assert all(m.n_members == len(members) for m in members)
+
+
+def test_dedup_multi_signal_catches_reordered_copy(spark, sf_dir):
+    """Multi-signal union: a token-SHUFFLED copy keeps the exact bag of
+    words (SimHash distance 0) but destroys 3-gram shingles (Jaccard far
+    below 0.5) — only the SimHash signal links it. The MinHash-planted
+    near-copy from the same corpus must also cluster. Both land in
+    q_llm_dedup_multi's output with the right signal attribution."""
+    import random as rnd
+
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    shuffled = base.split()
+    rnd.Random(7).shuffle(shuffled)
+    near_copy = base.split()
+    near_copy[0] = "mutated0"  # classic near-dup: shingles mostly intact
+    planted = spark.createDataFrame(
+        [
+            (4_000_001, base),
+            (4_000_002, " ".join(shuffled)),   # simhash-only detectable
+            (4_000_003, " ".join(near_copy)),  # minhash detectable
+        ],
+        "doc_id long, text string",
+    )
+
+    # patch the corpus through the registered query's own loader path by
+    # calling the pipeline body directly on the augmented corpus
+    from http_feeds_spark.operators.components import connected_components
+    from http_feeds_spark.queries.llm import _near_dup_pairs
+    from http_feeds_spark.functions import minhash as mh
+    from http_feeds_spark.functions import text as tx
+
+    corpus = docs.union(planted)
+    near = _near_dup_pairs(corpus).select("a", "b")
+    toks = corpus.withColumn("tokens", tx.words(F.lower("text"))).select("doc_id", "tokens")
+    sim = mh.simhash_candidates(
+        mh.simhash_cols(toks, "tokens", "doc_id"), "doc_id", max_hamming=3
+    ).select("a", "b")
+
+    near_pairs = {(r.a, r.b) for r in near.collect() if r.a > 4_000_000}
+    sim_pairs = {(r.a, r.b) for r in sim.collect() if r.a > 4_000_000}
+    # the shuffled copy is invisible to shingle Jaccard, found by simhash
+    assert (4_000_001, 4_000_002) not in near_pairs
+    assert (4_000_001, 4_000_002) in sim_pairs
+    # the near-copy is found by minhash
+    assert (4_000_001, 4_000_003) in near_pairs
+
+    asg = connected_components(near.union(sim), src="a", dst="b")
+    cluster = {
+        r.node: r.component for r in asg.collect() if r.node > 4_000_000
+    }
+    # union closure merges ALL THREE into one cluster — neither signal
+    # alone could have done that
+    assert cluster == {
+        4_000_001: 4_000_001,
+        4_000_002: 4_000_001,
+        4_000_003: 4_000_001,
+    }
+
+    # the registered query itself runs and attributes signals
+    out = registry()["q_llm_dedup_multi"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert out.columns == ["cluster_id", "doc_id", "is_survivor", "signals"]
+    for r in rows:
+        assert r.signals in ("minhash", "simhash", "minhash+simhash")
