@@ -98,23 +98,65 @@ def pack_into_bins(
     overflow by at most one tail doc); exact greedy close-when-full
     packing needs sequential state and belongs in the loader, not the
     engine. Deterministic end to end: same corpus + seed ⇒ identical
-    bins. Plain ANSI window arithmetic — DuckDB-parity pinned in tests.
+    bins. The math is plain ANSI window arithmetic — DuckDB-parity
+    pinned in tests.
 
     ``order_col`` overrides the shuffle order with an explicit column
     (e.g. curriculum order, or a plain id order for engine-parity
     checks); default is the seeded epoch-shuffle order.
+
+    Scale shape: a naive global running-sum window
+    (``Window.orderBy`` with no partitionBy) collapses the whole
+    dataset onto ONE task — a single-executor sort that dies at scale.
+    This runs the distributed two-pass form instead (the mint_seq
+    zipWithIndex shape, operators/feed.py): (1) approximate order-key
+    bucket boundaries from one small percentile aggregate, (2) per-
+    bucket size totals → cumulative base offsets (≤N rows of driver
+    metadata), (3) per-bucket running sum + base under one balanced
+    hash exchange on the bucket id. Identical output to the global
+    window — equal order keys always share a bucket, so concatenating
+    buckets in order IS the global order.
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     if order_col is None:
-        order = [F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)]
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
     else:
-        order = [F.col(order_col), F.col(id_col)]
-    w = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+        key = F.col(order_col)
+
+    parts = spark.sparkContext.defaultParallelism
+    fracs = [i / parts for i in range(1, parts)]
+    cuts = (
+        df.agg(F.percentile_approx(key, fracs).alias("qs")).collect()[0]["qs"]
+        if fracs
+        else []
+    ) or []
+    bounds = sorted(set(cuts))
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + (key > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__pk", key).withColumn("__pbkt", bkt)
+    counts = {
+        r["__pbkt"]: r["s"]
+        for r in bucketed.groupBy("__pbkt").agg(F.sum(size_col).alias("s")).collect()
+    }
+    bases, acc = [], 0
+    for bucket in sorted(counts):
+        bases.append((bucket, acc))
+        acc += counts[bucket]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "__pbkt int, __pbase long")
+    w = (
+        Window.partitionBy("__pbkt")
+        .orderBy(F.col("__pk"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col(size_col)).over(w)
-    return df.withColumn(
-        out_col,
-        F.floor((running - F.col(size_col)) / F.lit(budget)).cast("long"),
+    running = F.col("__pbase") + F.sum(F.col(size_col)).over(w)
+    return (
+        bucketed.join(F.broadcast(base_df), "__pbkt")
+        .withColumn(
+            out_col,
+            F.floor((running - F.col(size_col)) / F.lit(budget)).cast("long"),
+        )
+        .drop("__pk", "__pbkt", "__pbase")
     )

@@ -89,25 +89,74 @@ def run(
     if not q.awaitTermination(await_s):
         q.stop()
         raise TimeoutError(f"catch-up did not drain the feed within {await_s}s")
-    summary = {"landing_root": landing_root, "raw_rows": spark.read.parquet(raw).count()}
+    summary = {"landing_root": landing_root, "raw_rows": _count_or_zero(spark, raw)}
     if compact:
-        summary["compacted_rows"] = compact_now(spark, landing_root).count()
+        if summary["raw_rows"] == 0:
+            summary["compacted_rows"] = 0
+        else:
+            summary["compacted_rows"] = compact_now(spark, landing_root).count()
     return summary
 
 
-def compact_now(spark: SparkSession, landing_root: str) -> DataFrame:
-    """Run the maintenance compaction rewrite over the landing zone:
-    latest entry per subject, tombstoned subjects dropped, seq positions
-    preserved verbatim (README.md:150-154) so consumer cursors stay
-    valid. Rows with null seq (opaque wire ids) get one minted from
-    (time, id) first — the deterministic distributed rank."""
+def _count_or_zero(spark: SparkSession, path: str) -> int:
+    """Row count of a parquet dataset; 0 when the sink has committed no
+    data files yet (first catch-up against a still-empty feed writes only
+    the sink's metadata log — a normal deployment order, not an error)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).count()
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+        ):
+            return 0
+        raise
+
+
+def compact_now(
+    spark: SparkSession,
+    landing_root: str,
+    tombstone_horizon_seq: int | None = None,
+) -> DataFrame:
+    """Compaction rewrite over the landing zone: latest entry per
+    subject, seq positions preserved verbatim (README.md:150-154) so
+    consumer cursors stay valid.
+
+    Tombstones: by default every tombstoned subject is dropped — the
+    read-model-serving semantics, correct when all consumers of the
+    compacted copy are caught up. Pass ``tombstone_horizon_seq`` (the
+    minimum cursor across consumers still replaying the compacted copy)
+    to retain DELETE entries above the horizon, exactly as
+    ``operators/maintenance.compact_landing_zone`` does (README.md:290:
+    a mid-replay consumer must still learn of the deletion).
+
+    Seq handling: an all-opaque-id feed (every seq null) gets seqs
+    minted from the deterministic (time, id) rank. A feed MIXING
+    positional and opaque ids is rejected: re-minting would renumber the
+    positional rows and silently invalidate every persisted consumer
+    cursor — the one thing this rewrite promises not to do.
+    """
     raw, _, compacted = _paths(landing_root)
     from pyspark.sql import functions as F
 
     feed = spark.read.parquet(raw)
-    if feed.filter(F.col("seq").isNull()).limit(1).count() > 0:
+    has_null = feed.filter(F.col("seq").isNull()).limit(1).count() > 0
+    if has_null:
+        if feed.filter(F.col("seq").isNotNull()).limit(1).count() > 0:
+            raise ValueError(
+                "landing zone mixes positional and opaque event ids: "
+                "re-minting seq would invalidate persisted consumer "
+                "cursors (README.md:150-154). Normalize the feed's id "
+                "encoding upstream, or mint seq at ingest."
+            )
         feed = ops.mint_seq(feed.drop("seq"))
-    compacted_df = ops.read_model(feed)
+    compacted_df = ops.drop_tombstoned(
+        ops.compact(feed), horizon_seq=tombstone_horizon_seq
+    )
     (
         compacted_df.repartitionByRange(
             max(1, compacted_df.rdd.getNumPartitions()), "seq"
@@ -119,18 +168,27 @@ def compact_now(spark: SparkSession, landing_root: str) -> DataFrame:
     return spark.read.parquet(compacted)
 
 
-def read_model(spark: SparkSession, landing_root: str) -> DataFrame:
+def read_model(spark: SparkSession, landing_root: str, prefer_compacted: bool = False) -> DataFrame:
     """The consumer-facing read model (latest live state per subject,
-    README.md:168-179) from the landing zone — served from the compacted
-    rewrite when one exists (cheap scan), else derived from raw. The
-    existence probe goes through Spark's reader (schema only) so it
-    works on any Hadoop filesystem, not just local paths."""
+    README.md:168-179) from the landing zone.
+
+    Served from RAW by default: raw is append-only and always current,
+    while the compacted rewrite is only as fresh as the last
+    ``compact_now`` call — serving it unconditionally would silently
+    omit every event ingested since (new subjects missing, updates
+    stale, deletions resurrected). ``prefer_compacted=True`` opts into
+    the cheaper compacted scan for callers that control the
+    compact-then-read ordering (e.g. a bootstrap job that just ran
+    ``run(..., compact=True)``); it falls back to raw when no compacted
+    copy exists."""
     raw, _, compacted = _paths(landing_root)
-    try:
-        compacted_df = spark.read.parquet(compacted)
-        compacted_df.schema
-    except Exception:
-        return ops.read_model(spark.read.parquet(raw))
-    # compacted is already latest-per-subject with tombstones dropped;
-    # re-applying read_model is an idempotent no-op kept for safety
-    return ops.read_model(compacted_df)
+    if prefer_compacted:
+        try:
+            compacted_df = spark.read.parquet(compacted)
+            compacted_df.schema
+            # compacted is already latest-per-subject minus tombstones;
+            # re-applying read_model is an idempotent no-op kept for safety
+            return ops.read_model(compacted_df)
+        except Exception:
+            pass
+    return ops.read_model(spark.read.parquet(raw))

@@ -166,15 +166,28 @@ def compact(feed: DataFrame, key: str = "subject", order_col: str = "seq") -> Da
     )
 
 
-def drop_tombstoned(compacted: DataFrame) -> DataFrame:
+def drop_tombstoned(compacted: DataFrame, horizon_seq: int | None = None) -> DataFrame:
     """Remove subjects whose latest entry is a DELETE (README.md:270-292).
 
     The spec: a DELETE entry instructs consumers to delete the aggregate
     from their read models (README.md:290); absent ``method`` defaults to
     PUT (README.md:314). Applied after compaction, the latest-method test
     is exactly tombstone removal.
+
+    ``horizon_seq`` is the ARCHIVE-rewrite variant: a DELETE entry may
+    only be physically dropped once every consumer cursor is past it
+    (README.md:154 + :290 — a mid-replay consumer must still learn of
+    the deletion), so with a horizon only tombstones at or below it are
+    removed. Tombstones with NULL seq (opaque wire ids carry no
+    position) are always RETAINED under a horizon — an unknown position
+    cannot be proven safe to drop. ``None`` (default) drops every
+    tombstone: read-model serving semantics / all consumers caught up.
     """
-    return compacted.filter(F.coalesce(F.col("method"), F.lit("PUT")) != F.lit("DELETE"))
+    is_tomb = F.coalesce(F.col("method"), F.lit("PUT")) == F.lit("DELETE")
+    if horizon_seq is None:
+        return compacted.filter(~is_tomb)
+    passed = F.coalesce(F.col("seq") <= F.lit(horizon_seq), F.lit(False))
+    return compacted.filter(~(is_tomb & passed))
 
 
 def read_model(feed: DataFrame, key: str = "subject", order_col: str = "seq") -> DataFrame:

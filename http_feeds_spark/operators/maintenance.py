@@ -89,13 +89,7 @@ def compact_landing_zone(
     feed = spark.read.parquet(in_path)
     compacted = ops.compact(feed)
     if drop_tombstoned_subjects:
-        if tombstone_horizon_seq is None:
-            compacted = ops.drop_tombstoned(compacted)
-        else:
-            is_tomb = F.coalesce(F.col("method"), F.lit("PUT")) == F.lit("DELETE")
-            compacted = compacted.filter(
-                ~(is_tomb & (F.col("seq") <= F.lit(tombstone_horizon_seq)))
-            )
+        compacted = ops.drop_tombstoned(compacted, horizon_seq=tombstone_horizon_seq)
     n = target_partitions or max(1, compacted.rdd.getNumPartitions())
     # range-partition by seq: keeps offset scans file-prunable after rewrite
     (

@@ -182,8 +182,12 @@ def q_llm_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     from http_feeds_spark.operators.components import connected_components
 
-    near = _near_dup_pairs(docs).select("a", "b", F.lit("minhash").alias("signal"))
-    toks = docs.withColumn("tokens", tx.words(F.lower("text"))).select("doc_id", "tokens")
+    # one tokenization pass feeds BOTH signals (the only stage that
+    # reads full text — same sharing jaccard_suite applies)
+    toks = tokenized(docs)
+    near = _near_dup_pairs(docs, tokens=toks).select(
+        "a", "b", F.lit("minhash").alias("signal")
+    )
     sim = mh.simhash_candidates(
         mh.simhash_cols(toks, "tokens", "doc_id"), "doc_id", max_hamming=3
     ).select("a", "b", F.lit("simhash").alias("signal"))

@@ -68,12 +68,28 @@ def _exists(spark: SparkSession, path: str) -> bool:
     """True when `path` is a readable parquet dataset. Probed through
     Spark's reader (footer/schema only — no data scan) so the check
     works on ANY Hadoop-supported filesystem (s3://, hdfs://, local),
-    not just the local FS — index roots at 100 TB are object stores."""
+    not just the local FS — index roots at 100 TB are object stores.
+
+    Only a definitive store-absent answer maps to False; any OTHER
+    failure (transient object-store error, permissions) propagates.
+    Swallowing it would be catastrophic here: a fold that mistakes a
+    transient read error for "no index yet" would skip the idempotence
+    anti-join AND overwrite the full-corpus assignment with one batch's
+    pairs, silently destroying every prior cluster."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path).schema
         return True
-    except Exception:
-        return False
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg
+        ):
+            return False
+        raise
 
 
 def _shingle_batch(docs: DataFrame) -> DataFrame:
@@ -142,9 +158,19 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     else:
         asg = connected_components(pairs, src="a", dst="b")
 
+    # Write order is the crash story. The SHINGLE store is both the
+    # idempotence key (the anti-join above) and the LAST write — the
+    # fold's commit point. A crash anywhere earlier leaves the shingle
+    # store without this batch, so the at-least-once redelivery is NOT
+    # filtered and re-folds everything: the assignment re-fold is
+    # idempotent (incremental closure of already-folded pairs is a
+    # fixpoint), and a duplicate band append from a torn middle state
+    # only adds rows the candidate `distinct` collapses. Writing the
+    # assignment (or bands) last instead would let a torn state be
+    # filtered as already-done, permanently losing the batch's pairs.
+    asg.write.mode("overwrite").parquet(asg_path)
     new_bands.write.mode("append").parquet(bands_path)
     sh_new.write.mode("append").parquet(shingles_path)
-    asg.write.mode("overwrite").parquet(asg_path)
     return asg
 
 

@@ -234,3 +234,23 @@ def test_range_join_fractional_point_column(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tombstone_horizon_retains_null_seq_tombstones(spark):
+    """A DELETE whose seq is null (opaque wire id — position unknown)
+    can never be proven consumer-passed, so a horizon rewrite must
+    RETAIN it; SQL three-valued logic would otherwise silently drop it
+    (null <= horizon → null → filtered)."""
+    from http_feeds_spark.operators import feed as ops
+
+    feed = spark.createDataFrame(
+        [
+            (1, "id1", "s1", None),
+            (None, "idX", "s2", "DELETE"),  # opaque-id tombstone
+            (3, "id3", "s3", "DELETE"),     # positional, below horizon
+        ],
+        "seq long, id string, subject string, method string",
+    )
+    out = ops.drop_tombstoned(feed, horizon_seq=5)
+    got = {(r.subject, r.method) for r in out.collect()}
+    assert got == {("s1", None), ("s2", "DELETE")}  # null-seq DELETE kept

@@ -389,3 +389,23 @@ def test_ann_batch_exclude_self_external_queries(spark, sf_dir):
     assert top1 == {q: q for q in range(4)}, top1
     without = km.ann_search_batch(emb, queries, cents, k=5, nprobe=4).collect()
     assert all(r.vec_id != r.query_id for r in without)
+
+
+def test_centroid_literal_accepts_non_finite_values(spark, sf_dir):
+    """The SQL-rendered centroid literal must accept the same domain the
+    old F.lit path did: a NaN/Infinity-poisoned centroid mean must build
+    a valid plan (assignment semantics: NaN distances lose the argmin)."""
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = [
+        (0, [float("nan")] * 64),
+        (1, [float("inf")] * 64),
+        (2, [0.0] * 64),
+    ]
+    out = km.assign_clusters(emb, cents, "embedding").select("vec_id", "cluster")
+    rows = out.collect()
+    assert len(rows) == 50
+    # the finite centroid wins every argmin over NaN/Inf distances
+    assert {r.cluster for r in rows} == {2}

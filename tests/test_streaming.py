@@ -751,5 +751,75 @@ def test_ingest_compact_mints_seq_for_opaque_ids(spark):
         assert got == {("s1", '{"v": 3}'), ("s2", '{"v": 2}')}
         seqs = sorted(r.seq for r in compacted.collect())
         assert all(s is not None for s in seqs)
-        served = ingest.read_model(spark, root)
+        # opaque-id zones read the compacted copy (minted seqs) by choice
+        served = ingest.read_model(spark, root, prefer_compacted=True)
         assert {r.subject for r in served.collect()} == {"s1", "s2"}
+
+
+def test_ingest_read_model_never_serves_stale_compacted(spark):
+    """read_model defaults to RAW: events ingested after the last
+    compaction (new subject, an update, a DELETE) must all be visible —
+    a stale compacted copy may only be served on explicit opt-in."""
+    import tempfile
+
+    from http_feeds_spark import ingest
+
+    def feed_df(rows):
+        return spark.createDataFrame(
+            [
+                (seq, "1.0", f"{seq:07d}::x", "t", "src", None, subj, method, None, data)
+                for seq, subj, method, data in rows
+            ],
+            "seq long, specversion string, id string, type string, source string,"
+            "time timestamp, subject string, method string, datacontenttype string,"
+            "data string",
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        feed_df([(1, "s1", None, "v1"), (2, "s2", None, "v2")]).write.parquet(
+            f"{root}/raw"
+        )
+        ingest.compact_now(spark, root)
+        # post-compaction events: update s1, delete s2, create s3
+        feed_df(
+            [(3, "s1", None, "v3"), (4, "s2", "DELETE", None), (5, "s3", None, "v5")]
+        ).write.mode("append").parquet(f"{root}/raw")
+
+        served = {(r.subject, r.data) for r in ingest.read_model(spark, root).collect()}
+        assert served == {("s1", "v3"), ("s3", "v5")}  # fresh, s2 deleted
+        stale = {
+            (r.subject, r.data)
+            for r in ingest.read_model(spark, root, prefer_compacted=True).collect()
+        }
+        assert stale == {("s1", "v1"), ("s2", "v2")}  # the explicit trade-off
+
+
+def test_ingest_compact_rejects_mixed_id_encodings(spark):
+    """A landing zone mixing positional and opaque ids must be rejected:
+    re-minting would renumber positional rows and invalidate persisted
+    consumer cursors (README.md:150-154)."""
+    import tempfile
+
+    import pytest
+
+    from http_feeds_spark import ingest
+
+    rows = [
+        (1000001, "0001000001::aa", "s1"),  # positional (composite id)
+        (None, "b1946ac9-4d3c-4b40-9c9d-00000000000a", "s2"),  # opaque
+    ]
+    feed = spark.createDataFrame(
+        [
+            (seq, "1.0", rid, "t", "src", None, subj, None, None, "{}")
+            for seq, rid, subj in rows
+        ],
+        "seq long, specversion string, id string, type string, source string,"
+        "time timestamp, subject string, method string, datacontenttype string,"
+        "data string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        feed.write.parquet(f"{root}/raw")
+        with pytest.raises(ValueError, match="mixes positional and opaque"):
+            ingest.compact_now(spark, root)
