@@ -155,8 +155,8 @@ def probe_clusters(
     )
 
 
-def ann_search_batch(
-    corpus: DataFrame,
+def search_assigned(
+    assigned: DataFrame,
     queries: DataFrame,
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
@@ -167,33 +167,23 @@ def ann_search_batch(
     broadcast_queries: bool = True,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """IVF ANN for a query TABLE (SURVEY §2 D3 at production shape: many
-    queries, not a driver-side loop). Returns (qid, id, cosine_sim, rank)
-    with rank 1..k per query.
+    """IVF search over an ALREADY cluster-assigned corpus — the back half
+    of :func:`ann_search_batch`, shared with the persisted-index path
+    (operators/ann_index.py) where assignment happened at build time.
 
-    ``exclude_self`` (default True) drops candidates whose corpus id
-    equals the query id — correct ONLY when queries are drawn from the
-    corpus and share its id space (the self-match is a trivial cosine=1
-    hit). For an EXTERNAL query table whose ids are unrelated to corpus
-    ids, set ``exclude_self=False``: otherwise each query silently loses
-    the corpus row that happens to collide with its query_id.
-
-    Plan shape at 100 TB: corpus assignment is map-only (broadcast
-    centroid literals); query probe assignment is map-only on the query
-    table; the candidate join is `corpus ⋈ probes ON cluster` — with
-    `broadcast_queries` (the common case: queries ≪ corpus) that is a
-    broadcast hash join, so the CORPUS NEVER SHUFFLES; per-query top-k
-    is a window over (qid, cosine) rows — ids + one double per
-    candidate, vectors never ride the ranking exchange. For query sets
-    too large to broadcast, set broadcast_queries=False: the join
-    becomes a hash shuffle on `cluster` (corpus shuffles once — the
-    unavoidable cost at that regime; consider raising nlist so cluster
-    fan-out stays balanced)."""
+    `assigned` carries (id_col, vec_col, cluster). Plan shape at 100 TB:
+    query probe assignment is map-only on the query table; the candidate
+    join is `assigned ⋈ probes ON cluster` — with `broadcast_queries`
+    (the common case: queries ≪ corpus) that is a broadcast hash join,
+    so the CORPUS NEVER SHUFFLES; per-query top-k is a window over
+    (qid, cosine) rows — ids + one double per candidate, vectors never
+    ride the ranking exchange. For query sets too large to broadcast,
+    set broadcast_queries=False: the join becomes a hash shuffle on
+    `cluster` (corpus shuffles once — the unavoidable cost at that
+    regime; consider raising nlist so cluster fan-out stays balanced)."""
     from pyspark.sql import Window
 
-    assigned = assign_clusters(corpus, centroids, vec_col).select(
-        F.col(id_col), F.col(vec_col).alias("__cv"), "cluster"
-    )
+    assigned = assigned.select(F.col(id_col), F.col(vec_col).alias("__cv"), "cluster")
     probes = probe_clusters(
         queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
         centroids,
@@ -218,4 +208,43 @@ def ann_search_batch(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ann_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN for a query TABLE (SURVEY §2 D3 at production shape: many
+    queries, not a driver-side loop). Returns (qid, id, cosine_sim, rank)
+    with rank 1..k per query. Corpus assignment is map-only (broadcast
+    centroid literals); see :func:`search_assigned` for the search half's
+    plan shape.
+
+    ``exclude_self`` (default True) drops candidates whose corpus id
+    equals the query id — correct ONLY when queries are drawn from the
+    corpus and share its id space (the self-match is a trivial cosine=1
+    hit). For an EXTERNAL query table whose ids are unrelated to corpus
+    ids, set ``exclude_self=False``: otherwise each query silently loses
+    the corpus row that happens to collide with its query_id."""
+    assigned = assign_clusters(corpus, centroids, vec_col)
+    return search_assigned(
+        assigned,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        qid_col=qid_col,
+        vec_col=vec_col,
+        broadcast_queries=broadcast_queries,
+        exclude_self=exclude_self,
     )

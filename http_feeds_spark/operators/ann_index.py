@@ -1,0 +1,164 @@
+"""Persistent IVF ANN index — build once, search many (SURVEY §2 D3b at
+deployment shape).
+
+``kmeans.ann_search_batch`` trains its coarse quantizer inside every
+invocation — right for a self-contained query, wrong for deployment,
+where the index is an ARTIFACT: built by one batch job, probed by every
+search after. This module persists the two pieces the search path needs
+as parquet stores under one index root (the streaming/dedup.py store
+pattern — any Hadoop filesystem, object-store ready):
+
+    centroids/   (cid, cvec)                      k rows — the model
+    corpus/      (id, vector) partitioned by cluster=N/
+
+which buys the search path three scale properties the per-call form
+cannot have:
+
+- **zero training jobs per search** — loading the model is a k-row
+  collect of the centroids store, nothing else;
+- **partition-pruned candidate scan** — the corpus is laid out by
+  cluster directory, and the probed cluster set (≤ nlist ints,
+  model-sized) is pushed as a partition filter, so a search reads
+  ~nprobe/nlist of the corpus BYTES off disk — the IVF promise made
+  physical at the storage layer, not just in the join;
+- the broadcast probe join of :func:`kmeans.search_assigned` unchanged —
+  the corpus side never shuffles.
+
+Crash story: ``corpus/`` writes first, ``centroids/`` last, and presence
+of ``centroids/`` is the index-present check — a build torn anywhere
+reads as absent and the (deterministic) rebuild overwrites both stores
+idempotently. The artifact is tied to its input corpus: rebuild after
+the corpus changes (an incremental upsert would re-assign only new
+vectors into their cluster partitions; the streaming/dedup.py fold is
+the template if that path is ever needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.stores import parquet_exists
+
+CENTROIDS_DIR = "centroids"
+CORPUS_DIR = "corpus"
+
+
+def _paths(index_root: str) -> tuple[str, str]:
+    root = index_root.rstrip("/")
+    return (f"{root}/{CENTROIDS_DIR}", f"{root}/{CORPUS_DIR}")
+
+
+def default_root(spark: SparkSession, tag: str) -> str:
+    """Deterministic index location under the session warehouse dir —
+    executor-visible on any cluster (unlike a driver-local temp dir)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{wh}/ann_index/{tag}"
+
+
+def build_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_root: str,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the coarse quantizer and persist the index artifact.
+
+    One Lloyd training (functions/kmeans.py — deterministic, so rebuilds
+    are bit-identical), one map-only assignment pass, one write of the
+    corpus clustered into ``cluster=N/`` partition directories. Write
+    order is the crash story (module docstring): centroids land last."""
+    cent_path, corpus_path = _paths(index_root)
+    cents = km.kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
+    (
+        km.assign_clusters(emb, cents, vec_col)
+        .select(id_col, vec_col, "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(corpus_path)
+    )
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "cid int, cvec array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cent_path)
+    )
+
+
+def ensure_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
+    """Build the index iff absent; returns True when a build ran."""
+    cent_path, _ = _paths(index_root)
+    if parquet_exists(spark, cent_path):
+        return False
+    build_index(spark, emb, index_root, **kw)
+    return True
+
+
+def load_centroids(spark: SparkSession, index_root: str) -> list[tuple[int, list[float]]]:
+    """The trained model: k (cid, vector) rows — model-sized collect."""
+    cent_path, _ = _paths(index_root)
+    if not parquet_exists(spark, cent_path):
+        raise FileNotFoundError(f"no ANN index at {index_root}; build_index first")
+    rows = spark.read.parquet(cent_path).collect()
+    return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+
+
+def search(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """SEARCH-ONLY IVF ANN against the prebuilt index: no training jobs
+    anywhere in this path (pinned in tests/test_ann_index.py).
+
+    With ``broadcast_queries`` (queries ≪ corpus) the distinct probed
+    cluster set is collected first (≤ nlist ints — one job on the SMALL
+    query table, never the corpus) and pushed as a partition filter on
+    the corpus scan, so only probed ``cluster=N/`` directories are read.
+    ``exclude_self`` defaults False here — index queries are usually an
+    external table; pass True when querying the corpus against itself
+    (see kmeans.ann_search_batch's id-space note)."""
+    cents = load_centroids(spark, index_root)
+    _, corpus_path = _paths(index_root)
+    corpus = spark.read.parquet(corpus_path)
+    if broadcast_queries:
+        probed = (
+            km.probe_clusters(
+                queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+                cents,
+                nprobe,
+                "__qv",
+            )
+            .select("cluster")
+            .distinct()
+            .collect()
+        )  # ≤ nlist ints of model-sized metadata
+        corpus = corpus.where(F.col("cluster").isin([r.cluster for r in probed]))
+    return km.search_assigned(
+        corpus,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        qid_col=qid_col,
+        vec_col=vec_col,
+        broadcast_queries=broadcast_queries,
+        exclude_self=exclude_self,
+    )

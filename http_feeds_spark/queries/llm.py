@@ -324,6 +324,34 @@ def q_llm_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+@register("q_llm_ann_index", oracle=None, group="D")
+def q_llm_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b persisted — SEARCH-ONLY IVF ANN against a build-once index
+    artifact (operators/ann_index.py: centroids + cluster-PARTITIONED
+    corpus under the session warehouse dir, executor-visible on any
+    cluster). The index is built on first touch and reused after —
+    q_llm_ann_batch's per-call Lloyd retraining (~⅔ of its wall time) is
+    gone from the steady state, so this number means "ANN search": a
+    k-row centroid load, a partition-pruned corpus scan (only probed
+    cluster=N/ directories are read), the broadcast probe join, and the
+    per-query top-10 window. Zero training jobs in the search path and
+    search ≡ q_llm_ann_batch are pinned in tests/test_ann_index.py.
+    Rows-only check (cluster geometry is engine-specific)."""
+    import os
+
+    from http_feeds_spark.operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    root = ai.default_root(spark, os.path.basename(sf_dir.rstrip("/")))
+    ai.ensure_index(spark, emb, root, k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ai.search(
+        spark, queries, root, k=10, nprobe=4, exclude_self=True
+    ).select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
 # --- D2c: embedding near-dup via sign-band LSH -------------------------------
 
 # vec_ids at or above this base are synthetic clones planted by

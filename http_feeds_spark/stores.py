@@ -1,0 +1,38 @@
+"""Parquet store probing shared by the persistent index modules
+(streaming/dedup.py, operators/ann_index.py).
+
+Index roots at 100 TB are object stores, so presence checks must go
+through Spark's reader (any Hadoop-supported filesystem), never the
+local-FS ``os.path`` calls that only work on the driver's disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def parquet_exists(spark: SparkSession, path: str) -> bool:
+    """True when `path` is a readable parquet dataset. Probed through
+    Spark's reader (footer/schema only — no data scan) so the check
+    works on ANY Hadoop-supported filesystem (s3://, hdfs://, local).
+
+    Only a definitive store-absent answer maps to False; any OTHER
+    failure (transient object-store error, permissions) propagates.
+    Swallowing it would be catastrophic for the callers: an index fold
+    that mistakes a transient read error for "no index yet" would skip
+    its idempotence anti-join and rebuild from one batch's data,
+    silently destroying prior state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg
+        ):
+            return False
+        raise

@@ -46,6 +46,7 @@ from http_feeds_spark.operators.components import (
     connected_components,
     incremental_components,
 )
+from http_feeds_spark.stores import parquet_exists
 
 BANDS_DIR = "bands"
 SHINGLES_DIR = "shingles"
@@ -64,32 +65,11 @@ def _paths(index_root: str) -> tuple[str, str, str]:
     return (f"{root}/{BANDS_DIR}", f"{root}/{SHINGLES_DIR}", f"{root}/{ASSIGNMENT_DIR}")
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
-    """True when `path` is a readable parquet dataset. Probed through
-    Spark's reader (footer/schema only — no data scan) so the check
-    works on ANY Hadoop-supported filesystem (s3://, hdfs://, local),
-    not just the local FS — index roots at 100 TB are object stores.
-
-    Only a definitive store-absent answer maps to False; any OTHER
-    failure (transient object-store error, permissions) propagates.
-    Swallowing it would be catastrophic here: a fold that mistakes a
-    transient read error for "no index yet" would skip the idempotence
-    anti-join AND overwrite the full-corpus assignment with one batch's
-    pairs, silently destroying every prior cluster."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        spark.read.parquet(path).schema
-        return True
-    except AnalysisException as e:
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Path does not exist" in msg
-        ):
-            return False
-        raise
+# store probing shared with operators/ann_index.py — see stores.py for
+# why a definitive-absent-only False matters here (a fold that mistakes
+# a transient read error for "no index yet" would skip the idempotence
+# anti-join and destroy prior state)
+_exists = parquet_exists
 
 
 def _shingle_batch(docs: DataFrame) -> DataFrame:

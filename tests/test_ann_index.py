@@ -1,0 +1,117 @@
+"""Persisted IVF ANN index (operators/ann_index.py): the build-once /
+search-many contract — search equals the per-call pipeline exactly, the
+search path runs ZERO training jobs, and the corpus scan is partition-
+pruned to the probed clusters (the properties that make the benched
+number mean "ANN search", not "index build")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_feeds_spark import plans
+from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.operators import ann_index as ai
+
+
+def _emb(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _queries(emb, n=16):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_search_equals_per_call_batch(spark, sf_dir, tmp_path):
+    """Deterministic k-means ⇒ the persisted index and the per-call
+    pipeline train the identical model, so search results must match
+    row for row."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=2)
+    queries = _queries(emb)
+
+    got = {
+        (r.query_id, r.vec_id, round(r.cosine_sim, 9), r.rank)
+        for r in ai.search(
+            spark, queries, root, k=5, nprobe=3, exclude_self=True
+        ).collect()
+    }
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    want = {
+        (r.query_id, r.vec_id, round(r.cosine_sim, 9), r.rank)
+        for r in km.ann_search_batch(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_search_path_runs_zero_training(spark, sf_dir, tmp_path, monkeypatch):
+    """After build, neither ensure_index nor search may touch the
+    trainer — the verdict's 'zero training jobs in the search path'."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    assert ai.ensure_index(spark, emb, root, k=8, iters=1) is True
+
+    def boom(*a, **kw):  # any training attempt is a hard failure
+        raise AssertionError("training job in the search path")
+
+    monkeypatch.setattr(km, "kmeans_centroids", boom)
+    assert ai.ensure_index(spark, emb, root, k=8, iters=1) is False
+    out = ai.search(spark, _queries(emb), root, k=5, nprobe=2, exclude_self=True)
+    assert out.count() > 0
+
+
+def test_search_scan_is_partition_pruned_and_broadcast(spark, sf_dir, tmp_path):
+    """The probed cluster set must reach the corpus scan as a PARTITION
+    filter (only cluster=N/ dirs read), and the probe join must
+    broadcast the query side — the corpus never shuffles."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=1)
+    df = ai.search(spark, _queries(emb, 4), root, k=5, nprobe=2, exclude_self=True)
+    p = plans.executed_plan(df)
+    assert "PartitionFilters" in p, p
+    pf = p.split("PartitionFilters", 1)[1][:200]
+    assert "cluster" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    assert plans.is_broadcast_join(df), p
+    # the only hash exchange is the per-query ranking window (ids + one
+    # double), never the corpus vectors
+    assert plans.shuffle_count(df) <= 1, p
+
+
+def test_torn_build_reads_as_absent(spark, sf_dir, tmp_path):
+    """Crash story: corpus/ written but centroids/ missing (build died
+    mid-way) must read as index-absent — ensure_index rebuilds, search
+    raises rather than serving a torn artifact."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=1)
+    import shutil
+
+    shutil.rmtree(f"{root}/{ai.CENTROIDS_DIR}")
+    with pytest.raises(FileNotFoundError):
+        ai.load_centroids(spark, root)
+    assert ai.ensure_index(spark, emb, root, k=8, iters=1) is True
+    assert ai.search(
+        spark, _queries(emb, 4), root, k=5, nprobe=2, exclude_self=True
+    ).count() > 0
+
+
+def test_registered_query_matches_ann_batch(spark, sf_dir):
+    """q_llm_ann_index must reproduce q_llm_ann_batch exactly (same
+    deterministic model, same search semantics)."""
+    from http_feeds_spark.queries import registry
+
+    reg = registry()
+
+    def rows(name):
+        return {
+            (r.query_id, r.vec_id, r.cosine_sim, r.rank)
+            for r in reg[name].fn(spark, sf_dir).collect()
+        }
+
+    assert rows("q_llm_ann_index") == rows("q_llm_ann_batch")
