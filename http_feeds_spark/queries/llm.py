@@ -739,24 +739,35 @@ def q_llm_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH index (streaming/dedup.py: per-batch shingle/sign, stored-band
     probe, incremental closure), then the final assignment is shaped
     like q_llm_dedup_groups. Stream ≡ batch equality is asserted
-    exactly in tests/test_streaming_dedup.py. Rows-only check."""
-    import shutil
-    import tempfile
+    exactly in tests/test_streaming_dedup.py. Rows-only check.
+
+    The demo index lives under the session WAREHOUSE dir (executor-
+    visible on any cluster — a driver-local tempdir would not be) and is
+    removed after the fold; uuid-suffixed so concurrent invocations
+    never share stores."""
+    import uuid
 
     from http_feeds_spark.streaming import dedup as sd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="dedup_stream_idx_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/dedup_stream_idx/{uuid.uuid4().hex}"
     try:
         for i in range(3):
             asg = sd.fold_batch(
                 spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i), root
             )
-        # detach from the temp stores before they are removed (the fold
+        # detach from the demo stores before they are removed (the fold
         # result derives from checkpointed edge sets, but pin it anyway)
         asg = asg.localCheckpoint()
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        # warehouse paths may carry a filesystem scheme (file:/, s3a://):
+        # delete through the Hadoop FS API, not shutil
+        try:
+            p = spark._jvm.org.apache.hadoop.fs.Path(root)
+            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+        except Exception:
+            pass  # best-effort cleanup of a demo artifact
     return asg.select(
         F.col("component").alias("cluster_id"),
         F.col("node").alias("doc_id"),

@@ -8,7 +8,7 @@ incremental computation needs as parquet stores under one index root:
 
     bands/       (doc_id, band_id, band_hash)   append-only
     shingles/    (doc_id, shingles)             append-only
-    assignment/  (node, component)              rewritten per fold
+    assignment/<epoch>/  (node, component)      new epoch per fold
 
 Per batch: shingle + sign ONLY the new documents; candidate pairs come
 from the new docs' band rows equi-joined against (stored ∪ new) band rows
@@ -63,6 +63,61 @@ JACCARD_THRESHOLD = 0.5
 def _paths(index_root: str) -> tuple[str, str, str]:
     root = index_root.rstrip("/")
     return (f"{root}/{BANDS_DIR}", f"{root}/{SHINGLES_DIR}", f"{root}/{ASSIGNMENT_DIR}")
+
+
+# --- versioned assignment store ---------------------------------------------
+#
+# The assignment is the ONLY store that is rewritten (bands/shingles are
+# append-only), and Spark's parquet overwrite is not atomic: a crash
+# mid-overwrite would destroy the single copy of the full-corpus
+# clustering. So each fold writes a NEW epoch directory
+# (assignment/<epoch>/) and readers take the highest epoch carrying the
+# committer's _SUCCESS marker — a torn write has no marker and is
+# invisible; the prior epoch keeps serving. Older epochs are deleted only
+# AFTER the new one is fully committed (a crash during cleanup leaves
+# extra complete epochs, and max-complete still wins). The next fold
+# always targets latest_complete+1, so a torn attempt is overwritten in
+# place on retry. Epoch listing/cleanup goes through the Hadoop
+# FileSystem API — works on any Spark-supported store, like the parquet
+# probes in stores.py.
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm_path
+
+
+def _complete_epochs(spark: SparkSession, asg_root: str) -> list[tuple[int, str]]:
+    """(epoch, path) of every _SUCCESS-committed epoch dir, ascending."""
+    fs, root = _hadoop_path(spark, asg_root)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.isdigit():
+            marker = spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append((int(name), st.getPath().toString()))
+    return sorted(out)
+
+
+def _read_assignment_or_none(spark: SparkSession, asg_root: str) -> DataFrame | None:
+    epochs = _complete_epochs(spark, asg_root)
+    return spark.read.parquet(epochs[-1][1]) if epochs else None
+
+
+def _write_assignment(spark: SparkSession, asg_root: str, asg: DataFrame) -> None:
+    epochs = _complete_epochs(spark, asg_root)
+    new = (epochs[-1][0] + 1) if epochs else 0
+    # overwrite reclaims a torn earlier attempt at this same epoch number
+    asg.write.mode("overwrite").parquet(f"{asg_root}/{new:06d}")
+    fs, root = _hadoop_path(spark, asg_root)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.isdigit() and int(name) < new:
+            fs.delete(st.getPath(), True)
 
 
 # store probing shared with operators/ann_index.py — see stores.py for
@@ -131,9 +186,9 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
 
     # closure: prior assignment re-enters as star edges. connected_/
     # incremental_components checkpoint their edge input up front, so the
-    # assignment store can be rewritten safely afterwards.
-    if _exists(spark, asg_path):
-        prior = spark.read.parquet(asg_path)
+    # new assignment epoch can be committed safely afterwards.
+    prior = _read_assignment_or_none(spark, asg_path)
+    if prior is not None:
         asg = incremental_components(prior, pairs)
     else:
         asg = connected_components(pairs, src="a", dst="b")
@@ -148,18 +203,23 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     # only adds rows the candidate `distinct` collapses. Writing the
     # assignment (or bands) last instead would let a torn state be
     # filtered as already-done, permanently losing the batch's pairs.
-    asg.write.mode("overwrite").parquet(asg_path)
+    # The assignment write itself is epoch-versioned (_write_assignment):
+    # a crash MID-write leaves the prior epoch serving, so no ordering
+    # can lose the full-corpus clustering.
+    _write_assignment(spark, asg_path, asg)
     new_bands.write.mode("append").parquet(bands_path)
     sh_new.write.mode("append").parquet(shingles_path)
     return asg
 
 
 def read_assignment(spark: SparkSession, index_root: str) -> DataFrame:
-    """The current (node, component) duplicate-cluster assignment."""
+    """The current (node, component) duplicate-cluster assignment — the
+    latest _SUCCESS-committed epoch (torn writes are invisible)."""
     _, _, asg_path = _paths(index_root)
-    if not _exists(spark, asg_path):
+    asg = _read_assignment_or_none(spark, asg_path)
+    if asg is None:
         raise FileNotFoundError(f"no assignment at {asg_path}; fold a batch first")
-    return spark.read.parquet(asg_path)
+    return asg
 
 
 def survivors_filter(spark: SparkSession, docs: DataFrame, index_root: str,

@@ -95,6 +95,60 @@ def test_dedup_stream_query_equals_batch_groups(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_torn_assignment_write_never_loses_prior_clusters(spark, sf_dir, tmp_path):
+    """ADVICE r5: the assignment rewrite must be crash-safe. A torn
+    epoch directory (data files, no _SUCCESS marker — exactly what a
+    crash mid-write leaves) must be invisible to readers, and the next
+    fold must reclaim its slot and still converge to the full-corpus
+    clusters."""
+    import os
+    import shutil
+
+    from http_feeds_spark.operators.components import connected_components
+    from http_feeds_spark.queries.llm import _near_dup_pairs
+    from http_feeds_spark.streaming import dedup as sd
+
+    corpus = _corpus_with_planted_chain(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    for i in range(2):
+        sd.fold_batch(spark, corpus.filter(F.col("doc_id") % 3 == i), root)
+    before = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+    assert len(before) > 0
+
+    # simulate the crash: next epoch dir with a parquet part but no marker
+    asg_root = f"{root}/assignment"
+    epochs = sorted(d for d in os.listdir(asg_root) if d.isdigit())
+    latest = epochs[-1]
+    torn = os.path.join(asg_root, f"{int(latest) + 1:06d}")
+    os.makedirs(torn)
+    part = next(
+        f for f in os.listdir(os.path.join(asg_root, latest)) if f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(asg_root, latest, part), os.path.join(torn, part))
+
+    # the torn epoch is invisible — prior clusters keep serving
+    after_crash = {
+        (r.node, r.component) for r in sd.read_assignment(spark, root).collect()
+    }
+    assert after_crash == before
+
+    # the redelivered fold reclaims the torn slot and the final state
+    # still equals the batch pipeline over the full corpus
+    sd.fold_batch(spark, corpus.filter(F.col("doc_id") % 3 == 2), root)
+    got = {(r.node, r.component) for r in sd.read_assignment(spark, root).collect()}
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            _near_dup_pairs(corpus), src="a", dst="b"
+        ).collect()
+    }
+    assert got == want
+    # exactly one committed epoch remains after cleanup
+    assert [d for d in sorted(os.listdir(asg_root)) if d.isdigit()] == [
+        f"{int(latest) + 1:06d}"
+    ]
+
+
 def test_survivors_filter_and_refold_safety(spark, sf_dir, tmp_path):
     from http_feeds_spark.streaming import dedup as sd
 
