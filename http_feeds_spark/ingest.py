@@ -98,6 +98,75 @@ def run(
     return summary
 
 
+def run_dedup_index(
+    spark: SparkSession,
+    url: str,
+    index_root: str,
+    *,
+    checkpoint: str | None = None,
+    doc_id_field: str = "doc_id",
+    text_field: str = "text",
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → streaming near-dup index: the engine's two streaming halves
+    composed. The HTTP feed connector reads CloudEvents; each
+    micro-batch's ``data`` payloads are projected to (doc_id, text)
+    documents and folded into the persistent LSH index
+    (streaming/dedup.fold_batch) via ``foreachBatch`` — "dedup the
+    corpus as it grows from the feed".
+
+    One checkpoint story, same as :func:`run`: the feed cursor lives
+    under ``<index_root>/_checkpoint`` (or ``checkpoint``); a restart
+    resumes mid-stream and replays at-least-once (README.md:113), and
+    fold_batch's per-doc-id idempotence absorbs every redelivery — the
+    exactly-once effect without a transactional sink. AvailableNow
+    drains the feed to its current end then stops; call repeatedly as
+    the feed grows — each run folds only the new events. Events whose
+    payload lacks the document fields (tombstones, other event types)
+    are skipped. Returns {"index_root", "indexed_docs"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.stores import parquet_exists
+    from http_feeds_spark.streaming import dedup as sd
+
+    http_feed.register(spark)
+    root = index_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        docs = batch_df.select(
+            F.get_json_object("data", f"$.{doc_id_field}")
+            .cast("long")
+            .alias("doc_id"),
+            F.get_json_object("data", f"$.{text_field}").alias("text"),
+        ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        sd.fold_batch(spark, docs, index_root)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"dedup-index catch-up did not drain the feed within {await_s}s"
+        )
+    shingles = f"{root}/{sd.SHINGLES_DIR}"
+    n = (
+        spark.read.parquet(shingles).count()
+        if parquet_exists(spark, shingles)
+        else 0
+    )
+    return {"index_root": index_root, "indexed_docs": n}
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

@@ -95,6 +95,86 @@ def test_dedup_stream_query_equals_batch_groups(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_feed_grows_dedup_index_e2e(spark, tmp_path):
+    """VERDICT r5 #2 — the two streaming halves meet: a live HTTP feed
+    whose CloudEvents payloads are documents grows the persistent LSH
+    index via ingest.run_dedup_index (foreachBatch → fold_batch).
+    Covers: catch-up ingest → producer appends (a near-dup of an
+    already-indexed doc among them) → RESTART on the same checkpoint →
+    final assignment ≡ the batch pipeline over the same corpus; no-data
+    tombstone events are skipped; a third run with nothing new is a
+    no-op."""
+    from http_feeds_spark import ingest
+    from http_feeds_spark.operators.components import connected_components
+    from http_feeds_spark.queries.llm import _near_dup_pairs
+    from http_feeds_spark.streaming import dedup as sd
+    from tests.feed_server import FeedState, serve
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    toks = base.split()
+    v1, v2 = list(toks), list(toks)
+    for i in range(0, 6):
+        v1[i] = f"mutA{i}"
+    for i in range(-6, 0):
+        v2[i] = f"mutB{i}"
+    fillers = [
+        (10 + j, " ".join(f"w{10 + j}x{i} y{10 + j}z{i}" for i in range(8)))
+        for j in range(5)
+    ]
+    phase1 = [(1, base), (2, " ".join(v1))] + fillers[:3]
+    phase2 = [(3, " ".join(v2))] + fillers[3:]  # doc 3 chains 1~2~3 across runs
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for doc_id, text in phase1:
+            state.append(
+                "org.example.document", str(doc_id), {"doc_id": doc_id, "text": text}
+            )
+        # a tombstone with no payload must be skipped, not crash the fold
+        state.append("org.example.document", "1", None, method="DELETE")
+        root = str(tmp_path / "feed_idx")
+
+        s1 = ingest.run_dedup_index(spark, url, root)
+        assert s1["indexed_docs"] == len(phase1)
+        asg1 = {
+            (r.node, r.component) for r in sd.read_assignment(spark, root).collect()
+        }
+        assert asg1 == {(1, 1), (2, 1)}  # only the 1~2 pair so far
+
+        for doc_id, text in phase2:
+            state.append(
+                "org.example.document", str(doc_id), {"doc_id": doc_id, "text": text}
+            )
+        # restart: same checkpoint resumes the cursor; only new events fold
+        s2 = ingest.run_dedup_index(spark, url, root)
+        assert s2["indexed_docs"] == len(phase1) + len(phase2)
+
+        got = {
+            (r.node, r.component) for r in sd.read_assignment(spark, root).collect()
+        }
+        corpus = spark.createDataFrame(phase1 + phase2, "doc_id long, text string")
+        want = {
+            (r.node, r.component)
+            for r in connected_components(
+                _near_dup_pairs(corpus), src="a", dst="b"
+            ).collect()
+        }
+        assert got == want
+        # the cross-RUN transitive chain collapsed onto the min id
+        assert {(1, 1), (2, 1), (3, 1)} <= got
+
+        # nothing new: a third run must change nothing
+        s3 = ingest.run_dedup_index(spark, url, root)
+        assert s3["indexed_docs"] == s2["indexed_docs"]
+        again = {
+            (r.node, r.component) for r in sd.read_assignment(spark, root).collect()
+        }
+        assert again == got
+    finally:
+        srv.shutdown()
+
+
 def test_torn_assignment_write_never_loses_prior_clusters(spark, sf_dir, tmp_path):
     """ADVICE r5: the assignment rewrite must be crash-safe. A torn
     epoch directory (data files, no _SUCCESS marker — exactly what a
