@@ -52,14 +52,11 @@ def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def local_top_items(items: DataFrame, col: str, per_partition: int = 64) -> DataFrame:
-    """Heavy-hitter CANDIDATES without any full-corpus aggregation: each
-    partition emits its exact local top-M items (one Arrow-batched
-    mapInPandas pass accumulating a Counter across the partition's
-    batches), then a distinct over the ≤ M×P candidate rows. Pigeonhole:
-    any item with global share ≥ 1/M is the local top-M of at least one
-    partition, so true heavy hitters always surface. The shuffle carries
-    at most M rows per partition — sketch-sized, never vocabulary-sized."""
+def local_top_candidates(items: DataFrame, col: str, per_partition: int = 64) -> DataFrame:
+    """The pre-shuffle stage of :func:`local_top_items`: each partition
+    emits its exact local top-M items (one Arrow-batched mapInPandas
+    pass accumulating a Counter across the partition's batches) — at
+    most M rows leave each task (pinned in tests/test_plans.py)."""
     import pandas as pd
 
     def gen(batches):
@@ -70,7 +67,17 @@ def local_top_items(items: DataFrame, col: str, per_partition: int = 64) -> Data
             counts.update(pdf[col].value_counts().to_dict())
         yield pd.DataFrame({col: [w for w, _ in counts.most_common(per_partition)]})
 
-    return items.select(col).mapInPandas(gen, f"{col} string").distinct()
+    return items.select(col).mapInPandas(gen, f"{col} string")
+
+
+def local_top_items(items: DataFrame, col: str, per_partition: int = 64) -> DataFrame:
+    """Heavy-hitter CANDIDATES without any full-corpus aggregation:
+    :func:`local_top_candidates` then a distinct over the ≤ M×P
+    candidate rows. Pigeonhole: any item with global share ≥ 1/M is the
+    local top-M of at least one partition, so true heavy hitters always
+    surface. The shuffle carries at most M rows per partition —
+    sketch-sized, never vocabulary-sized."""
+    return local_top_candidates(items, col, per_partition).distinct()
 
 
 def count_min_estimate_df(

@@ -8,3 +8,10 @@ from http_feeds_spark.plans.inspect import (  # noqa: F401
     shuffle_count,
     uses_whole_stage_codegen,
 )
+from http_feeds_spark.plans.inspect import (  # noqa: F401
+    find_nodes,
+    node_line,
+    physical_root,
+    plan_children,
+    subtree_names,
+)

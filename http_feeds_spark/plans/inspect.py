@@ -84,6 +84,13 @@ def subtree_names(node) -> list[str]:
     return out
 
 
+def node_line(node, max_fields: int = 120) -> str:
+    """One-line rendering of a SINGLE plan node (no children) — for
+    asserting on a found node's keys/partitioning without re-entering
+    string-slicing over the whole tree."""
+    return node.simpleString(max_fields)
+
+
 def find_nodes(node, predicate) -> list:
     """All subtree nodes whose nodeName() satisfies `predicate`."""
     hits = [node] if predicate(node.nodeName()) else []

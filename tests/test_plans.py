@@ -165,6 +165,81 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     assert unsalted.count() == plain.count()
 
 
+def test_pack_two_pass_no_global_window(spark, sf_dir):
+    """pack_into_bins must run the distributed two-pass running sum: its
+    Window is partitioned on the bucket id (balanced hash exchange on
+    __pbkt) — never the global no-partition Window, whose plan collapses
+    the whole dataset onto ONE task via an Exchange SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import sampling as smp
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tx.words("text")).alias("n_tokens")
+    )
+    packed = smp.pack_into_bins(d, "n_tokens", budget=2048)
+    root = pi.physical_root(packed)
+    wins = pi.find_nodes(root, lambda n: n == "Window")
+    assert wins, pi.subtree_names(root)
+    for w in wins:
+        assert "__pbkt" in pi.node_line(w), pi.node_line(w)
+    for e in pi.find_nodes(root, lambda n: n == "Exchange"):
+        assert "SinglePartition" not in pi.node_line(e), pi.node_line(e)
+
+
+def test_decontaminate_fp_equi_join_after_stop_fp(spark, sf_dir):
+    """decontaminate's data-sized joins must all be EQUI-joins keyed on
+    the fingerprint hash `fp` (never nested-loop/cartesian — the shape a
+    raw overlap predicate would plan), with the stop-fingerprint
+    aggregate present beneath them to cap hot-key fan-out."""
+    df = q(spark, "q_llm_decontaminate", sf_dir)
+    from http_feeds_spark.plans import inspect as pi
+
+    root = plans.physical_root(df)
+    names = plans.subtree_names(root)
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
+    joins = pi.find_nodes(
+        root, lambda n: n.endswith("HashJoin") or n == "SortMergeJoin"
+    )
+    # the stop-fp df-filter join and the test⋈train contamination join
+    assert len(joins) >= 2, names
+    for j in joins:
+        assert "fp#" in pi.node_line(j), pi.node_line(j)
+    assert "HashAggregate" in names, names  # the stop-fp document-freq agg
+
+
+def test_local_top_items_bounds_shuffle_input(spark, sf_dir):
+    """The heavy-hitter candidate stage must put at most per_partition
+    rows per TASK into the distinct's shuffle — counted directly on the
+    mapInPandas stage output — and the full operator's plan is that
+    mapInPandas stage plus the distinct, nothing else."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import sketch as sk
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tx.words(F.lower("text"))).alias("word")
+    )
+    m = 16
+    cands = sk.local_top_candidates(toks, "word", per_partition=m)
+    per_task = (
+        cands.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert per_task and max(r["count"] for r in per_task) <= m, per_task
+
+    out = sk.local_top_items(toks, "word", per_partition=m)
+    names = plans.subtree_names(plans.physical_root(out))
+    assert any("MapInPandas" in n for n in names), names
+    n_parts = toks.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert out.count() <= m * n_parts
+
+
 def test_ann_ivf_assignment_map_only(spark, sf_dir):
     """IVF cluster assignment must be map-only: every join in the plan is
     a broadcast (1-row centroid array / 4-row probe list / query vector),
