@@ -58,13 +58,16 @@ def run(
     timeout_ms: int | None = None,
     catch_up: bool = True,
     compact: bool = False,
+    tombstone_horizon_seq: int | None = None,
     await_s: float = 120.0,
 ):
     """Ingest the feed at `url` into `landing_root`.
 
     catch_up=True (default): AvailableNow — drain the feed to its current
-    end, stop, optionally compact; returns a summary dict. Safe to call
-    repeatedly: the shared checkpoint resumes the cursor each time.
+    end, stop, optionally compact (``tombstone_horizon_seq`` passes
+    through to :func:`compact_now` so a rewrite with lagging consumers
+    retains their undelivered DELETEs); returns a summary dict. Safe to
+    call repeatedly: the shared checkpoint resumes the cursor each time.
 
     catch_up=False: start a continuous live subscription (long-polling
     when `timeout_ms` is set) and return the running StreamingQuery —
@@ -94,7 +97,9 @@ def run(
         if summary["raw_rows"] == 0:
             summary["compacted_rows"] = 0
         else:
-            summary["compacted_rows"] = compact_now(spark, landing_root).count()
+            summary["compacted_rows"] = compact_now(
+                spark, landing_root, tombstone_horizon_seq=tombstone_horizon_seq
+            ).count()
     return summary
 
 
@@ -226,9 +231,12 @@ def compact_now(
     compacted_df = ops.drop_tombstoned(
         ops.compact(feed), horizon_seq=tombstone_horizon_seq
     )
+    # size the rewrite from the session's parallelism — deriving it from
+    # the plan's RDD would materialize the whole lineage just to read a
+    # partition count; AQE coalesces any excess at write time
     (
         compacted_df.repartitionByRange(
-            max(1, compacted_df.rdd.getNumPartitions()), "seq"
+            max(1, spark.sparkContext.defaultParallelism), "seq"
         )
         .sortWithinPartitions("seq")
         .write.mode("overwrite")
@@ -250,14 +258,14 @@ def read_model(spark: SparkSession, landing_root: str, prefer_compacted: bool = 
     compact-then-read ordering (e.g. a bootstrap job that just ran
     ``run(..., compact=True)``); it falls back to raw when no compacted
     copy exists."""
+    from http_feeds_spark.stores import parquet_exists
+
     raw, _, compacted = _paths(landing_root)
-    if prefer_compacted:
-        try:
-            compacted_df = spark.read.parquet(compacted)
-            compacted_df.schema
-            # compacted is already latest-per-subject minus tombstones;
-            # re-applying read_model is an idempotent no-op kept for safety
-            return ops.read_model(compacted_df)
-        except Exception:
-            pass
+    # only a definitively-ABSENT compacted store falls back to raw; a
+    # corrupted/unreadable one propagates (silently masking it would hide
+    # a broken artifact behind a correct-but-expensive raw scan)
+    if prefer_compacted and parquet_exists(spark, compacted):
+        # compacted is already latest-per-subject minus tombstones;
+        # re-applying read_model is an idempotent no-op kept for safety
+        return ops.read_model(spark.read.parquet(compacted))
     return ops.read_model(spark.read.parquet(raw))

@@ -90,7 +90,9 @@ def compact_landing_zone(
     compacted = ops.compact(feed)
     if drop_tombstoned_subjects:
         compacted = ops.drop_tombstoned(compacted, horizon_seq=tombstone_horizon_seq)
-    n = target_partitions or max(1, compacted.rdd.getNumPartitions())
+    # size from session parallelism, not the plan's RDD lineage (which
+    # would materialize just to read a partition count); AQE coalesces
+    n = target_partitions or max(1, spark.sparkContext.defaultParallelism)
     # range-partition by seq: keeps offset scans file-prunable after rewrite
     (
         compacted.repartitionByRange(n, "seq")

@@ -683,6 +683,46 @@ def test_ingest_run_e2e_restart_compact_read_model(spark, feed):
         assert sorted(s for s, _ in served) == ["9521234512349", "9521234599999"]
 
 
+def test_ingest_compact_tombstone_horizon_e2e(spark, feed):
+    """VERDICT r5 #6 — the tombstone horizon driven through the
+    orchestrated pipeline: run(..., compact=True, tombstone_horizon_seq)
+    with a consumer parked BELOW the deletion's seq must keep the DELETE
+    in the compacted copy, so that consumer's offset scan still learns
+    of the deletion mid-replay (README.md:154, :290); once every
+    consumer is past it, a later compaction drops it."""
+    import tempfile
+
+    from http_feeds_spark import ingest
+
+    state, url = feed
+    _seed_inventory(state)  # seqs 1-3
+    state.append(
+        "org.http-feeds.example.inventory", "9521234567899", None,
+        method="DELETE", time_iso="2021-12-31T00:00:01.000000Z",
+    )  # seq 4: tombstone for the twice-updated subject
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/landing"
+        # a lagging consumer's cursor sits at seq 3 — it has NOT seen the
+        # DELETE, so the horizon (min cursor across consumers) is 3
+        s = ingest.run(spark, url, root, compact=True, tombstone_horizon_seq=3)
+        assert s["raw_rows"] == 4
+        compacted = spark.read.parquet(f"{root}/compacted")
+        tombs = compacted.filter(
+            F.coalesce(F.col("method"), F.lit("PUT")) == "DELETE"
+        ).collect()
+        assert [(t.subject, t.seq) for t in tombs] == [("9521234567899", 4)]
+        # prior entries of the tombstoned subject are compacted away...
+        assert compacted.filter(F.col("subject") == "9521234567899").count() == 1
+        # ...and the lagging consumer's offset scan sees the DELETE
+        replay = compacted.filter(F.col("seq") > 3).collect()
+        assert any(r.method == "DELETE" and r.subject == "9521234567899" for r in replay)
+
+        # consumers caught up (cursor ≥ 4): the next rewrite drops it
+        done = ingest.compact_now(spark, root, tombstone_horizon_seq=4)
+        assert done.filter(F.col("subject") == "9521234567899").count() == 0
+
+
 def test_ingest_continuous_mode_and_catchup_seam(spark, feed):
     """catch_up=False returns a live StreamingQuery on the same
     checkpoint; a later catch-up run resumes from where the live run
