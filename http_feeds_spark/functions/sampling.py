@@ -103,7 +103,11 @@ def pack_into_bins(
 
     ``order_col`` overrides the shuffle order with an explicit column
     (e.g. curriculum order, or a plain id order for engine-parity
-    checks); default is the seeded epoch-shuffle order.
+    checks); default is the seeded epoch-shuffle order. The order key
+    must be NUMERIC (validated): the bucket boundaries come from a
+    percentile sketch over it. A non-numeric curriculum ranking should
+    be materialized as its numeric rank first — hashing it here instead
+    would silently destroy the very order the caller asked to pack by.
 
     Scale shape: a naive global running-sum window
     (``Window.orderBy`` with no partitionBy) collapses the whole
@@ -123,6 +127,16 @@ def pack_into_bins(
     if order_col is None:
         key = F.xxhash64(F.col(id_col), F.lit(seed))
     else:
+        from pyspark.sql.types import NumericType
+
+        dt = df.select(F.col(order_col).alias("__k")).schema[0].dataType
+        if not isinstance(dt, NumericType):
+            raise TypeError(
+                f"pack_into_bins order_col {order_col!r} has type "
+                f"{dt.simpleString()}; the two-pass bucketing needs a "
+                "NUMERIC order key (materialize the ranking as a numeric "
+                "rank column first)"
+            )
         key = F.col(order_col)
 
     parts = spark.sparkContext.defaultParallelism
@@ -136,7 +150,11 @@ def pack_into_bins(
     bkt = F.lit(0)
     for b in bounds:
         bkt = bkt + (key > F.lit(b)).cast("int")
-    bucketed = df.withColumn("__pk", key).withColumn("__pbkt", bkt)
+    # one snapshot for the two passes: the per-bucket counts collected
+    # below and the final running-sum join must see the SAME rows and
+    # bucket assignment — a nondeterministic upstream recomputed across
+    # the two jobs would give base offsets that disagree with the data
+    bucketed = df.withColumn("__pk", key).withColumn("__pbkt", bkt).localCheckpoint()
     counts = {
         r["__pbkt"]: r["s"]
         for r in bucketed.groupBy("__pbkt").agg(F.sum(size_col).alias("s")).collect()

@@ -110,21 +110,34 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_sim_pairs(docs, tokens=None):
-    """Verified 2-gram Jaccard pairs ≥ 0.3 — the ngram-sim pipeline body,
-    shared-stage form (see llm.tokenized / llm._shingled)."""
+def ngram_sim_pairs(docs, tokens=None, *, k=64, bands=32, rows=2, threshold=0.3):
+    """Verified 2-gram Jaccard pairs ≥ `threshold` — the ngram-sim
+    pipeline body, shared-stage form (see llm.tokenized / llm._shingled).
+
+    The PUBLIC default keeps the sharper k=64 / 32×2 banding:
+    P[candidate | s=0.3] = 1-(1-0.09)^32 ≈ 0.95 at the verify threshold.
+    Callers that accept ~0.90 candidate recall at s=0.3 (still 0.985 by
+    s=0.4) can pass k=48/bands=24 for ~33% less wall time — the measured
+    trade the benchmark query opts into (ADVICE r5: the weaker banding
+    is an explicit opt-in, never the library default)."""
     from http_feeds_spark.functions import minhash as mh
     from http_feeds_spark.queries.llm import _shingled
 
     sh = _shingled(docs, 2, tokens)
-    # k=48 / 24×2, evaluated vs the prior k=64 / 32×2 (round 5, sf0.1):
-    # identical verified pair set (256 = 256 pairs) at 7.47s → 4.98s
-    # (−33%). s-curve: P[cand | s=0.3] = 1-(1-0.09)^24 ≈ 0.90 (vs 0.95
-    # at 32 bands), rising steeply past the verify threshold (s=0.4 →
-    # 0.985) — the planted-recall guard at jaccard≈0.42 pins it.
     return mh.verified_jaccard_pairs(
-        sh, k=48, bands=24, rows=2, threshold=0.3, materialize=True
+        sh, k=k, bands=bands, rows=rows, threshold=threshold, materialize=True
     )
+
+
+def _ngram_sim_pairs(docs, tokens=None):
+    """The benchmark-profile invocation: k=48 / 24×2, evaluated vs
+    k=64 / 32×2 (round 5, sf0.1): identical verified pair set (256 =
+    256 pairs) at 7.47s → 4.98s (−33%). Recall contract: candidate
+    recall ≈ 0.90 at s=0.3 (vs 0.95), rising steeply past the verify
+    threshold (s=0.4 → 0.985) — the planted-recall guard at
+    jaccard≈0.42 pins it. Generic callers should use
+    :func:`ngram_sim_pairs` and its sharper default."""
+    return ngram_sim_pairs(docs, tokens, k=48, bands=24)
 
 
 @register("q_llm_ngram_sim", oracle=None, group="D")

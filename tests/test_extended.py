@@ -36,6 +36,32 @@ def test_ngram_sim_planted_recall(spark, sf_dir):
     assert 0.3 <= got[(2_000_001, 2_000_002)] <= 0.6, got
 
 
+def test_ngram_public_default_is_sharper_banding(spark, sf_dir):
+    """ADVICE r5: the k=48/24×2 banding is a benchmark-profile opt-in,
+    never the library default. The public ngram_sim_pairs defaults to
+    k=64/32×2 (candidate recall ≈0.95 at s=0.3) and must also recover
+    the mid-band planted pair."""
+    import inspect
+
+    from http_feeds_spark.queries.extended import ngram_sim_pairs
+    from http_feeds_spark.sources.tables import load_table
+
+    sig = inspect.signature(ngram_sim_pairs)
+    assert sig.parameters["k"].default == 64
+    assert sig.parameters["bands"].default == 32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = [f"tok{i}" for i in range(60)]
+    variant = [f"mut{i}" if i % 5 == 0 else t for i, t in enumerate(base)]
+    planted = docs.sparkSession.createDataFrame(
+        [(2_000_001, " ".join(base)), (2_000_002, " ".join(variant))],
+        "doc_id long, text string",
+    )
+    pairs = ngram_sim_pairs(docs.union(planted))  # sharp default
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect() if r.a > 2_000_000}
+    assert (2_000_001, 2_000_002) in got, got
+
+
 def test_jaccard_suite_shares_tokens_and_matches_independent_runs(spark, sf_dir):
     """jaccard_suite must produce exactly the pair sets of the two
     independent pipelines while tokenizing the corpus once."""

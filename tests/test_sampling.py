@@ -200,3 +200,21 @@ def test_pack_into_bins_invariants_and_duckdb_parity(spark, sf_dir):
         ).fetchall()
     }
     assert spark_bins == want
+
+
+def test_pack_rejects_non_numeric_order_col(spark, sf_dir):
+    """ADVICE r5: the two-pass bucketing needs a numeric order key (its
+    boundaries come from a percentile sketch) — a string curriculum
+    column must fail loudly with guidance, not die inside
+    percentile_approx (and must NOT be silently hashed, which would
+    destroy the requested order)."""
+    import pytest
+
+    from http_feeds_spark.functions import sampling as smp
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    )
+    with pytest.raises(TypeError, match="NUMERIC order key"):
+        smp.pack_into_bins(docs, "n", 500, order_col="lang")
