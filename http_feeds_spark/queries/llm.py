@@ -622,6 +622,30 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D3c: lexical retrieval (BM25 top-k) -------------------------------------
+
+# fixed bag-of-terms query for the registered check: common corpus words
+# so df/idf, length normalization and tie-breaking are all exercised
+BM25_QUERY_TERMS = ["spark", "window", "merge"]
+BM25_K = 20
+
+
+@register("q_llm_bm25", oracle=None, group="D")
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3c — BM25 lexical top-k retrieval (operators/retrieval.py): the
+    inverted-index shape as DataFrames. Query-term filter BEFORE the
+    postings aggregation (shuffle is query-sized, not corpus-sized),
+    idf table broadcast (≤|query| rows), per-doc scores summed as
+    DECIMAL(38,9) partials (order-independent), top-k via
+    TakeOrderedAndProject with doc_id tie-break. Rows-only in the driver
+    (the 50 oracle slots are taken); the FULL DuckDB parity oracle —
+    identical formula, rounding and tie-break — is pinned in
+    tests/test_retrieval.py."""
+    from http_feeds_spark.operators import retrieval as rt
+
+    return rt.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=BM25_K)
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
