@@ -646,6 +646,40 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=BM25_K)
 
 
+# --- D2d: corpus-frequency boilerplate removal -------------------------------
+
+# 10-token header planted on every 7th doc so the frequency gate has a
+# guaranteed recurring segment to find (the synthetic word-soup corpus
+# has no natural aligned repeats at small SF — an unplanted check would
+# be vacuous, the q_llm_dedup_embed convention)
+BOILERPLATE_HEADER = "bp0 bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9"
+
+
+@register("q_llm_boilerplate", oracle=None, group="D")
+def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2d — sub-document dedup: strip segments recurring across >= 5
+    documents (operators/boilerplate.py: aligned 10-token frames, md5
+    frequency key, anti-join + in-order re-assembly). The header planted
+    on every 7th doc must come OFF while every other doc round-trips
+    byte-identically. Rows-only at the driver; the full DuckDB value
+    parity (including reconstructed text) is pinned in
+    tests/test_boilerplate.py."""
+    from http_feeds_spark.operators import boilerplate as bp
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(BOILERPLATE_HEADER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bp.strip_frequent_segments(docs, n=10, min_docs=5).select(
+        "doc_id", "n_segments", "n_removed", "n_chars_clean"
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
