@@ -75,6 +75,54 @@ def shuffled_for_training(df: DataFrame, id_col: str, seed: int = 0) -> DataFram
     return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
 
 
+def resample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample to a target domain mixture: keep the LARGEST corpus
+    whose per-source proportions match `weights` (training-data "domain
+    reweighting" without upsampling — no row is ever duplicated).
+
+    With per-source counts c_s and target shares w_s (sum ≈ 1), the
+    largest achievable mixture size is T = min_s(c_s / w_s); each source
+    keeps the fraction (w_s · T) / c_s — exactly 1.0 for the binding
+    (scarcest-relative-to-target) source, less for the rest. Membership
+    is the same value-hash rule as :func:`deterministic_sample`, so the
+    kept set is stable across reruns, repartitions and cluster layouts,
+    and is a strict subset of the input per source.
+
+    Sources absent from `weights` are dropped (weight 0); a source named
+    in `weights` with NO rows makes the mixture unattainable — that is
+    an error, not a silent skew. Scale shape: one small aggregate
+    (|sources| rows of driver metadata — model-sized, like the kmeans
+    centroid collect) plus one map-only filter; no data shuffle."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mixture weights must sum to 1.0, got {total}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive (omit a source to drop it)")
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"mixture names sources with no rows: {missing}")
+    t_max = min(counts[s] / w for s, w in weights.items())
+    bucket = hash_bucket(id_col, seed)
+    expr = None
+    for s, w in sorted(weights.items()):
+        keep = min(1.0, (w * t_max) / counts[s])
+        cond = (F.col(source_col) == s) & (bucket < int(keep * _BUCKETS))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)
+
+
 def pack_into_bins(
     df: DataFrame,
     size_col: str,

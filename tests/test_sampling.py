@@ -202,6 +202,72 @@ def test_pack_into_bins_invariants_and_duckdb_parity(spark, sf_dir):
     assert spark_bins == want
 
 
+def test_mixture_proportions_binding_source_and_determinism(spark):
+    """resample_to_mixture keeps the binding source whole, hits the
+    target shares on the others, never duplicates or invents rows, and
+    membership survives repartitioning."""
+    docs = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 6000, "A")
+            .when(F.col("id") < 9000, "B")
+            .otherwise("C")
+            .alias("source"),
+        )
+    )
+    # T = min(6000/.2, 3000/.3, 1000/.5) = 2000 -> keep A 1/15, B .2, C 1.0
+    weights = {"A": 0.2, "B": 0.3, "C": 0.5}
+    out = smp.resample_to_mixture(docs, weights, id_col="doc_id")
+    got = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert got["C"] == 1000  # binding source: fraction exactly 1.0
+    assert abs(got["A"] / 400 - 1.0) < 0.25   # expected 400 ± hash noise
+    assert abs(got["B"] / 600 - 1.0) < 0.25   # expected 600
+    # subset + stability across layouts
+    ids = {r.doc_id for r in out.collect()}
+    again = {
+        r.doc_id
+        for r in smp.resample_to_mixture(
+            docs.repartition(13), weights, id_col="doc_id"
+        ).collect()
+    }
+    assert again == ids
+    assert ids <= {r.doc_id for r in docs.collect()}
+
+
+def test_mixture_drops_unlisted_and_validates(spark):
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "JUNK")], "doc_id long, source string"
+    )
+    out = smp.resample_to_mixture(docs, {"A": 0.5, "B": 0.5}, id_col="doc_id")
+    assert {r.source for r in out.collect()} <= {"A", "B"}  # JUNK dropped
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        smp.resample_to_mixture(docs, {"A": 0.5, "B": 0.1}, id_col="doc_id")
+    with pytest.raises(ValueError, match="no rows"):
+        smp.resample_to_mixture(docs, {"A": 0.5, "GHOST": 0.5}, id_col="doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        smp.resample_to_mixture(docs, {"A": 1.0, "B": 0.0}, id_col="doc_id")
+
+
+def test_domain_mix_query_registered(spark, sf_dir):
+    """q_llm_domain_mix: named sources only, the uniform-corpus binding
+    sources (src0/src1 at weight .4) kept whole, src2 (weight .2)
+    halved within hash tolerance."""
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    full = {
+        r.source: r.c
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    rows = {r.source: r for r in registry()["q_llm_domain_mix"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"src0", "src1", "src2"}
+    assert rows["src0"].n_docs == full["src0"]  # binding: kept whole
+    assert rows["src1"].n_docs == full["src1"]
+    assert 0.25 < rows["src2"].n_docs / full["src2"] < 0.75  # ~0.5 kept
+
+
 def test_pack_rejects_non_numeric_order_col(spark, sf_dir):
     """ADVICE r5: the two-pass bucketing needs a numeric order key (its
     boundaries come from a percentile sketch) — a string curriculum
