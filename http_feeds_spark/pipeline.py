@@ -1,0 +1,165 @@
+"""End-to-end training-corpus preparation — the Group D operators
+composed in their canonical order, one call.
+
+Every stage exists (and is tested) on its own; what a data team actually
+runs is the COMPOSITION, and the composition has ordering semantics
+worth pinning:
+
+    quality gate          map-only predicates; cheapest first
+    boilerplate strip     (optional) rewrite text BEFORE dedup — shared
+                          chrome otherwise glues unrelated docs into
+                          near-dup clusters
+    exact dedup           content-hash, min-id survivor
+    near-dup dedup        MinHash-LSH pairs -> closure -> survivor filter
+    decontamination       (optional) drop corpus docs fingerprint-
+                          matching an external eval/benchmark set
+    domain mixture        (optional) downsample to target source shares
+    split                 deterministic value-hash train/val/test
+    pack                  offset-pack the train split into token bins
+
+All membership decisions are value-hash deterministic (functions/
+sampling.py), every dedup exchange is ids-only (operators/components.py)
+and the only full-text passes are the scan-side token pipelines — so the
+whole composition is one DAG Spark executes with no driver-side data
+movement, and running it twice yields byte-identical corpora
+(pinned in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import sampling as smp
+from http_feeds_spark.functions import text as tx
+
+
+DEFAULT_SPLIT = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def quality_gate(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+    min_chars: int = 100,
+    max_chars: int = 2000,
+    min_words: int = 10,
+) -> DataFrame:
+    """The q_llm_quality predicates as a reusable stage: language
+    whitelist + char bounds + minimum word count. Map-only, pushes into
+    the scan."""
+    n_words = F.size(tx.words("text"))
+    return docs.filter(
+        F.col("lang").isin(*langs)
+        & F.col("n_chars").between(min_chars, max_chars)
+        & (n_words >= min_words)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id copy of every byte-identical text. One shuffle on
+    the 256-bit hash; survivor ids come back as an ids-only semi-join so
+    document payloads shuffle once, not twice."""
+    keep = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _decontaminate_against(
+    corpus: DataFrame, eval_docs: DataFrame, min_shared: int
+) -> DataFrame:
+    """Drop corpus docs sharing >= min_shared winnowing fingerprints
+    with any eval/benchmark document (queries/llm.decontaminate run
+    with the corpus as 'train' and the eval set as 'test'). Eval ids are
+    remapped to a negative id space so they can never collide with
+    corpus ids."""
+    from http_feeds_spark.queries.llm import decontaminate
+
+    tagged = corpus.select("doc_id", "text", F.lit("train").alias("split")).unionByName(
+        eval_docs.select(
+            (-F.col("doc_id") - 1).alias("doc_id"), "text", F.lit("test").alias("split")
+        )
+    )
+    contaminated = (
+        decontaminate(tagged, min_shared=min_shared)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti")
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+    min_chars: int = 100,
+    max_chars: int = 2000,
+    min_words: int = 10,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 5,
+    segment_tokens: int = 10,
+    near_dup: bool = True,
+    eval_docs: DataFrame | None = None,
+    min_shared_fps: int = 2,
+    mixture: dict[str, float] | None = None,
+    split_weights: dict[str, float] | None = None,
+    seed: int = 0,
+    pack_budget: int = 2048,
+) -> dict:
+    """Run the full preparation pipeline; returns::
+
+        {"corpus":       DataFrame(doc_id, text, lang, source, n_chars, split),
+         "train_packed": DataFrame(doc_id, n_tokens, bin),
+         "report":       [(stage, n_docs), ...]  # in pipeline order}
+
+    The report counts force one job per stage boundary — that is the
+    point (a pipeline run IS an audit); callers needing a single lazy
+    DAG can compose the stage functions directly."""
+    split_weights = dict(split_weights or DEFAULT_SPLIT)
+    report: list[tuple[str, int]] = [("input", docs.count())]
+
+    cur = quality_gate(docs, langs, min_chars, max_chars, min_words)
+    report.append(("quality", cur.count()))
+
+    if strip_boilerplate:
+        from http_feeds_spark.operators import boilerplate as bp
+
+        stripped = bp.strip_frequent_segments(
+            cur, n=segment_tokens, min_docs=boilerplate_min_docs
+        ).select("doc_id", F.col("clean_text").alias("text"),
+                 F.col("n_chars_clean").alias("n_chars"))
+        cur = (
+            stripped.filter(F.col("n_chars") > 0)
+            .join(cur.select("doc_id", "lang", "source"), "doc_id")
+        )
+        report.append(("boilerplate", cur.count()))
+
+    cur = exact_dedup(cur)
+    report.append(("exact_dedup", cur.count()))
+
+    if near_dup:
+        from http_feeds_spark.operators.components import dedup_corpus
+        from http_feeds_spark.queries.llm import _near_dup_pairs
+
+        cur = dedup_corpus(cur, _near_dup_pairs(cur.select("doc_id", "text")))
+        report.append(("near_dedup", cur.count()))
+
+    if eval_docs is not None:
+        cur = _decontaminate_against(cur, eval_docs, min_shared_fps)
+        report.append(("decontaminate", cur.count()))
+
+    if mixture:
+        cur = smp.resample_to_mixture(cur, mixture, seed=seed)
+        report.append(("mixture", cur.count()))
+
+    corpus = smp.with_split(cur, "doc_id", split_weights, seed=seed)
+    train = corpus.filter(F.col("split") == "train").select(
+        "doc_id", F.size(tx.words("text")).alias("n_tokens")
+    )
+    train_packed = smp.pack_into_bins(train, "n_tokens", pack_budget, seed=seed)
+    report.append(("train", train.count()))
+
+    return {"corpus": corpus, "train_packed": train_packed, "report": report}

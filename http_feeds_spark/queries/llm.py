@@ -886,6 +886,61 @@ def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_pipeline", oracle=None, group="D")
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — the WHOLE training-corpus preparation composed
+    (pipeline.py): quality gate → exact dedup → MinHash near-dedup →
+    decontamination against a benchmark slice (every 97th doc — its
+    corpus twin must be caught and dropped) → deterministic split →
+    offset-packing of the train split. Returns the per-stage audit
+    report (stage, n_docs) in pipeline order. Rows-only check;
+    stage-fate and determinism invariants pinned in
+    tests/test_pipeline.py."""
+    from http_feeds_spark.pipeline import prepare_training_corpus
+
+    d = _docs(spark, sf_dir)
+    result = prepare_training_corpus(
+        spark,
+        d,
+        eval_docs=d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text"),
+        pack_budget=2048,
+    )
+    return spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(result["report"])],
+        "stage_idx int, stage string, n_docs long",
+    )
+
+
+# target domain mixture for the registered check: three named sources,
+# deliberately non-uniform so two keep-fractions differ from 1.0
+DOMAIN_MIX = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+
+
+@register("q_llm_domain_mix", oracle=None, group="D")
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — domain-mixture resampling (functions/sampling.py
+    resample_to_mixture): downsample to the largest corpus matching the
+    target per-source shares, never duplicating a row. The binding
+    source keeps fraction 1.0; the others keep w_s·T/c_s by the same
+    value-hash membership as the train split, so the kept set is stable
+    across reruns and layouts. One |sources|-row metadata aggregate +
+    one map-only filter — no data shuffle. Rows-only check (xxhash64
+    membership is engine-specific); mixture/determinism/subset
+    invariants pinned in tests/test_sampling.py."""
+    from http_feeds_spark.functions import sampling as smp
+
+    mixed = smp.resample_to_mixture(_docs(spark, sf_dir), DOMAIN_MIX)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
 @register("q_llm_decontaminate", oracle=None, group="D")
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-ext — train/test contamination detection (benchmark

@@ -1,0 +1,102 @@
+"""End-to-end corpus preparation (pipeline.py): planted documents meet
+their designed fate at the right stage, stage counts are monotone,
+the whole composition is run-to-run deterministic, and the packed train
+split honors the budget bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from http_feeds_spark.pipeline import prepare_training_corpus
+
+
+def _docs(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_planted_fates(spark, sf_dir):
+    """One plant per stage: a junk-lang doc dies at quality, an exact
+    copy dies at exact-dedup, a one-word-changed near-copy dies at
+    near-dedup, and a doc matching the eval set dies at decontamination
+    — while a clean doc survives to the split."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(
+        F.col("lang").isin("en", "de", "es")
+        & F.col("n_chars").between(150, 1000)
+        & (F.size(F.split("text", " ")) >= 30)
+    )
+    victims = [r for r in base.orderBy("doc_id").limit(3).collect()]
+    assert len(victims) == 3
+    v_exact, v_near, v_decon = victims
+    near_toks = v_near.text.split(" ")
+    near_toks[len(near_toks) // 2] = "mutated"
+    plants = spark.createDataFrame(
+        [
+            (900001, "junk text that is long enough to pass size checks maybe",
+             "xx", "srcX", 100),
+            (900002, v_exact.text, v_exact.lang, v_exact.source, v_exact.n_chars),
+            (900003, " ".join(near_toks), v_near.lang, v_near.source, v_near.n_chars),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(plants)
+    eval_docs = spark.createDataFrame(
+        [(1, v_decon.text)], "doc_id long, text string"
+    )
+    result = prepare_training_corpus(spark, corpus, eval_docs=eval_docs)
+    stages = dict(result["report"])
+    final_ids = {r.doc_id for r in result["corpus"].select("doc_id").collect()}
+
+    assert 900001 not in final_ids          # junk lang: quality gate
+    assert 900002 not in final_ids          # exact copy (min-id survivor wins)
+    assert v_exact.doc_id in final_ids      # the original survives
+    assert 900003 not in final_ids          # near-copy: LSH closure
+    assert v_decon.doc_id not in final_ids  # fingerprint match with eval set
+    # monotone: every stage only removes documents
+    counts = [n for _, n in result["report"]]
+    assert counts == sorted(counts, reverse=True)
+    assert stages["decontaminate"] < stages["near_dedup"]  # plant actually hit
+
+
+def test_deterministic_end_to_end(spark, sf_dir):
+    """Same inputs + seed ⇒ identical final corpus membership, splits
+    and packed bins — the reproducibility contract, composed."""
+    docs = _docs(spark, sf_dir)
+    kw = dict(mixture={"src0": 0.4, "src1": 0.4, "src2": 0.2}, pack_budget=512)
+    r1 = prepare_training_corpus(spark, docs, **kw)
+    r2 = prepare_training_corpus(spark, docs, **kw)
+    assert r1["report"] == r2["report"]
+    c1 = {(r.doc_id, r.split) for r in r1["corpus"].select("doc_id", "split").collect()}
+    c2 = {(r.doc_id, r.split) for r in r2["corpus"].select("doc_id", "split").collect()}
+    assert c1 == c2 and len(c1) > 0
+    p1 = {(r.doc_id, r.bin) for r in r1["train_packed"].collect()}
+    p2 = {(r.doc_id, r.bin) for r in r2["train_packed"].collect()}
+    assert p1 == p2 and len(p1) > 0
+    # mixture stage honored: only the three named sources remain
+    srcs = {r.source for r in r1["corpus"].select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1", "src2"}
+
+
+def test_packed_bins_bounded(spark, sf_dir):
+    budget = 512
+    r = prepare_training_corpus(spark, _docs(spark, sf_dir), pack_budget=budget)
+    by_bin: dict[int, list[int]] = {}
+    for row in r["train_packed"].collect():
+        by_bin.setdefault(row.bin, []).append(row.n_tokens)
+    assert by_bin
+    for b, sizes in by_bin.items():
+        assert sum(sizes) < budget + max(sizes), (b, sum(sizes))
+
+
+def test_registered_query_report_shape(spark, sf_dir):
+    from http_feeds_spark.queries import registry
+
+    rows = registry()["q_llm_pipeline"].fn(spark, sf_dir).collect()
+    stages = [r.stage for r in sorted(rows, key=lambda r: r.stage_idx)]
+    assert stages == [
+        "input", "quality", "exact_dedup", "near_dedup", "decontaminate", "train"
+    ]
+    counts = [r.n_docs for r in sorted(rows, key=lambda r: r.stage_idx)]
+    assert counts == sorted(counts, reverse=True) and counts[-1] > 0
