@@ -102,6 +102,48 @@ def ensure_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> 
     return True
 
 
+def upsert_vectors(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors to the index WITHOUT retraining: each vector
+    is assigned to its nearest existing centroid (one map-only pass
+    against the broadcast centroid literal) and appended into that
+    cluster's partition directory. Returns the number of rows appended.
+
+    Idempotent per id, at-least-once safe: already-indexed ids are
+    dropped first (ids-only anti-join against a column-pruned corpus
+    scan), and because the guard is per ID — not per batch — a retry
+    after a torn append converges: rows whose files landed are skipped,
+    rows that were lost are re-appended. No duplicate, no loss, no
+    ordering requirement.
+
+    The quantizer is deliberately frozen — that is what makes upsert
+    O(batch). Centroids drift from their clusters' true means as
+    appends accumulate, degrading recall gracefully (never
+    correctness: search probes real partitions whatever their shape).
+    Rebuild policy is the caller's; `build_index` over the full corpus
+    is the reset, exactly the streaming/dedup.py artifact pattern."""
+    cents = load_centroids(spark, index_root)
+    _, corpus_path = _paths(index_root)
+    existing = spark.read.parquet(corpus_path).select(F.col(id_col))
+    fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
+    assigned = km.assign_clusters(fresh, cents, vec_col).select(
+        id_col, vec_col, "cluster"
+    )
+    # count and write from one snapshot: the anti-join must not be
+    # recomputed between the two actions against a moving store
+    assigned = assigned.localCheckpoint()
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("cluster").parquet(corpus_path)
+    return n
+
+
 def load_centroids(spark: SparkSession, index_root: str) -> list[tuple[int, list[float]]]:
     """The trained model: k (cid, vector) rows — model-sized collect."""
     cent_path, _ = _paths(index_root)

@@ -101,6 +101,46 @@ def test_torn_build_reads_as_absent(spark, sf_dir, tmp_path):
     ).count() > 0
 
 
+def test_upsert_appends_assigns_and_is_idempotent(spark, sf_dir, tmp_path):
+    """New vectors join the index without retraining, become findable by
+    search, and re-delivering the same batch is a no-op (per-id guard)."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb.filter(F.col("vec_id") < 400), root, k=8, iters=2)
+    base_n = spark.read.parquet(f"{root}/{ai.CORPUS_DIR}").count()
+
+    newbies = emb.filter(F.col("vec_id") >= 400)
+    n_new = newbies.count()
+    assert n_new > 0
+    assert ai.upsert_vectors(spark, newbies, root) == n_new
+    assert spark.read.parquet(f"{root}/{ai.CORPUS_DIR}").count() == base_n + n_new
+    # redelivery: nothing appended, count unchanged
+    assert ai.upsert_vectors(spark, newbies, root) == 0
+    assert spark.read.parquet(f"{root}/{ai.CORPUS_DIR}").count() == base_n + n_new
+
+    # an upserted vector is findable: querying BY it returns itself at
+    # cosine 1.0 (exclude_self off)
+    probe_id = newbies.agg(F.min("vec_id")).collect()[0][0]
+    q = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ai.search(spark, q, root, k=1, nprobe=2).collect()
+    assert top and top[0].vec_id == probe_id and top[0].cosine_sim >= 0.999999
+
+
+def test_upsert_runs_zero_training(spark, sf_dir, tmp_path, monkeypatch):
+    """The frozen-quantizer contract: upsert never touches the trainer."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb.filter(F.col("vec_id") < 400), root, k=8, iters=1)
+
+    def boom(*a, **kw):
+        raise AssertionError("training job in the upsert path")
+
+    monkeypatch.setattr(km, "kmeans_centroids", boom)
+    assert ai.upsert_vectors(spark, emb.filter(F.col("vec_id") >= 400), root) > 0
+
+
 def test_registered_query_matches_ann_batch(spark, sf_dir):
     """q_llm_ann_index must reproduce q_llm_ann_batch exactly (same
     deterministic model, same search semantics)."""
