@@ -90,6 +90,35 @@ def test_packed_bins_bounded(spark, sf_dir):
         assert sum(sizes) < budget + max(sizes), (b, sum(sizes))
 
 
+def test_boilerplate_stage_composes(spark, sf_dir):
+    """With strip_boilerplate on, a header planted across many docs is
+    gone from every surviving text BEFORE dedup runs — and the doc's
+    metadata (lang/source) survives the text rewrite."""
+    docs = _docs(spark, sf_dir)
+    hdr = "hh0 hh1 hh2 hh3 hh4 hh5 hh6 hh7 hh8 hh9"
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(hdr + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        # n_chars must describe the planted text: the quality gate reads it
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + len(hdr) + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    r = prepare_training_corpus(
+        spark, planted, strip_boilerplate=True, boilerplate_min_docs=5, near_dup=False
+    )
+    stages = dict(r["report"])
+    assert "boilerplate" in stages and stages["boilerplate"] > 0
+    rows = r["corpus"].select("doc_id", "text", "lang", "source").collect()
+    assert rows
+    assert all("hh0" not in row.text for row in rows)      # header stripped
+    assert all(row.lang and row.source for row in rows)    # metadata intact
+
+
 def test_registered_query_report_shape(spark, sf_dir):
     from http_feeds_spark.queries import registry
 
