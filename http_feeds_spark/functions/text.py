@@ -65,6 +65,92 @@ def marker_score(tokens: Column, markers: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
 
 
+def add_repetition_stats(
+    df,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+):
+    """Gopher/MassiveText repetition signals (Rae et al. 2021, Table A1)
+    as per-row columns:
+
+    - ``top_{n}gram_frac`` (n ∈ top_ns): fraction of characters covered
+      by the MOST FREQUENT word n-gram — count(top) × len(top) /
+      len(text); ties on count break by gram length then gram text
+      (struct max is lexicographic by field order — deterministic).
+    - ``dup_{n}gram_frac`` (n ∈ dup_ns): fraction of characters covered
+      by DUPLICATED n-grams — Σ over distinct grams occurring ≥ 2 times
+      of count × len(gram), / len(text), capped at 1.0 (reproductions
+      vary in overlap accounting; overlapping occurrences each count
+      here, hence the cap — the definition tests pin).
+
+    DataFrame-level like :func:`add_winnow_fingerprints`, and for the
+    same reason: the gram array and its distinct set are materialized as
+    columns ONCE per row, because Spark does not CSE across
+    higher-order-function boundaries — nesting `word_shingles(...)`
+    inside the per-distinct-gram lambda would rebuild the whole array
+    per element (the measured >100× trap).
+
+    Cost: per-row O(G·D) count lookups (G grams × D distinct) — pure
+    scan-parallel expressions, shuffle-free, whole-stage codegen.
+    Quadratic in DOC length only: right for web-doc corpora (G in the
+    hundreds); book-length docs should use an exploded
+    groupBy((doc, gram)) form, trading one shuffle for linear rows."""
+    text = F.col(text_col)
+    df = df.withColumn("__rep_toks", words(text_col))
+    drop = ["__rep_toks"]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        df = df.withColumn(f"__g{n}", word_shingles(F.col("__rep_toks"), n))
+        g = F.col(f"__g{n}")
+        # one (count, len, gram) struct per DISTINCT gram, materialized so
+        # the O(G) filter runs once per distinct, shared by both signals
+        df = df.withColumn(
+            f"__c{n}",
+            F.transform(
+                F.array_distinct(g),
+                # NB: the inner lambda must stay single-parameter — a
+                # second (defaulted) param would make PySpark pass the
+                # ARRAY INDEX as its value (the (element, index) form)
+                lambda x: F.struct(
+                    F.size(F.filter(g, lambda y: y == x)).alias("c"),
+                    F.length(x).alias("l"),
+                    x.alias("g"),
+                ),
+            ),
+        )
+        counts = F.col(f"__c{n}")
+        drop += [f"__g{n}", f"__c{n}"]
+        if n in top_ns:
+            top = F.array_max(counts)
+            df = df.withColumn(
+                f"top_{n}gram_frac",
+                F.when(
+                    F.size(g) > 0,
+                    F.round((top["c"] * top["l"]).cast("double") / F.length(text), 9),
+                ).otherwise(F.lit(0.0)),
+            )
+        if n in dup_ns:
+            dup_chars = F.aggregate(
+                counts,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(s["c"] >= 2, (s["c"] * s["l"]).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            )
+            df = df.withColumn(
+                f"dup_{n}gram_frac",
+                F.when(
+                    F.size(g) > 0,
+                    F.round(
+                        F.least(dup_chars.cast("double") / F.length(text), F.lit(1.0)),
+                        9,
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+    return df.drop(*drop)
+
+
 def add_winnow_fingerprints(df, shingles_col: str, out_col: str = "fps", window: int = 4):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every shingle, keep the minimum hash of each sliding window of

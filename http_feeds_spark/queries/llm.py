@@ -399,6 +399,48 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D2d: semantic dedup (SemDeDup) ------------------------------------------
+
+
+@register("q_llm_semdedup", oracle=None, group="D")
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2d — SemDeDup semantic dedup (operators/semdedup.py): k-means
+    cluster the embeddings, compare pairs only WITHIN a cluster
+    (~O(N²/k) pair space, the paper's cost model), connected-components
+    the ≥-threshold pairs, keep per group the member with the LOWEST
+    cosine to its cluster centroid.
+
+    Like q_llm_dedup_embed, the synthetic corpus has no natural
+    near-1.0 cosine pairs at small SF, so 8 deterministic clones
+    (vec_id + PLANT_BASE, ×1.000001 perturbation) are planted and must
+    collapse into their source's group — pinned with k=1 brute-force
+    parity and survivor-policy tests in tests/test_semdedup.py. Output:
+    one row per planted-or-deduped id with its group and keep flag.
+    Rows-only check (cluster geometry is engine-specific)."""
+    from http_feeds_spark.operators import semdedup as sd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + PLANT_BASE).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.000001).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    out = sd.semantic_dedup(corpus, k=8, iters=2, threshold=0.999)
+    # keep only members of non-trivial duplicate groups (survivor + losers)
+    return (
+        out.withColumn("__gsz", F.count("*").over(W.partitionBy("component")))
+        .where(F.col("__gsz") > 1)
+        .select(
+            "vec_id",
+            "component",
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            "keep",
+            (F.col("vec_id") >= PLANT_BASE).alias("planted"),
+        )
+        .orderBy("component", "vec_id")
+    )
+
+
 # --- D5: text stats ----------------------------------------------------------
 
 
@@ -471,6 +513,103 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_stop.cast("double") / n_words).alias("stopword_ratio"),
             (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
         )
+    )
+
+
+# --- D6b: repetition filters (Gopher) ----------------------------------------
+
+
+@register("q_llm_repetition", oracle=None, group="D")
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6b — Gopher/MassiveText repetition filters (Rae et al. 2021,
+    Table A1): per-doc fraction of characters in the most frequent
+    {2,3}-gram and in duplicated {5,10}-grams, plus the pass/fail gate at
+    the paper's thresholds (top-2 ≤ 0.20, top-3 ≤ 0.18, dup-5 ≤ 0.15,
+    dup-10 ≤ 0.10). The synthetic corpus is largely repetition-free, so
+    3 pathological docs (flagged `planted`) are appended to prove the
+    gate actually rejects; exact fraction values are pinned against an
+    independent Python reference in tests/test_repetition.py.
+
+    Scale: pure per-row higher-order expressions with the gram arrays
+    materialized once per row (functions/text.add_repetition_stats) —
+    scan-parallel, shuffle-free, codegen'd; no corpus-wide state."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (-1, "spam spam spam spam spam spam spam spam spam spam"),
+            (-2, "one two three one two three one two three one two three"),
+            (-3, ("alpha beta gamma delta epsilon zeta " * 4).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    stats = tx.add_repetition_stats(
+        base.unionByName(planted), "text", top_ns=(2, 3), dup_ns=(5, 10)
+    )
+    gate = (
+        (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("top_3gram_frac") <= 0.18)
+        & (F.col("dup_5gram_frac") <= 0.15)
+        & (F.col("dup_10gram_frac") <= 0.10)
+    )
+    return stats.select(
+        "doc_id",
+        "top_2gram_frac",
+        "top_3gram_frac",
+        "dup_5gram_frac",
+        "dup_10gram_frac",
+        gate.alias("gopher_pass"),
+        (F.col("doc_id") < 0).alias("planted"),
+    )
+
+
+# --- D6c: PII scrub ----------------------------------------------------------
+
+
+@register("q_llm_pii", oracle=None, group="D")
+def q_llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6c — PII detection + redaction (functions/pii.py): regex-stage
+    scrubbing of emails / IPv4s / SSN-shapes / phone-shapes, the pass the
+    public C4/Dolma/FineWeb pipelines run before release. The synthetic
+    corpus is PII-free word soup, so every doc_id % 7 == 0 doc gets a
+    deterministic planted PII suffix (email + IP + SSN + phone built from
+    the doc_id) and the scrub must catch ALL of it — `residual_pii` (PII
+    matches remaining in the scrubbed text) is emitted per row and must
+    be 0 everywhere; exact per-kind counts and Python-`re` parity are
+    pinned in tests/test_pii.py.
+
+    Scale: per-row regexp built-ins in whole-stage codegen — map-only,
+    shuffle-free; counts are computed on the original text (audit
+    signal), the rewrite composes in a fixed documented order."""
+    from http_feeds_spark.functions import pii
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 ssn 123-45-6789 tel (555) 867-5309"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pii.add_pii_columns(seeded, "text")
+    residual = None
+    for c in pii.pii_counts("scrubbed").values():
+        residual = c if residual is None else residual + c
+    return out.select(
+        "doc_id",
+        "n_pii_email",
+        "n_pii_ip",
+        "n_pii_ssn",
+        "n_pii_phone",
+        "n_pii",
+        residual.alias("residual_pii"),
+        (F.col("doc_id") % 7 == 0).alias("planted"),
     )
 
 

@@ -247,3 +247,42 @@ def test_ann_ivf_assignment_map_only(spark, sf_dir):
     p = plans.executed_plan(q(spark, "q_llm_ann_ivf", sf_dir))
     assert plans.shuffle_count(q(spark, "q_llm_ann_ivf", sf_dir)) == 0, p
     assert "row_number" not in p  # the old windowed-argmin shape
+
+def test_repetition_and_pii_are_shuffle_free(spark, sf_dir):
+    """Both per-row filter families claim "map-only, scan-parallel" in
+    SCALING.md — their plans must carry ZERO exchanges of any kind."""
+    from http_feeds_spark.plans import inspect as pi
+
+    for name in ("q_llm_repetition", "q_llm_pii"):
+        root = pi.physical_root(q(spark, name, sf_dir))
+        names = pi.subtree_names(root)
+        # the planted-docs union is a local union of a parallelized list —
+        # still no Exchange anywhere
+        assert not any(n.startswith("Exchange") for n in names), (name, names)
+
+
+def test_semantic_pairs_equi_join_on_cluster(spark, sf_dir):
+    """SemDeDup's candidate stage must plan as an EQUI-join keyed on the
+    cluster id — never a cartesian/nested-loop (the shape a raw cosine
+    predicate over all pairs would produce): this join shape IS the
+    O(N²/k) cost model."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.operators import semdedup as sd
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = km.kmeans_centroids(emb, k=8, iters=1)
+    pairs = sd.semantic_pairs(emb, cents, threshold=0.9)
+    root = pi.physical_root(pairs)
+    names = pi.subtree_names(root)
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
+    joins = pi.find_nodes(
+        root, lambda n: n.endswith("HashJoin") or n == "SortMergeJoin"
+    )
+    assert joins, names
+    assert any("cluster#" in pi.node_line(j) for j in joins), [
+        pi.node_line(j) for j in joins
+    ]
