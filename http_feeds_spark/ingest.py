@@ -172,6 +172,83 @@ def run_dedup_index(
     return {"index_root": index_root, "indexed_docs": n}
 
 
+def run_ann_index(
+    spark: SparkSession,
+    url: str,
+    index_root: str,
+    *,
+    checkpoint: str | None = None,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → persisted ANN index: the vector twin of
+    :func:`run_dedup_index`. The HTTP feed connector reads CloudEvents;
+    each micro-batch's ``data`` payloads are projected to
+    (vec_id, embedding) vectors and folded into the persistent IVF index
+    (operators/ann_index.py) via ``foreachBatch`` — "the corpus becomes
+    searchable as it arrives from the feed".
+
+    Bootstrap-then-upsert: the first non-empty batch against an ABSENT
+    index trains the coarse quantizer from itself (build_index — the
+    deterministic Lloyd rounds); every later batch is a frozen-quantizer
+    ``upsert_vectors`` append. Centroid drift vs the growing corpus is
+    the documented upsert trade (recall degrades gracefully, correctness
+    never — see ann_index.upsert_vectors); periodic ``build_index`` over
+    the landed corpus is the caller's rebuild policy.
+
+    Crash/redelivery story, same shape as run_dedup_index: the feed
+    cursor lives in the streaming checkpoint; a restart replays
+    at-least-once (README.md:113) and upsert's per-id anti-join guard
+    absorbs every redelivery. The build-vs-upsert branch is re-decided
+    per batch from index PRESENCE, so a redelivered bootstrap batch
+    lands on the upsert path and no-ops. Events whose payload lacks the
+    vector fields (tombstones, other event types) are skipped. Returns
+    {"index_root", "indexed_vectors"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.stores import parquet_exists
+
+    http_feed.register(spark)
+    root = index_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        vecs = batch_df.select(
+            F.get_json_object("data", f"$.{id_field}").cast("long").alias("vec_id"),
+            F.from_json(
+                F.get_json_object("data", f"$.{vec_field}"), "array<float>"
+            ).alias("embedding"),
+        ).where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        if vecs.limit(1).count() == 0:
+            return  # vector-free batch: never bootstrap an empty quantizer
+        if not ai.ensure_index(spark, vecs, index_root, k=k, iters=iters):
+            ai.upsert_vectors(spark, vecs, index_root)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"ann-index catch-up did not drain the feed within {await_s}s"
+        )
+    corpus = f"{root}/{ai.CORPUS_DIR}"
+    n = spark.read.parquet(corpus).count() if parquet_exists(spark, corpus) else 0
+    return {"index_root": index_root, "indexed_vectors": n}
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

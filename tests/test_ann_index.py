@@ -141,6 +141,73 @@ def test_upsert_runs_zero_training(spark, sf_dir, tmp_path, monkeypatch):
     assert ai.upsert_vectors(spark, emb.filter(F.col("vec_id") >= 400), root) > 0
 
 
+def test_feed_grows_ann_index_e2e(spark, tmp_path):
+    """Feed → ANN composition (ingest.run_ann_index): a live HTTP feed
+    whose CloudEvents payloads are vectors grows the persisted IVF index
+    — bootstrap build on the first batch, frozen-quantizer upserts after.
+    Covers: catch-up → producer appends → RESTART on the same checkpoint
+    → full-probe search over the stream-grown index ≡ full-probe search
+    over a freshly batch-built index of the same corpus (full probe is
+    exact, so quantizer drift cannot hide a lost/duplicated vector);
+    payload-free tombstones are skipped; a third run is a no-op."""
+    import math
+
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    dim = 8
+
+    def vec(i):
+        return [round(math.sin(i * 0.7 + d) + 0.001 * i, 6) for d in range(dim)]
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        phase1, phase2 = list(range(12)), list(range(12, 20))
+        for i in phase1:
+            state.append(
+                "org.example.vector", str(i), {"vec_id": i, "embedding": vec(i)}
+            )
+        # a tombstone with no payload must be skipped, not crash the fold
+        state.append("org.example.vector", "0", None, method="DELETE")
+        root = str(tmp_path / "feed_ann")
+
+        s1 = ingest.run_ann_index(spark, url, root, k=4, iters=1)
+        assert s1["indexed_vectors"] == len(phase1)
+
+        for i in phase2:
+            state.append(
+                "org.example.vector", str(i), {"vec_id": i, "embedding": vec(i)}
+            )
+        # restart: same checkpoint resumes the cursor; only new events fold
+        s2 = ingest.run_ann_index(spark, url, root, k=4, iters=1)
+        assert s2["indexed_vectors"] == len(phase1) + len(phase2)
+        # nothing new: a third run must change nothing
+        s3 = ingest.run_ann_index(spark, url, root, k=4, iters=1)
+        assert s3["indexed_vectors"] == s2["indexed_vectors"]
+
+        corpus = spark.createDataFrame(
+            [(i, vec(i)) for i in phase1 + phase2],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(3, vec(3)), (15, vec(15))], "query_id long, embedding array<float>"
+        )
+        batch_root = str(tmp_path / "batch_ann")
+        ai.build_index(spark, corpus, batch_root, k=4, iters=1)
+
+        def rows(r):
+            return {
+                (x.query_id, x.vec_id, round(x.cosine_sim, 9), x.rank)
+                for x in ai.search(spark, queries, r, k=3, nprobe=4).collect()
+            }
+
+        got, want = rows(root), rows(batch_root)
+        assert got == want and len(got) == 6
+    finally:
+        srv.shutdown()
+
+
 def test_registered_query_matches_ann_batch(spark, sf_dir):
     """q_llm_ann_index must reproduce q_llm_ann_batch exactly (same
     deterministic model, same search semantics)."""
