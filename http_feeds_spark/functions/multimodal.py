@@ -94,6 +94,75 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(fake_image_features, schema=FEATURES_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def perceptual_hash(df: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
+    """64-bit difference-hash (dHash) per image payload — the standard
+    perceptual fingerprint for image near-dup (bit r·cols+c = pixel
+    brighter than its left neighbour on a (rows)×(cols+1) grayscale
+    grid; robust to re-encode/resize, unlike a byte hash).
+
+    The real path decodes with PIL, converts to grayscale, and resizes
+    to (cols+1)×rows; codecs are absent in this container, so the
+    stand-in samples the payload into the same byte grid
+    `resize_images` uses — identical schema, batching, and bit-packing
+    as the real operator, and the hash is still STABLE under the small
+    byte perturbations the tests plant. Map-only (Arrow-batched
+    mapInPandas); pairs come later from Hamming pigeonhole banding
+    (functions/minhash.simhash_candidates) — never an all-pairs scan."""
+    n = rows * (cols + 1)
+
+    def do_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) or b"\x00"
+                step = max(1, len(b) // n)
+                grid = np.array(
+                    [b[i * step % len(b)] for i in range(n)], dtype=np.int16
+                ).reshape(rows, cols + 1)
+                bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                # two's-complement into a signed 64-bit long
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return df.select("doc_id", "payload").mapInPandas(do_hash, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: (a, b, hamming) for
+    payload pairs whose dHashes differ in ≤ max_hamming bits.
+
+    Candidates via the SAME 4×16-bit pigeonhole block equi-join the text
+    SimHash path uses (pairs within Hamming 3·blocks guarantee; wider
+    radii trade recall, documented there) — the phash column is packed
+    into the (simhash, blk0..blk3) layout and handed to
+    functions/minhash.simhash_candidates unchanged. Ids + one long
+    through every exchange; no all-pairs join anywhere."""
+    from http_feeds_spark.functions import minhash as mh
+
+    sig = perceptual_hash(df).select(
+        "doc_id",
+        F.col("phash").alias("simhash"),
+        *[
+            F.shiftright(F.col("phash"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            .alias(f"blk{b}")
+            for b in range(4)
+        ],
+    )
+    return mh.simhash_candidates(sig, max_hamming=max_hamming)
+
+
 RESIZED_SCHEMA = "doc_id long, width int, height int, thumb binary"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
 AUDIO_SCHEMA = (

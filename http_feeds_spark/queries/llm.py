@@ -516,6 +516,62 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D6d: model-based quality scoring ----------------------------------------
+
+
+@register("q_llm_quality_model", oracle=None, group="D")
+def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6d — trained quality classifier (functions/classifier.py): the
+    fastText-style hashed-BoW logistic scorer the public pipelines run
+    after heuristic gates (FineWeb-Edu's classifier stage shape): train
+    in-engine (majorized Newton; one bucket-keyed aggregate +
+    model-sized collect per round), then score every doc map-only
+    against the broadcast weight literal.
+
+    The synthetic corpus deliberately shares ONE vocabulary across all
+    metadata (see q_llm_langid), so — like every planted fixture in this
+    file — the supervision is planted: doc_id % 3 == 0 docs get a spammy
+    suffix and label 0, the rest label 1; the classifier must LEARN the
+    spam tokens from the labels (nothing tells it the rule) and recover
+    them at high accuracy. Convergence (loss strictly decreases),
+    accuracy, scoring-plan shape (zero exchanges), and determinism are
+    pinned in tests/test_classifier.py. Rows-only check (model weights
+    are engine-specific float paths)."""
+    from http_feeds_spark.functions import classifier as clf
+
+    nb = 1024
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    "text", F.lit(" click here buy now free offer limited deal")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.col("doc_id") % 3 != 0).cast("int").alias("label"),
+        )
+        .select("doc_id", "label", tx.words(F.lower("text")).alias("tokens"))
+        .filter(F.size("tokens") > 0)
+    )
+    # lr=1.8: the R=2 majorizer is worst-case-coupling conservative;
+    # measured on this corpus the overstep stays monotone and halves the
+    # rounds to convergence (acc 0.998 @ 16 iters vs 0.848 @ lr=1.0)
+    weights, bias = clf.train_logistic(
+        d, "tokens", "label", n_buckets=nb, iters=16, lr=1.8, l2=1e-5
+    )
+    s = clf.score(F.col("tokens"), weights, bias, nb)
+    return d.select(
+        "doc_id",
+        "label",
+        F.round(s, 6).alias("quality_score"),
+        (s >= 0.5).cast("int").alias("pred"),
+    )
+
+
 # --- D6b: repetition filters (Gopher) ----------------------------------------
 
 
@@ -1184,6 +1240,38 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(d).select(
         "doc_id", "n_samples", F.round("rms", 9).alias("rms"), "n_clipped"
     )
+
+
+@register("q_mm_phash_dedup", oracle=None, group="D")
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4f — image near-dup by perceptual hash (dHash): 64-bit
+    difference-hash per payload (mapInPandas stand-in for the PIL
+    grayscale-resize path), then Hamming pigeonhole banding — the SAME
+    block equi-join machinery as text SimHash, reused byte-for-byte
+    (functions/multimodal.phash_near_dup).
+
+    The corpus payloads are word-soup with no natural visual twins, so 5
+    clones are planted (doc_id + PLANT_BASE, a few same-width character
+    swaps — the re-encode-noise analogue) and each must pair with its
+    source within the Hamming radius; pinned plus a Python dHash parity
+    check in tests/test_multimodal_dedup.py. Rows-only (hash-seeded
+    values per SURVEY §2's rows-only rationale)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + PLANT_BASE).alias("doc_id"),
+        # same-length perturbation: overwrite 3 contiguous chars, so the
+        # sampling step is unchanged and only adjacent grid cells move —
+        # the re-encode-noise analogue for the byte-grid stand-in
+        F.overlay("text", F.lit("zzz"), 10).alias("text"),
+    )
+    d = mm.with_binary_payload(base.unionByName(clones))
+    pairs = mm.phash_near_dup(d, max_hamming=10)
+    return pairs.select(
+        "a",
+        "b",
+        "hamming",
+        ((F.col("a") >= PLANT_BASE) | (F.col("b") >= PLANT_BASE)).alias("planted"),
+    ).orderBy("a", "b")
 
 
 @register("q_mm_features", oracle=None, group="D")
