@@ -1,0 +1,178 @@
+"""Persisted IVF+PQ index — the compressed search tier (IVFADC shape of
+Jégou et al., TPAMI 2011, §V; store layout follows operators/ann_index.py).
+
+operators/ann_index.py keeps RAW vectors partitioned by coarse cluster:
+search reads ~nprobe/nlist of the corpus VECTOR bytes. This index stores
+PQ CODES instead — the same partition-pruned layout, but each pruned
+partition is ~m bytes/row rather than 4·D bytes/row, so a probe reads
+(nprobe/nlist)·(m/4D) of the raw-vector footprint (~1000× less at
+D=768, m=8, nprobe/nlist=1/4). That is the tier that makes interactive
+similarity search possible when the embedding column alone is tens of TB.
+
+Stores under one index root (any Hadoop filesystem):
+
+    codes/       (id, codes) partitioned by cluster=N/   — m bytes/row
+    codebooks/   (sub, cid, cvec)                        — m×ksub rows
+    centroids/   (cid, cvec)                             — nlist rows
+
+Crash story (ann_index.py convention): codes/ writes first, codebooks/
+next, centroids/ LAST — presence of centroids/ is the index-present
+check, so a torn build reads as absent and the deterministic rebuild
+overwrites all three stores idempotently.
+
+Accuracy contract: ADC returns ESTIMATED distances (quantization error
+biases them up); ranking quality degrades gracefully with m·log2(ksub)
+bits/vector. Codebooks here quantize raw subvectors, not per-cluster
+residuals — the paper's residual refinement sharpens recall at the cost
+of coupling codebooks to the coarse quantizer; with the flat variant the
+same codebooks serve any cluster layout, and upserts never retrain. Use
+the raw-vector index when exact distances are required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.functions import pq
+from http_feeds_spark.stores import parquet_exists
+
+CODES_DIR = "codes"
+CODEBOOKS_DIR = "codebooks"
+CENTROIDS_DIR = "centroids"
+
+
+def _paths(index_root: str) -> tuple[str, str, str]:
+    root = index_root.rstrip("/")
+    return (
+        f"{root}/{CODES_DIR}",
+        f"{root}/{CODEBOOKS_DIR}",
+        f"{root}/{CENTROIDS_DIR}",
+    )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_root: str,
+    *,
+    nlist: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train coarse quantizer + m sub-codebooks, encode the corpus, and
+    persist all three stores. Every pass is linear and map-only after
+    its (model-sized) training collects; the corpus is read twice
+    (train, encode+assign) and written once as codes."""
+    codes_path, books_path, cent_path = _paths(index_root)
+    cents = km.kmeans_centroids(emb, id_col, vec_col, k=nlist, iters=iters)
+    books = pq.train_codebooks(
+        emb, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters
+    )
+    # one projection: coarse assignment + PQ encoding, map-only
+    (
+        km.assign_clusters(emb, cents, vec_col)
+        .select(
+            F.col(id_col),
+            pq.encode_col(books, vec_col).alias("codes"),
+            "cluster",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(codes_path)
+    )
+    spark.createDataFrame(
+        [
+            (s, int(cid), [float(x) for x in vec])
+            for s, book in enumerate(books)
+            for cid, vec in book
+        ],
+        "sub int, cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(books_path)
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+
+
+def ensure_pq_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
+    """Build iff absent (presence = centroids/, the last-written store)."""
+    _, _, cent_path = _paths(index_root)
+    if parquet_exists(spark, cent_path):
+        return False
+    build_pq_index(spark, emb, index_root, **kw)
+    return True
+
+
+def load_model(
+    spark: SparkSession, index_root: str
+) -> tuple[list[tuple[int, list[float]]], pq.Codebooks]:
+    """(coarse centroids, codebooks) — model-sized collects only."""
+    _, books_path, cent_path = _paths(index_root)
+    if not parquet_exists(spark, cent_path):
+        raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
+    cents = sorted(
+        (int(r.cid), [float(x) for x in r.cvec])
+        for r in spark.read.parquet(cent_path).collect()
+    )
+    rows = spark.read.parquet(books_path).collect()
+    n_sub = 1 + max(r.sub for r in rows)
+    books: pq.Codebooks = [[] for _ in range(n_sub)]
+    for r in rows:
+        books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
+    return cents, [sorted(b) for b in books]
+
+
+def search(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """SEARCH-ONLY IVF+PQ: no training jobs in this path.
+
+    Plan shape: the query table gains (probe clusters, ADC table) in
+    ONE map-only projection against broadcast literals; the candidate
+    join is codes ⋈ probes ON cluster (broadcast — codes never
+    shuffle); the pruned cluster set is pushed as a partition filter so
+    only probed cluster=N/ CODE directories are read off disk; scoring
+    is the two-HOF ADC sum; per-query top-k carries ids + one double.
+    Returns (qid, id, adc_d2, rank), nearest first."""
+    cents, books = load_model(spark, index_root)
+    codes_path, _, _ = _paths(index_root)
+    probes = km.probe_clusters(
+        queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")).withColumn(
+            "__dt", pq.adc_table_col(books, "__qv")
+        ),
+        cents,
+        nprobe,
+        "__qv",
+    ).select(qid_col, "__dt", "cluster")
+    codes = spark.read.parquet(codes_path)
+    if broadcast_queries:
+        probed = [
+            r.cluster for r in probes.select("cluster").distinct().collect()
+        ]  # ≤ nlist ints of model-sized metadata — pushed as partition filter
+        codes = codes.where(F.col("cluster").isin(probed))
+        probes = F.broadcast(probes)
+    scored = codes.join(probes, "cluster")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(qid_col))
+    scored = scored.select(
+        qid_col, id_col, pq.adc_dist_col("codes", "__dt").alias("adc_d2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -352,6 +352,35 @@ def q_llm_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+@register("q_llm_ann_pq", oracle=None, group="D")
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3c — IVF+PQ compressed ANN against a persisted code index
+    (operators/pq_index.py; Jégou et al. TPAMI 2011 IVFADC shape). The
+    corpus rides as m=8 one-byte codes per vector instead of 64 floats
+    (~32× fewer candidate-scan bytes — the tier that keeps similarity
+    search interactive when the embedding column alone is tens of TB);
+    search is a partition-pruned CODE scan + broadcast probe join + the
+    two-HOF ADC sum, zero training jobs (pinned in tests/test_pq.py,
+    with ADC exactness and planted-neighbor recall). Rows-only check:
+    ADC distances are estimates by design — no SQL oracle reproduces
+    the quantizer."""
+    import os
+
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _emb(spark, sf_dir)
+    root_tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/pq_index/{root_tag}"
+    pqi.ensure_pq_index(spark, emb, root, nlist=16, m=8, ksub=32, iters=2)
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pqi.search(
+        spark, queries, root, k=10, nprobe=4, exclude_self=True
+    ).select("query_id", "vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rank")
+
+
 # --- D2c: embedding near-dup via sign-band LSH -------------------------------
 
 # vec_ids at or above this base are synthetic clones planted by

@@ -1,0 +1,206 @@
+"""Product quantization (functions/pq.py, operators/pq_index.py):
+ADC exactness on reconstructable vectors, recall against exact search,
+the compression contract, and the search path's plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_feeds_spark import plans
+from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.functions import pq
+from http_feeds_spark.operators import pq_index as pqi
+
+
+def _emb(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _queries(emb, n=8):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _exact_topk(emb, queries, k):
+    """Brute-force squared-L2 top-k ground truth (driver-sized fixture)."""
+    corpus = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    out = {}
+    for q in queries.collect():
+        qv = list(q.embedding)
+        d = sorted(
+            (sum((float(a) - float(b)) ** 2 for a, b in zip(v, qv)), vid)
+            for vid, v in corpus.items()
+        )
+        out[q.query_id] = [vid for _, vid in d[:k]]
+    return out
+
+
+def test_codes_shape_and_type(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq.train_codebooks(emb, m=4, ksub=16, iters=1)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    codes = pq.encode(emb, books)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    row = codes.agg(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).collect()[0]
+    assert 0 <= row.lo and row.hi < 16 and row.m == 4
+
+
+def test_adc_is_exact_on_reconstructable_vectors(spark):
+    """When every subvector sits exactly on a codebook centroid the
+    quantization error is zero, so the ADC estimate must equal the true
+    squared L2 distance — the identity that pins the distance-table and
+    zip_with/aggregate wiring (a wrong index or a swapped subspace
+    breaks it)."""
+    base = [
+        [1.0, 2.0, 10.0, 20.0],
+        [3.0, 4.0, 30.0, 40.0],
+        [5.0, 6.0, 50.0, 60.0],
+        [7.0, 8.0, 70.0, 80.0],
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    books = pq.train_codebooks(emb, m=2, ksub=4, iters=3)
+    codes = pq.encode(emb, books)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = pq.search_adc(codes, q, books, k=4)
+    for r in got.collect():
+        qv, cv = base[r.query_id], base[r.vec_id]
+        true_d2 = sum((a - b) ** 2 for a, b in zip(qv, cv))
+        assert r.adc_d2 == pytest.approx(true_d2, abs=1e-9), (r, true_d2)
+
+
+def test_adc_recall_vs_exact(spark, sf_dir):
+    """The synthetic embeddings are near-random in 64 dims, where ANY
+    quantization error scrambles ranking (neighbors are near-
+    equidistant — the regime the PQ paper's §VI calls out), so this
+    pins two things separately:
+
+    - on the real table, ADC top-10 must still beat chance decisively
+      (random overlap expectation here is 10/500 = 2% per slot);
+    - on PLANTED structure (each query given 5 close clones, the regime
+      PQ exists for), ADC must recover the clones near-perfectly."""
+    emb = _emb(spark, sf_dir)
+    queries = _queries(emb, 8)
+    books = pq.train_codebooks(emb, m=8, ksub=32, iters=2)
+    codes = pq.encode(emb, books)
+    got = pq.search_adc(codes, queries, books, k=10)
+    truth = _exact_topk(emb, queries, 10)
+    hits = tot = 0
+    for qid, want in truth.items():
+        have = {r.vec_id for r in got.where(F.col("query_id") == qid).collect()}
+        hits += len(have & set(want))
+        tot += len(want)
+    assert hits / tot >= 0.25, f"recall@10 {hits}/{tot}"
+
+
+def test_adc_recall_on_planted_neighbors(spark, sf_dir):
+    """Plant 5 deterministic near-clones of each of 4 queries into the
+    corpus; ADC's top-5 must be dominated by the clones (true neighbor
+    gaps ≫ quantization error — the workload PQ is built for)."""
+    emb = _emb(spark, sf_dir)
+    base = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.collect()]
+    planted = []
+    for qi in range(4):
+        qv = base[qi][1]
+        for j in range(5):
+            # deterministic ±0.01-scale perturbation, no RNG
+            clone = [v + 0.01 * (((qi * 31 + j * 17 + d) % 7) - 3) / 3.0 for d, v in enumerate(qv)]
+            planted.append((10_000 + qi * 10 + j, clone))
+    corpus = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq.train_codebooks(corpus, m=8, ksub=32, iters=2)
+    codes = pq.encode(corpus, books)
+    got = pq.search_adc(codes, queries, books, k=6, exclude_self=True)
+    hits = tot = 0
+    for qi in range(4):
+        want = {10_000 + qi * 10 + j for j in range(5)}
+        have = {r.vec_id for r in got.where(F.col("query_id") == qi).collect()}
+        hits += len(have & want)
+        tot += 5
+    assert hits / tot >= 0.8, f"planted recall {hits}/{tot}"
+
+
+def test_pq_index_end_to_end_and_compression(spark, sf_dir, tmp_path):
+    """Build → search returns k per query; the codes store is an order
+    of magnitude smaller than the raw-vector store it replaces."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    out = pqi.search(spark, _queries(emb, 4), root, k=5, nprobe=3)
+    rows = out.collect()
+    assert len(rows) == 4 * 5
+    assert {r.rank for r in rows} == {1, 2, 3, 4, 5}
+
+    raw_root = str(tmp_path / "raw")
+    emb.write.parquet(raw_root)
+
+    def _bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    codes_b = _bytes(f"{root}/{pqi.CODES_DIR}")
+    raw_b = _bytes(raw_root)
+    assert codes_b * 5 < raw_b, (codes_b, raw_b)
+
+
+def test_pq_index_search_runs_zero_training(spark, sf_dir, tmp_path, monkeypatch):
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    assert pqi.ensure_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+
+    def boom(*a, **kw):
+        raise AssertionError("training job in the PQ search path")
+
+    monkeypatch.setattr(km, "kmeans_centroids", boom)
+    assert not pqi.ensure_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    assert pqi.search(spark, _queries(emb, 4), root, k=5, nprobe=2).count() > 0
+
+
+def test_pq_index_scan_is_pruned_and_broadcast(spark, sf_dir, tmp_path):
+    """IVF pruning must reach the CODES scan as a partition filter, the
+    probe join must broadcast the query side (codes never shuffle), and
+    the only hash exchange is the ranking window."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    df = pqi.search(spark, _queries(emb, 4), root, k=5, nprobe=2)
+    p = plans.executed_plan(df)
+    assert "PartitionFilters" in p, p
+    pf = p.split("PartitionFilters", 1)[1][:200]
+    assert "cluster" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    assert plans.is_broadcast_join(df), p
+    assert plans.shuffle_count(df) <= 1, p
+
+
+def test_torn_build_reads_as_absent(spark, sf_dir, tmp_path):
+    """codes/ + codebooks/ present but centroids/ missing = torn build:
+    loads raise, ensure rebuilds."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    shutil.rmtree(f"{root}/{pqi.CENTROIDS_DIR}")
+    with pytest.raises(FileNotFoundError):
+        pqi.load_model(spark, root)
+    assert pqi.ensure_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    assert pqi.search(spark, _queries(emb, 2), root, k=3, nprobe=2).count() > 0
