@@ -904,6 +904,23 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_substr_scrub", oracle=None, group="D")
+def q_llm_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2e — exact-substring span dedup (Lee et al. ACL 2022 ExactSubstr,
+    re-expressed as distributed stride-1 window hashing in
+    operators/substr_dedup.py): every >= 12-token span that repeats
+    verbatim ANYWHERE in the corpus — any offset, across or within
+    documents — is cut out; per-doc coverage stats ride alongside. The
+    sliding-window complement of q_llm_boilerplate's aligned frames.
+    Rows-only at the driver; full DuckDB value parity for the stats AND
+    the scrubbed text is pinned in tests/test_substr_dedup.py."""
+    from http_feeds_spark.operators import substr_dedup as sd
+
+    return sd.scrub_duplicated_spans(
+        _docs(spark, sf_dir), length=12, min_count=2
+    ).select("doc_id", "n_tokens", "dup_tokens", F.length("scrubbed_text").alias("n_chars_scrubbed"))
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
