@@ -157,3 +157,37 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     redelivered = ev.filter(F.col("event_id") % 50 == 0)
     return ev.unionAll(redelivered).dropDuplicates(["event_id"])
+
+
+# --- C8: stream-stream join (batch-replay twin) ------------------------------
+
+
+@register("q_stream_join", oracle=None, group="C")
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — two-feed correlation: click→purchase attribution (same user,
+    purchase within 1h after the click) via streaming/joins.py's
+    watermarked stream-stream join, run here on its batch-replay twin
+    (the watermark is a no-op on batch frames — same code path). The
+    live two-file-stream replay ≡ this batch answer is pinned in
+    tests/test_stream_join.py, along with the event-time band that
+    bounds state-store growth. Rows-only at the driver (stream-stream
+    join state semantics have no SQL twin within the slot budget)."""
+    from http_feeds_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "user_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts", "user_id", "value"
+    )
+    return stream_stream_join(
+        clicks, purchases, "user_id", watermark="90 days", upper="1 hour"
+    ).select(
+        "click_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_value").alias("purchase_value"),
+    )
