@@ -227,3 +227,44 @@ def principal_filter(feed: DataFrame, predicate) -> DataFrame:
     Plain row-level-security predicate; Catalyst pushes it into the scan.
     """
     return feed.filter(predicate)
+
+
+def history_scd2(
+    feed: DataFrame,
+    key: str = "subject",
+    order_col: str = "seq",
+    time_col: str = "time",
+) -> DataFrame:
+    """Temporal read model — the feed's full per-subject HISTORY as
+    SCD-type-2 validity intervals (Kimball's slowly-changing-dimension
+    type 2, the standard warehouse form of "state as of time T").
+
+    Where :func:`read_model` keeps only each subject's LATEST state
+    (README.md:168-179), replaying the log also yields every PRIOR
+    state and when it held: each event's state is valid from its own
+    ``time`` until the next event for the same subject (NULL = still
+    current). DELETE events close the preceding interval and open no
+    new one (the spec's tombstone, README.md:270-292, expressed
+    temporally), so an as-of-T snapshot of the output — rows where
+    valid_from <= T < coalesce(valid_to, infinity) and not deleted —
+    reproduces exactly the read model a consumer that stopped replaying
+    at T would hold; pinned against replay prefixes in
+    tests/test_group_a_oracle.py.
+
+    Columns added: ``valid_from``, ``valid_to``, ``is_current``.
+    Tombstone rows are DROPPED from the output (their effect lives on
+    as the closed predecessor interval).
+
+    Plan: ONE window (lead over the compaction key ordered by seq) —
+    the same single shuffle as compact(); no join, no second pass. At
+    100 TB this materializes wherever the read model does, and the
+    as-of filter is an ordinary pushdown predicate on the result.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    is_tomb = F.coalesce(F.col("method"), F.lit("PUT")) == F.lit("DELETE")
+    return (
+        feed.withColumn("valid_from", F.col(time_col))
+        .withColumn("valid_to", F.lead(time_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull() & ~is_tomb)
+        .filter(~is_tomb)
+    )

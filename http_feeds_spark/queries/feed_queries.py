@@ -335,3 +335,37 @@ def q_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A14 (CloudEvents parse/serialize) is merged into q_feed_scan above — the
 # two queries shared the identical oracle SQL, and the merge frees a driver
 # correctness slot for q_range_join (see queries/extended.py).
+
+
+# --- A7b: temporal (SCD-2) read model ----------------------------------------
+
+
+HISTORY_SCD2_ORACLE_SQL = f"""
+WITH h AS (
+  SELECT f.*,
+         time AS valid_from,
+         lead(time) OVER (PARTITION BY subject ORDER BY seq) AS valid_to
+  FROM ({EVENTS_AS_FEED_SQL}) f
+)
+SELECT seq, id, type, time, subject, valid_from, valid_to,
+       (valid_to IS NULL AND coalesce(method, 'PUT') <> 'DELETE') AS is_current
+FROM h
+WHERE coalesce(method, 'PUT') <> 'DELETE'
+"""
+
+
+@register("q_history_scd2", oracle=None, group="A")
+def q_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7b — temporal read model: the feed's full per-subject history as
+    SCD-type-2 validity intervals (operators/feed.history_scd2). Where
+    q_read_model keeps each subject's LATEST state (README.md:168-179),
+    this keeps EVERY state with [valid_from, valid_to) — an as-of-T
+    filter reproduces the read model a consumer that stopped replaying
+    at T would hold (pinned in tests/test_group_a_oracle.py, along with
+    full DuckDB value parity). One window, the same single shuffle as
+    compaction. Rows-only at the driver (slot budget); the pytest oracle
+    is HISTORY_SCD2_ORACLE_SQL."""
+    h = ops.history_scd2(_feed(spark, sf_dir))
+    return h.select(
+        "seq", "id", "type", "time", "subject", "valid_from", "valid_to", "is_current"
+    )
