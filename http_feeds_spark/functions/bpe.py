@@ -1,0 +1,204 @@
+"""Distributed BPE tokenizer training — learn the merge table in-engine
+(Sennrich, Haddow & Birch, "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016 — the byte-pair-encoding subword
+algorithm used by most LLM tokenizers).
+
+Training a tokenizer is part of preparing a training corpus, and at
+100 TB the pair-counting pass is exactly the kind of job an analytics
+engine should own: the classical implementation folds the corpus into
+an in-memory word-frequency dict first — here that dict IS a DataFrame,
+so the corpus never has to fit anywhere.
+
+Spark shape:
+
+- **One corpus pass total.** Words + frequencies are ONE aggregate
+  (the shuffle carries (word, partial count), map-side combined); every
+  merge round after that works on the word-frequency table, which is
+  vocabulary-sized (Heaps' law: ~10^6-10^7 rows for a web corpus),
+  not corpus-sized.
+- **Each merge round = one aggregate + one map.** Pair counts explode
+  each word's symbol array to adjacent pairs weighted by word
+  frequency (map-side combined groupBy; the argmax row is the ONLY
+  thing collected — model-sized). Applying the winning merge rewrites
+  each symbol array with a single JVM ``aggregate`` fold — no Python,
+  no shuffle.
+- **Lineage is cut every few rounds** (localCheckpoint): N merge
+  rounds would otherwise stack N map transforms on one plan, and
+  analysis time grows superlinearly with plan depth.
+- **Deterministic**: ties on pair count break lexicographically, so
+  reruns and different partition layouts learn the identical merge
+  table (pinned against a pure-Python reference implementation).
+
+Encoding with a learned table is sequential per word by construction
+(each merge must see the previous one's output), so the encoder is an
+Arrow-batched pandas UDF over mapInPandas — Python, but map-only,
+batch-vectorized over words, and embarrassingly parallel. The
+word-level memoization inside each batch makes the common case (Zipf:
+few distinct words dominate) dict-lookup cheap.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"  # Sennrich's end-of-word marker
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the ONE corpus-sized pass. Whitespace tokens;
+    plug a normalizer upstream if the corpus needs one."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _to_symbols(word_col) -> "F.Column":
+    """word → initial symbol sequence: its characters + the end marker."""
+    w = F.col(word_col) if isinstance(word_col, str) else word_col
+    return F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
+
+
+def _merge_expr(a: str, b: str):
+    """One JVM fold rewriting a symbol array with (a,b) → a||b.
+
+    Left-to-right, non-overlapping — the reference semantics: after
+    'aa'+'aa' merges in 'aaaa', a third 'a' does NOT re-merge with the
+    result's tail. The fold carries (out array, pending flag) where
+    pending means "last element is a fresh `a` awaiting its `b`"."""
+    al, bl, ab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        F.col("symbols"),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("pending"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["pending"] & (x == bl),
+                F.concat(F.slice(acc["out"], 1, F.size(acc["out"]) - 1), F.array(ab)),
+            )
+            .otherwise(F.concat(acc["out"], F.array(x)))
+            .alias("out"),
+            # a fresh `a` opens a pending merge UNLESS it was just consumed
+            # as the `b` of one (x==b & pending consumed it)
+            (F.when(acc["pending"] & (x == bl), F.lit(False)).otherwise(x == al)).alias(
+                "pending"
+            ),
+        ),
+        lambda acc: acc["out"],
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn the merge table: [(a, b), ...] in merge order.
+
+    Stops early when no pair reaches ``min_pair_freq``. The returned
+    table is the model (driver-sized: n_merges rows); word state stays
+    distributed throughout."""
+    wf = word_freqs(docs, text_col).select(
+        _to_symbols("word").alias("symbols"), "freq"
+    )
+    wf = wf.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            wf.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            # deterministic argmax: count desc, then lexicographic pair
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )  # ONE model-sized row
+        if not pairs or pairs[0]["n"] < min_pair_freq:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        wf = wf.select(_merge_expr(a, b).alias("symbols"), "freq")
+        if (i + 1) % checkpoint_every == 0:
+            wf = wf.localCheckpoint()  # cut the stacked-transform lineage
+    return merges
+
+
+def vocab_from_merges(merges: list[tuple[str, str]]) -> list[str]:
+    """The subword vocabulary the merge table induces (merge outputs in
+    learn order; base characters are implicit)."""
+    return [a + b for a, b in merges]
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference greedy BPE encode: repeatedly apply the lowest-rank
+    applicable merge (the classical algorithm, driver/worker-local)."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — Arrow-batched mapInPandas;
+    per-batch word memoization exploits Zipf (few distinct words
+    dominate). Map-only: encoding shuffles nothing."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = f"{id_col} long, tokens array<string>, n_tokens int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def enc_text(text: str) -> list[str]:
+            out: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc_text)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": toks.map(len).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

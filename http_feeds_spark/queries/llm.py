@@ -921,6 +921,33 @@ def q_llm_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "dup_tokens", F.length("scrubbed_text").alias("n_chars_scrubbed"))
 
 
+@register("q_llm_bpe", oracle=None, group="D")
+def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D34 — in-engine BPE tokenizer training (Sennrich et al. ACL 2016
+    via functions/bpe.py): ONE corpus pass builds the word-frequency
+    table, then each merge round is one map-side-combined pair-count
+    aggregate + one JVM fold rewrite — the corpus never sits in driver
+    memory, unlike the classical implementation. Returns the learned
+    merge table (rank, a, b, token) plus the corpus token count under
+    it. Deterministic (lexicographic tie-break) — exact merge-sequence
+    parity with a pure-Python reference implementation is pinned in
+    tests/test_bpe.py. Rows-only (iterative training has no SQL twin)."""
+    from http_feeds_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(docs, n_merges=24)
+    total = (
+        bpe.encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (i, a, b, a + b, int(total))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "rank int, a string, b string, token string, corpus_tokens long",
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 

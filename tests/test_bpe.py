@@ -1,0 +1,117 @@
+"""Distributed BPE training (functions/bpe.py): exact merge-table
+parity with a pure-Python reference implementation of Sennrich et al.'s
+algorithm on the real corpus, determinism, and the encode round-trip."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import bpe
+
+
+def _docs(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+# --- pure-Python reference (Sennrich ACL 2016, same tie-break) ---------------
+
+
+def _ref_word_freqs(sf_dir) -> dict[str, int]:
+    rows = duckdb.connect().execute(
+        f"""SELECT w, count(*) FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM '{sf_dir}/documents.parquet') WHERE w <> '' GROUP BY w"""
+    ).fetchall()
+    return dict(rows)
+
+
+def _ref_apply(syms: tuple, a: str, b: str) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_train(wf: dict[str, int], n_merges: int, min_pair_freq: int = 2):
+    vocab = {tuple(list(w) + [bpe.END_OF_WORD]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < min_pair_freq:
+            break
+        merges.append((a, b))
+        vocab = {_ref_apply(s, a, b): f for s, f in vocab.items()}
+    return merges
+
+
+def test_merge_table_matches_reference(spark, sf_dir):
+    """The distributed trainer must learn the IDENTICAL merge sequence
+    the reference single-process algorithm learns on the same corpus —
+    order included (a tie-break or fold-semantics bug breaks this)."""
+    got = bpe.train_bpe(_docs(spark, sf_dir), n_merges=16)
+    want = _ref_train(_ref_word_freqs(sf_dir), 16)
+    assert got == want and len(got) == 16, (got, want)
+
+
+def test_training_is_deterministic_across_layouts(spark, sf_dir):
+    """Same corpus, different partitioning → same merge table."""
+    docs = _docs(spark, sf_dir)
+    m1 = bpe.train_bpe(docs.repartition(13), n_merges=8)
+    m2 = bpe.train_bpe(docs.coalesce(1), n_merges=8)
+    assert m1 == m2 and len(m1) == 8
+
+
+def test_encode_round_trips_and_respects_merges(spark, sf_dir):
+    """Tokens re-concatenate to the original text (with end-of-word
+    markers mapping back to spaces), and every emitted token is either
+    a base character or a learned vocab entry."""
+    docs = _docs(spark, sf_dir).limit(50)
+    merges = bpe.train_bpe(_docs(spark, sf_dir), n_merges=16)
+    out = bpe.encode(docs, merges)
+    joined = out.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat_ws("", "tokens"), bpe.END_OF_WORD, " "
+        ).alias("rejoined"),
+    )
+    orig = docs.select("doc_id", F.concat(F.col("text"), F.lit(" ")).alias("want"))
+    diff = (
+        joined.join(orig, "doc_id")
+        .where(F.col("rejoined") != F.col("want"))
+        .count()
+    )
+    assert diff == 0
+
+    vocab = set(bpe.vocab_from_merges(merges))
+    toks = {
+        r.t
+        for r in out.select(F.explode("tokens").alias("t")).distinct().collect()
+    }
+    for t in toks:
+        assert (
+            t in vocab or len(t) == 1 or t == bpe.END_OF_WORD or
+            # single char + end marker merged
+            (t.endswith(bpe.END_OF_WORD) and t in vocab)
+        ), t
+
+
+def test_early_stop_below_min_pair_freq(spark):
+    """A corpus whose pairs all occur once stops before n_merges."""
+    docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    merges = bpe.train_bpe(docs, n_merges=10, min_pair_freq=2)
+    assert merges == []
