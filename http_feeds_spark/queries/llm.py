@@ -948,6 +948,19 @@ def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_datacard", oracle=None, group="D")
+def q_llm_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D35 — corpus data card (operators/datacard.py): the published
+    corpus-report composition table (Gebru et al. datasheets practice)
+    as ONE rollup aggregation pass — (source, lang) cells, per-source
+    margins, grand total, token quantiles via the mergeable GK sketch.
+    Rows-only at the driver (slot budget); full DuckDB value parity is
+    pinned in tests/test_datacard.py."""
+    from http_feeds_spark.operators import datacard as dc
+
+    return dc.data_card(_docs(spark, sf_dir))
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
