@@ -266,3 +266,42 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
         F.last(purchase_id, ignorenulls=True).over(w).alias("last_purchase_event"),
     )
+
+
+# --- storage layout: Z-order data skipping -----------------------------------
+
+
+@register("q_zorder_layout", oracle=None, group="B")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout operator (operators/layout.py): lay the events
+    table out along the Morton curve of (user_id, event_id) — built
+    once under the session warehouse dir — and report the per-file
+    min/max skipping rectangles as overlap counts for a narrow
+    predicate on EACH curve dimension. The numbers ARE the data-skipping
+    property (a stats-based reader prunes the non-overlapping files);
+    the locality contrast vs a time-sorted control layout and read-back
+    exactness are pinned in tests/test_layout.py. Rows-only (file
+    rectangles are engine/layout-specific by nature)."""
+    import os
+
+    from http_feeds_spark.operators import layout as ly
+    from http_feeds_spark.stores import parquet_exists
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    zpath = f"{wh}/zorder/{os.path.basename(sf_dir.rstrip('/'))}"
+    if not parquet_exists(spark, zpath):
+        ly.write_zordered(ev, zpath, ["user_id", "event_id"], n_files=16, bits=6)
+    stats = ly.file_stats(spark, zpath, ["user_id", "event_id"]).collect()
+    max_e = ev.agg(F.max("event_id")).collect()[0][0]
+    n = len(stats)
+    u_hit = sum(1 for r in stats if r.max_user_id >= 10 and r.min_user_id <= 40)
+    e_hit = sum(
+        1 for r in stats if r.max_event_id >= 0 and r.min_event_id <= max_e // 8
+    )
+    return spark.createDataFrame(
+        [(n, u_hit, e_hit)],
+        "n_files int, files_overlapping_user_slice int, files_overlapping_event_slice int",
+    )
