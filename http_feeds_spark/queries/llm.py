@@ -961,6 +961,26 @@ def q_llm_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.data_card(_docs(spark, sf_dir))
 
 
+@register("q_llm_pca", oracle=None, group="D")
+def q_llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D36 — in-engine PCA for embeddings (functions/pca.py): second
+    moments from ONE Arrow-batched corpus pass (per-batch numpy Gram
+    partials, #batches × d² doubles collected — model-sized at any
+    corpus size), eigendecomposition driver-side on the d×d model,
+    projection map-only against parsed component literals. Returns the
+    16-dim reduction. numpy parity, whitening covariance ≈ I, layout
+    independence and a zero-exchange projection plan are pinned in
+    tests/test_pca.py. Rows-only (eigenbasis has no SQL twin)."""
+    from http_feeds_spark.functions import pca
+
+    emb = _emb(spark, sf_dir)
+    mean, comps, scales = pca.fit(emb, k=16)
+    out = pca.transform(emb, mean, comps, scales)
+    return out.select(
+        "vec_id", F.transform("pca", lambda x: F.round(x, 6)).alias("pca16")
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
