@@ -226,3 +226,38 @@ def pack_into_bins(
         )
         .drop("__pk", "__pbkt", "__pbase")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, membership
+    deterministic and stable across runs/layouts — the per-group
+    counterpart of deterministic_sample (which is per-ROW Bernoulli:
+    right at corpus scale, wrong when a quota per stratum is the
+    contract, e.g. "1000 eval docs per language").
+
+    Selection = the k lowest xxhash64(id, seed) per group: one
+    hash-ranked window (single shuffle on the group key) — the standard
+    distributed equivalent of per-stratum reservoir sampling, with the
+    hash as the reproducible "random" tape. A different seed draws a
+    different but reproducible sample; growing a group only swaps
+    members whose hash displaces an incumbent (bounded churn, like
+    consistent hashing). Skew caveat: one giant stratum funnels its
+    whole group through one task's window sort — at that shape,
+    pre-filter with deterministic_sample to ~4k/|group| first (noted in
+    SCALING.md)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

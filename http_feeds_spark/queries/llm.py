@@ -981,6 +981,43 @@ def q_llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_drift", oracle=None, group="D")
+def q_llm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D37 — corpus drift gate (operators/drift.py): JS divergence over
+    the unigram distribution + PSI over token counts, comparing the
+    even-id half of the corpus (the "yesterday" snapshot) against the
+    full corpus with a planted 10%-truncation regression — the shape an
+    ingest-time drift gate sees. Vocabulary-sized joins, baseline-
+    defined PSI buckets, no document ever leaves the executors. Exact
+    numpy-reference parity and planted-shift sensitivity are pinned in
+    tests/test_drift.py. Rows-only (driver rows carry the two scalars)."""
+    from http_feeds_spark.operators import drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array_join(F.slice(F.split("text", " "), 1, 12), " "),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep = drift.drift_report(a, b)
+    return spark.createDataFrame(
+        [
+            (
+                rep["n_docs_a"],
+                rep["n_docs_b"],
+                round(rep["js_words"], 6),
+                round(rep["psi_tokens"], 6),
+            )
+        ],
+        "n_docs_a long, n_docs_b long, js_words double, psi_tokens double",
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 

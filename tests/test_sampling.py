@@ -284,3 +284,35 @@ def test_pack_rejects_non_numeric_order_col(spark, sf_dir):
     )
     with pytest.raises(TypeError, match="NUMERIC order key"):
         smp.pack_into_bins(docs, "n", 500, order_col="lang")
+
+
+def test_stratified_sample_exact(spark, sf_dir):
+    """Exactly min(k, group size) per group; deterministic across
+    layouts; different seeds draw different members; membership is a
+    subset of the stratum."""
+    from http_feeds_spark.functions import sampling as sa
+    from http_feeds_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r.source: r.c for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    k = 7
+    got = sa.stratified_sample_exact(docs, "source", k, "doc_id")
+    per = {r.source: r.c for r in got.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert per == {s: min(k, n) for s, n in sizes.items()}
+
+    ids1 = {tuple(r) for r in got.select("source", "doc_id").collect()}
+    ids2 = {
+        tuple(r)
+        for r in sa.stratified_sample_exact(docs.repartition(13), "source", k, "doc_id")
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    ids_seed1 = {
+        tuple(r)
+        for r in sa.stratified_sample_exact(docs, "source", k, "doc_id", seed=1)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert ids_seed1 != ids1
