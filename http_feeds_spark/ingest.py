@@ -249,6 +249,63 @@ def run_ann_index(
     return {"index_root": index_root, "indexed_vectors": n}
 
 
+
+def run_monitor(
+    spark: SparkSession,
+    url: str,
+    monitor_root: str,
+    *,
+    checkpoint: str | None = None,
+    doc_id_field: str = "doc_id",
+    text_field: str = "text",
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → continuous corpus monitoring (streaming/monitor.py): each
+    micro-batch's document payloads are summarized into the mergeable
+    stats/word-count stores, keyed by the foreachBatch batch id —
+    at-least-once replay rewrites the same batch directories with the
+    same deterministic content (exactly-once store effect, the
+    run_dedup_index convention). Drift between any two batch ranges is
+    then answerable from the store alone (monitor.js_between), no
+    document re-reads. Returns {"monitor_root", "batches", "n_docs"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.streaming import monitor as mon
+
+    http_feed.register(spark)
+    root = monitor_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.get_json_object("data", f"$.{doc_id_field}")
+            .cast("long")
+            .alias("doc_id"),
+            F.get_json_object("data", f"$.{text_field}").alias("text"),
+        ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        mon.fold_batch(spark, docs, monitor_root, batch_id)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(f"monitor catch-up did not drain the feed within {await_s}s")
+    stats = mon.read_stats(spark, monitor_root)
+    agg = stats.agg(
+        F.count("*").alias("b"), F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d")
+    ).collect()[0]
+    return {"monitor_root": monitor_root, "batches": int(agg.b), "n_docs": int(agg.d)}
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

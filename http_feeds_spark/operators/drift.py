@@ -45,14 +45,12 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def js_divergence_words(
-    a: DataFrame, b: DataFrame, text_col: str = "text"
-) -> float:
-    """Jensen-Shannon divergence (natural log, so ∈ [0, ln 2]) between
-    the two snapshots' unigram distributions. Absent words contribute
-    their 0·ln0 = 0 term exactly (coalesce to 0 before the kernel)."""
-    wa = word_counts(a, text_col).select("word", F.col("n").alias("na"))
-    wb = word_counts(b, text_col).select("word", F.col("n").alias("nb"))
+def js_divergence_counts(wa: DataFrame, wb: DataFrame) -> float:
+    """JS divergence from two (word, n) count frames — the form the
+    streaming monitor uses to diff STORED batch aggregates without
+    re-reading any document (streaming/monitor.py)."""
+    wa = wa.select("word", F.col("n").alias("na"))
+    wb = wb.select("word", F.col("n").alias("nb"))
     joined = wa.join(wb, "word", "full_outer").select(
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
@@ -68,6 +66,13 @@ def js_divergence_words(
         F.sum((term(p) + term(q)) / 2).alias("js")
     ).collect()[0].js
     return float(js)
+
+
+def js_divergence_words(a: DataFrame, b: DataFrame, text_col: str = "text") -> float:
+    """Jensen-Shannon divergence (natural log, so ∈ [0, ln 2]) between
+    the two snapshots' unigram distributions. Absent words contribute
+    their 0·ln0 = 0 term exactly (coalesce to 0 before the kernel)."""
+    return js_divergence_counts(word_counts(a, text_col), word_counts(b, text_col))
 
 
 def psi(

@@ -1,0 +1,91 @@
+"""Continuous corpus monitoring (streaming/monitor.py + ingest.run_monitor):
+feed → per-batch mergeable aggregates → drift answered from the store,
+with batch-directory idempotence under replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from http_feeds_spark.streaming import monitor as mon
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fold_read_and_js_between(spark, tmp_path):
+    """Direct folds: stats rows match batch contents exactly; JS between
+    stored ranges equals JS computed from the raw documents; refolding a
+    batch id is idempotent (overwrite, not append)."""
+    from http_feeds_spark.operators import drift
+
+    root = str(tmp_path / "mon")
+    b0 = _mk_docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
+    b1 = _mk_docs(spark, [(3, "alpha beta gamma epsilon")])
+    b2 = _mk_docs(spark, [(4, "zeta eta theta iota kappa")])
+    for i, b in enumerate([b0, b1, b2]):
+        mon.fold_batch(spark, b, root, i)
+
+    stats = {r.batch: r for r in mon.read_stats(spark, root).collect()}
+    assert stats[0].n_docs == 2 and stats[0].n_tokens == 6
+    assert stats[1].n_docs == 1 and stats[1].n_tokens == 4
+    assert stats[2].n_docs == 1 and stats[2].n_tokens == 5
+
+    got = mon.js_between(spark, root, [0, 1], [2])
+    want = drift.js_divergence_words(b0.unionByName(b1), b2)
+    assert abs(got - want) < 1e-12
+    # disjoint vocab → near the ln(2) ceiling
+    assert got > 0.69
+
+    # replay: refold batch 2 with the same content — same store state
+    before = mon.js_between(spark, root, [0], [2])
+    mon.fold_batch(spark, b2, root, 2)
+    assert abs(mon.js_between(spark, root, [0], [2]) - before) < 1e-12
+    assert mon.read_stats(spark, root).count() == 3
+
+
+def test_feed_to_monitor_e2e(spark, tmp_path):
+    """Live HTTP feed → run_monitor: catch-up folds the documents;
+    appending drifted docs and re-running adds batches; drift between
+    the first and later ranges flags the planted vocabulary shift; a
+    re-run with nothing new adds no batches."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(4):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"common word stock{i} phrase clause"},
+            )
+        # payload-less tombstones must be skipped, not crash the fold
+        state.append("org.example.document", "0", None, method="DELETE")
+        root = str(tmp_path / "feedmon")
+
+        s1 = ingest.run_monitor(spark, url, root)
+        assert s1["n_docs"] == 4 and s1["batches"] >= 1
+        first_batches = [r.batch for r in mon.read_stats(spark, root).collect()]
+
+        for i in range(4, 8):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"alien{i} vocab{i} shift{i} zz{i} qq{i}"},
+            )
+        s2 = ingest.run_monitor(spark, url, root)
+        assert s2["n_docs"] == 8 and s2["batches"] > s1["batches"]
+        new_batches = [
+            r.batch
+            for r in mon.read_stats(spark, root).collect()
+            if r.batch not in first_batches
+        ]
+        js = mon.js_between(spark, root, first_batches, new_batches)
+        assert js > 0.5, js  # planted disjoint-ish vocabulary
+
+        s3 = ingest.run_monitor(spark, url, root)
+        assert s3["batches"] == s2["batches"] and s3["n_docs"] == 8
+    finally:
+        srv.shutdown()
