@@ -1018,6 +1018,26 @@ def q_llm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_perplexity", oracle=None, group="D")
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D39 — LM-perplexity quality filter (functions/ngram_lm.py): the
+    CCNet gate (Wenzek et al. LREC 2020) with the bigram reference
+    model trained IN-ENGINE — two aggregates over the even-id half as
+    the clean reference, scoring the full corpus by one bigram equi-join
+    + per-doc reduction. The model count frames stay distributed
+    (web-scale bigram tables fit neither driver nor broadcast). Exact
+    add-k parity with a pure-Python LM and the in-domain < alien
+    discrimination contract are pinned in tests/test_ngram_lm.py.
+    Rows-only (two-level smoothed join has no slot-budget SQL twin)."""
+    from http_feeds_spark.functions import ngram_lm as lm
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bi, V = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    return lm.perplexity(docs, uni, bi, V).select(
+        "doc_id", "n_scored", F.round("nll", 6).alias("nll"), F.round("ppl", 4).alias("ppl")
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
