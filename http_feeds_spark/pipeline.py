@@ -101,6 +101,10 @@ def prepare_training_corpus(
     strip_boilerplate: bool = False,
     boilerplate_min_docs: int = 5,
     segment_tokens: int = 10,
+    scrub_substrings: bool = False,
+    substr_length: int = 12,
+    max_ppl: float | None = None,
+    ppl_reference: DataFrame | None = None,
     near_dup: bool = True,
     eval_docs: DataFrame | None = None,
     min_shared_fps: int = 2,
@@ -124,6 +128,22 @@ def prepare_training_corpus(
     cur = quality_gate(docs, langs, min_chars, max_chars, min_words)
     report.append(("quality", cur.count()))
 
+    if max_ppl is not None:
+        # CCNet-style LM gate (functions/ngram_lm.py): reference = the
+        # caller's clean corpus, else the quality-gated corpus itself
+        # (self-referential filtering drops only the distribution TAIL).
+        from http_feeds_spark.functions import ngram_lm as nlm
+
+        ref = ppl_reference if ppl_reference is not None else cur
+        uni, bi, vocab = nlm.train_bigram_lm(ref.select("text"))
+        keep = (
+            nlm.perplexity(cur, uni, bi, vocab)
+            .filter(F.col("ppl") <= max_ppl)
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        report.append(("perplexity", cur.count()))
+
     if strip_boilerplate:
         from http_feeds_spark.operators import boilerplate as bp
 
@@ -136,6 +156,25 @@ def prepare_training_corpus(
             .join(cur.select("doc_id", "lang", "source"), "doc_id")
         )
         report.append(("boilerplate", cur.count()))
+
+    if scrub_substrings:
+        # sliding-window complement of the aligned-frame strip: cut
+        # >= substr_length-token spans repeated verbatim ANYWHERE
+        # (operators/substr_dedup.py), then re-derive n_chars
+        from http_feeds_spark.operators import substr_dedup as sdd
+
+        scrubbed = sdd.scrub_duplicated_spans(
+            cur, length=substr_length
+        ).select(
+            "doc_id",
+            F.col("scrubbed_text").alias("text"),
+            F.length("scrubbed_text").cast("long").alias("n_chars"),
+        )
+        cur = (
+            scrubbed.filter(F.col("n_chars") > 0)
+            .join(cur.select("doc_id", "lang", "source"), "doc_id")
+        )
+        report.append(("substr_scrub", cur.count()))
 
     cur = exact_dedup(cur)
     report.append(("exact_dedup", cur.count()))

@@ -129,3 +129,88 @@ def test_registered_query_report_shape(spark, sf_dir):
     ]
     counts = [r.n_docs for r in sorted(rows, key=lambda r: r.stage_idx)]
     assert counts == sorted(counts, reverse=True) and counts[-1] > 0
+
+
+def test_pipeline_with_perplexity_and_substr_stages(spark, sf_dir):
+    """The round-6 stages compose: the LM gate trims exactly the
+    high-perplexity tail (the driver corpus is uniform word soup — the
+    alien-vs-indomain DISCRIMINATION contract lives in
+    tests/test_ngram_lm.py where margins are constructed), the
+    substring scrub cuts the span planted verbatim into two docs, and
+    the stage report carries both boundaries in order."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark import pipeline as pl
+    from http_feeds_spark.functions import ngram_lm as nlm
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    span = " ".join(f"plantspan{i}" for i in range(14))
+    # plant into two docs that (a) pass the quality gate and (b) have
+    # corpus-unique text — the synthetic corpus contains planted exact
+    # duplicates whose bodies the scrub would legitimately remove
+    from pyspark.sql import Window as W
+
+    uniq = (
+        pl.quality_gate(docs)
+        .withColumn("__n", F.count("*").over(W.partitionBy("text")))
+        .where(F.col("__n") == 1)
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    tgt_a, tgt_b = uniq[0].doc_id, uniq[1].doc_id
+    doctored = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == tgt_a, F.concat(F.lit(span + " "), F.col("text")))
+        .when(F.col("doc_id") == tgt_b, F.concat(F.col("text"), F.lit(" " + span)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    # threshold at the quality-gated corpus's own median perplexity →
+    # the gate must drop roughly the worse half, exactly per-doc
+    gated = pl.quality_gate(doctored)
+    uni, bi, V = nlm.train_bigram_lm(gated.select("text"))
+    ppls = sorted(
+        r.ppl for r in nlm.perplexity(gated, uni, bi, V).collect()
+    )
+    thresh = ppls[len(ppls) // 2]
+
+    # run A: median threshold — the gate must drop exactly the docs the
+    # standalone scorer puts above it (per-doc wiring, not heuristics)
+    out_a = pl.prepare_training_corpus(
+        spark,
+        doctored,
+        max_ppl=thresh,
+        ppl_reference=gated,
+        near_dup=False,
+    )
+    stages_a = [s for s, _ in out_a["report"]]
+    counts_a = dict(out_a["report"])
+    assert stages_a[:3] == ["input", "quality", "perplexity"]
+    n_below = sum(1 for p in ppls if p <= thresh)
+    assert counts_a["perplexity"] == n_below  # exact per-doc gating
+
+    # run B: keep-everything threshold so BOTH planted copies reach the
+    # scrub — the span (duplicated at any offset) must come off both,
+    # and the report must order the stages correctly
+    out_b = pl.prepare_training_corpus(
+        spark,
+        doctored,
+        max_ppl=max(ppls) + 1.0,
+        ppl_reference=gated,
+        scrub_substrings=True,
+        substr_length=14,
+        near_dup=False,
+    )
+    stages_b = [s for s, _ in out_b["report"]]
+    assert "perplexity" in stages_b and "substr_scrub" in stages_b
+    assert stages_b.index("perplexity") < stages_b.index("substr_scrub")
+    by_id = {r.doc_id: r.text for r in out_b["corpus"].select("doc_id", "text").collect()}
+    present = [did for did in (tgt_a, tgt_b) if did in by_id]
+    assert present  # unique-text targets survive dedup by construction
+    for did in present:
+        assert "plantspan0" not in by_id[did]  # span scrubbed wherever it survived
