@@ -1038,6 +1038,21 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_chunks", oracle=None, group="D")
+def q_llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D40 — document chunking (operators/chunking.py): fixed-size
+    overlapping token windows with provenance (doc_id, chunk_idx,
+    start_tok) — the universal context-window / RAG pre-processing
+    step. Pure map-only (one transform + posexplode, zero shuffles,
+    plan-pinned). Rows-only at the driver; full DuckDB value parity
+    including chunk text is pinned in tests/test_chunking.py."""
+    from http_feeds_spark.operators import chunking as ck
+
+    return ck.chunk_documents(_docs(spark, sf_dir), size=32, overlap=4).select(
+        "doc_id", "chunk_idx", "start_tok", "n_tok", F.length("chunk_text").alias("n_chars")
+    )
+
+
 # --- D4: multimodal binary columns -------------------------------------------
 
 
