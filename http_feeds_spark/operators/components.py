@@ -73,11 +73,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.union(self_link).where(F.col("u") != F.col("v")).distinct()
 
 
+DRIVER_EDGE_THRESHOLD = 1_000_000  # ids-only pairs ⇒ ≤ ~16 MB collected
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 25,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Label every node of an undirected edge list with its component id.
 
@@ -94,6 +98,19 @@ def connected_components(
     Raises RuntimeError if the star forest has not stabilized after
     `max_iterations` alternating rounds (the O(log n) bound makes this a
     bug trap, not a tuning knob).
+
+    **Adaptive small-graph path**: after the dedup projection, if the
+    ids-only edge count is ≤ ``driver_threshold`` the closure runs as a
+    driver-side union-find on the collected pairs instead of the star
+    rounds. This is the same adaptivity argument AQE makes: the edge
+    LIST is already the model here (two ids per row — 1M edges ≈ 16 MB,
+    a bounded, size-checked collect), and each distributed round costs
+    several scheduled jobs that dominate wall time when the graph is
+    small, which near-dup edge sets usually are even when the CORPUS is
+    huge (edges ∝ duplicates, not documents). The distributed path is
+    untouched above the threshold; both paths are pinned identical on
+    the same graphs in tests/test_components.py, and round-bound tests
+    force ``driver_threshold=0``.
     """
 
     def _sig(df: DataFrame) -> tuple:
@@ -118,6 +135,36 @@ def connected_components(
         .localCheckpoint()
     )
     prev = _sig(e)
+    n_edges = int(prev[0] or 0)
+    if n_edges <= driver_threshold:
+        from pyspark.sql import types as T
+
+        rows = e.collect()  # ids-only, size-gated above — bounded memory
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            u, v = row.u, row.v
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union-by-min: the surviving root IS the min id
+                parent[max(ru, rv)] = min(ru, rv)
+        node_t = e.schema["u"].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("component", node_t)]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in parent], schema
+        )
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint()
         sig = _sig(nxt)

@@ -64,7 +64,9 @@ def test_matches_union_find_on_random_graph(spark):
 def test_nonconvergence_guard_raises(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, max_iterations=0)
+        # the guard lives on the distributed path; the driver fast path
+        # has no rounds to bound
+        connected_components(e, max_iterations=0, driver_threshold=0)
 
 
 def test_dedup_corpus_keeps_one_survivor_per_cluster(spark):
@@ -296,7 +298,9 @@ def test_mega_cluster_converges_in_log_rounds(spark):
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
     cap = math.ceil(math.log2(n)) + 3  # 17 at n=10k
-    asg = connected_components(edges, src="a", dst="b", max_iterations=cap)
+    asg = connected_components(
+        edges, src="a", dst="b", max_iterations=cap, driver_threshold=0
+    )
     rows = asg.collect()
     assert len(rows) == n
     assert all(r.component == 0 for r in rows)
@@ -315,6 +319,33 @@ def test_mega_cluster_dense_clone_shape_fast(spark):
     hubs = spark.range(96).select(
         (F.col("id") + 1).alias("a"), F.lit(0).alias("b")
     )
-    asg = connected_components(members.union(hubs), src="a", dst="b", max_iterations=6)
+    asg = connected_components(
+        members.union(hubs), src="a", dst="b", max_iterations=6, driver_threshold=0
+    )
     assert asg.where(F.col("component") != 0).count() == 0
     assert asg.count() == n
+
+
+def test_driver_path_equals_distributed_path(spark):
+    """The adaptive small-graph union-find must produce EXACTLY the
+    distributed star-contraction's assignment on the same graphs —
+    chains, stars, merges, self-loops, duplicates, both directions."""
+    cases = [
+        [(i, i + 1) for i in range(100, 140)],          # path
+        [(0, i) for i in range(1, 50)] + [(60, 61)],    # star + island
+        [(2, 1), (1, 2), (2, 3), (3, 3), (5, 5)],       # dupes + self-loops
+        [(rnd, (rnd * 7) % 97) for rnd in range(97)],   # pseudo-random
+    ]
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        fast = {
+            (r.node, r.component)
+            for r in connected_components(edges, "a", "b").collect()
+        }
+        dist = {
+            (r.node, r.component)
+            for r in connected_components(
+                edges, "a", "b", driver_threshold=0
+            ).collect()
+        }
+        assert fast == dist, pairs
