@@ -1,0 +1,132 @@
+"""Randomized property tests for the round-6 operators — pure-Python
+references over seeded random corpora, batched into a handful of Spark
+jobs (the test_property_compaction.py pattern): chunking, substring
+span stats, and stratified sampling quotas."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _random_corpus(rng, n_docs, vocab, max_len):
+    return [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, max_len))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+def test_chunking_matches_reference_on_random_corpora(spark):
+    """Coverage/boundary semantics against a pure-Python chunker for
+    many random (size, overlap, doc-length) combinations."""
+    from http_feeds_spark.operators import chunking as ck
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+
+    for trial in range(6):
+        size = rng.randint(3, 40)
+        overlap = rng.randint(0, size - 1)
+        stride = size - overlap
+        docs_py = _random_corpus(rng, 25, vocab, 3 * size)
+        docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tok, r.chunk_text)
+            for r in ck.chunk_documents(docs, size=size, overlap=overlap).collect()
+        }
+        want = {}
+        for did, text in docs_py:
+            toks = text.split(" ")
+            n = len(toks)
+            nc = -(-max(n - overlap, 1) // stride)  # ceil
+            for i in range(nc):
+                s = i * stride
+                want[(did, i)] = (
+                    s,
+                    min(size, n - s),
+                    " ".join(toks[s : s + size]),
+                )
+        assert got == want, (size, overlap)
+
+
+def test_substr_stats_match_reference_on_random_corpora(spark):
+    """dup_span_stats ≡ a pure-Python sliding-window/interval-union
+    reference, with planted cross-doc spans so duplication actually
+    occurs in a small random corpus."""
+    from http_feeds_spark.operators import substr_dedup as sd
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(60)]
+
+    for trial in range(4):
+        L = rng.randint(3, 8)
+        docs_py = _random_corpus(rng, 15, vocab, 40)
+        # plant a shared span into a few docs at random offsets
+        span = [f"sp{trial}x{j}" for j in range(L + rng.randint(0, 4))]
+        for did in rng.sample(range(15), 3):
+            i, t = docs_py[did]
+            toks = t.split(" ")
+            pos = rng.randint(0, len(toks))
+            docs_py[did] = (i, " ".join(toks[:pos] + span + toks[pos:]))
+        docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens)
+            for r in sd.dup_span_stats(docs, length=L, min_count=2).collect()
+        }
+
+        # reference: hash windows, count, interval-union coverage
+        windows = {}
+        for did, text in docs_py:
+            toks = text.split(" ")
+            for p in range(max(len(toks) - L + 1, 0)):
+                w = tuple(toks[p : p + L])
+                windows.setdefault(w, []).append((did, p))
+        want = {}
+        for did, text in docs_py:
+            toks = text.split(" ")
+            dup_pos = sorted(
+                p
+                for w, occ in windows.items()
+                if len(occ) >= 2
+                for (d, p) in occ
+                if d == did
+            )
+            covered = 0
+            prev_end = 0
+            for p in dup_pos:
+                covered += max(0, p + L - max(p, prev_end))
+                prev_end = max(prev_end, p + L)
+            want[did] = (len(toks), covered)
+        assert got == want, (trial, L)
+
+
+def test_stratified_quota_on_random_groups(spark):
+    """Per-group quota holds for arbitrary group-size distributions."""
+    from http_feeds_spark.functions import sampling as sa
+
+    rng = random.Random(3)
+    rows = []
+    sizes = {}
+    gid = 0
+    for _ in range(12):
+        n = rng.randint(1, 25)
+        sizes[f"g{gid}"] = n
+        for j in range(n):
+            rows.append((len(rows), f"g{gid}"))
+        gid += 1
+    df = spark.createDataFrame(rows, "id long, grp string")
+    for k in (1, 3, 10):
+        per = {
+            r.grp: r.c
+            for r in sa.stratified_sample_exact(df, "grp", k, "id")
+            .groupBy("grp")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        assert per == {g: min(k, n) for g, n in sizes.items()}, k
