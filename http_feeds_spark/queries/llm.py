@@ -948,6 +948,40 @@ def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_chunk_search", oracle=None, group="D")
+def q_llm_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D40b — chunk-level retrieval: the RAG read path composed from two
+    parity-backed operators — chunk the corpus (operators/chunking.py)
+    and BM25-rank the CHUNKS (operators/retrieval.py), so hits come
+    back at sub-document granularity with provenance (doc_id,
+    chunk_idx, start_tok): exactly what a retrieval consumer needs to
+    quote a span. Chunk ids pack (doc_id, chunk_idx) into one long —
+    collision-free while chunk_idx < 4096 (chunks ≈ tokens/stride ≪
+    4096 here; the pack is an implementation detail of reusing the
+    long-keyed BM25 operator, not a public id). Rows-only; both halves
+    carry full DuckDB parity in their own suites."""
+    from http_feeds_spark.operators import chunking as ck
+    from http_feeds_spark.operators import retrieval as rt
+
+    chunks = ck.chunk_documents(_docs(spark, sf_dir), size=32, overlap=4).select(
+        (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "chunk_text",
+    )
+    hits = rt.bm25_topk(
+        chunks, ["window", "filter", "merge"], k=10, id_col="chunk_id", text_col="chunk_text"
+    ).select(F.col("doc_id").alias("chunk_id"), "score", "rank")
+    # bm25_topk normalizes its id column to `doc_id` — here that carries
+    # the packed chunk id; restore the real provenance by joining back
+    return (
+        hits.join(chunks.select("chunk_id", "doc_id", "chunk_idx", "start_tok"), "chunk_id")
+        .select("rank", "doc_id", "chunk_idx", "start_tok", "score")
+        .orderBy("rank")
+    )
+
+
 @register("q_llm_datacard", oracle=None, group="D")
 def q_llm_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D35 — corpus data card (operators/datacard.py): the published

@@ -91,3 +91,33 @@ def test_registered_query_is_wired(spark, sf_dir):
     out = q.fn(spark, sf_dir)
     n = out.count()
     assert 0 < n <= BM25_K
+
+
+def test_chunk_search_provenance_and_term_presence(spark, sf_dir):
+    """The composed chunk-level retrieval (q_llm_chunk_search): every
+    hit's provenance must point at a real chunk whose text contains at
+    least one query term (BM25 scores > 0 only where a term occurs),
+    ranks must be dense from 1, and the result deterministic."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import chunking as ck
+    from http_feeds_spark.queries import registry
+    from http_feeds_spark.sources.tables import load_table
+
+    fn = registry()["q_llm_chunk_search"].fn
+    hits = fn(spark, sf_dir).collect()
+    assert len(hits) == 10
+    assert [r.rank for r in hits] == list(range(1, 11))
+    assert all(r.score > 0 for r in hits)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_map = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in ck.chunk_documents(docs, size=32, overlap=4).collect()
+    }
+    for r in hits:
+        text = chunk_map[(r.doc_id, r.chunk_idx)]
+        assert any(t in text.split(" ") for t in ("window", "filter", "merge")), r
+
+    again = fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in hits]
