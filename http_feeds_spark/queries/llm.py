@@ -948,6 +948,27 @@ def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_bm25_index", oracle=None, group="D")
+def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25b — SEARCH-ONLY BM25 against the persisted inverted index
+    (operators/text_index.py: bucket-partitioned postings carrying doc
+    length, terms store, meta last — the ann_index store pattern for
+    the lexicon). Built on first touch under the warehouse dir; after
+    that a query reads ≤|terms| posting buckets, never the corpus.
+    search ≡ the per-query bm25_topk row for row, partition pruning,
+    and the torn-build story are pinned in tests/test_text_index.py.
+    Rows-only (q_llm_bm25 carries the family's DuckDB oracle)."""
+    import os
+
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/text_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    ti.ensure_text_index(spark, docs, root)
+    return ti.search(spark, root, ["window", "filter", "merge"], k=10)
+
+
 @register("q_llm_chunk_search", oracle=None, group="D")
 def q_llm_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D40b — chunk-level retrieval: the RAG read path composed from two
