@@ -261,3 +261,77 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def resample_with_replacement(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Resample to a target mixture ALLOWING repetition — the published
+    LLM-mixture regime where scarce high-quality sources run for >1
+    epoch (e.g. The Pile's per-source epoch factors, Gao et al. 2020):
+    source s contributes ~weights[s]·target_total rows by repeating each
+    of its docs floor(r) or floor(r)+1 times, r = w·T/c_s.
+
+    The fractional epoch is EXACT and deterministic: within each
+    source, the ceil(frac(r)·c_s) docs with the smallest
+    xxhash64(id, seed) take the extra copy (hash-ranked, id tie-break —
+    the stratified_sample_exact rule), so per-source output counts hit
+    the target to ±1 row, composition is stable across runs/layouts,
+    and growth is monotone: raising target_total only grows each
+    source's extra-copy prefix (plus whole epochs), never swaps
+    members. Output adds ``copy_col`` (0-based) so (id, copy) stays
+    unique for downstream shuffling/packing.
+
+    Scale shape: one |sources|-row count aggregate (model-sized) + ONE
+    hash-ranked window per source partition (single shuffle on the
+    source key — same skew caveat as stratified_sample_exact), then a
+    map-only explode of sequence(0, n_copies-1); output size is the
+    target, input is read once. Upsampling repeats ROWS, not
+    bytes-on-disk: the explode materializes copies only into the
+    downstream pipeline (pack/shuffle), which is the point — a trainer
+    sees epochs without the landing zone storing them."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mixture weights must sum to 1.0, got {total}")
+    if target_total <= 0:
+        raise ValueError("target_total must be positive")
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"mixture names sources with no rows: {missing}")
+    import math
+
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    base_c = F.lit(0)
+    extra_k = F.lit(0)
+    for s, w in sorted(weights.items()):
+        r = (w * target_total) / counts[s]
+        base, frac = int(r), r - int(r)
+        base_c = F.when(F.col(source_col) == s, base).otherwise(base_c)
+        extra_k = F.when(
+            F.col(source_col) == s, int(math.ceil(frac * counts[s]) if frac else 0)
+        ).otherwise(extra_k)
+    out = (
+        df.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__n", base_c + (F.col("__rk") <= extra_k).cast("int"))
+        .where(F.col("__n") > 0)
+    )
+    return (
+        out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n", "__rk")
+    )

@@ -316,3 +316,46 @@ def test_stratified_sample_exact(spark, sf_dir):
         .collect()
     }
     assert ids_seed1 != ids1
+
+
+def test_resample_with_replacement(spark, sf_dir):
+    """Upsampling epochs: per-source output counts hit the target shares
+    to ±1 row, composition is deterministic across layouts, (id, copy)
+    is unique, and a scarce source repeats (copy > 0 exists)."""
+    from http_feeds_spark.functions import sampling as sa
+    from http_feeds_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    a, b = sorted(srcs)[:2]
+    two = docs.where(F.col("source").isin([a, b]))
+    ca = two.where(F.col("source") == a).count()
+    target = 4 * (ca + two.where(F.col("source") == b).count())
+    weights = {a: 0.7, b: 0.3}
+
+    out = sa.resample_with_replacement(two, weights, target)
+    per = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for s, w in weights.items():
+        assert abs(per[s] - w * target) <= 1, (s, per[s], w * target)
+
+    assert out.groupBy("doc_id", "copy").count().where("count > 1").count() == 0
+    assert out.where(F.col("copy") > 0).count() > 0  # genuine repetition
+
+    again = {
+        (r.doc_id, r.copy)
+        for r in sa.resample_with_replacement(two.repartition(13), weights, target)
+        .select("doc_id", "copy")
+        .collect()
+    }
+    first = {(r.doc_id, r.copy) for r in out.select("doc_id", "copy").collect()}
+    assert first == again
+
+    # growth monotonicity: a larger target only ADDS copies
+    bigger = {
+        (r.doc_id, r.copy)
+        for r in sa.resample_with_replacement(two, weights, target * 2)
+        .select("doc_id", "copy")
+        .collect()
+    }
+    assert first <= bigger
