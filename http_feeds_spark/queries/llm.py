@@ -1003,6 +1003,61 @@ def q_llm_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_hybrid_search", oracle=None, group="D")
+def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D41 — hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttner, SIGIR 2009: score = Σ 1/(60 + rank) —
+    the standard fusion used by production hybrid search). The two
+    rankers are this engine's own persisted indexes: BM25 over the
+    inverted index (terms of doc 0's text) and cosine over the IVF ANN
+    index (doc 0's embedding as the query vector) — both search-only
+    paths; the fusion itself is a tiny full-outer join of two k-row
+    frames (model-sized — fusion cost is negligible by construction).
+    Rows-only; each half is pinned in its own suite, and the RRF
+    arithmetic is asserted in tests/test_retrieval.py."""
+    import os
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+
+    t_root = f"{wh}/text_index/{tag}"
+    ti.ensure_text_index(spark, docs, t_root)
+    # query = the first doc: its first 3 distinct words + its embedding
+    qtext = docs.where(F.col("doc_id") == 0).select("text").collect()[0].text
+    terms = list(dict.fromkeys(qtext.split(" ")))[:3]
+    lex = ti.search(spark, t_root, terms, k=20).select(
+        F.col("doc_id"), F.col("rank").alias("lex_rank")
+    )
+
+    a_root = ai.default_root(spark, tag)
+    ai.ensure_index(spark, emb, a_root, k=16, iters=2)
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = ai.search(spark, qvec, a_root, k=20, nprobe=4, exclude_self=True).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+        9,
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w))
+
+
 @register("q_llm_datacard", oracle=None, group="D")
 def q_llm_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D35 — corpus data card (operators/datacard.py): the published

@@ -121,3 +121,23 @@ def test_chunk_search_provenance_and_term_presence(spark, sf_dir):
 
     again = fn(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in hits]
+
+
+def test_hybrid_rrf_arithmetic_and_shape(spark, sf_dir):
+    """q_llm_hybrid_search: RRF score must equal 1/(60+lex) + 1/(60+sem)
+    with absent ranks contributing 0; ranks dense; deterministic."""
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_llm_hybrid_search"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        want = 0.0
+        if r.lex_rank is not None:
+            want += 1.0 / (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            want += 1.0 / (60 + r.sem_rank)
+        assert abs(r.rrf_score - round(want, 9)) < 1e-12, r
+    again = fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
