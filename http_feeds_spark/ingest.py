@@ -306,6 +306,80 @@ def run_monitor(
     return {"monitor_root": monitor_root, "batches": int(agg.b), "n_docs": int(agg.d)}
 
 
+
+def run_text_index(
+    spark: SparkSession,
+    url: str,
+    index_root: str,
+    *,
+    checkpoint: str | None = None,
+    doc_id_field: str = "doc_id",
+    text_field: str = "text",
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → persisted inverted index: the lexical twin of
+    :func:`run_ann_index` — each micro-batch's document payloads land
+    as one posting batch (operators/text_index.upsert_documents), so
+    the corpus becomes BM25-searchable as it arrives from the feed.
+
+    Crash/redelivery story: the feed cursor lives in the streaming
+    checkpoint; replays are at-least-once (README.md:113) and the
+    upsert's per-doc-id anti-join guard absorbs every redelivery; a
+    batch torn mid-write has no _SUCCESS marker and is invisible until
+    the retry overwrites it; a crash between batch commit and the
+    derived-store rewrite is healed at search time (text_index module
+    docstring). Bootstrap = build on first documents, upsert after,
+    decided per batch from index presence (the run_ann_index rule).
+    Events whose payload lacks the document fields are skipped.
+    Returns {"index_root", "indexed_docs"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import text_index as ti
+
+    http_feed.register(spark)
+    root = index_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        docs = batch_df.select(
+            F.get_json_object("data", f"$.{doc_id_field}")
+            .cast("long")
+            .alias("doc_id"),
+            F.get_json_object("data", f"$.{text_field}").alias("text"),
+        ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        if docs.limit(1).count() == 0:
+            return
+        if not ti.ensure_text_index(spark, docs, index_root):
+            ti.upsert_documents(spark, docs, index_root)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"text-index catch-up did not drain the feed within {await_s}s"
+        )
+    from http_feeds_spark.operators.text_index import META_DIR
+    from http_feeds_spark.stores import parquet_exists
+
+    meta = f"{root}/{META_DIR}"
+    n = (
+        int(spark.read.parquet(meta).collect()[0].n_docs)
+        if parquet_exists(spark, meta)
+        else 0
+    )
+    return {"index_root": index_root, "indexed_docs": n}
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

@@ -6,9 +6,23 @@ for text search engines", CSUR 2006).
 
 Stores under one index root (any Hadoop filesystem):
 
-    postings/ (term, doc_id, tf, dl) partitioned by bucket=N/
-    terms/    (term, df)             partitioned by bucket=N/
-    meta/     (n_docs, avgdl)        one row — written LAST
+    postings/NNNNNN/ (term, doc_id, tf, dl) partitioned by bucket=N/
+                     — one dir per build/upsert batch; a batch is
+                     VISIBLE only with its committer _SUCCESS marker
+                     (torn writes are invisible; retries re-write the
+                     same content idempotently per doc id)
+    terms/    (term, df, …)          partitioned by bucket=N/
+    meta/     (n_docs, avgdl, n_batches) one row — written LAST
+
+``upsert_documents`` appends new docs WITHOUT rebuilding: per-doc-id
+idempotence (ids-only anti-join against the visible postings), a new
+batch dir, then terms/ and meta/ recomputed from the visible postings
+(index-sized, not corpus-sized). The derived stores carry
+``n_batches`` as a freshness fingerprint: if a crash lands a batch but
+not the recomputed stores, the next ``search`` notices the mismatch
+and recomputes df/avgdl from the postings on the fly (one
+vocabulary-sized aggregate — correctness never depends on the derived
+stores being fresh), and the next upsert/repair rewrites them.
 
 - **Doc length rides the posting row** (denormalized at build): BM25's
   length normalization then needs NO doc-table join at query time —
@@ -44,6 +58,57 @@ META_DIR = "meta"
 N_BUCKETS = 64
 
 
+def _complete_batches(spark: SparkSession, post_root: str) -> list[str]:
+    """Paths of every _SUCCESS-committed batch dir, ascending (the
+    streaming/dedup.py epoch-visibility rule)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(post_root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return []
+    out = []
+    for st in fs.listStatus(jvm_path):
+        name = st.getPath().getName()
+        # batch dirs use key=value form (batch=NNNNNN) so Spark's
+        # partition discovery reads them as a clean `batch` column
+        if st.isDirectory() and name.startswith("batch=") and name[6:].isdigit():
+            marker = spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append((int(name[6:]), st.getPath().toString()))
+    return [p for _, p in sorted(out)]
+
+
+def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | None, int]:
+    paths = _complete_batches(spark, post_root)
+    if not paths:
+        return None, 0
+    return spark.read.option("basePath", post_root).parquet(*paths), len(paths)
+
+
+def _write_derived(spark: SparkSession, index_root: str, n_batches: int) -> None:
+    """Recompute terms/ + meta/ from the VISIBLE postings (index-sized
+    passes) and stamp them with the batch fingerprint. meta/ last."""
+    post_path, terms_path, meta_path = _paths(index_root)
+    post, _ = _visible_postings(spark, post_path)
+    terms = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    (
+        terms.withColumn("bucket", _bucket("term"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(terms_path)
+    )
+    stats = (
+        post.select("doc_id", "dl")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.lit(n_batches).cast("int").alias("n_batches"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
 def _paths(index_root: str) -> tuple[str, str, str]:
     root = index_root.rstrip("/")
     return (f"{root}/{POSTINGS_DIR}", f"{root}/{TERMS_DIR}", f"{root}/{META_DIR}")
@@ -63,7 +128,19 @@ def build_text_index(
 ) -> None:
     """Two aggregates + three writes; every pass linear, corpus never
     collected. Postings carry dl so search is join-free."""
-    post_path, terms_path, meta_path = _paths(index_root)
+    post_path, _, _ = _paths(index_root)
+    _write_postings_batch(spark, docs, post_path, 0, id_col, text_col)
+    _write_derived(spark, index_root, 1)
+
+
+def _write_postings_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    post_path: str,
+    batch_no: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
     toks = tx.words(F.col(text_col))
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -75,26 +152,36 @@ def build_text_index(
     )
     (
         postings.withColumn("bucket", _bucket("term"))
-        .write.mode("overwrite")
+        .write.mode("overwrite")  # retry of a torn batch overwrites it
         .partitionBy("bucket")
-        .parquet(post_path)
+        .parquet(f"{post_path}/batch={batch_no:06d}")
     )
-    terms = (
-        spark.read.parquet(post_path)
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
-    (
-        terms.withColumn("bucket", _bucket("term"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(terms_path)
-    )
-    stats = docs.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.avg(F.size(tx.words(F.col(text_col)))).alias("avgdl"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
+def upsert_documents(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append new documents WITHOUT rebuilding: ids already indexed are
+    dropped (ids-only anti-join against a column-pruned scan of the
+    visible postings — at-least-once safe), the rest land as one new
+    batch dir, then the derived stores are recomputed (index-sized).
+    Returns the number of docs appended. Search ≡ a from-scratch build
+    over the union corpus is pinned in tests/test_text_index.py."""
+    post_path, _, _ = _paths(index_root)
+    post, n_batches = _visible_postings(spark, post_path)
+    if post is None:
+        raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    existing = post.select(F.col("doc_id").alias(id_col)).distinct()
+    fresh = new_docs.join(existing, id_col, "left_anti").localCheckpoint()
+    n = fresh.count()
+    if n:
+        _write_postings_batch(spark, fresh, post_path, n_batches, id_col, text_col)
+        _write_derived(spark, index_root, n_batches + 1)
+    return n
 
 
 def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **kw) -> bool:
@@ -125,6 +212,15 @@ def search(
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
     meta = spark.read.parquet(meta_path).collect()[0]
     n, avgdl = int(meta.n_docs), float(meta.avgdl)
+    post_df, n_batches = _visible_postings(spark, post_path)
+    stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
+    if stale:
+        # a crash landed a posting batch but not the derived stores —
+        # heal: recompute df/avgdl from the visible postings (one
+        # vocabulary-sized aggregate; correctness never waits on repair)
+        per_doc = post_df.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        row = per_doc.agg(F.count("*"), F.avg("dl")).collect()[0]
+        n, avgdl = int(row[0]), float(row[1])
 
     terms = sorted(set(terms))
     buckets = sorted(
@@ -139,9 +235,14 @@ def search(
             .collect()
         }
     )  # ≤ |terms| ints, computed with the engine's own hash
-    tstore = spark.read.parquet(terms_path).where(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    )
+    if stale:
+        tstore = post_df.where(F.col("term").isin(terms)).groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+    else:
+        tstore = spark.read.parquet(terms_path).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
     dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double, rank int")
@@ -150,7 +251,7 @@ def search(
     ]
     idf = spark.createDataFrame(idf_rows, "term string, idf double")
 
-    post = spark.read.parquet(post_path).where(
+    post = post_df.where(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
     tf = F.col("tf").cast("double")

@@ -65,3 +65,112 @@ def test_torn_build_reads_as_absent(spark, sf_dir, tmp_path):
     assert ti.ensure_text_index(spark, docs, root) is True
     assert ti.search(spark, root, TERMS, k=3).count() == 3
     assert ti.ensure_text_index(spark, docs, root) is False
+
+
+def test_upsert_equals_full_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Append half the corpus to an index built on the other half: search
+    must equal a from-scratch build over the union, row for row;
+    redelivering the batch is a no-op."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, old, root)
+    n_new = new.count()
+    assert ti.upsert_documents(spark, new, root) == n_new
+    assert ti.upsert_documents(spark, new, root) == 0  # redelivery
+
+    full_root = str(tmp_path / "ti_full")
+    ti.build_text_index(spark, docs, full_root)
+    got = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    want = [tuple(r) for r in ti.search(spark, full_root, TERMS, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_search_heals_stale_derived_stores(spark, sf_dir, tmp_path):
+    """A crash between the posting-batch commit and the derived-store
+    rewrite leaves n_batches mismatched: search must detect it and
+    recompute df/avgdl from the visible postings — results equal the
+    fully-repaired index."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, old, root)
+    # simulate the crash: batch lands, derived stores do NOT
+    ti._write_postings_batch(spark, new, f"{root}/{ti.POSTINGS_DIR}", 1)
+    got = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+
+    full_root = str(tmp_path / "ti_full")
+    ti.build_text_index(spark, docs, full_root)
+    want = [tuple(r) for r in ti.search(spark, full_root, TERMS, k=10).collect()]
+    assert got == want
+
+    # the next upsert repairs the derived stores (fingerprint catches up)
+    assert ti.upsert_documents(spark, new.limit(0), root) == 0
+    # note: a zero-row upsert does not rewrite stores; a real one does —
+    # run one with a fresh doc and confirm the fast path serves again
+    extra = spark.createDataFrame(
+        [(10_000_000, "window filter merge window")], "doc_id long, text string"
+    )
+    assert ti.upsert_documents(spark, extra, root) == 1
+    meta = spark.read.parquet(f"{root}/{ti.META_DIR}").collect()[0]
+    assert int(meta.n_batches) == 3
+
+
+def test_torn_batch_without_marker_is_invisible(spark, sf_dir, tmp_path):
+    """A batch dir missing _SUCCESS (torn write) must not affect search."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    before = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    junk = spark.createDataFrame(
+        [(20_000_000, "window window window merge filter")], "doc_id long, text string"
+    )
+    ti._write_postings_batch(spark, junk, f"{root}/{ti.POSTINGS_DIR}", 1)
+    os.remove(f"{root}/{ti.POSTINGS_DIR}/batch=000001/_SUCCESS")
+    after = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    assert after == before
+
+
+def test_feed_to_text_index_e2e(spark, tmp_path):
+    """Live HTTP feed → run_text_index: bootstrap on the first batch,
+    upsert after, redelivered run a no-op, and search over the landed
+    corpus equals a from-scratch build on the same docs."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    texts = {
+        i: f"common window filter stock{i} merge clause{i} phrase" for i in range(6)
+    }
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(3):
+            state.append(
+                "org.example.document", str(i), {"doc_id": i, "text": texts[i]}
+            )
+        state.append("org.example.document", "0", None, method="DELETE")
+        root = str(tmp_path / "feed_ti")
+        s1 = ingest.run_text_index(spark, url, root)
+        assert s1["indexed_docs"] == 3
+
+        for i in range(3, 6):
+            state.append(
+                "org.example.document", str(i), {"doc_id": i, "text": texts[i]}
+            )
+        s2 = ingest.run_text_index(spark, url, root)
+        assert s2["indexed_docs"] == 6
+        s3 = ingest.run_text_index(spark, url, root)  # nothing new
+        assert s3["indexed_docs"] == 6
+
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        full_root = str(tmp_path / "ti_full")
+        ti.build_text_index(spark, docs, full_root)
+        got = [tuple(r) for r in ti.search(spark, root, ["window", "merge"], k=6).collect()]
+        want = [tuple(r) for r in ti.search(spark, full_root, ["window", "merge"], k=6).collect()]
+        assert got == want and len(got) == 6
+    finally:
+        srv.shutdown()
