@@ -185,9 +185,12 @@ def upsert_documents(
 
 
 def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **kw) -> bool:
-    """Build iff absent (presence = meta/, the last-written store)."""
-    _, _, meta_path = _paths(index_root)
-    if parquet_exists(spark, meta_path):
+    """Build iff absent. Present = meta/ exists AND at least one
+    committed posting batch dir — an index in a stale layout (e.g. a
+    pre-batch-format artifact under a persistent warehouse dir) reads
+    as absent and is rebuilt in place."""
+    post_path, _, meta_path = _paths(index_root)
+    if parquet_exists(spark, meta_path) and _complete_batches(spark, post_path):
         return False
     build_text_index(spark, docs, index_root, **kw)
     return True
@@ -213,6 +216,11 @@ def search(
     meta = spark.read.parquet(meta_path).collect()[0]
     n, avgdl = int(meta.n_docs), float(meta.avgdl)
     post_df, n_batches = _visible_postings(spark, post_path)
+    if post_df is None:
+        raise FileNotFoundError(
+            f"no committed posting batches at {index_root} (stale or "
+            "incompatible layout); rebuild with build_text_index"
+        )
     stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
     if stale:
         # a crash landed a posting batch but not the derived stores —

@@ -174,3 +174,21 @@ def test_feed_to_text_index_e2e(spark, tmp_path):
         assert got == want and len(got) == 6
     finally:
         srv.shutdown()
+
+
+def test_stale_layout_reads_as_absent_and_rebuilds(spark, sf_dir, tmp_path):
+    """An index whose postings predate the batch-dir layout (meta/
+    present, no committed batch dirs — e.g. a persistent warehouse
+    artifact from an older build) must read as ABSENT: ensure rebuilds
+    in place, search raises a clear error instead of crashing."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    # simulate the old layout: remove every batch dir, keep meta/terms
+    shutil.rmtree(f"{root}/{ti.POSTINGS_DIR}")
+    with pytest.raises(FileNotFoundError, match="stale or\n?\\s*incompatible|incompatible"):
+        ti.search(spark, root, TERMS)
+    assert ti.ensure_text_index(spark, docs, root) is True
+    assert ti.search(spark, root, TERMS, k=3).count() == 3
