@@ -176,3 +176,43 @@ def search(
 
     w = Window.partitionBy(qid_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def upsert_vectors(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors WITHOUT retraining: one map-only pass encodes
+    the batch against the frozen coarse quantizer AND the frozen
+    codebooks (both broadcast literals), appended into the cluster
+    partition dirs. Idempotent per id (ids-only anti-join against a
+    column-pruned codes scan) — at-least-once safe, same convergence
+    argument as ann_index.upsert_vectors.
+
+    Both the quantizer and the codebooks are deliberately frozen: that
+    is what keeps upsert O(batch). Quantization error drifts as the
+    vector distribution moves (ADC estimates degrade gracefully, never
+    break), and because this index quantizes RAW subvectors — not
+    per-cluster residuals — the same codebooks stay valid whatever the
+    cluster layout; rebuild policy is the caller's."""
+    cents, books = load_model(spark, index_root)
+    codes_path, _, _ = _paths(index_root)
+    existing = spark.read.parquet(codes_path).select(F.col(id_col))
+    fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
+    assigned = (
+        km.assign_clusters(fresh, cents, vec_col)
+        .select(
+            F.col(id_col),
+            pq.encode_col(books, vec_col).alias("codes"),
+            "cluster",
+        )
+        .localCheckpoint()  # count + write must see one snapshot
+    )
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("cluster").parquet(codes_path)
+    return n

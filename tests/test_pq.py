@@ -204,3 +204,34 @@ def test_torn_build_reads_as_absent(spark, sf_dir, tmp_path):
         pqi.load_model(spark, root)
     assert pqi.ensure_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
     assert pqi.search(spark, _queries(emb, 2), root, k=3, nprobe=2).count() > 0
+
+
+def test_pq_upsert_appends_assigns_and_is_idempotent(spark, sf_dir, tmp_path, monkeypatch):
+    """New vectors join the code index without retraining (trainer
+    monkeypatched to fail), become findable by search, and redelivery
+    is a no-op."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb.filter(F.col("vec_id") < 400), root, nlist=8, m=4, ksub=16, iters=1)
+    base_n = spark.read.parquet(f"{root}/{pqi.CODES_DIR}").count()
+
+    def boom(*a, **kw):
+        raise AssertionError("training job in the PQ upsert path")
+
+    monkeypatch.setattr(km, "kmeans_centroids", boom)
+    newbies = emb.filter(F.col("vec_id") >= 400)
+    n_new = newbies.count()
+    assert n_new > 0
+    assert pqi.upsert_vectors(spark, newbies, root) == n_new
+    assert spark.read.parquet(f"{root}/{pqi.CODES_DIR}").count() == base_n + n_new
+    assert pqi.upsert_vectors(spark, newbies, root) == 0
+    assert spark.read.parquet(f"{root}/{pqi.CODES_DIR}").count() == base_n + n_new
+
+    # an upserted vector is findable: querying BY it returns itself
+    # first (ADC distance to its own code is the minimum for its row)
+    probe_id = newbies.agg(F.min("vec_id")).collect()[0][0]
+    q = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pqi.search(spark, q, root, k=3, nprobe=8).collect()
+    assert any(r.vec_id == probe_id for r in top), top
