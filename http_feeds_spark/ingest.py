@@ -380,6 +380,73 @@ def run_text_index(
     return {"index_root": index_root, "indexed_docs": n}
 
 
+
+def run_pq_index(
+    spark: SparkSession,
+    url: str,
+    index_root: str,
+    *,
+    checkpoint: str | None = None,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    nlist: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → persisted IVF+PQ index: the compressed twin of
+    :func:`run_ann_index`. Bootstrap trains quantizer + codebooks from
+    the first non-empty batch (build_pq_index); every later batch is a
+    frozen-model ``pq_index.upsert_vectors`` append (map-only encode,
+    per-id idempotence absorbs at-least-once redelivery). Codebook
+    drift vs the growing corpus is the documented frozen-model trade;
+    rebuild policy is the caller's. Returns
+    {"index_root", "indexed_vectors"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import pq_index as pqi
+    from http_feeds_spark.stores import parquet_exists
+
+    http_feed.register(spark)
+    root = index_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        vecs = batch_df.select(
+            F.get_json_object("data", f"$.{id_field}").cast("long").alias("vec_id"),
+            F.from_json(
+                F.get_json_object("data", f"$.{vec_field}"), "array<double>"
+            ).alias("embedding"),
+        ).where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        if vecs.limit(1).count() == 0:
+            return
+        if not pqi.ensure_pq_index(
+            spark, vecs, index_root, nlist=nlist, m=m, ksub=ksub, iters=iters
+        ):
+            pqi.upsert_vectors(spark, vecs, index_root)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"pq-index catch-up did not drain the feed within {await_s}s"
+        )
+    codes = f"{root}/{pqi.CODES_DIR}"
+    n = spark.read.parquet(codes).count() if parquet_exists(spark, codes) else 0
+    return {"index_root": index_root, "indexed_vectors": n}
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

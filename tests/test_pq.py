@@ -235,3 +235,42 @@ def test_pq_upsert_appends_assigns_and_is_idempotent(spark, sf_dir, tmp_path, mo
     )
     top = pqi.search(spark, q, root, k=3, nprobe=8).collect()
     assert any(r.vec_id == probe_id for r in top), top
+
+
+def test_feed_to_pq_index_e2e(spark, tmp_path):
+    """Live HTTP feed → run_pq_index: bootstrap build on the first
+    batch, frozen-model upsert after, redelivered run a no-op, and an
+    upserted vector findable by search."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    def vec(i):
+        return [float((i * 13 + d * 7) % 10) for d in range(8)]
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(20):
+            state.append(
+                "org.example.vector", str(i), {"vec_id": i, "embedding": vec(i)}
+            )
+        root = str(tmp_path / "feed_pq")
+        s1 = ingest.run_pq_index(spark, url, root, nlist=4, m=2, ksub=4, iters=1)
+        assert s1["indexed_vectors"] == 20
+
+        for i in range(20, 30):
+            state.append(
+                "org.example.vector", str(i), {"vec_id": i, "embedding": vec(i)}
+            )
+        s2 = ingest.run_pq_index(spark, url, root, nlist=4, m=2, ksub=4, iters=1)
+        assert s2["indexed_vectors"] == 30
+        s3 = ingest.run_pq_index(spark, url, root, nlist=4, m=2, ksub=4, iters=1)
+        assert s3["indexed_vectors"] == 30
+
+        q = spark.createDataFrame(
+            [(25, vec(25))], "query_id long, embedding array<double>"
+        )
+        top = pqi.search(spark, q, root, k=3, nprobe=4).collect()
+        assert any(r.vec_id == 25 for r in top), top
+    finally:
+        srv.shutdown()
