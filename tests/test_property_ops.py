@@ -130,3 +130,46 @@ def test_stratified_quota_on_random_groups(spark):
             .collect()
         }
         assert per == {g: min(k, n) for g, n in sizes.items()}, k
+
+
+def test_scd2_asof_equals_prefix_on_random_logs(spark):
+    """SCD-2 temporal read model (operators/feed.history_scd2) on random
+    event logs: at every event time T, the as-of-T filter must equal
+    read_model over the replay prefix time <= T — including
+    DELETE-then-PUT revivals and single-event subjects."""
+    import datetime
+
+    from http_feeds_spark.operators import feed as ops
+
+    rng = random.Random(99)
+    rows = []
+    seq = 0
+    base = datetime.datetime(2024, 1, 1)
+    for _ in range(120):
+        seq += 1
+        rows.append(
+            (
+                seq,
+                f"s{rng.randrange(9)}",
+                rng.choice(["PUT", "PUT", "PUT", "DELETE"]),
+                base + datetime.timedelta(seconds=seq),
+            )
+        )
+    feed = spark.createDataFrame(
+        rows, "seq long, subject string, method string, time timestamp"
+    )
+    hist = ops.history_scd2(feed).collect()
+    events = sorted(rows)
+    for cut in (20, 60, 119):
+        T = events[cut][3]
+        got = {
+            (r.seq, r.subject)
+            for r in hist
+            if r.valid_from <= T and (r.valid_to is None or r.valid_to > T)
+        }
+        latest = {}
+        for s, subj, m, t in events:
+            if t <= T:
+                latest[subj] = (s, m)
+        want = {(s, subj) for subj, (s, m) in latest.items() if m != "DELETE"}
+        assert got == want, cut
