@@ -9,7 +9,9 @@ actually caught:
 - q_fn_json: result rendering must not depend on the Arrow conf
   (raw array columns repr differently with Arrow on/off);
 - q_feed_scan: nanos-timestamp + UTC confs must be applied at
-  load_table call time, not only in our session factory.
+  load_table call time, not only in our session factory;
+- q_llm_bm25_index / q_zorder_layout: warehouse-dir stores must build
+  and serve under the DRIVER's cwd-resolved spark.sql.warehouse.dir.
 """
 
 from __future__ import annotations
@@ -29,6 +31,13 @@ sf = "/root/testdata/sf0.001"
 for name in ["q_feed_scan", "q_fn_json", "q_http_roundtrip"]:
     r = compare(qs[name](spark, sf), os_[name], sf)
     assert r["match"], (name, {k: v for k, v in r.items() if k != "first_diffs"})
+# warehouse-writing queries: the driver's session resolves
+# spark.sql.warehouse.dir against ITS OWN cwd — these must build their
+# stores there and serve rows (a read-only or scheme-carrying warehouse
+# path would fail here first, not in the driver's report)
+for name in ["q_llm_bm25_index", "q_zorder_layout"]:
+    n = qs[name](spark, sf).count()
+    assert n > 0, (name, n)
 print("VANILLA_OK")
 """
 
