@@ -216,3 +216,69 @@ def upsert_vectors(
     if n:
         assigned.write.mode("append").partitionBy("cluster").parquet(codes_path)
     return n
+
+
+def search_rerank(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str,
+    ann_index_root: str,
+    *,
+    k: int = 10,
+    rerank: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-stage IVFADC-R (Jégou et al. §V.D): ADC over the compressed
+    codes shortlists `rerank` candidates per query, then EXACT cosine
+    re-ranks the shortlist against raw vectors fetched from the
+    companion ANN index store (operators/ann_index.py — the raw-vector
+    tier this compressed tier complements).
+
+    Cost shape: stage 1 reads code bytes only (the partition-pruned ADC
+    scan); stage 2 touches raw vectors for queries×rerank CANDIDATE
+    rows — and because ADC candidates come from probed clusters, the
+    candidate set's clusters prune the raw-corpus scan exactly like a
+    direct IVF probe would. Accuracy: exact distances on the shortlist
+    remove ADC's quantization error wherever the true neighbor made the
+    shortlist — recall(k) is bounded by ADC recall(rerank), which is
+    why rerank ≫ k is the published default. Returns (qid, id,
+    cosine_sim, rank), best first."""
+    from pyspark.sql import Window
+
+    from http_feeds_spark.functions import vectors as vec
+    from http_feeds_spark.operators import ann_index as ai
+
+    shortlist = search(
+        spark,
+        queries,
+        index_root,
+        k=rerank,
+        nprobe=nprobe,
+        id_col=id_col,
+        qid_col=qid_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+    ).select(qid_col, id_col)
+    _, corpus_path = ai._paths(ann_index_root)
+    corpus = spark.read.parquet(corpus_path).select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    cands = shortlist.join(
+        F.broadcast(
+            queries.select(F.col(qid_col), F.col(vec_col).alias("__qv"))
+        ),
+        qid_col,
+    )
+    scored = corpus.join(F.broadcast(cands), id_col).select(
+        qid_col, id_col, vec.cosine("__cv", "__qv").alias("cosine_sim")
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

