@@ -335,3 +335,44 @@ def resample_with_replacement(
         out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n", "__rk")
     )
+
+
+def export_training_shards(
+    corpus: DataFrame,
+    packed: DataFrame,
+    out_root: str,
+    bins_per_shard: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bin_col: str = "bin",
+    seed: int = 0,
+) -> int:
+    """Materialize the packed training set as trainer-ready shards —
+    the pipeline's terminal artifact: parquet under
+    ``out_root/shard=N/``, one file per shard, rows in consumption
+    order (bin ascending, then the epoch-shuffle order within a bin,
+    matching the offset order pack_into_bins assigned by).
+
+    A data loader then streams shard dirs in name order and rows in
+    file order and sees exactly the virtual concatenation the packing
+    computed — no loader-side sorting, no cross-shard coordination;
+    shards are independent units of retry/distribution. One range-free
+    shuffle: repartition ON the shard id (so shard N is one task → one
+    file) + an in-partition sort. Returns the shard count.
+
+    Shard sizing is bins_per_shard × budget tokens (caller picks it to
+    land shards near the object-store sweet spot, e.g. ~256 MB-1 GB)."""
+    joined = packed.join(corpus.select(id_col, text_col), id_col)
+    shard = (F.col(bin_col) / F.lit(bins_per_shard)).cast("int").alias("shard")
+    out = (
+        joined.select("*", shard)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions(
+            F.col(bin_col), F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+        )
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_root)
+    spark = corpus.sparkSession
+    return (
+        spark.read.parquet(out_root).select("shard").distinct().count()
+    )

@@ -359,3 +359,42 @@ def test_resample_with_replacement(spark, sf_dir):
         .collect()
     }
     assert first <= bigger
+
+
+def test_export_training_shards(spark, sf_dir, tmp_path):
+    """Shards re-read to exactly the packed set, rows inside each shard
+    file are in (bin, shuffle-order) consumption order, and each shard
+    holds only its own contiguous bin range."""
+    from http_feeds_spark.functions import sampling as sa
+    from http_feeds_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sized = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    packed = sa.pack_into_bins(sized, "n_tokens", 512)
+    root = str(tmp_path / "shards")
+    n_shards = sa.export_training_shards(docs, packed, root, bins_per_shard=4)
+    assert n_shards >= 2
+
+    back = spark.read.parquet(root)
+    assert back.count() == packed.count()
+    got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in packed.select("doc_id").collect()}
+    assert got_ids == want_ids
+
+    # bin-range containment per shard
+    bad = back.where(
+        (F.col("bin") / 4).cast("int") != F.col("shard")
+    ).count()
+    assert bad == 0
+
+    # consumption order INSIDE each shard file: bins must be
+    # non-decreasing in row order (read without shuffling row order)
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    for d in sorted(glob.glob(f"{root}/shard=*")):
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            bins = pq_.read_table(f, columns=["bin"]).column("bin").to_pylist()
+            assert bins == sorted(bins), f
