@@ -112,6 +112,8 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
     pack_budget: int = 2048,
+    shard_root: str | None = None,
+    bins_per_shard: int = 64,
 ) -> dict:
     """Run the full preparation pipeline; returns::
 
@@ -201,4 +203,15 @@ def prepare_training_corpus(
     train_packed = smp.pack_into_bins(train, "n_tokens", pack_budget, seed=seed)
     report.append(("train", train.count()))
 
-    return {"corpus": corpus, "train_packed": train_packed, "report": report}
+    out = {"corpus": corpus, "train_packed": train_packed, "report": report}
+    if shard_root is not None:
+        # terminal artifact: trainer-ready shards in consumption order
+        out["n_shards"] = smp.export_training_shards(
+            corpus.filter(F.col("split") == "train"),
+            train_packed,
+            shard_root,
+            bins_per_shard=bins_per_shard,
+            seed=seed,
+        )
+        report.append(("shards", out["n_shards"]))
+    return out

@@ -214,3 +214,24 @@ def test_pipeline_with_perplexity_and_substr_stages(spark, sf_dir):
     assert present  # unique-text targets survive dedup by construction
     for did in present:
         assert "plantspan0" not in by_id[did]  # span scrubbed wherever it survived
+
+
+def test_pipeline_exports_shards(spark, sf_dir, tmp_path):
+    """shard_root wires the terminal export: shards round-trip the
+    packed train set and the report carries the shard count."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark import pipeline as pl
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    root = str(tmp_path / "shards")
+    out = pl.prepare_training_corpus(
+        spark, docs, near_dup=False, shard_root=root, bins_per_shard=2,
+        pack_budget=512,
+    )
+    assert out["n_shards"] >= 1
+    assert ("shards", out["n_shards"]) in out["report"]
+    back = spark.read.parquet(root)
+    assert back.count() == out["train_packed"].count()
+    assert "text" in back.columns  # shards carry the payload
