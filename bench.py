@@ -37,8 +37,10 @@ HEADLINE = [
     "q_llm_ann_batch",    # batched IVF ANN (broadcast probe join)
     "q_llm_ann_index",    # search-only ANN against the persisted index
     "q_llm_ann_pq",       # IVF+PQ compressed ANN (code scan + in-plan ADC)
+    "q_llm_bm25_index",   # search-only BM25 against the posting store
     "q_llm_substr_scrub", # exact-substring span dedup (stride-1 windows)
     "q_stream_join",      # watermarked stream-stream join (batch twin)
+    "q_history_scd2",     # SCD-2 temporal read model (one window)
     "q_llm_textstats",    # corpus statistics
     "q_llm_tokens",       # regex tokenization
 ]
