@@ -235,3 +235,55 @@ def test_pipeline_exports_shards(spark, sf_dir, tmp_path):
     back = spark.read.parquet(root)
     assert back.count() == out["train_packed"].count()
     assert "text" in back.columns  # shards carry the payload
+
+
+def test_feed_to_trainer_shards_e2e(spark, tmp_path):
+    """The whole engine, one path: a live HTTP feed of document events
+    lands via orchestrated ingest, the landed read model feeds
+    prepare_training_corpus, and trainer-ready shards come out — raw
+    protocol to training artifact with no manual glue."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark import ingest
+    from http_feeds_spark import pipeline as pl
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(30):
+            text = " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": text, "lang": "en", "source": "feedA"},
+            )
+        landing = str(tmp_path / "landing")
+        summary = ingest.run(spark, url, landing)
+        assert summary["raw_rows"] == 30
+
+        landed = ingest.read_model(spark, landing)
+        docs = landed.select(
+            F.get_json_object("data", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("data", "$.text").alias("text"),
+            F.get_json_object("data", "$.lang").alias("lang"),
+            F.get_json_object("data", "$.source").alias("source"),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+
+        shard_root = str(tmp_path / "shards")
+        out = pl.prepare_training_corpus(
+            spark,
+            docs,
+            min_chars=10,
+            max_chars=10_000,
+            near_dup=False,
+            pack_budget=256,
+            shard_root=shard_root,
+            bins_per_shard=2,
+        )
+        assert out["n_shards"] >= 1
+        back = spark.read.parquet(shard_root)
+        assert back.count() == out["train_packed"].count() > 0
+        assert {"doc_id", "text", "bin", "shard"} <= set(back.columns)
+    finally:
+        srv.shutdown()
