@@ -1003,6 +1003,39 @@ def q_llm_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_ann_rerank", oracle=None, group="D")
+def q_llm_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D32b — two-stage IVFADC-R (operators/pq_index.search_rerank):
+    ADC over the compressed code index shortlists 50 candidates per
+    query, exact cosine against the raw-vector index re-ranks to
+    top-10. Stage 1 reads code bytes; stage 2 touches raw vectors for
+    only queries×50 candidate rows — at 100 TB that is the difference
+    between scanning a compressed tier and scanning the embedding
+    column. Zero training jobs and full-probe re-rank ≡ exact search
+    are pinned in tests/test_pq.py. Rows-only."""
+    import os
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _emb(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    pq_root = f"{wh}/pq_index/{tag}"
+    ann_root = ai.default_root(spark, tag)
+    pqi.ensure_pq_index(spark, emb, pq_root, nlist=16, m=8, ksub=32, iters=2)
+    ai.ensure_index(spark, emb, ann_root, k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pqi.search_rerank(
+        spark, queries, pq_root, ann_root, k=10, rerank=50, nprobe=4,
+        exclude_self=True,
+    ).select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
 @register("q_llm_hybrid_search", oracle=None, group="D")
 def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D41 — hybrid lexical+vector retrieval via Reciprocal Rank Fusion
