@@ -100,3 +100,53 @@ def js_between(
         _range_counts(spark, monitor_root, batches_a),
         _range_counts(spark, monitor_root, batches_b),
     )
+
+
+def compact_batches(
+    spark: SparkSession, monitor_root: str, upto: int
+) -> list[int]:
+    """Merge every batch ≤ ``upto`` into one batch dir (keyed by the
+    LOWEST merged id) — the retention story that keeps the monitor
+    stores bounded: count frames and stat sums are mergeable, so the
+    merged dir answers every range query the originals did, just at
+    coarser granularity (you can no longer split inside the merged
+    range — compact at the granularity you still need, e.g. daily).
+
+    Crash-safe in the store's own idempotence model: the merged dir is
+    (over)written FIRST, stale source dirs are deleted after — a crash
+    in between leaves the merged dir plus some originals, and because
+    re-running compact recomputes the same merge from whatever remains
+    (sums of sums are the same sums), it converges. Returns the batch
+    ids remaining after compaction."""
+    root = monitor_root.rstrip("/")
+    stats = read_stats(spark, root)
+    ids = sorted(r.batch for r in stats.select("batch").distinct().collect())
+    merge = [b for b in ids if b <= upto]
+    if len(merge) < 2:
+        return ids
+    keep_id = merge[0]
+    merged_words = _range_counts(spark, root, merge).localCheckpoint()
+    merged_stats = (
+        spark.read.parquet(*[f"{root}/{STATS_DIR}/batch={b}" for b in merge])
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("short_docs").cast("long").alias("short_docs"),
+        )
+        .localCheckpoint()
+    )
+    merged_words.write.mode("overwrite").parquet(
+        f"{root}/{WORDS_DIR}/batch={keep_id}"
+    )
+    merged_stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{STATS_DIR}/batch={keep_id}"
+    )
+    # deletion via the Hadoop FS API — works on any Spark-supported
+    # store, like the epoch cleanup in streaming/dedup.py
+    for b in merge[1:]:
+        for d in (WORDS_DIR, STATS_DIR):
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{d}/batch={b}")
+            fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jvm_path, True)
+    return [keep_id] + [b for b in ids if b > upto]

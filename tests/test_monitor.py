@@ -89,3 +89,24 @@ def test_feed_to_monitor_e2e(spark, tmp_path):
         assert s3["batches"] == s2["batches"] and s3["n_docs"] == 8
     finally:
         srv.shutdown()
+
+
+def test_compact_batches_preserves_range_answers(spark, tmp_path):
+    """Merging batches 0-1 must keep every cross-range answer exact:
+    stats sums equal, and JS between the merged range and a later batch
+    identical to the pre-compaction value; re-running compaction is a
+    no-op (sums of sums converge)."""
+    root = str(tmp_path / "mon")
+    b0 = _mk_docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
+    b1 = _mk_docs(spark, [(3, "alpha beta gamma epsilon")])
+    b2 = _mk_docs(spark, [(4, "zeta eta theta iota kappa")])
+    for i, b in enumerate([b0, b1, b2]):
+        mon.fold_batch(spark, b, root, i)
+    before_js = mon.js_between(spark, root, [0, 1], [2])
+    before_docs = sum(r.n_docs for r in mon.read_stats(spark, root).collect())
+
+    remaining = mon.compact_batches(spark, root, upto=1)
+    assert remaining == [0, 2]
+    assert sum(r.n_docs for r in mon.read_stats(spark, root).collect()) == before_docs
+    assert abs(mon.js_between(spark, root, [0], [2]) - before_js) < 1e-12
+    assert mon.compact_batches(spark, root, upto=1) == [0, 2]  # no-op
