@@ -1,0 +1,170 @@
+"""Erasure propagation — right-to-be-forgotten across the derived stores.
+
+The feed spec's source-of-truth deletion is the tombstone: a DELETE
+entry tells consumers to drop the aggregate, and compaction physically
+rewrites the log (reference README.md:270-292 — our operators/feed.py +
+ingest.compact_now). But a training-data platform derives MORE stores
+from the feed — the inverted index (operators/text_index.py), the
+ANN/PQ vector indexes (operators/ann_index.py, pq_index.py), the LSH
+dedup index (streaming/dedup.py) — and a GDPR erasure request is only
+complete when the subject's rows are gone from every one of them. This
+module is that propagation pass: the derived-store twin of
+``compact_now``.
+
+Two tiers, the deletion-vector design (Delta/Iceberg practice):
+
+1. **Logical erasure** (``erase_ids``) — an append-only committed-batch
+   ledger ``<index_root>/erased/batch=NNNNNN`` of erased ids (schema:
+   one ``id`` long per row). Crash-proof by construction: each batch is
+   visible only with its committer _SUCCESS marker; a torn write is
+   invisible and the retry overwrites it. Every read path in the store
+   modules anti-joins the ledger, so from the moment the erase batch
+   commits, **no erased id can surface from any search or assignment
+   read — the GDPR invariant — regardless of later crash timing.**
+
+2. **Physical purge** (each store module's ``purge_erased``) — rewrites
+   the affected storage so the bytes are gone, then clears the ledger
+   LAST. The ledger doubles as the retry signal: a crash anywhere in a
+   purge leaves it non-empty, readers keep filtering (the invariant
+   holds), and re-running ``purge_erased`` completes the rewrite from
+   its committed staging copy. See each store's purge docstring for its
+   exact crash windows.
+
+100 TB posture: the ledger is ids-only (8 bytes/row); every filter is
+one anti-join Spark plans as broadcast while the ledger is small and as
+a shuffled join when it is not; purge touches only the batch dirs /
+cluster partitions that actually contain erased rows (found by an
+ids-only semi-join), never the whole store.
+
+Re-indexing semantics: while an id is in the ledger it cannot surface
+and (because its rows still exist until purge) cannot be re-upserted.
+After a purge clears the ledger the id is physically gone and MAY be
+indexed again — that is a NEW document (fresh-consent semantics). The
+feed side must be tombstoned first (``ingest.run_erasure`` derives the
+erase set from DELETE events), so at-least-once replays cannot
+re-introduce erased content: replays past the compaction horizon no
+longer carry it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.stores import committed, hadoop_fs
+
+ERASED_DIR = "erased"
+
+
+def _ledger_root(index_root: str) -> str:
+    return f"{index_root.rstrip('/')}/{ERASED_DIR}"
+
+
+def _ledger_batches(spark: SparkSession, index_root: str) -> list[tuple[int, str]]:
+    """(number, path) of every _SUCCESS-committed erase batch, ascending
+    (the text_index.py batch-visibility rule)."""
+    fs, root = hadoop_fs(spark, _ledger_root(index_root))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch=") and name[6:].isdigit():
+            if committed(spark, st.getPath().toString()):
+                out.append((int(name[6:]), st.getPath().toString()))
+    return sorted(out)
+
+
+def erased_ids(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """Distinct erased ids (one ``id`` long column), or None when the
+    ledger is absent/empty — callers treat None as "no filtering"."""
+    batches = _ledger_batches(spark, index_root)
+    if not batches:
+        return None
+    return spark.read.parquet(*[p for _, p in batches]).select("id").distinct()
+
+
+def erase_ids(
+    spark: SparkSession, index_root: str, ids: DataFrame, id_col: str = "id"
+) -> int:
+    """Commit one erase batch for `ids` (logical erasure). Idempotent:
+    ids already in the ledger are dropped; an empty remainder writes
+    nothing. Returns the number of NEW ids recorded. Torn writes are
+    invisible (no _SUCCESS) and reclaimed by the retry, which targets
+    max(committed)+1 — the same number the torn attempt used."""
+    fresh = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    prior = erased_ids(spark, index_root)
+    if prior is not None:
+        fresh = fresh.join(prior, "id", "left_anti")
+    fresh = fresh.localCheckpoint()  # count + write must see one snapshot
+    n = fresh.count()
+    if n:
+        batches = _ledger_batches(spark, index_root)
+        nxt = (batches[-1][0] + 1) if batches else 0
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            f"{_ledger_root(index_root)}/batch={nxt:06d}"
+        )
+    return n
+
+
+def not_erased(
+    spark: SparkSession, index_root: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """`df` minus rows whose `id_col` is in the erase ledger — the filter
+    every store read path applies. No-op (same plan) when the ledger is
+    absent, so the fast path costs nothing until an erasure happens."""
+    er = erased_ids(spark, index_root)
+    if er is None:
+        return df
+    return df.join(er.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+def clear_ledger(spark: SparkSession, index_root: str) -> None:
+    """Drop the ledger — the LAST step of a successful physical purge.
+    A crash before this leaves the ledger serving as the retry signal;
+    deleting it is safe only once every store rewrite has committed."""
+    fs, root = hadoop_fs(spark, _ledger_root(index_root))
+    if fs.exists(root):
+        fs.delete(root, True)
+
+
+def propagate_erasure(
+    spark: SparkSession,
+    ids: DataFrame,
+    *,
+    id_col: str = "id",
+    text_index_root: str | None = None,
+    ann_index_root: str | None = None,
+    pq_index_root: str | None = None,
+    dedup_index_root: str | None = None,
+    purge: bool = False,
+) -> dict:
+    """One erasure request fanned out to every derived store: commit the
+    ids into each store's ledger (logical — the invariant holds from
+    here on), then optionally run each store's physical purge. Stores
+    are independent: a purge failure in one leaves its ledger set (its
+    readers keep filtering) without blocking the others. Returns
+    per-store counts ({"<store>_erased": n, "<store>_purged": rows})."""
+    out: dict[str, int] = {}
+    targets: list[tuple[str, str, object]] = []
+    if text_index_root is not None:
+        from http_feeds_spark.operators import text_index as ti
+
+        targets.append(("text_index", text_index_root, ti.purge_erased))
+    if ann_index_root is not None:
+        from http_feeds_spark.operators import ann_index as ai
+
+        targets.append(("ann_index", ann_index_root, ai.purge_erased))
+    if pq_index_root is not None:
+        from http_feeds_spark.operators import pq_index as pqi
+
+        targets.append(("pq_index", pq_index_root, pqi.purge_erased))
+    if dedup_index_root is not None:
+        from http_feeds_spark.streaming import dedup as sd
+
+        targets.append(("dedup_index", dedup_index_root, sd.purge_erased))
+    for name, root, purge_fn in targets:
+        out[f"{name}_erased"] = erase_ids(spark, root, ids, id_col=id_col)
+        if purge:
+            out[f"{name}_purged"] = purge_fn(spark, root)
+    return out

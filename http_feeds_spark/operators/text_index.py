@@ -49,8 +49,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import text as tx
+from http_feeds_spark.operators import erasure
 from http_feeds_spark.operators.retrieval import B, K1
-from http_feeds_spark.stores import parquet_exists
+from http_feeds_spark.stores import committed, hadoop_fs, parquet_exists
 
 POSTINGS_DIR = "postings"
 TERMS_DIR = "terms"
@@ -58,9 +59,9 @@ META_DIR = "meta"
 N_BUCKETS = 64
 
 
-def _complete_batches(spark: SparkSession, post_root: str) -> list[str]:
-    """Paths of every _SUCCESS-committed batch dir, ascending (the
-    streaming/dedup.py epoch-visibility rule)."""
+def _complete_batches(spark: SparkSession, post_root: str) -> list[tuple[int, str]]:
+    """(number, path) of every _SUCCESS-committed batch dir, ascending
+    (the streaming/dedup.py epoch-visibility rule)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(post_root)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
@@ -74,14 +75,25 @@ def _complete_batches(spark: SparkSession, post_root: str) -> list[str]:
             marker = spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             if fs.exists(marker):
                 out.append((int(name[6:]), st.getPath().toString()))
-    return [p for _, p in sorted(out)]
+    return sorted(out)
 
 
 def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | None, int]:
-    paths = _complete_batches(spark, post_root)
-    if not paths:
+    batches = _complete_batches(spark, post_root)
+    if not batches:
         return None, 0
+    paths = [p for _, p in batches]
     return spark.read.option("basePath", post_root).parquet(*paths), len(paths)
+
+
+def _next_batch_no(spark: SparkSession, post_root: str) -> int:
+    """max(committed)+1 — NOT the batch count: a physical purge may
+    delete a fully-erased batch dir, leaving the numbering sparse; a
+    count-based next number would then collide with a live batch. A
+    torn (uncommitted) attempt at this number is reclaimed by the
+    retry's overwrite, same as before."""
+    batches = _complete_batches(spark, post_root)
+    return (batches[-1][0] + 1) if batches else 0
 
 
 def _write_derived(spark: SparkSession, index_root: str, n_batches: int) -> None:
@@ -179,7 +191,9 @@ def upsert_documents(
     fresh = new_docs.join(existing, id_col, "left_anti").localCheckpoint()
     n = fresh.count()
     if n:
-        _write_postings_batch(spark, fresh, post_path, n_batches, id_col, text_col)
+        _write_postings_batch(
+            spark, fresh, post_path, _next_batch_no(spark, post_path), id_col, text_col
+        )
         _write_derived(spark, index_root, n_batches + 1)
     return n
 
@@ -217,11 +231,25 @@ def search(
     n, avgdl = int(meta.n_docs), float(meta.avgdl)
     post_df, n_batches = _visible_postings(spark, post_path)
     if post_df is None:
+        if n == 0:
+            # fully-purged index: every document was erased and physically
+            # removed — an empty corpus answers every query with no hits
+            return spark.createDataFrame([], "doc_id long, score double, rank int")
         raise FileNotFoundError(
             f"no committed posting batches at {index_root} (stale or "
             "incompatible layout); rebuild with build_text_index"
         )
     stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
+    erased = erasure.erased_ids(spark, index_root)
+    if erased is not None:
+        # logical-erasure window (ledger set, purge not yet run): erased
+        # docs must not surface AND must not influence idf/avgdl — filter
+        # the postings and take the heal path, which recomputes both from
+        # the filtered postings. purge_erased restores the fast path.
+        post_df = post_df.join(
+            erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        )
+        stale = True
     if stale:
         # a crash landed a posting batch but not the derived stores —
         # heal: recompute df/avgdl from the visible postings (one

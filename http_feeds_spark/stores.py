@@ -11,6 +11,24 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FS API — the only
+    portable way to list/delete/probe directories on every Spark-
+    supported store (the streaming/dedup.py epoch pattern)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
+
+
+def committed(spark: SparkSession, path: str) -> bool:
+    """True when `path` carries its committer _SUCCESS marker — the
+    visibility rule every batch/epoch store in this package uses (a torn
+    write has no marker and is invisible)."""
+    fs, p = hadoop_fs(spark, path)
+    return bool(
+        fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    )
+
+
 def parquet_exists(spark: SparkSession, path: str) -> bool:
     """True when `path` is a readable parquet dataset. Probed through
     Spark's reader (footer/schema only — no data scan) so the check
