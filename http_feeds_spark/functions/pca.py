@@ -11,12 +11,14 @@ matrix.
 
 Spark shape:
 
-- **Moment accumulation is Arrow-batched mapInPandas**: each batch
-  contributes its numpy Gram matrix (X'X), row sum, and count — d²+d+1
-  partial values per PARTITION, map-side reduced by one groupBy-free
-  global aggregate (a d²-row key space would also work, but emitting
-  one flattened struct row per batch keeps the shuffle at
-  #batches × (d²+d+1) doubles, independent of corpus size).
+- **Moment accumulation is Arrow-batched mapInPandas**: each PARTITION
+  accumulates its numpy Gram matrix (X'X), row sum, and count across
+  its Arrow batches and emits ONE (d²+d+1)-double partial row. The
+  partials are then reduced IN-ENGINE — flatten to (pos, val) pairs,
+  hash-aggregate by pos (map-side combine keeps the shuffle at
+  #partitions × (d²+d+1) rows), re-assemble with one global
+  collect_list — so the driver receives EXACTLY ONE row whatever the
+  corpus size or partition count (pinned in tests/test_pca.py).
 - **Eigendecomposition is driver-side numpy** on the d×d model —
   model-sized, like the k-means centroid collect.
 - **Projection is map-only** against broadcast component literals (the
@@ -38,39 +40,67 @@ from pyspark.sql import functions as F
 from http_feeds_spark.functions import kmeans as km
 
 
-def moments(emb: DataFrame, vec_col: str = "embedding") -> tuple:
-    """(n, mean[d], cov[d,d]) from ONE corpus pass. Partial Gram/sum
-    per Arrow batch; the driver reduces #batches partials."""
+def _moments_frame(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """ONE-row frame of the reduced second moments: the flattened
+    [n] ++ rowsum[d] ++ gram[d·d] vector as sorted (pos, val) structs.
+
+    Shape: one Arrow pass emits ONE partial row per partition (not per
+    batch — the partial count is bounded by the partition count, never
+    the corpus size); the element-wise sum happens in-engine via a
+    (pos, val) hash aggregate with map-side combine (shuffle =
+    #partitions × (d²+d+1) rows), and a final global collect_list packs
+    the d²+d+1 reduced values into a single model-sized row."""
     import numpy as np
     import pandas as pd
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, g = 0, None, None
         for pdf in batches:
             X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             if not len(X):
                 continue
+            n += int(X.shape[0])
+            if s is None:
+                s, g = X.sum(axis=0), X.T @ X
+            else:
+                s += X.sum(axis=0)
+                g += X.T @ X
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [int(X.shape[0])],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    rows = (
-        emb.select(vec_col)
-        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
-        .collect()
-    )  # #batches × (d²+d+1) doubles — model-sized
+    part = emb.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    )
+    flat = part.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n").cast("double")), F.col("s"), F.col("g"))
+        ).alias("pos", "val")
+    )
+    return (
+        flat.groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("m"))
+    )
+
+
+def moments(emb: DataFrame, vec_col: str = "embedding") -> tuple:
+    """(n, mean[d], cov[d,d]) from ONE corpus pass. The driver collects
+    EXACTLY ONE row (see _moments_frame) regardless of corpus size or
+    partition count."""
     import numpy as np
 
-    n = sum(r.n for r in rows)
-    d = len(rows[0].s)
-    s = np.zeros(d)
-    g = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r.s)
-        g += np.asarray(r.g).reshape(d, d)
+    rows = _moments_frame(emb, vec_col).collect()
+    assert len(rows) == 1
+    vals = [e.val for e in rows[0].m]
+    if not vals:
+        raise ValueError("moments of an empty embedding table")
+    n = int(round(vals[0]))
+    total = len(vals) - 1  # d + d²
+    d = int(round((-1 + (1 + 4 * total) ** 0.5) / 2))
+    s = np.asarray(vals[1 : 1 + d])
+    g = np.asarray(vals[1 + d :]).reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     return n, mean, cov

@@ -34,6 +34,23 @@ def test_moments_match_numpy_and_layouts(spark, sf_dir):
         )
 
 
+def test_moments_driver_receives_exactly_one_row(spark, sf_dir):
+    """The scale contract (r6 verdict fix): the moment reduction happens
+    in-engine, so the driver collect is ONE model-sized row no matter
+    how many partitions (≡ Arrow-batch partials) the corpus spans."""
+    emb = _emb(spark, sf_dir)
+    X = _X(emb)
+    for parts in (1, 17, 33):
+        frame = pca._moments_frame(emb.repartition(parts))
+        rows = frame.collect()
+        assert len(rows) == 1, f"{parts} partitions -> {len(rows)} partial rows"
+        d = X.shape[1]
+        assert len(rows[0].m) == d * d + d + 1
+    n, mean, cov = pca.moments(emb.repartition(33))
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-9, atol=1e-9)
+
+
 def test_projection_matches_numpy_pca(spark, sf_dir):
     """Distributed fit+transform must equal numpy eigh PCA under the
     same sign convention."""
