@@ -91,17 +91,22 @@ def test_feed_to_monitor_e2e(spark, tmp_path):
         srv.shutdown()
 
 
+def _fold3(spark, root):
+    b0 = _mk_docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
+    b1 = _mk_docs(spark, [(3, "alpha beta gamma epsilon")])
+    b2 = _mk_docs(spark, [(4, "zeta eta theta iota kappa")])
+    for i, b in enumerate([b0, b1, b2]):
+        mon.fold_batch(spark, b, root, i)
+    return b0, b1, b2
+
+
 def test_compact_batches_preserves_range_answers(spark, tmp_path):
     """Merging batches 0-1 must keep every cross-range answer exact:
     stats sums equal, and JS between the merged range and a later batch
     identical to the pre-compaction value; re-running compaction is a
     no-op (sums of sums converge)."""
     root = str(tmp_path / "mon")
-    b0 = _mk_docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
-    b1 = _mk_docs(spark, [(3, "alpha beta gamma epsilon")])
-    b2 = _mk_docs(spark, [(4, "zeta eta theta iota kappa")])
-    for i, b in enumerate([b0, b1, b2]):
-        mon.fold_batch(spark, b, root, i)
+    _fold3(spark, root)
     before_js = mon.js_between(spark, root, [0, 1], [2])
     before_docs = sum(r.n_docs for r in mon.read_stats(spark, root).collect())
 
@@ -110,3 +115,70 @@ def test_compact_batches_preserves_range_answers(spark, tmp_path):
     assert sum(r.n_docs for r in mon.read_stats(spark, root).collect()) == before_docs
     assert abs(mon.js_between(spark, root, [0], [2]) - before_js) < 1e-12
     assert mon.compact_batches(spark, root, upto=1) == [0, 2]  # no-op
+
+
+def test_compact_crash_before_manifest_is_invisible_and_retries(spark, tmp_path):
+    """Kill compaction between the merged-frames write and the manifest
+    commit (the r6 double-count window): the torn merge must be
+    INVISIBLE — every answer unchanged — and a re-run must converge to
+    the same exact answers (it overwrites the same generation)."""
+    root = str(tmp_path / "mon")
+    _fold3(spark, root)
+    before_js = mon.js_between(spark, root, [0, 1], [2])
+    before_docs = sum(r.n_docs for r in mon.read_stats(spark, root).collect())
+
+    # simulate the crash: merged frames for gen 0 land, manifest never does
+    mon._range_counts(spark, root, [0, 1]).write.mode("overwrite").parquet(
+        f"{root}/{mon.MERGED_DIR}/000000/{mon.WORDS_DIR}"
+    )
+    assert mon._latest_manifest(spark, root) is None
+    assert sum(r.n_docs for r in mon.read_stats(spark, root).collect()) == before_docs
+    assert abs(mon.js_between(spark, root, [0, 1], [2]) - before_js) < 1e-12
+
+    # retry completes from disjoint inputs — no double count
+    assert mon.compact_batches(spark, root, upto=1) == [0, 2]
+    assert sum(r.n_docs for r in mon.read_stats(spark, root).collect()) == before_docs
+    assert abs(mon.js_between(spark, root, [0], [2]) - before_js) < 1e-12
+
+
+def test_compact_snapshot_rule_for_concurrent_readers(spark, tmp_path):
+    """Crash (or concurrency window) after the manifest commit, before
+    vacuum: a reader holding the PRE-compaction batch list still answers
+    exactly (covered ids resolve to their surviving raw dirs), while
+    post-compaction readers already see the merged unit. After vacuum,
+    naming an id inside the merged range raises."""
+    import pytest
+
+    root = str(tmp_path / "mon")
+    _fold3(spark, root)
+    before_js = mon.js_between(spark, root, [0, 1], [2])
+
+    assert mon.compact_batches(spark, root, upto=1, run_vacuum=False) == [0, 2]
+    # pre-compaction list: still exact from the raw dirs
+    assert abs(mon.js_between(spark, root, [0, 1], [2]) - before_js) < 1e-12
+    # post-compaction list: merged unit under keep_id, same answer
+    assert abs(mon.js_between(spark, root, [0], [2]) - before_js) < 1e-12
+
+    assert mon.vacuum(spark, root) > 0
+    assert abs(mon.js_between(spark, root, [0], [2]) - before_js) < 1e-12
+    with pytest.raises(ValueError, match="compacted away"):
+        mon.js_between(spark, root, [0, 1], [2])
+
+
+def test_recompaction_folds_merged_unit_with_new_batches(spark, tmp_path):
+    """Compact, fold a new batch, compact again: the second merge folds
+    the prior merged unit with the new raw batch (prefix invariant) and
+    every answer stays exact vs. the raw documents."""
+    from http_feeds_spark.operators import drift
+
+    root = str(tmp_path / "mon")
+    b0, b1, b2 = _fold3(spark, root)
+    assert mon.compact_batches(spark, root, upto=1) == [0, 2]
+    b3 = _mk_docs(spark, [(5, "lambda mu nu")])
+    mon.fold_batch(spark, b3, root, 3)
+    assert mon.compact_batches(spark, root, upto=2) == [0, 3]
+    want = drift.js_divergence_words(b0.unionByName(b1).unionByName(b2), b3)
+    assert abs(mon.js_between(spark, root, [0], [3]) - want) < 1e-12
+    stats = {r.batch: r for r in mon.read_stats(spark, root).collect()}
+    assert set(stats) == {0, 3}
+    assert stats[0].n_docs == 4 and stats[3].n_docs == 1
