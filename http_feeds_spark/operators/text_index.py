@@ -56,12 +56,14 @@ from http_feeds_spark.stores import committed, hadoop_fs, parquet_exists
 POSTINGS_DIR = "postings"
 TERMS_DIR = "terms"
 META_DIR = "meta"
+COMPACTION_DIR = "compaction"
 N_BUCKETS = 64
 
 
-def _complete_batches(spark: SparkSession, post_root: str) -> list[tuple[int, str]]:
+def _committed_batch_dirs(spark: SparkSession, post_root: str) -> list[tuple[int, str]]:
     """(number, path) of every _SUCCESS-committed batch dir, ascending
-    (the streaming/dedup.py epoch-visibility rule)."""
+    (the streaming/dedup.py epoch-visibility rule) — RAW listing, before
+    compaction manifests hide merged sources."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(post_root)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
@@ -78,6 +80,50 @@ def _complete_batches(spark: SparkSession, post_root: str) -> list[tuple[int, st
     return sorted(out)
 
 
+def _index_root_of(post_root: str) -> str:
+    # _paths always derives post_root as <index_root>/postings
+    return post_root.rstrip("/").rsplit("/", 1)[0]
+
+
+def _manifests(spark: SparkSession, index_root: str) -> list[tuple[int, int, list[int]]]:
+    """(gen, new_batch, sources) of every _SUCCESS-committed compaction
+    manifest, ascending by generation. A torn manifest has no marker and
+    never activates."""
+    root = f"{index_root.rstrip('/')}/{COMPACTION_DIR}"
+    fs, jroot = hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    gens = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.isdigit()
+            and committed(spark, st.getPath().toString())
+        ):
+            gens.append(int(name))
+    out = []
+    for g in sorted(gens):
+        row = spark.read.parquet(f"{root}/{g:06d}").collect()[0]
+        out.append((g, int(row.new_batch), [int(b) for b in row.sources]))
+    return out
+
+
+def _complete_batches(spark: SparkSession, post_root: str) -> list[tuple[int, str]]:
+    """VISIBLE batch dirs: committed dirs minus the sources of every
+    ACTIVE compaction manifest. A manifest is active the instant its
+    merged ``batch=<new>`` dir commits — that single _SUCCESS atomically
+    swaps the sources for their merge, so no read ever double-counts a
+    posting (manifest-first protocol, see compact_postings)."""
+    raw = _committed_batch_dirs(spark, post_root)
+    nos = {no for no, _ in raw}
+    hidden: set[int] = set()
+    for _, new_batch, sources in _manifests(spark, _index_root_of(post_root)):
+        if new_batch in nos:
+            hidden.update(sources)
+    return [(no, p) for no, p in raw if no not in hidden]
+
+
 def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | None, int]:
     batches = _complete_batches(spark, post_root)
     if not batches:
@@ -87,13 +133,18 @@ def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | 
 
 
 def _next_batch_no(spark: SparkSession, post_root: str) -> int:
-    """max(committed)+1 — NOT the batch count: a physical purge may
-    delete a fully-erased batch dir, leaving the numbering sparse; a
-    count-based next number would then collide with a live batch. A
-    torn (uncommitted) attempt at this number is reclaimed by the
-    retry's overwrite, same as before."""
-    batches = _complete_batches(spark, post_root)
-    return (batches[-1][0] + 1) if batches else 0
+    """max over committed dirs AND every committed manifest's reserved
+    numbers, +1 — NOT the batch count: purges/compactions leave the
+    numbering sparse, and a committed-but-inert manifest (crash before
+    its merged dir landed) has RESERVED its new_batch number — reusing
+    it for an upsert would activate that stale manifest and hide live
+    batches. A torn (uncommitted) attempt at this number is reclaimed by
+    the retry's overwrite, same as before."""
+    taken = {no for no, _ in _committed_batch_dirs(spark, post_root)}
+    for _, new_batch, sources in _manifests(spark, _index_root_of(post_root)):
+        taken.add(new_batch)
+        taken.update(sources)
+    return (max(taken) + 1) if taken else 0
 
 
 def _write_derived(spark: SparkSession, index_root: str, n_batches: int) -> None:
@@ -307,3 +358,103 @@ def search(
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )
+
+
+def _replace_batches(
+    spark: SparkSession,
+    index_root: str,
+    source_nos: list[int],
+    frame: DataFrame,
+) -> int:
+    """Atomically replace the ``source_nos`` batch dirs with ``frame``
+    as ONE new batch dir (manifest-first protocol):
+
+    1. commit a ``compaction/<gen>`` manifest naming (new_batch,
+       sources) — INERT until the merged dir exists, so a crash here
+       changes nothing (the reserved number is never reused,
+       _next_batch_no);
+    2. write the frame to ``postings/batch=<new>`` — its _SUCCESS
+       marker ATOMICALLY activates the manifest: sources hidden and
+       merge visible in the same instant, so no reader ever sees both;
+    3. recompute the derived stores, then vacuum the hidden sources.
+
+    A crash between 2 and 3 leaves a stale meta fingerprint (search
+    heals, module docstring) and hidden-garbage dirs (next vacuum).
+    Returns the new batch number."""
+    post_path, _, _ = _paths(index_root)
+    new_no = _next_batch_no(spark, post_path)
+    gens = [g for g, _, _ in _manifests(spark, index_root)]
+    gen = (max(gens) + 1) if gens else 0
+    spark.createDataFrame(
+        [(int(new_no), [int(b) for b in sorted(source_nos)])],
+        "new_batch int, sources array<int>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_root.rstrip('/')}/{COMPACTION_DIR}/{gen:06d}"
+    )
+    (
+        frame.select("doc_id", "dl", "term", "tf")
+        .withColumn("bucket", _bucket("term"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{post_path}/batch={new_no:06d}")
+    )  # commit point: this _SUCCESS swaps sources -> merge atomically
+    _write_derived(spark, index_root, len(_complete_batches(spark, post_path)))
+    vacuum_postings(spark, index_root)
+    return new_no
+
+
+def compact_postings(spark: SparkSession, index_root: str, upto: int) -> list[int]:
+    """Merge every visible posting batch ≤ ``upto`` into one batch dir —
+    the retention story for a feed-driven index that folds every few
+    minutes: without it the store accumulates thousands of small
+    ``batch=`` dirs (listing cost + the small-file problem). Postings
+    are DISJOINT by doc id across batches (upsert anti-joins), so the
+    merge is an exact concatenation; search results are bit-identical
+    before and after (pinned in tests/test_text_index.py).
+
+    Crash-safe via the manifest-first protocol of _replace_batches —
+    the merged dir's own _SUCCESS is the atomic switch; re-running at
+    any crash point converges. Returns the visible batch numbers after
+    compaction."""
+    post_path, _, _ = _paths(index_root)
+    visible = _complete_batches(spark, post_path)
+    merge = [(no, p) for no, p in visible if no <= upto]
+    if len(merge) < 2:
+        vacuum_postings(spark, index_root)
+        return [no for no, _ in _complete_batches(spark, post_path)]
+    frame = spark.read.option("basePath", post_path).parquet(
+        *[p for _, p in merge]
+    )
+    _replace_batches(spark, index_root, [no for no, _ in merge], frame)
+    return [no for no, _ in _complete_batches(spark, post_path)]
+
+
+def vacuum_postings(spark: SparkSession, index_root: str) -> int:
+    """Delete the source dirs of every ACTIVE manifest, then the
+    manifest itself once all its sources are gone (deleting the manifest
+    first would resurrect surviving sources next to their merge). Inert
+    manifests — their merged dir never committed — are left alone: their
+    sources are live data. Pure cleanup; the view never depends on it.
+    Returns the number of directories removed."""
+    post_path, _, _ = _paths(index_root)
+    nos = {no for no, _ in _committed_batch_dirs(spark, post_path)}
+    removed = 0
+    fs, _ = hadoop_fs(spark, index_root)
+    for gen, new_batch, sources in _manifests(spark, index_root):
+        if new_batch not in nos:
+            continue  # inert: crash before the merged dir landed
+        gone = True
+        for b in sources:
+            _, p = hadoop_fs(spark, f"{post_path}/batch={b:06d}")
+            if fs.exists(p):
+                if fs.delete(p, True):
+                    removed += 1
+                else:
+                    gone = False
+        _, man = hadoop_fs(
+            spark, f"{index_root.rstrip('/')}/{COMPACTION_DIR}/{gen:06d}"
+        )
+        if gone and fs.exists(man):
+            fs.delete(man, True)
+            removed += 1
+    return removed

@@ -192,3 +192,94 @@ def test_stale_layout_reads_as_absent_and_rebuilds(spark, sf_dir, tmp_path):
         ti.search(spark, root, TERMS)
     assert ti.ensure_text_index(spark, docs, root) is True
     assert ti.search(spark, root, TERMS, k=3).count() == 3
+
+
+def test_compact_postings_is_exact_and_crash_safe(spark, sf_dir, tmp_path):
+    """Posting-batch compaction (retention for a feed-folded index):
+    search must be bit-identical before/after; a crash AFTER the
+    manifest but BEFORE the merged dir leaves the manifest inert (view
+    unchanged, reserved number never reused); re-running converges; a
+    torn vacuum leaves hidden garbage that the next vacuum removes."""
+    docs = _docs(spark, sf_dir)
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, thirds[0], root)
+    ti.upsert_documents(spark, thirds[1], root)
+    ti.upsert_documents(spark, thirds[2], root)
+    before = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    post_path = f"{root}/{ti.POSTINGS_DIR}"
+    assert [no for no, _ in ti._complete_batches(spark, post_path)] == [0, 1, 2]
+
+    # crash window 1: manifest commits, merged dir never lands -> inert
+    spark.createDataFrame(
+        [(3, [0, 1])], "new_batch int, sources array<int>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{ti.COMPACTION_DIR}/000000"
+    )
+    assert [no for no, _ in ti._complete_batches(spark, post_path)] == [0, 1, 2]
+    assert [
+        tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()
+    ] == before
+    # the inert manifest's reserved number is skipped by new writes
+    assert ti._next_batch_no(spark, post_path) == 4
+
+    # retry completes (supersedes the inert manifest)
+    remaining = ti.compact_postings(spark, root, upto=2)
+    assert remaining == [4]
+    assert [
+        tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()
+    ] == before
+    # sources physically gone, upsert still works afterwards
+    import os
+
+    assert not os.path.exists(f"{post_path}/batch=000000")
+    extra = spark.createDataFrame(
+        [(30_000_000, "window filter merge")], "doc_id long, text string"
+    )
+    assert ti.upsert_documents(spark, extra, root) == 1
+    assert ti.search(spark, root, TERMS, k=10).count() == 10
+
+
+def test_compact_postings_switch_is_atomic(spark, sf_dir, tmp_path):
+    """Crash window 2: manifest + merged dir committed, but vacuum and
+    the derived rewrite never ran. The view must ALREADY be switched —
+    sources hidden, no posting double-counted — and search must heal the
+    stale meta fingerprint to the exact same answers."""
+    docs = _docs(spark, sf_dir)
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in range(2)]
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, halves[0], root)
+    ti.upsert_documents(spark, halves[1], root)
+    before = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    post_path = f"{root}/{ti.POSTINGS_DIR}"
+
+    # simulate: manifest + merged batch land; derived rewrite + vacuum crash
+    merged = spark.read.option("basePath", post_path).parquet(
+        f"{post_path}/batch=000000", f"{post_path}/batch=000001"
+    )
+    spark.createDataFrame(
+        [(2, [0, 1])], "new_batch int, sources array<int>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{ti.COMPACTION_DIR}/000000"
+    )
+    (
+        merged.select("doc_id", "dl", "term", "tf")
+        .withColumn("bucket", ti._bucket("term"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{post_path}/batch=000002")
+    )
+    # switched: only the merge is visible, sources still on disk
+    assert [no for no, _ in ti._complete_batches(spark, post_path)] == [2]
+    got = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    assert got == before  # heal path: stale n_batches recomputed
+
+    # vacuum removes the hidden sources and the spent manifest
+    assert ti.vacuum_postings(spark, root) >= 2
+    import os
+
+    assert not os.path.exists(f"{post_path}/batch=000000")
+    assert not os.path.exists(f"{root}/{ti.COMPACTION_DIR}/000000")
+    assert [
+        tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()
+    ] == before
