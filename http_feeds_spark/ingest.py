@@ -447,6 +447,61 @@ def run_pq_index(
     return {"index_root": index_root, "indexed_vectors": n}
 
 
+def run_erasure(
+    spark: SparkSession,
+    url: str,
+    *,
+    text_index_root: str | None = None,
+    ann_index_root: str | None = None,
+    pq_index_root: str | None = None,
+    dedup_index_root: str | None = None,
+    purge: bool = False,
+) -> dict:
+    """Feed DELETE tombstones → erasure across every derived store.
+
+    The spec's deletion signal is the tombstone (README.md:270-292): a
+    DELETE entry tells consumers to drop the aggregate. The landing
+    zone honors it via compaction (compact_now); the DERIVED stores —
+    inverted index, ANN/PQ vector indexes, LSH dedup index — need this
+    propagation pass (operators/erasure.py). The erase set is every
+    subject whose LATEST feed entry is a DELETE (drop_tombstoned's
+    latest-method test), read through the batch feed connector; subjects
+    must be (string-encoded) numeric doc ids, the same key the index
+    ingests (run_dedup_index et al.) extract from the payload.
+
+    ``purge=False`` commits logical erasure only — from that commit, no
+    erased id can surface from any store read (each read path anti-joins
+    the ledger). ``purge=True`` also rewrites the affected storage and
+    clears the ledgers. Idempotent end to end: re-running re-derives the
+    same erase set; already-recorded ids are dropped by erase_ids and an
+    already-purged store has no affected partitions. Returns the
+    per-store counts from propagate_erasure plus {"erase_ids": n}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import erasure
+
+    http_feed.register(spark)
+    events = spark.read.format("httpfeed").option("url", url).load()
+    latest = ops.compact(ops.parse_seq_auto(events))
+    is_tomb = F.coalesce(F.col("method"), F.lit("PUT")) == F.lit("DELETE")
+    ids = (
+        latest.where(is_tomb)
+        .select(F.col("subject").cast("long").alias("id"))
+        .where(F.col("id").isNotNull())
+    )
+    out = erasure.propagate_erasure(
+        spark,
+        ids,
+        text_index_root=text_index_root,
+        ann_index_root=ann_index_root,
+        pq_index_root=pq_index_root,
+        dedup_index_root=dedup_index_root,
+        purge=purge,
+    )
+    out["erase_ids"] = int(ids.count())
+    return out
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

@@ -39,10 +39,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.operators import erasure
 from http_feeds_spark.stores import parquet_exists
 
 CENTROIDS_DIR = "centroids"
 CORPUS_DIR = "corpus"
+
+
+def _id_col_of(spark: SparkSession, store_path: str) -> str:
+    """The id column of a (id, payload, cluster) store — the one scalar
+    column that is not the partition key (the payload is an array)."""
+    import pyspark.sql.types as T
+
+    for f in spark.read.parquet(store_path).schema.fields:
+        if f.name != "cluster" and not isinstance(
+            f.dataType, (T.ArrayType, T.BinaryType)
+        ):
+            return f.name
+    raise ValueError(f"no id column found in {store_path}")
+
+
+def purge_erased(spark: SparkSession, index_root: str) -> int:
+    """Physically remove the ledger's erased vectors from the corpus
+    store (operators/erasure.py tier 2): only the cluster partitions
+    holding erased rows are rewritten (erasure.purge_partitioned_store's
+    stage→swap protocol), then exactly the processed ledger batches are
+    cleared — readers keep filtering until then, so the invariant holds
+    through every crash window. The centroid model is untouched: k-means
+    centroids are aggregates, not subject rows. Returns rows removed."""
+    nos, erased = erasure.ledger_snapshot(spark, index_root)
+    if erased is None:
+        return 0
+    _, corpus_path = _paths(index_root)
+    removed = erasure.purge_partitioned_store(
+        spark, corpus_path, erased, _id_col_of(spark, corpus_path), "cluster"
+    )
+    erasure.clear_ledger_batches(spark, index_root, nos)
+    return removed
 
 
 def _paths(index_root: str) -> tuple[str, str]:
@@ -179,6 +212,9 @@ def search(
     cents = load_centroids(spark, index_root)
     _, corpus_path = _paths(index_root)
     corpus = spark.read.parquet(corpus_path)
+    # logical-erasure window: ids in the erase ledger must not surface
+    # (no-op plan while the ledger is absent — erasure.not_erased)
+    corpus = erasure.not_erased(spark, index_root, corpus, id_col)
     if broadcast_queries:
         probed = (
             km.probe_clusters(

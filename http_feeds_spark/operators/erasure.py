@@ -84,6 +84,19 @@ def erased_ids(spark: SparkSession, index_root: str) -> DataFrame | None:
     return spark.read.parquet(*[p for _, p in batches]).select("id").distinct()
 
 
+def ledger_snapshot(
+    spark: SparkSession, index_root: str
+) -> tuple[list[int], DataFrame | None]:
+    """(committed ledger batch numbers, their distinct ids) — the
+    snapshot a purge takes up front so it clears exactly what it
+    processed (clear_ledger_batches) and nothing committed later."""
+    batches = _ledger_batches(spark, index_root)
+    if not batches:
+        return [], None
+    ids = spark.read.parquet(*[p for _, p in batches]).select("id").distinct()
+    return [n for n, _ in batches], ids
+
+
 def erase_ids(
     spark: SparkSession, index_root: str, ids: DataFrame, id_col: str = "id"
 ) -> int:
@@ -126,6 +139,88 @@ def clear_ledger(spark: SparkSession, index_root: str) -> None:
     fs, root = hadoop_fs(spark, _ledger_root(index_root))
     if fs.exists(root):
         fs.delete(root, True)
+
+
+def clear_ledger_batches(
+    spark: SparkSession, index_root: str, batch_nos: list[int]
+) -> None:
+    """Drop ONLY the named ledger batches — the LAST step of a purge
+    that snapshotted its erase set up front. An erase batch committed
+    DURING the purge (a newer request) stays in the ledger: its readers
+    keep filtering and the next purge handles it — clearing the whole
+    ledger here would silently un-erase it."""
+    fs, _ = hadoop_fs(spark, index_root)
+    for no in batch_nos:
+        _, p = hadoop_fs(spark, f"{_ledger_root(index_root)}/batch={no:06d}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def purge_partitioned_store(
+    spark: SparkSession,
+    store_path: str,
+    erased: DataFrame,
+    id_col: str,
+    part_col: str,
+) -> int:
+    """Physically remove every row of a ``part_col=N``-partitioned
+    parquet store whose ``id_col`` is in ``erased`` (one ``id`` column),
+    touching ONLY the partitions that contain erased rows. The shared
+    rewrite for the ANN corpus, the PQ code store, and the dedup
+    band/shingle stores.
+
+    Protocol (stage → swap), with every crash window recoverable:
+
+    1. **Resume** any torn swap first: a committed staged partition dir
+       whose live dir is MISSING holds the only copy of that
+       partition's survivors — rename it into place. (A stale stage
+       from an older erase set is safe to restore: it was filtered by a
+       subset of the current ledger, readers still filter the rest, and
+       this purge re-filters it below.) Then drop the stage root.
+    2. Find affected partitions by an ids-only semi-join; write their
+       FILTERED survivors to the stage root (one job, its _SUCCESS is
+       the stage commit).
+    3. Per affected partition: delete the live dir, rename the staged
+       dir in (a fully-erased partition has no staged dir — the delete
+       is the whole swap). Crash between delete and rename hides that
+       partition's survivors until the next purge resumes (availability
+       only — the erasure invariant holds throughout, because the
+       ledger keeps readers filtering until the caller clears it LAST).
+
+    Returns the number of rows physically removed."""
+    stage_root = store_path.rstrip("/") + "__purge_stage"
+    fs, jstage = hadoop_fs(spark, stage_root)
+    if fs.exists(jstage):
+        if committed(spark, stage_root):
+            for st in fs.listStatus(jstage):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith(f"{part_col}="):
+                    _, live = hadoop_fs(spark, f"{store_path}/{name}")
+                    if not fs.exists(live):
+                        fs.rename(st.getPath(), live)
+        fs.delete(jstage, True)
+
+    df = spark.read.parquet(store_path)
+    key = erased.withColumnRenamed("id", id_col)
+    affected = [
+        r[part_col]
+        for r in df.join(key, id_col, "semi").select(part_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    sub = df.where(F.col(part_col).isin(affected))
+    removed = sub.join(key, id_col, "semi").count()
+    kept = sub.join(key, id_col, "left_anti")
+    kept.write.mode("overwrite").partitionBy(part_col).parquet(stage_root)
+    for p in affected:
+        _, live = hadoop_fs(spark, f"{store_path}/{part_col}={p}")
+        _, staged = hadoop_fs(spark, f"{stage_root}/{part_col}={p}")
+        if fs.exists(live):
+            fs.delete(live, True)
+        if fs.exists(staged):
+            fs.rename(staged, live)
+    fs.delete(jstage, True)
+    return removed
 
 
 def propagate_erasure(

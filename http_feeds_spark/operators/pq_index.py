@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import kmeans as km
 from http_feeds_spark.functions import pq
+from http_feeds_spark.operators import erasure
 from http_feeds_spark.stores import parquet_exists
 
 CODES_DIR = "codes"
@@ -160,6 +161,9 @@ def search(
         "__qv",
     ).select(qid_col, "__dt", "cluster")
     codes = spark.read.parquet(codes_path)
+    # logical-erasure window: ids in the erase ledger must not surface
+    # (no-op plan while the ledger is absent — erasure.not_erased)
+    codes = erasure.not_erased(spark, index_root, codes, id_col)
     if broadcast_queries:
         probed = [
             r.cluster for r in probes.select("cluster").distinct().collect()
@@ -218,6 +222,27 @@ def upsert_vectors(
     return n
 
 
+def purge_erased(spark: SparkSession, index_root: str) -> int:
+    """Physically remove the ledger's erased code rows (operators/
+    erasure.py tier 2): only the cluster partitions holding erased rows
+    are rewritten (erasure.purge_partitioned_store's stage→swap
+    protocol), then exactly the processed ledger batches are cleared —
+    readers keep filtering until then. The frozen coarse quantizer and
+    codebooks are untouched: they are trained aggregates, not subject
+    rows. Returns rows removed."""
+    from http_feeds_spark.operators.ann_index import _id_col_of
+
+    nos, erased = erasure.ledger_snapshot(spark, index_root)
+    if erased is None:
+        return 0
+    codes_path, _, _ = _paths(index_root)
+    removed = erasure.purge_partitioned_store(
+        spark, codes_path, erased, _id_col_of(spark, codes_path), "cluster"
+    )
+    erasure.clear_ledger_batches(spark, index_root, nos)
+    return removed
+
+
 def search_rerank(
     spark: SparkSession,
     queries: DataFrame,
@@ -267,6 +292,9 @@ def search_rerank(
     corpus = spark.read.parquet(corpus_path).select(
         F.col(id_col), F.col(vec_col).alias("__cv")
     )
+    # stage 1 already filtered THIS index's ledger; the raw-vector tier
+    # has its own — filter it too (no-op plan while absent)
+    corpus = erasure.not_erased(spark, ann_index_root, corpus, id_col)
     cands = shortlist.join(
         F.broadcast(
             queries.select(F.col(qid_col), F.col(vec_col).alias("__qv"))

@@ -429,6 +429,68 @@ def compact_postings(spark: SparkSession, index_root: str, upto: int) -> list[in
     return [no for no, _ in _complete_batches(spark, post_path)]
 
 
+def purge_erased(spark: SparkSession, index_root: str) -> int:
+    """Physically remove every posting of the ledger's erased doc ids
+    (operators/erasure.py tier 2), then clear exactly the ledger batches
+    processed. Touches only the posting batch dirs that actually contain
+    erased docs (ids-only semi-join), rewriting them through the same
+    manifest-first _replace_batches protocol as compaction — so a crash
+    at any point leaves either the originals or the filtered replacement
+    visible, never both, and the still-set ledger keeps every reader
+    filtering (search's heal path also recomputes df/avgdl from the
+    filtered postings) until the rewrite commits. Returns the number of
+    posting rows removed."""
+    ledger_nos, erased = erasure.ledger_snapshot(spark, index_root)
+    if erased is None:
+        return 0
+    post_path, terms_path, meta_path = _paths(index_root)
+    visible = _complete_batches(spark, post_path)
+    removed = 0
+    if visible:
+        post = spark.read.option("basePath", post_path).parquet(
+            *[p for _, p in visible]
+        )
+        key = erased.withColumnRenamed("id", "doc_id")
+        affected = sorted(
+            r.batch
+            for r in post.join(key, "doc_id", "semi").select("batch").distinct().collect()
+        )
+        if affected:
+            sub = post.where(F.col("batch").isin(affected))
+            removed = int(sub.join(key, "doc_id", "semi").count())
+            kept = sub.join(key, "doc_id", "left_anti").localCheckpoint()
+            survivors_elsewhere = [no for no, _ in visible if no not in affected]
+            if kept.count() > 0:
+                _replace_batches(spark, index_root, affected, kept)
+            elif survivors_elsewhere:
+                # every doc in the affected batches is erased: fold the
+                # (empty) remainder into the lowest surviving batch so
+                # the replacement dir is readable parquet
+                donor = survivors_elsewhere[0]
+                donor_frame = spark.read.parquet(f"{post_path}/batch={donor:06d}")
+                _replace_batches(spark, index_root, affected + [donor], donor_frame)
+            else:
+                # the whole index is erased: drop every store and stamp
+                # an empty meta — search answers every query with 0 hits
+                fs, _ = hadoop_fs(spark, index_root)
+                for no, p in visible:
+                    _, jp = hadoop_fs(spark, p)
+                    fs.delete(jp, True)
+                for gen, _, _ in _manifests(spark, index_root):
+                    _, jm = hadoop_fs(
+                        spark, f"{index_root.rstrip('/')}/{COMPACTION_DIR}/{gen:06d}"
+                    )
+                    fs.delete(jm, True)
+                _, jt = hadoop_fs(spark, terms_path)
+                if fs.exists(jt):
+                    fs.delete(jt, True)
+                spark.createDataFrame(
+                    [(0, 0.0, 0)], "n_docs long, avgdl double, n_batches int"
+                ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    erasure.clear_ledger_batches(spark, index_root, ledger_nos)
+    return removed
+
+
 def vacuum_postings(spark: SparkSession, index_root: str) -> int:
     """Delete the source dirs of every ACTIVE manifest, then the
     manifest itself once all its sources are gone (deleting the manifest

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import minhash as mh
 from http_feeds_spark.functions import text as tx
+from http_feeds_spark.operators import erasure
 from http_feeds_spark.operators.components import (
     connected_components,
     incremental_components,
@@ -51,6 +52,10 @@ from http_feeds_spark.stores import parquet_exists
 BANDS_DIR = "bands"
 SHINGLES_DIR = "shingles"
 ASSIGNMENT_DIR = "assignment"
+# bands/shingles are bucketed by doc-id hash so a physical erasure purge
+# rewrites only the buckets holding erased docs (erasure.py tier 2),
+# never the whole append-only store
+N_BUCKETS = 64
 
 # constants matching q_llm_dedup_near (queries/llm.py)
 SHINGLE_N = 3
@@ -158,8 +163,12 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     new_bands = mh.band_rows(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS).localCheckpoint()
 
     if _exists(spark, bands_path):
-        all_bands = spark.read.parquet(bands_path).unionByName(new_bands)
-        all_shingles = spark.read.parquet(shingles_path).unionByName(sh_new)
+        all_bands = (
+            spark.read.parquet(bands_path).drop("bucket").unionByName(new_bands)
+        )
+        all_shingles = (
+            spark.read.parquet(shingles_path).drop("bucket").unionByName(sh_new)
+        )
     else:
         all_bands, all_shingles = new_bands, sh_new
 
@@ -193,6 +202,10 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     else:
         asg = connected_components(pairs, src="a", dst="b")
 
+    # bucket partitioning (doc-id hash) gives the erasure purge its
+    # partition locality; the column is dropped on read (joins key on
+    # doc_id / band keys, never the bucket)
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
     # Write order is the crash story. The SHINGLE store is both the
     # idempotence key (the anti-join above) and the LAST write — the
     # fold's commit point. A crash anywhere earlier leaves the shingle
@@ -207,19 +220,76 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     # a crash MID-write leaves the prior epoch serving, so no ordering
     # can lose the full-corpus clustering.
     _write_assignment(spark, asg_path, asg)
-    new_bands.write.mode("append").parquet(bands_path)
-    sh_new.write.mode("append").parquet(shingles_path)
+    new_bands.withColumn("bucket", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(bands_path)
+    sh_new.withColumn("bucket", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(shingles_path)
     return asg
+
+
+def _relabel_min_surviving(asg: DataFrame) -> DataFrame:
+    """Re-point every component label at its MINIMUM surviving member —
+    the connected_components label convention, so unaffected components
+    keep their labels bit-for-bit and components whose representative
+    was dropped get the next-smallest member. One aggregate + one join,
+    both on ids-only frames."""
+    relabel = asg.groupBy("component").agg(F.min("node").alias("__new"))
+    return asg.join(relabel, "component").select(
+        "node", F.col("__new").alias("component")
+    )
 
 
 def read_assignment(spark: SparkSession, index_root: str) -> DataFrame:
     """The current (node, component) duplicate-cluster assignment — the
-    latest _SUCCESS-committed epoch (torn writes are invisible)."""
+    latest _SUCCESS-committed epoch (torn writes are invisible).
+
+    Logical-erasure window (operators/erasure.py): while the erase
+    ledger is non-empty, erased NODES are filtered out and components
+    are relabeled to their minimum surviving member, so an erased id
+    never surfaces as a row OR as a cluster label. No-op plan while the
+    ledger is absent; purge_erased makes the rewrite physical."""
     _, _, asg_path = _paths(index_root)
     asg = _read_assignment_or_none(spark, asg_path)
     if asg is None:
         raise FileNotFoundError(f"no assignment at {asg_path}; fold a batch first")
+    erased = erasure.erased_ids(spark, index_root)
+    if erased is not None:
+        asg = asg.join(erased.withColumnRenamed("id", "node"), "node", "left_anti")
+        asg = _relabel_min_surviving(asg)
     return asg
+
+
+def purge_erased(spark: SparkSession, index_root: str) -> int:
+    """Physically remove the ledger's erased docs from all three stores
+    (operators/erasure.py tier 2): bands and shingles rewrite only the
+    doc-id-hash buckets holding erased rows (erasure.
+    purge_partitioned_store's stage→swap protocol), the assignment is
+    rewritten — filtered and relabeled to minimum surviving members —
+    as a NEW epoch (the store's own atomic-commit mechanism), and then
+    exactly the processed ledger batches are cleared. Readers keep
+    filtering until that last step, so the invariant holds through
+    every crash window. Returns rows removed from the band + shingle
+    stores."""
+    nos, erased = erasure.ledger_snapshot(spark, index_root)
+    if erased is None:
+        return 0
+    bands_path, shingles_path, asg_path = _paths(index_root)
+    removed = 0
+    for store in (bands_path, shingles_path):
+        if _exists(spark, store):
+            removed += erasure.purge_partitioned_store(
+                spark, store, erased, "doc_id", "bucket"
+            )
+    prior = _read_assignment_or_none(spark, asg_path)
+    if prior is not None:
+        filtered = prior.join(
+            erased.withColumnRenamed("id", "node"), "node", "left_anti"
+        )
+        _write_assignment(spark, asg_path, _relabel_min_surviving(filtered))
+    erasure.clear_ledger_batches(spark, index_root, nos)
+    return removed
 
 
 def survivors_filter(spark: SparkSession, docs: DataFrame, index_root: str,

@@ -1,0 +1,334 @@
+"""Erasure propagation (operators/erasure.py): the GDPR invariant —
+from the moment an erase batch commits, no erased id surfaces from ANY
+store read — plus physical purge across all four derived stores, the
+torn-swap resume, and the feed-DELETE → propagate composition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import ann_index as ai
+from http_feeds_spark.operators import erasure
+from http_feeds_spark.operators import pq_index as pqi
+from http_feeds_spark.operators import text_index as ti
+from http_feeds_spark.streaming import dedup as sd
+
+TERMS = ["window", "filter", "merge"]
+
+
+def _docs(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _emb(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _queries(emb, n=8):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_ledger_basics_idempotent(spark, tmp_path):
+    root = str(tmp_path / "led")
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    assert erasure.erase_ids(spark, root, ids) == 2
+    assert erasure.erase_ids(spark, root, ids) == 0  # already recorded
+    more = spark.createDataFrame([(2,), (3,)], "id long")
+    assert erasure.erase_ids(spark, root, more) == 1
+    got = sorted(r.id for r in erasure.erased_ids(spark, root).collect())
+    assert got == [1, 2, 3]
+    erasure.clear_ledger(spark, root)
+    assert erasure.erased_ids(spark, root) is None
+
+
+def test_text_index_logical_erasure_equals_rebuilt_index(spark, sf_dir, tmp_path):
+    """Ledger set, purge NOT yet run: search must equal an index built
+    WITHOUT the erased docs — same idf, same avgdl, same rows — because
+    the read path filters postings and heals the derived stats."""
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    victim_ids = [
+        r.doc_id for r in ti.search(spark, root, TERMS, k=2).select("doc_id").collect()
+    ]
+    erasure.erase_ids(
+        spark, root, spark.createDataFrame([(i,) for i in victim_ids], "id long")
+    )
+    got = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+
+    clean_root = str(tmp_path / "ti_clean")
+    ti.build_text_index(
+        spark, docs.where(~F.col("doc_id").isin(victim_ids)), clean_root
+    )
+    want = [tuple(r) for r in ti.search(spark, clean_root, TERMS, k=10).collect()]
+    assert got == want and len(got) == 10
+    assert not {r[0] for r in got} & set(victim_ids)
+
+
+def test_text_index_purge_is_physical_and_blocks_then_allows_reindex(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), root)
+    ti.upsert_documents(spark, docs.where(F.col("doc_id") % 2 == 1), root)
+    victim = int(
+        ti.search(spark, root, TERMS, k=1).select("doc_id").collect()[0].doc_id
+    )
+    vic_df = spark.createDataFrame([(victim,)], "id long")
+    erasure.erase_ids(spark, root, vic_df)
+    before = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+
+    # while the ledger is set the id cannot be re-upserted (rows exist)
+    vic_doc = docs.where(F.col("doc_id") == victim)
+    assert ti.upsert_documents(spark, vic_doc, root) == 0
+
+    removed = ti.purge_erased(spark, root)
+    assert removed > 0
+    assert erasure.erased_ids(spark, root) is None  # ledger cleared LAST
+    # physically gone: scan the posting store directly
+    post = spark.read.option("basePath", f"{root}/{ti.POSTINGS_DIR}").parquet(
+        f"{root}/{ti.POSTINGS_DIR}"
+    )
+    assert post.where(F.col("doc_id") == victim).count() == 0
+    # same answers as the logical window, now on the fast path
+    assert [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()] == before
+    # after purge the id may be indexed again — a NEW document
+    assert ti.upsert_documents(spark, vic_doc, root) == 1
+    assert removed == int(
+        spark.read.option("basePath", f"{root}/{ti.POSTINGS_DIR}")
+        .parquet(f"{root}/{ti.POSTINGS_DIR}")
+        .where(F.col("doc_id") == victim)
+        .count()
+    )
+
+
+def test_ann_pq_logical_filter_and_physical_purge(spark, sf_dir, tmp_path):
+    """Both vector tiers: erased ids vanish from search results the
+    moment the ledger commits; purge rewrites ONLY the affected cluster
+    partitions (unaffected partition files untouched on disk) and the
+    rows are physically gone."""
+    emb = _emb(spark, sf_dir)
+    queries = _queries(emb)
+    for mod, build, root in [
+        (ai, lambda r: ai.build_index(spark, emb, r, k=8, iters=2), str(tmp_path / "ann")),
+        (
+            pqi,
+            lambda r: pqi.build_pq_index(spark, emb, r, nlist=8, m=4, ksub=16, iters=2),
+            str(tmp_path / "pq"),
+        ),
+    ]:
+        build(root)
+        base = mod.search(spark, queries, root, k=5, nprobe=8)
+        victim = int(base.where(F.col("rank") == 1).collect()[0].vec_id)
+        erasure.erase_ids(
+            spark, root, spark.createDataFrame([(victim,)], "id long")
+        )
+        got = mod.search(spark, queries, root, k=5, nprobe=8).collect()
+        assert victim not in {r.vec_id for r in got} and len(got) > 0
+
+        store = (
+            f"{root}/{ai.CORPUS_DIR}" if mod is ai else f"{root}/{pqi.CODES_DIR}"
+        )
+        rows = spark.read.parquet(store)
+        affected = {
+            r.cluster
+            for r in rows.where(F.col("vec_id") == victim)
+            .select("cluster")
+            .collect()
+        }
+        untouched_files = {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+            and not any(f"cluster={c}" in dp for c in affected)
+        }
+        removed = mod.purge_erased(spark, root)
+        assert removed == 1
+        assert erasure.erased_ids(spark, root) is None
+        after_files = {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+            and not any(f"cluster={c}" in dp for c in affected)
+        }
+        assert after_files == untouched_files  # only affected partitions rewritten
+        assert (
+            spark.read.parquet(store).where(F.col("vec_id") == victim).count() == 0
+        )
+        post = mod.search(spark, queries, root, k=5, nprobe=8).collect()
+        assert {(r.query_id, r.vec_id) for r in post} == {
+            (r.query_id, r.vec_id) for r in got
+        }
+
+
+def test_purge_torn_swap_resumes(spark, sf_dir, tmp_path):
+    """Crash between live-dir delete and staged-dir rename: the staged
+    dir holds the only copy of the partition's survivors. The next purge
+    must rename it into place FIRST, then complete — no row lost, no
+    erased row resurrected."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=2)
+    corpus_path = f"{root}/{ai.CORPUS_DIR}"
+    rows = spark.read.parquet(corpus_path)
+    victim = int(rows.limit(1).collect()[0].vec_id)
+    cluster = int(
+        rows.where(F.col("vec_id") == victim).select("cluster").collect()[0].cluster
+    )
+    total = rows.count()
+    erasure.erase_ids(spark, root, spark.createDataFrame([(victim,)], "id long"))
+
+    # hand-build the torn state: staged filtered copy committed, live gone
+    stage_root = corpus_path + "__purge_stage"
+    (
+        rows.where((F.col("cluster") == cluster) & (F.col("vec_id") != victim))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(stage_root)
+    )
+    import shutil
+
+    shutil.rmtree(f"{corpus_path}/cluster={cluster}")
+    # invariant holds even now: reader filters the ledger
+    got = ai.search(spark, _queries(emb), root, k=5, nprobe=8).collect()
+    assert victim not in {r.vec_id for r in got}
+
+    assert ai.purge_erased(spark, root) == 0  # resume finds nothing left to drop
+    after = spark.read.parquet(corpus_path)
+    assert after.count() == total - 1  # survivors restored, victim gone
+    assert after.where(F.col("vec_id") == victim).count() == 0
+    assert not os.path.exists(stage_root)
+    assert erasure.erased_ids(spark, root) is None
+
+
+def test_dedup_index_erasure_and_purge(spark, tmp_path):
+    """Streaming LSH index: an erased doc disappears as a NODE and as a
+    cluster LABEL (relabel to min surviving member) from the moment the
+    ledger commits; purge rewrites only the hashed buckets holding the
+    doc and re-commits the assignment as a new epoch."""
+    root = str(tmp_path / "sd")
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text + " extra"), (3, "completely different words here "
+                                             "about unrelated topics entirely")],
+        "doc_id long, text string",
+    )
+    sd.fold_batch(spark, docs, root)
+    asg = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert asg.get(1) == 1 and asg.get(2) == 1  # near-dup cluster labeled by min
+
+    erasure.erase_ids(spark, root, spark.createDataFrame([(1,)], "id long"))
+    filtered = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert 1 not in filtered
+    assert 1 not in set(filtered.values())  # label relabeled, not leaked
+    assert filtered.get(2) == 2
+
+    removed = sd.purge_erased(spark, root)
+    assert removed > 0
+    assert erasure.erased_ids(spark, root) is None
+    for store in (sd.BANDS_DIR, sd.SHINGLES_DIR):
+        left = spark.read.parquet(f"{root}/{store}")
+        assert left.where(F.col("doc_id") == 1).count() == 0
+        assert left.where(F.col("doc_id").isin([2, 3])).count() > 0
+    persisted = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert persisted == filtered
+
+
+def test_propagate_erasure_all_four_stores(spark, sf_dir, tmp_path):
+    """One request fanned to every store, purge=True end to end."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    ti_root = str(tmp_path / "ti")
+    ann_root = str(tmp_path / "ann")
+    pq_root = str(tmp_path / "pq")
+    sd_root = str(tmp_path / "sd")
+    ti.build_text_index(spark, docs, ti_root)
+    ai.build_index(spark, emb, ann_root, k=8, iters=2)
+    pqi.build_pq_index(spark, emb, pq_root, nlist=8, m=4, ksub=16, iters=2)
+    sd.fold_batch(spark, docs.limit(50), sd_root)
+
+    victim = int(docs.limit(1).collect()[0].doc_id)
+    ids = spark.createDataFrame([(victim,)], "id long")
+    out = erasure.propagate_erasure(
+        spark,
+        ids,
+        text_index_root=ti_root,
+        ann_index_root=ann_root,
+        pq_index_root=pq_root,
+        dedup_index_root=sd_root,
+        purge=True,
+    )
+    assert out["text_index_erased"] == 1 and out["ann_index_erased"] == 1
+    assert out["text_index_purged"] >= 0 and out["dedup_index_purged"] >= 0
+    for root in (ti_root, ann_root, pq_root, sd_root):
+        assert erasure.erased_ids(spark, root) is None
+    post = spark.read.option("basePath", f"{ti_root}/{ti.POSTINGS_DIR}").parquet(
+        f"{ti_root}/{ti.POSTINGS_DIR}"
+    )
+    assert post.where(F.col("doc_id") == victim).count() == 0
+    for store in (f"{ann_root}/{ai.CORPUS_DIR}", f"{pq_root}/{pqi.CODES_DIR}"):
+        assert (
+            spark.read.parquet(store).where(F.col("vec_id") == victim).count() == 0
+        )
+
+
+def test_feed_delete_tombstone_to_erasure_composition(spark, tmp_path):
+    """The operational path: documents ingested from the feed into the
+    text + dedup indexes; a DELETE tombstone lands; run_erasure derives
+    the erase set from the feed and purges both stores."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(6):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"window filter merge common{i} tail{i} words"},
+            )
+        ti_root = str(tmp_path / "ti")
+        sd_root = str(tmp_path / "sd")
+        ingest.run_text_index(spark, url, ti_root)
+        ingest.run_dedup_index(spark, url, sd_root)
+        assert ti.search(spark, ti_root, ["window"], k=10).count() == 6
+
+        state.append("org.example.document", "2", None, method="DELETE")
+        out = ingest.run_erasure(
+            spark, url, text_index_root=ti_root, dedup_index_root=sd_root, purge=True
+        )
+        assert out["erase_ids"] == 1
+        assert out["text_index_erased"] == 1
+
+        hits = {r.doc_id for r in ti.search(spark, ti_root, ["window"], k=10).collect()}
+        assert hits == {0, 1, 3, 4, 5}
+        post = spark.read.option(
+            "basePath", f"{ti_root}/{ti.POSTINGS_DIR}"
+        ).parquet(f"{ti_root}/{ti.POSTINGS_DIR}")
+        assert post.where(F.col("doc_id") == 2).count() == 0
+        assert (
+            spark.read.parquet(f"{sd_root}/{sd.SHINGLES_DIR}")
+            .where(F.col("doc_id") == 2)
+            .count()
+            == 0
+        )
+        # re-running derives the same erase set; everything already gone
+        again = ingest.run_erasure(
+            spark, url, text_index_root=ti_root, dedup_index_root=sd_root, purge=True
+        )
+        assert again["text_index_purged"] == 0
+    finally:
+        srv.shutdown()
