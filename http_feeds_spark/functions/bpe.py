@@ -141,6 +141,88 @@ def train_bpe(
     return merges
 
 
+def _apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-local twin of _merge_expr: left-to-right, non-overlapping."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe_driver(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+    min_word_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """The deployment-shape trainer for production vocab sizes: ONE
+    corpus pass builds the (word, freq) table in-engine, which is then
+    collected ONCE — vocabulary-sized by Heaps' law (~10^6-10^7 rows
+    for a web corpus, independent of corpus bytes) — and the merge loop
+    runs driver-local with INCREMENTAL pair counts (only words
+    containing the winning pair are touched per round, the classical
+    fast-BPE bookkeeping). ``train_bpe`` costs 2 Spark jobs per merge —
+    fine at demo n_merges, ~64k jobs at a 32k-token production vocab;
+    this form is O(corpus) once plus seconds of driver time for the
+    same result (bit-identical merge table, pinned in tests/test_bpe.py).
+
+    ``min_word_freq`` optionally prunes hapax words from the collected
+    table (the standard Sennrich truncation) — bounds driver memory on
+    noisy corpora; leave at 1 for exact parity with ``train_bpe``."""
+    from collections import Counter, defaultdict
+
+    rows = word_freqs(docs, text_col).collect()
+    vocab: list[tuple[list[str], int]] = [
+        (list(r.word) + [END_OF_WORD], int(r.freq))
+        for r in rows
+        if int(r.freq) >= min_word_freq
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, (syms, freq) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += freq
+            pair_words[p].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, then lexicographic pair —
+        # identical to the distributed trainer's orderBy
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_freq:
+            break
+        merges.append((a, b))
+        for wi in list(pair_words[(a, b)]):
+            syms, freq = vocab[wi]
+            new_syms = _apply_merge(syms, a, b)
+            if new_syms == syms:
+                continue
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= freq
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
+            for p in set(zip(syms, syms[1:])):
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+            vocab[wi] = (new_syms, freq)
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] += freq
+                pair_words[p].add(wi)
+    return merges
+
+
 def vocab_from_merges(merges: list[tuple[str, str]]) -> list[str]:
     """The subword vocabulary the merge table induces (merge outputs in
     learn order; base characters are implicit)."""

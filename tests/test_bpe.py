@@ -115,3 +115,33 @@ def test_early_stop_below_min_pair_freq(spark):
     docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     merges = bpe.train_bpe(docs, n_merges=10, min_pair_freq=2)
     assert merges == []
+
+
+def test_driver_trainer_matches_distributed_bit_for_bit(spark, sf_dir):
+    """train_bpe_driver (one collect of the Heaps-law word table +
+    incremental local merge loop) must learn the IDENTICAL merge table
+    as the 2-jobs-per-merge distributed loop, including the early-stop
+    point."""
+    docs = _docs(spark, sf_dir)
+    assert bpe.train_bpe_driver(docs, n_merges=16) == bpe.train_bpe(
+        docs, n_merges=16
+    )
+    # early stop parity on a tiny corpus
+    tiny = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab cd xy")], "doc_id long, text string"
+    )
+    assert bpe.train_bpe_driver(tiny, n_merges=10, min_pair_freq=2) == bpe.train_bpe(
+        tiny, n_merges=10, min_pair_freq=2
+    )
+
+
+def test_driver_trainer_scales_to_production_merge_counts(spark, sf_dir):
+    """The point of the driver loop: n_merges in the hundreds runs in
+    seconds of driver time after the single corpus pass (the distributed
+    loop would launch 2 jobs per merge). The merge table must stay
+    prefix-consistent with a shorter run."""
+    docs = _docs(spark, sf_dir)
+    big = bpe.train_bpe_driver(docs, n_merges=1000, min_pair_freq=2)
+    small = bpe.train_bpe_driver(docs, n_merges=16, min_pair_freq=2)
+    assert big[:16] == small
+    assert len(big) > 100  # the corpus supports deep merge tables
