@@ -264,14 +264,22 @@ def search_rerank(
     tier this compressed tier complements).
 
     Cost shape: stage 1 reads code bytes only (the partition-pruned ADC
-    scan); stage 2 touches raw vectors for queries×rerank CANDIDATE
-    rows — and because ADC candidates come from probed clusters, the
-    candidate set's clusters prune the raw-corpus scan exactly like a
-    direct IVF probe would. Accuracy: exact distances on the shortlist
-    remove ADC's quantization error wherever the true neighbor made the
-    shortlist — recall(k) is bounded by ADC recall(rerank), which is
-    why rerank ≫ k is the published default. Returns (qid, id,
-    cosine_sim, rank), best first."""
+    scan); stage 2 joins raw vectors for queries×rerank CANDIDATE rows.
+    When the two tiers share the coarse quantizer — bit-identical
+    centroid stores, which deterministic k-means guarantees whenever
+    both indexes were built from the same corpus with the same
+    k/nlist/iters (the ingest compositions do exactly that) — every
+    candidate's raw-tier cluster is one of the probed clusters, so the
+    probe set is pushed as a partition filter on the raw-corpus scan
+    too: stage 2 then reads ~nprobe/nlist of the raw vector bytes, like
+    a direct IVF probe. With DIFFERENT quantizers a candidate's raw
+    cluster is unknowable without reading it, so stage 2 falls back to
+    the full-corpus id join (correctness first; the check is a
+    model-sized centroid comparison). Accuracy: exact distances on the
+    shortlist remove ADC's quantization error wherever the true
+    neighbor made the shortlist — recall(k) is bounded by ADC
+    recall(rerank), which is why rerank ≫ k is the published default.
+    Returns (qid, id, cosine_sim, rank), best first."""
     from pyspark.sql import Window
 
     from http_feeds_spark.functions import vectors as vec
@@ -289,9 +297,26 @@ def search_rerank(
         exclude_self=exclude_self,
     ).select(qid_col, id_col)
     _, corpus_path = ai._paths(ann_index_root)
-    corpus = spark.read.parquet(corpus_path).select(
-        F.col(id_col), F.col(vec_col).alias("__cv")
-    )
+    corpus = spark.read.parquet(corpus_path)
+    cents_pq, _ = load_model(spark, index_root)
+    cents_ann = ai.load_centroids(spark, ann_index_root)
+    if cents_ann == cents_pq:
+        # shared coarse quantizer: candidates live in the probed
+        # clusters — push them as a partition filter on the raw scan
+        probed = [
+            r.cluster
+            for r in km.probe_clusters(
+                queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+                cents_ann,
+                nprobe,
+                "__qv",
+            )
+            .select("cluster")
+            .distinct()
+            .collect()
+        ]  # ≤ nlist ints of model-sized metadata
+        corpus = corpus.where(F.col("cluster").isin(probed))
+    corpus = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     # stage 1 already filtered THIS index's ledger; the raw-vector tier
     # has its own — filter it too (no-op plan while absent)
     corpus = erasure.not_erased(spark, ann_index_root, corpus, id_col)

@@ -311,3 +311,53 @@ def test_rerank_improves_on_adc_and_matches_exact_on_shortlist(spark, sf_dir, tm
         ).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_rerank_stage2_prunes_with_shared_quantizer_and_falls_back(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6: the raw-vector fetch must carry the probe set as a
+    partition filter when the two tiers share the coarse quantizer
+    (bit-identical centroid stores), and must fall back to the full
+    id join — still exact — when the quantizers differ."""
+    from http_feeds_spark import plans
+    from http_feeds_spark.operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    queries = _queries(emb, 4)
+    pq_root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, pq_root, nlist=8, m=4, ksub=16, iters=1)
+
+    # shared quantizer: same corpus, same k/iters -> identical centroids
+    shared_root = str(tmp_path / "ann_shared")
+    ai.build_index(spark, emb, shared_root, k=8, iters=1)
+    pruned = pqi.search_rerank(
+        spark, queries, pq_root, shared_root, k=5, rerank=20, nprobe=2,
+        exclude_self=True,
+    )
+    p = plans.executed_plan(pruned)
+    # both scans (codes + raw corpus) carry cluster partition filters
+    assert p.count("PartitionFilters: [") >= 2, p
+    segs = [
+        s[:200] for s in p.split("PartitionFilters")[1:] if "cluster" in s[:200]
+    ]
+    assert len(segs) >= 2, p
+
+    # different quantizer (k=4): fallback path, exactness preserved in
+    # the full-probe setting where re-rank == the raw index's ranking
+    diff_root = str(tmp_path / "ann_diff")
+    ai.build_index(spark, emb, diff_root, k=4, iters=1)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pqi.search_rerank(
+            spark, queries, pq_root, diff_root, k=5, rerank=500, nprobe=8,
+            exclude_self=True,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ai.search(
+            spark, queries, diff_root, k=5, nprobe=4, exclude_self=True
+        ).collect()
+    }
+    assert got == want and len(got) == 20
