@@ -286,3 +286,67 @@ def test_semantic_pairs_equi_join_on_cluster(spark, sf_dir):
     assert any("cluster#" in pi.node_line(j) for j in joins), [
         pi.node_line(j) for j in joins
     ]
+
+
+def test_pq_search_scans_only_codes_with_partition_filter(spark, sf_dir):
+    """The compressed tier's benched number must mean "PQ search": the
+    corpus-sized scan is the CODES store and it carries the probed
+    clusters as a PartitionFilter (only probed cluster=N/ dirs are
+    read); the probe join is a broadcast (codes never shuffle); and no
+    sort-merge/cartesian shape anywhere. The embeddings table may
+    appear only as the small query-vector source."""
+    from http_feeds_spark.plans import inspect as pi
+
+    df = q(spark, "q_llm_ann_pq", sf_dir)
+    root = pi.physical_root(df)
+    p = plans.executed_plan(df)
+    # the chunk of the plan describing the codes scan carries the
+    # cluster partition filter
+    chunks = [c for c in p.split("Scan parquet") if "/codes" in c[:2000]]
+    assert chunks, p
+    assert any(
+        "PartitionFilters" in c and "cluster" in c.split("PartitionFilters", 1)[1][:200]
+        for c in chunks
+    ), p
+    names = pi.subtree_names(root)
+    assert any("BroadcastHashJoin" in n or "BroadcastNestedLoopJoin" in n for n in names), names
+    assert not any("SortMergeJoin" in n or "Cartesian" in n for n in names), names
+
+
+def test_substr_scrub_regroups_only_affected_docs(spark, sf_dir):
+    """scrub_duplicated_spans' expensive branch (posexplode + ordered
+    regroup) must be gated behind the affected-ids SEMI join: the
+    collect_list aggregate's subtree contains a LeftSemi, and the
+    untouched majority short-circuits through a LeftAnti union arm —
+    that is the 'cost scales with affected docs' claim, in the plan."""
+    from http_feeds_spark.plans import inspect as pi
+
+    df = q(spark, "q_llm_substr_scrub", sf_dir)
+    root = pi.physical_root(df)
+    aggs = [
+        a
+        for a in pi.find_nodes(root, lambda n: "Aggregate" in n)
+        if "collect_list" in pi.node_line(a, 400)
+    ]
+    assert aggs, pi.subtree_names(root)
+    for a in aggs:
+        sub = pi.subtree_names(a)
+        lines = [
+            pi.node_line(n)
+            for n in pi.find_nodes(a, lambda n: "Join" in n)
+        ]
+        assert any("LeftSemi" in ln for ln in lines), (sub, lines)
+    all_joins = [
+        pi.node_line(n) for n in pi.find_nodes(root, lambda n: "Join" in n)
+    ]
+    assert any("LeftAnti" in ln for ln in all_joins), all_joins
+
+
+def test_history_scd2_single_exchange(spark, sf_dir):
+    """The SCD-2 temporal read model is ONE window over the subject key:
+    exactly one exchange (the hash partitioning on subject), never a
+    second shuffle or a SinglePartition collapse."""
+    df = q(spark, "q_history_scd2", sf_dir)
+    assert plans.shuffle_count(df) == 1, plans.executed_plan(df)
+    p = plans.executed_plan(df)
+    assert "Exchange SinglePartition" not in p, p
