@@ -13,6 +13,11 @@ aggregate cost. So each micro-batch appends two MERGEABLE summaries:
     words/batch=<id>/   the batch's (word, n) unigram counts
                         (vocabulary-sized; count frames are the other
                         classically mergeable aggregate)
+    sketches/batch=<id>/ one row: Datasketches HLL sketches of the
+                        batch's distinct vocabulary and doc ids —
+                        sketches union losslessly, so COUNT DISTINCT
+                        over any range is O(sketch bytes) from the
+                        store (distinct_counts / new_vocabulary)
 
 Idempotence = the directory layout: each batch writes BY OVERWRITE to
 its own ``batch=<id>`` directory, so a foreachBatch replay after a
@@ -72,6 +77,7 @@ from http_feeds_spark.stores import committed, hadoop_fs
 
 STATS_DIR = "stats"
 WORDS_DIR = "words"
+SKETCHES_DIR = "sketches"
 MERGED_DIR = "merged"
 MANIFEST_DIR = "manifest"
 
@@ -82,6 +88,7 @@ def fold_batch(
     monitor_root: str,
     batch_id: int,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> None:
     """Append one micro-batch's summaries (idempotent per batch id)."""
     root = monitor_root.rstrip("/")
@@ -99,6 +106,18 @@ def fold_batch(
     )
     drift.word_counts(docs, text_col).write.mode("overwrite").parquet(
         f"{root}/{WORDS_DIR}/batch={batch_id}"
+    )
+    # the third mergeable summary family: Datasketches HLL sketches of
+    # the batch's distinct vocabulary and distinct doc ids — sketches
+    # union losslessly, so distinct counts over ANY batch range come
+    # from the store at O(sketch bytes), zero document re-reads (the
+    # count-frame argument, applied to COUNT DISTINCT)
+    wsk = docs.select(F.explode(tx.words(F.col(text_col))).alias("__w")).agg(
+        F.hll_sketch_agg("__w").alias("words_sk")
+    )
+    dsk = docs.agg(F.hll_sketch_agg(F.col(id_col)).alias("docs_sk"))
+    wsk.crossJoin(dsk).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{SKETCHES_DIR}/batch={batch_id}"
     )
 
 
@@ -244,6 +263,40 @@ def js_between(
     )
 
 
+def distinct_counts(
+    spark: SparkSession, monitor_root: str, batches: list[int]
+) -> dict:
+    """{"words": n, "docs": n} — estimated distinct vocabulary and doc
+    ids over ANY batch range, from the stored HLL sketches only (the
+    Datasketches union is lossless over merges, so the range estimate
+    equals a single sketch built over the whole range; default lgK=12 →
+    ~1.6% relative standard error). Same unit-resolution rules as
+    js_between (merged units, snapshot rule)."""
+    root = monitor_root.rstrip("/")
+    df = spark.read.parquet(*_unit_paths(spark, root, batches, SKETCHES_DIR))
+    row = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("words_sk")).alias("w"),
+        F.hll_sketch_estimate(F.hll_union_agg("docs_sk")).alias("d"),
+    ).collect()[0]
+    return {"words": int(row.w or 0), "docs": int(row.d or 0)}
+
+
+def new_vocabulary(
+    spark: SparkSession,
+    monitor_root: str,
+    baseline: list[int],
+    batches: list[int],
+) -> int:
+    """Estimated count of words in ``batches`` NEVER seen in
+    ``baseline`` — |baseline ∪ batches| − |baseline| by sketch algebra
+    (inclusion-exclusion on the union estimate; same error model as
+    distinct_counts). The vocabulary-growth drift signal, answered from
+    the store alone."""
+    both = distinct_counts(spark, monitor_root, list(baseline) + list(batches))
+    base = distinct_counts(spark, monitor_root, list(baseline))
+    return max(0, both["words"] - base["words"])
+
+
 def vacuum(spark: SparkSession, monitor_root: str) -> int:
     """Delete everything the latest committed manifest hides: the
     covered raw ``batch=`` dirs and every superseded generation's
@@ -258,7 +311,7 @@ def vacuum(spark: SparkSession, monitor_root: str) -> int:
     removed = 0
     fs, _ = hadoop_fs(spark, root)
     for b in sorted(covered):
-        for d in (WORDS_DIR, STATS_DIR):
+        for d in (WORDS_DIR, STATS_DIR, SKETCHES_DIR):
             _, p = hadoop_fs(spark, f"{root}/{d}/batch={b}")
             if fs.exists(p):
                 fs.delete(p, True)
@@ -321,9 +374,25 @@ def compact_batches(
         )
         .localCheckpoint()
     )
+    sk_paths = _unit_paths(spark, root, merge, SKETCHES_DIR)
+    merged_sk = None
+    if all(committed(spark, p) for p in sk_paths):
+        merged_sk = (
+            spark.read.parquet(*sk_paths)
+            .agg(
+                F.hll_union_agg("words_sk").alias("words_sk"),
+                F.hll_union_agg("docs_sk").alias("docs_sk"),
+            )
+            .localCheckpoint()
+        )  # sketches union losslessly — the merged unit answers every
+        # distinct-count range query the originals did
     gdir = f"{root}/{MERGED_DIR}/{new_gen:06d}"
     merged_words.write.mode("overwrite").parquet(f"{gdir}/{WORDS_DIR}")
     merged_stats.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/{STATS_DIR}")
+    if merged_sk is not None:
+        merged_sk.coalesce(1).write.mode("overwrite").parquet(
+            f"{gdir}/{SKETCHES_DIR}"
+        )
     # commit point: the manifest's _SUCCESS flips the view atomically
     spark.createDataFrame(
         [(int(keep_new), [int(b) for b in covered_new])],

@@ -182,3 +182,30 @@ def test_recompaction_folds_merged_unit_with_new_batches(spark, tmp_path):
     stats = {r.batch: r for r in mon.read_stats(spark, root).collect()}
     assert set(stats) == {0, 3}
     assert stats[0].n_docs == 4 and stats[3].n_docs == 1
+
+
+def test_distinct_sketches_match_exact_and_survive_compaction(spark, tmp_path):
+    """HLL distinct tier: range estimates equal exact distinct counts on
+    a small vocabulary (well inside the ~1.6% error at lgK=12), the
+    union over ranges is lossless, new_vocabulary flags only genuinely
+    new words, and compaction folds the sketches so the merged unit
+    answers the same distinct queries."""
+    root = str(tmp_path / "mon")
+    b0 = _mk_docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
+    b1 = _mk_docs(spark, [(3, "alpha beta gamma epsilon")])
+    b2 = _mk_docs(spark, [(4, "zeta eta theta iota kappa")])
+    for i, b in enumerate([b0, b1, b2]):
+        mon.fold_batch(spark, b, root, i)
+
+    assert mon.distinct_counts(spark, root, [0]) == {"words": 4, "docs": 2}
+    assert mon.distinct_counts(spark, root, [0, 1]) == {"words": 5, "docs": 3}
+    assert mon.distinct_counts(spark, root, [0, 1, 2]) == {"words": 10, "docs": 4}
+    # vocabulary growth: b1 adds only 'epsilon' over b0; b2 is all new
+    assert mon.new_vocabulary(spark, root, [0], [1]) == 1
+    assert mon.new_vocabulary(spark, root, [0, 1], [2]) == 5
+    assert mon.new_vocabulary(spark, root, [0, 1], [1]) == 0
+
+    assert mon.compact_batches(spark, root, upto=1) == [0, 2]
+    assert mon.distinct_counts(spark, root, [0]) == {"words": 5, "docs": 3}
+    assert mon.distinct_counts(spark, root, [0, 2]) == {"words": 10, "docs": 4}
+    assert mon.new_vocabulary(spark, root, [0], [2]) == 5
