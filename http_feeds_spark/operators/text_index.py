@@ -190,8 +190,21 @@ def build_text_index(
     text_col: str = "text",
 ) -> None:
     """Two aggregates + three writes; every pass linear, corpus never
-    collected. Postings carry dl so search is join-free."""
-    post_path, _, _ = _paths(index_root)
+    collected. Postings carry dl so search is join-free.
+
+    A build is a DESTRUCTIVE rebuild: meta/ is deleted FIRST (so a torn
+    rebuild reads as absent — the module's crash story), then any prior
+    posting batches and compaction manifests (a rebuild over an old
+    multi-batch store must not leave stale dirs visible next to the new
+    batch 0), then the fresh stores land with meta/ last."""
+    post_path, _, meta_path = _paths(index_root)
+    fs, jmeta = hadoop_fs(spark, meta_path)
+    if fs.exists(jmeta):
+        fs.delete(jmeta, True)
+    for stale in (post_path, f"{index_root.rstrip('/')}/{COMPACTION_DIR}"):
+        _, jp = hadoop_fs(spark, stale)
+        if fs.exists(jp):
+            fs.delete(jp, True)
     _write_postings_batch(spark, docs, post_path, 0, id_col, text_col)
     _write_derived(spark, index_root, 1)
 
@@ -208,10 +221,14 @@ def _write_postings_batch(
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("int").alias("dl"),
-        F.explode(toks).alias("term"),
+        F.posexplode(toks).alias("pos", "term"),
     ).where(F.col("term") != "")
+    # positions ride the posting (sorted, 0-based token offsets): a few
+    # ints per posting buy exact PHRASE queries with no document reads —
+    # the classical positional-index trade (Zobel & Moffat §6)
     postings = exploded.groupBy("doc_id", "dl", "term").agg(
-        F.count("*").cast("int").alias("tf")
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
     )
     (
         postings.withColumn("bucket", _bucket("term"))
@@ -251,12 +268,15 @@ def upsert_documents(
 
 def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **kw) -> bool:
     """Build iff absent. Present = meta/ exists AND at least one
-    committed posting batch dir — an index in a stale layout (e.g. a
-    pre-batch-format artifact under a persistent warehouse dir) reads
-    as absent and is rebuilt in place."""
+    committed posting batch dir AND the postings carry the positions
+    column — an index in a stale layout (a pre-batch-format or
+    pre-positional artifact under a persistent warehouse dir) reads as
+    absent and is rebuilt in place (schema probe is footer-only)."""
     post_path, _, meta_path = _paths(index_root)
-    if parquet_exists(spark, meta_path) and _complete_batches(spark, post_path):
-        return False
+    if parquet_exists(spark, meta_path):
+        batches = _complete_batches(spark, post_path)
+        if batches and "positions" in spark.read.parquet(batches[0][1]).columns:
+            return False
     build_text_index(spark, docs, index_root, **kw)
     return True
 
@@ -360,6 +380,75 @@ def search(
     )
 
 
+def phrase_search(
+    spark: SparkSession,
+    index_root: str,
+    phrase: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """EXACT phrase query against the positional postings: documents
+    containing the terms ADJACENT and in order, ranked by occurrence
+    count. (doc_id, n_matches, rank), ties broken by doc_id asc.
+
+    Plan shape (the classical positional-intersection, Zobel & Moffat
+    §6.3, as pure JVM array algebra): the i-th term's posting read is
+    pruned to its hash bucket (≤ |phrase| of N_BUCKETS directories);
+    the candidate set narrows by an INNER equi-join on doc_id per term
+    (docs missing any term leave the plan early); match start-positions
+    are ``array_intersect(acc, positions_i − i)`` — codegen'd, no UDF,
+    no document reads. Erased docs are filtered like ``search``."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    post_path, _, meta_path = _paths(index_root)
+    if not parquet_exists(spark, meta_path):
+        raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    post_df, _ = _visible_postings(spark, post_path)
+    if post_df is None:
+        return spark.createDataFrame([], "doc_id long, n_matches int, rank int")
+    if "positions" not in post_df.columns:
+        raise ValueError(
+            f"index at {index_root} predates positional postings; rebuild "
+            "with build_text_index to enable phrase queries"
+        )
+    erased = erasure.erased_ids(spark, index_root)
+    if erased is not None:
+        post_df = post_df.join(
+            erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        )
+
+    def term_postings(term: str) -> DataFrame:
+        b = spark.range(1).select(_bucket(F.lit(term)).alias("b")).collect()[0].b
+        return post_df.where(
+            (F.col("bucket") == b) & (F.col("term") == term)
+        ).select("doc_id", "positions")
+
+    acc = term_postings(phrase[0]).select(
+        "doc_id", F.col("positions").alias("__starts")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = term_postings(term).select(
+            "doc_id",
+            F.transform("positions", lambda p: p - i).alias("__shifted"),
+        )
+        acc = acc.join(nxt, "doc_id").select(
+            "doc_id",
+            F.array_intersect("__starts", "__shifted").alias("__starts"),
+        )
+    from pyspark.sql import Window
+
+    hits = acc.select(
+        "doc_id", F.size("__starts").cast("int").alias("n_matches")
+    ).where(F.col("n_matches") > 0)
+    return (
+        hits.orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))),
+        )
+    )
+
+
 def _replace_batches(
     spark: SparkSession,
     index_root: str,
@@ -391,8 +480,11 @@ def _replace_batches(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_root.rstrip('/')}/{COMPACTION_DIR}/{gen:06d}"
     )
+    cols = ["doc_id", "dl", "term", "tf"] + (
+        ["positions"] if "positions" in frame.columns else []
+    )
     (
-        frame.select("doc_id", "dl", "term", "tf")
+        frame.select(*cols)
         .withColumn("bucket", _bucket("term"))
         .write.mode("overwrite")
         .partitionBy("bucket")

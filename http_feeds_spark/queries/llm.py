@@ -969,6 +969,63 @@ def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.search(spark, root, ["window", "filter", "merge"], k=10)
 
 
+@register("q_llm_phrase_search", oracle=None, group="D")
+def q_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25c — EXACT phrase retrieval against the positional inverted
+    index (operators/text_index.phrase_search): postings carry sorted
+    token positions, so "terms adjacent and in order" is answered by
+    bucket-pruned posting reads + per-term doc_id equi-joins + JVM
+    array_intersect on shifted position arrays (Zobel & Moffat §6.3) —
+    no document reads, no UDF. Rows-only; sliding-window reference
+    parity (same tokenizer), repeated-term phrases, and maintenance
+    invariance are pinned in tests/test_text_index.py."""
+    import os
+
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/text_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    ti.ensure_text_index(spark, docs, root)
+    return ti.phrase_search(spark, root, ["the", "data"], k=20)
+
+
+@register("q_llm_vocab_growth", oracle=None, group="D")
+def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D37b — mergeable DISTINCT-count monitoring (streaming/monitor.py
+    sketches tier): each folded batch stores Datasketches HLL sketches
+    of its distinct vocabulary and doc ids; sketch union is lossless,
+    so COUNT DISTINCT over any batch range — and the new-vocabulary
+    drift signal |A∪B| − |A| — is answered from the store at O(sketch
+    bytes), zero document re-reads. Here the documents table folds as
+    three deterministic batches (doc_id mod 3) and the result reports
+    per-range distinct words/docs plus each range's new-word count over
+    the preceding ranges. Rows-only (estimates are deterministic);
+    exact-parity and compaction-survival are pinned in
+    tests/test_monitor.py."""
+    import os
+
+    from http_feeds_spark.streaming import monitor as mon
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/monitor_vocab/{os.path.basename(sf_dir.rstrip('/'))}"
+    for i in range(3):
+        mon.fold_batch(spark, docs.where(F.col("doc_id") % 3 == i), root, i)
+    rows = []
+    for i in range(3):
+        d = mon.distinct_counts(spark, root, [i])
+        new = (
+            mon.new_vocabulary(spark, root, list(range(i)), [i]) if i else d["words"]
+        )
+        rows.append((i, d["words"], d["docs"], new))
+    total = mon.distinct_counts(spark, root, [0, 1, 2])
+    rows.append((-1, total["words"], total["docs"], 0))
+    return spark.createDataFrame(
+        rows, "batch int, distinct_words long, distinct_docs long, new_words long"
+    ).orderBy("batch")
+
+
 @register("q_llm_chunk_search", oracle=None, group="D")
 def q_llm_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D40b — chunk-level retrieval: the RAG read path composed from two
