@@ -229,6 +229,29 @@ def vocab_from_merges(merges: list[tuple[str, str]]) -> list[str]:
     return [a + b for a, b in merges]
 
 
+def save_merges(spark, merges: list[tuple[str, str]], model_root: str) -> None:
+    """Persist the merge table as a parquet model artifact (rank, a, b)
+    on any Hadoop filesystem — train once, encode everywhere (the
+    centroid-store pattern of operators/ann_index.py). The write's
+    _SUCCESS marker is the commit; a torn write reads as absent and the
+    retry overwrites idempotently."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(model_root)
+
+
+def load_merges(spark, model_root: str) -> list[tuple[str, str]]:
+    """The persisted merge table, in learn order — model-sized collect
+    (n_merges rows)."""
+    from http_feeds_spark.stores import parquet_exists
+
+    if not parquet_exists(spark, model_root):
+        raise FileNotFoundError(f"no BPE model at {model_root}; save_merges first")
+    rows = spark.read.parquet(model_root).collect()
+    return [(r.a, r.b) for r in sorted(rows, key=lambda r: r.rank)]
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Reference greedy BPE encode: repeatedly apply the lowest-rank
     applicable merge (the classical algorithm, driver/worker-local)."""

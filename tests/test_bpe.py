@@ -145,3 +145,18 @@ def test_driver_trainer_scales_to_production_merge_counts(spark, sf_dir):
     small = bpe.train_bpe_driver(docs, n_merges=16, min_pair_freq=2)
     assert big[:16] == small
     assert len(big) > 100  # the corpus supports deep merge tables
+
+
+def test_merge_table_round_trips_through_the_model_store(spark, sf_dir, tmp_path):
+    """save/load of the merge table preserves order exactly, and an
+    encoder built from the loaded model tokenizes identically."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_driver(docs, n_merges=16)
+    root = str(tmp_path / "bpe_model")
+    bpe.save_merges(spark, merges, root)
+    assert bpe.load_merges(spark, root) == merges
+    a = bpe.encode(docs.limit(20), merges).orderBy("doc_id").collect()
+    b = bpe.encode(docs.limit(20), bpe.load_merges(spark, root)).orderBy(
+        "doc_id"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -173,3 +173,38 @@ def test_scd2_asof_equals_prefix_on_random_logs(spark):
                 latest[subj] = (s, m)
         want = {(s, subj) for subj, (s, m) in latest.items() if m != "DELETE"}
         assert got == want, cut
+
+
+def test_phrase_search_matches_reference_on_random_corpora(spark, tmp_path):
+    """Positional phrase retrieval vs a pure-Python sliding-window
+    count: ONE index build over a seeded random corpus (tiny vocab so
+    phrases repeat and overlap), then many random phrases of lengths
+    1-4 — every (doc, count) pair must match, including overlapping
+    repeated-term matches."""
+    from http_feeds_spark.operators import text_index as ti
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense repeats
+    docs_py = _random_corpus(rng, 40, vocab, 30)
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+
+    toks_by_doc = {i: t.split() for i, t in docs_py}
+    for trial in range(12):
+        n = rng.randint(1, 4)
+        phrase = [rng.choice(vocab) for _ in range(n)]
+        want = {}
+        for doc_id, toks in toks_by_doc.items():
+            c = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i : i + n] == phrase
+            )
+            if c:
+                want[doc_id] = c
+        got = {
+            r.doc_id: r.n_matches
+            for r in ti.phrase_search(spark, root, phrase, k=10_000).collect()
+        }
+        assert got == want, (phrase, got, want)
