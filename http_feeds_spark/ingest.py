@@ -502,6 +502,65 @@ def run_erasure(
     return out
 
 
+def run_platform(
+    spark: SparkSession,
+    url: str,
+    platform_root: str,
+    *,
+    landing: bool = True,
+    text_index: bool = True,
+    dedup_index: bool = True,
+    monitor: bool = True,
+    erasure: bool = True,
+    purge: bool = True,
+    compact: bool = True,
+    doc_id_field: str = "doc_id",
+    text_field: str = "text",
+    timeout_ms: int | None = None,
+) -> dict:
+    """The whole document platform in one idempotent catch-up call:
+
+        feed → landing zone (+ compaction honoring tombstones)
+             → text index fold        (run_text_index)
+             → LSH dedup index fold   (run_dedup_index)
+             → corpus monitor fold    (run_monitor)
+             → erasure propagation    (run_erasure — DELETE tombstones
+               logically erased everywhere, physically purged when
+               ``purge``)
+
+    Each component keeps its own store + checkpoint under
+    ``<platform_root>/<name>`` and is individually idempotent (per-id
+    guards, batch-dir overwrites, snapshot-cleared ledgers), so the
+    composition is too: re-running after ANY partial failure resumes
+    each component from its own cursor and converges — there is no
+    cross-component transaction to tear. Call it on a schedule and the
+    platform follows the feed. Returns the per-component summaries."""
+    root = platform_root.rstrip("/")
+    out: dict = {"platform_root": platform_root}
+    if landing:
+        out["landing"] = run(
+            spark, url, f"{root}/landing", compact=compact, timeout_ms=timeout_ms
+        )
+    kw = dict(
+        doc_id_field=doc_id_field, text_field=text_field, timeout_ms=timeout_ms
+    )
+    if text_index:
+        out["text_index"] = run_text_index(spark, url, f"{root}/text_index", **kw)
+    if dedup_index:
+        out["dedup_index"] = run_dedup_index(spark, url, f"{root}/dedup_index", **kw)
+    if monitor:
+        out["monitor"] = run_monitor(spark, url, f"{root}/monitor", **kw)
+    if erasure:
+        out["erasure"] = run_erasure(
+            spark,
+            url,
+            text_index_root=f"{root}/text_index" if text_index else None,
+            dedup_index_root=f"{root}/dedup_index" if dedup_index else None,
+            purge=purge,
+        )
+    return out
+
+
 def _count_or_zero(spark: SparkSession, path: str) -> int:
     """Row count of a parquet dataset; 0 when the sink has committed no
     data files yet (first catch-up against a still-empty feed writes only

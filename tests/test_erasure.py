@@ -332,3 +332,64 @@ def test_feed_delete_tombstone_to_erasure_composition(spark, tmp_path):
         assert again["text_index_purged"] == 0
     finally:
         srv.shutdown()
+
+
+def test_run_platform_one_call_end_to_end(spark, tmp_path):
+    """The one-call orchestration: landing zone + text/dedup indexes +
+    monitor follow the feed, and DELETE tombstones propagate through
+    every store — then a second call with more docs and another DELETE
+    converges (each component resumes its own cursor)."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(5):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"window filter merge body{i} tail{i}"},
+            )
+        state.append("org.example.document", "1", None, method="DELETE")
+        root = str(tmp_path / "platform")
+
+        out = ingest.run_platform(spark, url, root)
+        assert out["landing"]["raw_rows"] == 6
+        assert out["landing"]["compacted_rows"] == 4  # 5 docs - tombstoned 1
+        assert out["erasure"]["erase_ids"] == 1
+        assert out["erasure"]["text_index_erased"] == 1
+        hits = {
+            r.doc_id
+            for r in ti.search(spark, f"{root}/text_index", ["window"], k=10).collect()
+        }
+        assert hits == {0, 2, 3, 4}
+        assert (
+            spark.read.parquet(f"{root}/dedup_index/{sd.SHINGLES_DIR}")
+            .where(F.col("doc_id") == 1)
+            .count()
+            == 0
+        )
+        from http_feeds_spark.streaming import monitor as mon
+
+        assert mon.read_stats(spark, f"{root}/monitor").count() >= 1
+
+        # second wave: new docs + another tombstone; re-run converges
+        for i in range(5, 8):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"window filter merge body{i} tail{i}"},
+            )
+        state.append("org.example.document", "0", None, method="DELETE")
+        out2 = ingest.run_platform(spark, url, root)
+        assert out2["landing"]["compacted_rows"] == 6  # 8 docs - 2 tombstoned
+        hits2 = {
+            r.doc_id
+            for r in ti.search(spark, f"{root}/text_index", ["window"], k=10).collect()
+        }
+        assert hits2 == {2, 3, 4, 5, 6, 7}
+        for store_root in (f"{root}/text_index", f"{root}/dedup_index"):
+            assert erasure.erased_ids(spark, store_root) is None  # purged + cleared
+    finally:
+        srv.shutdown()
