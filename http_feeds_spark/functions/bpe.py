@@ -268,19 +268,47 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def full_vocab(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> list[str]:
+    """The deterministic token-id vocabulary: sorted distinct corpus
+    characters, then the end-of-word marker, then merge outputs in learn
+    order — index IS the token id. One character-distinct aggregate
+    (model-sized: the alphabet)."""
+    chars = sorted(
+        r.c
+        for r in docs.select(
+            F.explode(F.split(F.col(text_col), "")).alias("c")
+        )
+        .where((F.col("c") != "") & (F.col("c") != " "))
+        .distinct()
+        .collect()
+    )
+    return chars + [END_OF_WORD] + [a + b for a, b in merges]
+
+
+UNKNOWN_ID = -1  # tokens over characters unseen at vocab time
+
+
 def encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) — Arrow-batched mapInPandas;
     per-batch word memoization exploits Zipf (few distinct words
-    dominate). Map-only: encoding shuffles nothing."""
+    dominate). Map-only: encoding shuffles nothing.
+
+    With ``vocab`` (full_vocab) the output adds ``token_ids array<int>``
+    — the trainer-ready integer form, mapped inside the same Arrow pass
+    (tokens over characters unseen at vocab time map to UNKNOWN_ID)."""
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {t: i for i, t in enumerate(vocab)} if vocab is not None else None
     schema = f"{id_col} long, tokens array<string>, n_tokens int"
+    if ids is not None:
+        schema += ", token_ids array<int>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[str]] = {}
@@ -298,12 +326,15 @@ def encode(
 
         for pdf in batches:
             toks = pdf[text_col].map(enc_text)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "tokens": toks,
-                    "n_tokens": toks.map(len).astype("int32"),
-                }
-            )
+            cols = {
+                id_col: pdf[id_col],
+                "tokens": toks,
+                "n_tokens": toks.map(len).astype("int32"),
+            }
+            if ids is not None:
+                cols["token_ids"] = toks.map(
+                    lambda ts: [ids.get(t, UNKNOWN_ID) for t in ts]
+                )
+            yield pd.DataFrame(cols)
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -1434,6 +1434,51 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_tokenize_shards", oracle=None, group="D")
+def q_llm_tokenize_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — the corpus-to-trainer FINAL MILE composed end to end from
+    parity-backed operators: BPE trained in-engine (driver merge loop,
+    D34) → integer token ids minted inside the same Arrow encode pass
+    (functions/bpe.encode with full_vocab) → offset packing on the REAL
+    token counts (D24) → trainer-ready shards materialized in
+    consumption order with the token_ids column (export_training_shards
+    is column-generic). Emits per-shard (rows, tokens) plus the vocab
+    size — what a training job reads before launching. Rows-only; each
+    stage carries its own parity suite."""
+    import os
+
+    from http_feeds_spark.functions import bpe
+    from http_feeds_spark.functions import sampling as smp
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.train_bpe_driver(docs, n_merges=64)
+    vocab = bpe.full_vocab(docs, merges)
+    enc = bpe.encode(docs, merges, vocab=vocab).localCheckpoint()
+    packed = smp.pack_into_bins(
+        enc.select("doc_id", "n_tokens"), "n_tokens", budget=2048
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    out_root = f"{wh}/token_shards/{os.path.basename(sf_dir.rstrip('/'))}"
+    n = smp.export_training_shards(
+        enc.select("doc_id", "token_ids"),
+        packed,
+        out_root,
+        bins_per_shard=8,
+        text_col="token_ids",
+    )
+    shards = spark.read.parquet(out_root)
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("token_ids")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("n_shards", F.lit(int(n)).cast("int"))
+        .withColumn("vocab_size", F.lit(len(vocab)).cast("int"))
+        .orderBy("shard")
+    )
+
+
 @register("q_llm_train_split", oracle=None, group="D")
 def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-ext — deterministic train/val/test split (functions/sampling.py):

@@ -160,3 +160,25 @@ def test_merge_table_round_trips_through_the_model_store(spark, sf_dir, tmp_path
         "doc_id"
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_encode_with_vocab_emits_trainer_ready_token_ids(spark, sf_dir):
+    """full_vocab + encode(vocab=...): ids round-trip through the vocab
+    list exactly (vocab[id] == token), unknown characters map to
+    UNKNOWN_ID, and the id stream length equals the token stream."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_driver(docs, n_merges=16)
+    vocab = bpe.full_vocab(docs, merges)
+    assert len(vocab) == len(set(vocab))  # ids are unambiguous
+    enc = bpe.encode(docs.limit(30), merges, vocab=vocab).collect()
+    assert len(enc) == 30
+    for r in enc:
+        assert len(r.token_ids) == len(r.tokens) == r.n_tokens
+        for t, i in zip(r.tokens, r.token_ids):
+            assert i >= 0 and vocab[i] == t
+
+    alien = spark.createDataFrame(
+        [(1, "Ωmega ßeta")], "doc_id long, text string"
+    )
+    rows = bpe.encode(alien, merges, vocab=vocab).collect()[0]
+    assert bpe.UNKNOWN_ID in rows.token_ids  # unseen chars flagged, not dropped
