@@ -350,3 +350,60 @@ def test_history_scd2_single_exchange(spark, sf_dir):
     assert plans.shuffle_count(df) == 1, plans.executed_plan(df)
     p = plans.executed_plan(df)
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_erasure_filter_is_noop_until_a_ledger_exists(spark, sf_dir, tmp_path):
+    """The 'costs nothing until an erasure happens' claim, in the plan:
+    with no ledger the store read paths plan ZERO anti-joins; the moment
+    one erase batch commits, the same search plans exactly one LeftAnti
+    against the ids-only ledger."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import erasure
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def anti_joins(df):
+        return [
+            pi.node_line(n)
+            for n in pi.find_nodes(pi.physical_root(df), lambda n: "Join" in n)
+            if "LeftAnti" in pi.node_line(n)
+        ]
+
+    clean = ai.search(spark, queries, root, k=3, nprobe=8)
+    assert anti_joins(clean) == [], anti_joins(clean)
+
+    erasure.erase_ids(spark, root, spark.createDataFrame([(0,)], "id long"))
+    filtered = ai.search(spark, queries, root, k=3, nprobe=8)
+    assert len(anti_joins(filtered)) == 1, anti_joins(filtered)
+
+
+def test_phrase_search_prunes_buckets_no_cartesian(spark, sf_dir, tmp_path):
+    """Phrase retrieval must read only the phrase terms' hash buckets
+    (partition filter on every posting scan) and narrow candidates by
+    doc_id EQUI-joins — never a cartesian/nested-loop."""
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    df = ti.phrase_search(spark, root, ["the", "data", "filter"], k=10)
+    p = plans.executed_plan(df)
+    chunks = p.split("Scan parquet")[1:]
+    post_chunks = [c for c in chunks if "positions" in c[:2000]]
+    assert post_chunks, p
+    for c in post_chunks:
+        seg = c.split("PartitionFilters", 1)
+        assert len(seg) == 2 and "bucket" in seg[1][:200], c[:600]
+    names = pi.subtree_names(pi.physical_root(df))
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
