@@ -39,6 +39,20 @@ def sq_dist(a, b) -> Column:
     )
 
 
+def _d(x: float) -> str:
+    """One double as exact SQL-literal text (repr round-trip); non-finite
+    values render through CAST so the parsed-literal path accepts the
+    same domain F.lit did (a poisoned vector taints its cluster mean)."""
+    import math
+
+    x = float(x)
+    if math.isfinite(x):
+        return f"{x!r}D"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+
+
 def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     """[(cid, vector), ...] → one array<struct<cid,cvec>> literal column.
 
@@ -52,19 +66,6 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     same double). The batched-ANN query builds this literal four times
     (two training rounds, corpus assignment, query probes), so the py4j
     form dominated its wall time at small scale."""
-    import math
-
-    def _d(x: float) -> str:
-        x = float(x)
-        if math.isfinite(x):
-            return f"{x!r}D"
-        # repr() gives 'nan'/'inf', which the SQL parser rejects — render
-        # non-finite doubles (a poisoned vector taints its cluster mean)
-        # through CAST so the literal path accepts the same domain F.lit did
-        if math.isnan(x):
-            return "CAST('NaN' AS DOUBLE)"
-        return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
-
     parts = ",".join(
         "named_struct('cid',{},'cvec',array({}))".format(
             int(cid), ",".join(_d(x) for x in vec)

@@ -22,11 +22,20 @@ overwrites all three stores idempotently.
 
 Accuracy contract: ADC returns ESTIMATED distances (quantization error
 biases them up); ranking quality degrades gracefully with m·log2(ksub)
-bits/vector. Codebooks here quantize raw subvectors, not per-cluster
-residuals — the paper's residual refinement sharpens recall at the cost
-of coupling codebooks to the coarse quantizer; with the flat variant the
-same codebooks serve any cluster layout, and upserts never retrain. Use
-the raw-vector index when exact distances are required.
+bits/vector. Two codebook variants, chosen at build:
+
+- **flat** (default): codebooks quantize raw subvectors — decoupled
+  from the coarse quantizer, so the same codebooks serve any cluster
+  layout and the mental model is simplest;
+- **residual** (``residual=True``, the paper's §V.B IVFADC): codebooks
+  quantize x − centroid(cluster(x)). Residuals concentrate near the
+  origin, so the same code budget resolves the within-cluster detail
+  that actually ranks neighbors — better recall at identical storage —
+  at the cost of coupling codebooks to the coarse quantizer (both stay
+  frozen through upserts; rebuilds retrain both) and an ADC table per
+  (query, probed cluster) pair instead of per query.
+
+Use the raw-vector index when exact distances are required.
 """
 
 from __future__ import annotations
@@ -53,6 +62,26 @@ def _paths(index_root: str) -> tuple[str, str, str]:
     )
 
 
+def _cent_map_expr(cents: list[tuple[int, list[float]]]):
+    """cluster id → centroid vector, as ONE parsed map literal (the
+    kmeans._centroid_literal py4j-free form)."""
+    entries = ",".join(
+        "{},array({})".format(int(cid), ",".join(km._d(x) for x in vec))
+        for cid, vec in cents
+    )
+    return F.expr(f"map({entries})")
+
+
+def _residual_col(cents: list[tuple[int, list[float]]], vec_col) -> F.Column:
+    """vector − centroid(cluster) — requires a `cluster` column in scope
+    (assign_clusters/probe_clusters output). Map-only JVM zip_with
+    against the broadcast centroid map literal."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.zip_with(
+        v, F.element_at(_cent_map_expr(cents), F.col("cluster")), lambda x, c: x - c
+    )
+
+
 def build_pq_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -64,28 +93,45 @@ def build_pq_index(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Train coarse quantizer + m sub-codebooks, encode the corpus, and
     persist all three stores. Every pass is linear and map-only after
     its (model-sized) training collects; the corpus is read twice
-    (train, encode+assign) and written once as codes."""
+    (train, encode+assign) and written once as codes.
+
+    ``residual=True`` trains the codebooks on COARSE RESIDUALS
+    (x − centroid(cluster(x))) — the paper's §V.B refinement: residuals
+    concentrate near the origin, so the same m·ksub code budget spends
+    its resolution on the within-cluster detail that actually ranks
+    neighbors, sharpening ADC recall. The price is COUPLING: the
+    codebooks are only valid with the exact coarse quantizer they were
+    trained against (both stay frozen through upserts; a rebuild
+    retrains both together), and search computes its ADC table per
+    (query, probed cluster) pair instead of once per query — nprobe×
+    the (model-sized) table work, identical code-scan bytes."""
     codes_path, books_path, cent_path = _paths(index_root)
     cents = km.kmeans_centroids(emb, id_col, vec_col, k=nlist, iters=iters)
-    books = pq.train_codebooks(
-        emb, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters
-    )
-    # one projection: coarse assignment + PQ encoding, map-only
-    (
-        km.assign_clusters(emb, cents, vec_col)
-        .select(
-            F.col(id_col),
-            pq.encode_col(books, vec_col).alias("codes"),
-            "cluster",
+    assigned = km.assign_clusters(emb, cents, vec_col)
+    if residual:
+        train_frame = assigned.select(
+            F.col(id_col), _residual_col(cents, vec_col).alias("__rv"), "cluster"
+        ).localCheckpoint()  # feeds m trainings + the encode pass
+        books = pq.train_codebooks(
+            train_frame, id_col=id_col, vec_col="__rv", m=m, ksub=ksub, iters=iters
         )
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(codes_path)
-    )
+        encoded = train_frame.select(
+            F.col(id_col), pq.encode_col(books, "__rv").alias("codes"), "cluster"
+        )
+    else:
+        books = pq.train_codebooks(
+            emb, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters
+        )
+        # one projection: coarse assignment + PQ encoding, map-only
+        encoded = assigned.select(
+            F.col(id_col), pq.encode_col(books, vec_col).alias("codes"), "cluster"
+        )
+    encoded.write.mode("overwrite").partitionBy("cluster").parquet(codes_path)
     spark.createDataFrame(
         [
             (s, int(cid), [float(x) for x in vec])
@@ -95,8 +141,11 @@ def build_pq_index(
         "sub int, cid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(books_path)
     spark.createDataFrame(
-        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
-        "cid int, cvec array<double>",
+        [
+            (int(cid), [float(x) for x in vec], bool(residual))
+            for cid, vec in cents
+        ],
+        "cid int, cvec array<double>, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(cent_path)
 
 
@@ -111,21 +160,22 @@ def ensure_pq_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) 
 
 def load_model(
     spark: SparkSession, index_root: str
-) -> tuple[list[tuple[int, list[float]]], pq.Codebooks]:
-    """(coarse centroids, codebooks) — model-sized collects only."""
+) -> tuple[list[tuple[int, list[float]]], pq.Codebooks, bool]:
+    """(coarse centroids, codebooks, residual?) — model-sized collects
+    only. Pre-residual stores lack the flag column and read as the flat
+    variant."""
     _, books_path, cent_path = _paths(index_root)
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
-    cents = sorted(
-        (int(r.cid), [float(x) for x in r.cvec])
-        for r in spark.read.parquet(cent_path).collect()
-    )
+    crows = spark.read.parquet(cent_path).collect()
+    cents = sorted((int(r.cid), [float(x) for x in r.cvec]) for r in crows)
+    residual = bool(getattr(crows[0], "residual", False)) if crows else False
     rows = spark.read.parquet(books_path).collect()
     n_sub = 1 + max(r.sub for r in rows)
     books: pq.Codebooks = [[] for _ in range(n_sub)]
     for r in rows:
         books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
-    return cents, [sorted(b) for b in books]
+    return cents, [sorted(b) for b in books], residual
 
 
 def search(
@@ -150,16 +200,30 @@ def search(
     only probed cluster=N/ CODE directories are read off disk; scoring
     is the two-HOF ADC sum; per-query top-k carries ids + one double.
     Returns (qid, id, adc_d2, rank), nearest first."""
-    cents, books = load_model(spark, index_root)
+    cents, books, residual = load_model(spark, index_root)
     codes_path, _, _ = _paths(index_root)
-    probes = km.probe_clusters(
-        queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")).withColumn(
-            "__dt", pq.adc_table_col(books, "__qv")
-        ),
-        cents,
-        nprobe,
-        "__qv",
-    ).select(qid_col, "__dt", "cluster")
+    if residual:
+        # residual codebooks: the ADC table depends on the PROBED
+        # cluster (query residual = q − centroid_c), so it is computed
+        # per (query, cluster) pair after probe explosion — nprobe× the
+        # model-sized table work, same code-scan bytes
+        probes = km.probe_clusters(
+            queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+            cents,
+            nprobe,
+            "__qv",
+        ).withColumn(
+            "__dt", pq.adc_table_col(books, _residual_col(cents, "__qv"))
+        ).select(qid_col, "__dt", "cluster")
+    else:
+        probes = km.probe_clusters(
+            queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")).withColumn(
+                "__dt", pq.adc_table_col(books, "__qv")
+            ),
+            cents,
+            nprobe,
+            "__qv",
+        ).select(qid_col, "__dt", "cluster")
     codes = spark.read.parquet(codes_path)
     # logical-erasure window: ids in the erase ledger must not surface
     # (no-op plan while the ledger is absent — erasure.not_erased)
@@ -203,17 +267,18 @@ def upsert_vectors(
     break), and because this index quantizes RAW subvectors — not
     per-cluster residuals — the same codebooks stay valid whatever the
     cluster layout; rebuild policy is the caller's."""
-    cents, books = load_model(spark, index_root)
+    cents, books, residual = load_model(spark, index_root)
     codes_path, _, _ = _paths(index_root)
     existing = spark.read.parquet(codes_path).select(F.col(id_col))
     fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
+    enc = (
+        pq.encode_col(books, _residual_col(cents, vec_col))
+        if residual
+        else pq.encode_col(books, vec_col)
+    )
     assigned = (
         km.assign_clusters(fresh, cents, vec_col)
-        .select(
-            F.col(id_col),
-            pq.encode_col(books, vec_col).alias("codes"),
-            "cluster",
-        )
+        .select(F.col(id_col), enc.alias("codes"), "cluster")
         .localCheckpoint()  # count + write must see one snapshot
     )
     n = assigned.count()
@@ -298,7 +363,7 @@ def search_rerank(
     ).select(qid_col, id_col)
     _, corpus_path = ai._paths(ann_index_root)
     corpus = spark.read.parquet(corpus_path)
-    cents_pq, _ = load_model(spark, index_root)
+    cents_pq, _, _ = load_model(spark, index_root)
     cents_ann = ai.load_centroids(spark, ann_index_root)
     if cents_ann == cents_pq:
         # shared coarse quantizer: candidates live in the probed

@@ -381,6 +381,35 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rank")
 
 
+@register("q_llm_ann_pqr", oracle=None, group="D")
+def q_llm_ann_pqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3c-residual — the paper's §V.B IVFADC: codebooks trained on
+    coarse RESIDUALS (x − centroid(cluster(x))), so the same m·ksub
+    code budget resolves within-cluster detail — better recall at
+    identical storage, ADC table computed per (query, probed cluster)
+    pair in the plan. Same search shape as q_llm_ann_pq otherwise
+    (partition-pruned code scan, broadcast probes, zero training jobs).
+    Residual ≥ flat recall on clustered data is pinned in
+    tests/test_pq.py. Rows-only: ADC distances are estimates."""
+    import os
+
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _emb(spark, sf_dir)
+    root_tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/pqr_index/{root_tag}"
+    pqi.ensure_pq_index(
+        spark, emb, root, nlist=16, m=8, ksub=32, iters=2, residual=True
+    )
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pqi.search(
+        spark, queries, root, k=10, nprobe=4, exclude_self=True
+    ).select("query_id", "vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rank")
+
+
 # --- D2c: embedding near-dup via sign-band LSH -------------------------------
 
 # vec_ids at or above this base are synthetic clones planted by

@@ -361,3 +361,82 @@ def test_rerank_stage2_prunes_with_shared_quantizer_and_falls_back(
         ).collect()
     }
     assert got == want and len(got) == 20
+
+
+def _clustered_fixture(spark, n_clusters=32, per=20, dim=32, noise=0.15, seed=3):
+    """Clustered Gaussian corpus where coarse residuals carry the
+    neighbor-ranking signal (the regime residual PQ is built for; the
+    driver's synthetic embeddings are isotropic, where no variant can
+    shine)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4.0
+    X = np.vstack(
+        [centers[c] + noise * rng.randn(per, dim) for c in range(n_clusters)]
+    )
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+            "vec_id long, embedding array<double>",
+        ),
+        X,
+    )
+
+
+def test_residual_variant_beats_flat_recall_and_upserts(spark, tmp_path):
+    """IVFADC residual codebooks: on clustered data, recall@10 vs exact
+    L2 must IMPROVE on the flat variant at identical storage (same
+    nlist/m/ksub); upsert re-encodes against the frozen residual model
+    idempotently, and the upserted vector is its own nearest neighbor."""
+    import numpy as np
+
+    emb, X = _clustered_fixture(spark)
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def exact_top10(qi):
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        order = [int(j) for j in np.argsort(d) if j != qi]
+        return set(order[:10])
+
+    recalls = {}
+    for name, residual in [("flat", False), ("residual", True)]:
+        root = str(tmp_path / name)
+        # MORE clusters than any one subquantizer can locate (32 centers
+        # vs ksub=16 entries/subspace): flat codebooks burn their budget
+        # approximating center offsets, residual codebooks spend it all
+        # on the within-cluster detail that ranks neighbors
+        pqi.build_pq_index(
+            spark, emb, root, nlist=32, m=8, ksub=16, iters=3, residual=residual
+        )
+        # shortlist recall (the IVFADC-R protocol): does the ADC top-30
+        # contain the true top-10? That is the quantity the rerank
+        # stage's accuracy is bounded by.
+        got = pqi.search(
+            spark, queries, root, k=30, nprobe=8, exclude_self=True
+        ).collect()  # nprobe high enough that coarse recall ~1: the
+        # deterministic Lloyd shatters one true cluster across several
+        # cells here, and this test measures CODEBOOK quality, not probes
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(by_q.get(qi, set()) & exact_top10(qi)) for qi in range(12))
+        recalls[name] = hits / (12 * 10)
+    assert recalls["residual"] >= recalls["flat"], recalls
+    assert recalls["residual"] >= 0.9, recalls
+
+    # upsert against the frozen residual model
+    root = str(tmp_path / "residual")
+    extra_vec = [float(x) for x in (X[0] + 0.01)]
+    extra = spark.createDataFrame(
+        [(10_000, extra_vec)], "vec_id long, embedding array<double>"
+    )
+    assert pqi.upsert_vectors(spark, extra, root) == 1
+    assert pqi.upsert_vectors(spark, extra, root) == 0  # idempotent
+    q = spark.createDataFrame(
+        [(1, extra_vec)], "query_id long, embedding array<double>"
+    )
+    top = pqi.search(spark, q, root, k=3, nprobe=8).collect()
+    assert any(r.vec_id == 10_000 for r in top), top
