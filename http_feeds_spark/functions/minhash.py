@@ -255,3 +255,48 @@ def simhash_blocks(sig: Column, n_blocks: int = 4) -> Column:
             for b in range(n_blocks)
         ]
     )
+
+
+def lsh_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard = s) for the banding scheme: 1 − (1 − s^r)^b
+    (the MMDS S-curve, Leskovec/Rajaraman/Ullman ch. 3)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def tune_bands(
+    threshold: float, k: int, *, fn_weight: float = 1.0, fp_weight: float = 1.0
+) -> tuple[int, int]:
+    """(bands, rows) for a k-hash signature that best matches a Jaccard
+    ``threshold``: among every exact factorization b·r = k, minimize the
+    weighted S-curve error — the integral of missed-candidate
+    probability above the threshold (false negatives) plus candidate
+    probability below it (false positives), numerically on a fixed grid.
+    Driver-side closed-form model search; deterministic (ties prefer
+    more rows, i.e. fewer false positives, matching the usual
+    verify-is-cheap regime where FNs are the real loss only when
+    fn_weight says so).
+
+    The rule of thumb (1/b)^(1/r) ≈ threshold falls out automatically:
+    tune_bands(0.5, 32) → (8, 4) (curve centered at 0.59),
+    tune_bands(0.8, 32) → (4, 8). The engine's own 16×2 default for the
+    0.5-threshold near-dup pipeline is the RECALL-HEAVY choice (curve
+    centered at 0.25 — misses almost nothing, verify filters the rest);
+    it is what this tuner returns at fn_weight ≥ 5, i.e. when a missed
+    near-duplicate costs ~5× a wasted verification."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    factorizations = [
+        (k // r, r) for r in range(1, k + 1) if k % r == 0
+    ]
+    grid = [i / 200.0 for i in range(1, 200)]
+    best = None
+    for b, r in factorizations:
+        fn = sum(
+            1.0 - lsh_probability(s, b, r) for s in grid if s >= threshold
+        )
+        fp = sum(lsh_probability(s, b, r) for s in grid if s < threshold)
+        cost = fn_weight * fn + fp_weight * fp
+        key = (cost, -r)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]

@@ -280,3 +280,23 @@ def test_tombstone_horizon_retains_null_seq_tombstones(spark):
     out = ops.drop_tombstoned(feed, horizon_seq=5)
     got = {(r.subject, r.method) for r in out.collect()}
     assert got == {("s1", None), ("s2", "DELETE")}  # null-seq DELETE kept
+
+
+def test_lsh_tuner_matches_theory_and_engine_default(spark):
+    """tune_bands: exact factorizations only, S-curve midpoint tracks
+    the threshold at equal weights, and the engine's recall-heavy 16x2
+    default for threshold 0.5 is recovered once missed near-dups cost
+    ~5x a wasted verification."""
+    from http_feeds_spark.functions import minhash as mh
+
+    for thr, k in [(0.3, 32), (0.5, 32), (0.8, 32), (0.9, 64)]:
+        b, r = mh.tune_bands(thr, k)
+        assert b * r == k
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - thr) < 0.2, (thr, b, r, mid)
+    assert mh.tune_bands(0.5, 32, fn_weight=5) == (16, 2)
+    # the probability function itself (the MMDS identity)
+    assert mh.lsh_probability(1.0, 16, 2) == 1.0
+    assert mh.lsh_probability(0.0, 16, 2) == 0.0
+    p = mh.lsh_probability(0.5, 16, 2)
+    assert abs(p - (1 - (1 - 0.25) ** 16)) < 1e-12
