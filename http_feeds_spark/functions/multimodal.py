@@ -6,11 +6,20 @@ images/audio/video are first-class without engine changes. Decoding and
 feature extraction run as Arrow-batched `mapInPandas` operators: one
 Python worker per partition, whole byte-batches per Arrow transfer.
 
-The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this container,
-so `decode_image` raises NotImplementedError behind an import-try, and the
-pipeline is exercised end-to-end with `fake_image_features` — a
-deterministic byte-histogram extractor with the exact same schema,
-batching, and partitioning as the real path would have.
+Codec tiers, honestly separated:
+
+- **REAL decoders for the formats the container can decode** with the
+  stdlib + numpy alone: WAV (PCM 8/16/32-bit via ``wave`` —
+  ``wav_features``), binary PPM (P6 — ``decode_rgb``), and uncompressed
+  24-bit BMP (``decode_rgb``); ``image_stats`` and ``resize_rgb`` run
+  on genuinely decoded pixel arrays, sample-exact (pinned against
+  hand-constructed files in tests/test_multimodal_dedup.py).
+- **Import-gated stand-ins for compressed codecs** (JPEG/PNG/MP4 —
+  PIL / torchaudio / ffmpeg are NOT in this container): `decode_image`
+  raises NotImplementedError behind an import-try, and those pipelines
+  are exercised end-to-end with `fake_image_features` — a deterministic
+  byte-histogram extractor with the exact same schema, batching, and
+  partitioning as the real path would have.
 
 Scale posture: per-row Python cost is amortized by Arrow batches
 (spark.sql.execution.arrow.maxRecordsPerBatch); there is no shuffle — the
@@ -59,6 +68,200 @@ def decode_image(payload: bytes):
             "use fake_image_features for the plumbing path"
         ) from e
     raise NotImplementedError("real decode intentionally unimplemented in v1")
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL WAV decode via the stdlib ``wave`` module: returns
+    (sample_rate, n_channels, samples) where samples is a float64 numpy
+    array in [-1, 1], channel-interleaved frames averaged to mono.
+    Supports the PCM widths ``wave`` does (8-bit unsigned, 16/32-bit
+    signed little-endian). Raises ``wave.Error`` on a non-WAV payload —
+    callers sniff the RIFF magic first."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, nch, x
+
+
+WAV_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak double"
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio features from WAV payloads (stdlib decode, no external
+    codec): per doc (sample_rate, n_channels, n_samples, duration_s,
+    rms, peak) over the genuinely decoded mono samples. Non-WAV
+    payloads produce a null-stats row (n_samples = -1) rather than
+    failing the batch — the skip-don't-crash rule of ingest. Map-only,
+    Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "peak",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                out["doc_id"].append(doc_id)
+                try:
+                    if b[:4] != b"RIFF":
+                        raise ValueError("not a WAV payload")
+                    rate, nch, x = decode_wav(b)
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["n_samples"].append(len(x))
+                    out["duration_s"].append(len(x) / rate if rate else 0.0)
+                    out["rms"].append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+                    out["peak"].append(float(np.max(np.abs(x))) if len(x) else 0.0)
+                except Exception:
+                    out["sample_rate"].append(0)
+                    out["n_channels"].append(0)
+                    out["n_samples"].append(-1)
+                    out["duration_s"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_SCHEMA)
+
+
+def decode_rgb(payload: bytes):
+    """REAL image decode for the container-decodable formats: binary PPM
+    (P6) and uncompressed 24-bit BMP — pure struct/numpy parsing, no
+    external codec. Returns an (H, W, 3) uint8 RGB array; raises
+    ValueError for other formats (compressed codecs are the
+    ``decode_image`` import-gated tier)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: magic, whitespace/comments, width height maxval, ONE
+        # whitespace byte, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (want 255)")
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, = struct.unpack_from("<I", payload, 14)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported (want 24/0)")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + r * stride)
+            img[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
+        return img
+    raise ValueError("not a PPM/BMP payload (compressed formats need decode_image)")
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image stats from genuinely decoded pixels (decode_rgb
+    formats): dimensions + per-channel means. Undecodable payloads emit
+    width = -1 (skip-don't-crash). Map-only, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_rgb(bytes(payload))
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    m = img.reshape(-1, 3).mean(axis=0)
+                    out["mean_r"].append(float(m[0]))
+                    out["mean_g"].append(float(m[1]))
+                    out["mean_b"].append(float(m[2]))
+                except Exception:
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["mean_r"].append(0.0)
+                    out["mean_g"].append(0.0)
+                    out["mean_b"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def resize_rgb(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize of decode_rgb-able payloads: emits
+    (doc_id, width, height, thumb) where thumb is raw RGB bytes of the
+    (height, width, 3) result — sample-exact nearest-neighbor (numpy
+    index arithmetic, the PIL NEAREST contract). Undecodable payloads
+    emit width = -1 with an empty thumb. Map-only, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "thumb": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_rgb(bytes(payload))
+                    sh, sw = img.shape[0], img.shape[1]
+                    rows = (np.arange(height) * sh // height).clip(0, sh - 1)
+                    cols = (np.arange(width) * sw // width).clip(0, sw - 1)
+                    thumb = img[rows][:, cols]
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["thumb"].append(thumb.tobytes())
+                except Exception:
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["thumb"].append(b"")
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -1694,6 +1694,94 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_mm_wav_real", oracle=None, group="D")
+def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4g — REAL audio decoding (no stand-in): deterministic 16-bit PCM
+    WAV payloads are synthesized per document (stdlib ``wave``; sine
+    frequency/amplitude derived from doc_id) and decoded by the
+    genuinely-real path — functions/multimodal.wav_features parses the
+    RIFF container and computes RMS/peak/duration over the decoded
+    samples. Sample-exactness (sine RMS = amp/√2, stereo downmix,
+    junk-payload skip) is pinned in tests/test_multimodal_dedup.py.
+    Rows-only: the payloads are engine-synthesized binaries."""
+    import io
+    import math
+    import wave
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+
+    def wav_for(doc_id: int) -> bytes:
+        rate, seconds = 8000, 0.25
+        amp = 0.1 + (doc_id % 8) / 10.0
+        freq = 200.0 + (doc_id % 16) * 50.0
+        n = int(rate * seconds)
+        frames = bytearray()
+        for i in range(n):
+            v = int(amp * math.sin(2 * math.pi * freq * i / rate) * 32767)
+            frames += v.to_bytes(2, "little", signed=True)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    d = spark.createDataFrame(
+        [(i, wav_for(i)) for i in ids], "doc_id long, payload binary"
+    )
+    return mm.wav_features(d).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+@register("q_mm_image_real", oracle=None, group="D")
+def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4h — REAL image decoding (no stand-in): deterministic P6 PPM
+    payloads are synthesized per document (gradient patterns derived
+    from doc_id) and decoded by the genuinely-real path —
+    functions/multimodal.decode_rgb parses the container and
+    image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP pixel
+    identity, exact channel means, and exact nearest-neighbor resize
+    are pinned in tests/test_multimodal_dedup.py. Rows-only."""
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+
+    def ppm_for(doc_id: int) -> bytes:
+        w = h = 8
+        body = bytes(
+            v
+            for r in range(h)
+            for c in range(w)
+            for v in (
+                (r * 32 + doc_id) % 256,
+                (c * 32 + doc_id * 3) % 256,
+                (r * c + doc_id * 7) % 256,
+            )
+        )
+        return f"P6\n{w} {h}\n255\n".encode() + body
+
+    d = spark.createDataFrame(
+        [(i, ppm_for(i)) for i in ids], "doc_id long, payload binary"
+    )
+    stats = mm.image_stats(d).select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+    thumbs = mm.resize_rgb(d, width=4, height=4).select(
+        "doc_id", F.length("thumb").alias("thumb_bytes")
+    )
+    return stats.join(thumbs, "doc_id").orderBy("doc_id")
+
+
 @register("q_mm_phash_dedup", oracle=None, group="D")
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4f — image near-dup by perceptual hash (dHash): 64-bit

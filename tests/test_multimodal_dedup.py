@@ -90,3 +90,107 @@ def test_registered_query_contract(spark, sf_dir):
     planted = [r for r in first if r[3]]
     assert len([r for r in planted if r[0] < 5 and r[1] == r[0] + 1_000_000]) == 5
     assert first == rows()
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5, nch=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    if nch == 2:
+        x = np.column_stack([x, x]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(pixels):
+    """pixels: list of rows of (r,g,b)."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for px in row for v in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _bmp_bytes(pixels):
+    """Uncompressed 24-bit bottom-up BMP from rows of (r,g,b)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # bottom-up
+        line = bytes(v for px in row for v in (px[2], px[1], px[0]))  # BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def test_real_wav_decode_is_sample_exact(spark):
+    """The REAL codec tier: a synthesized 16-bit sine decodes through
+    the distributed path to its exact sample count, rate, and RMS
+    (= amp/√2 for a sine); stereo averages to mono identically; junk
+    payloads skip with n_samples = -1 instead of failing the batch."""
+    import math
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    rows = [
+        (1, _wav_bytes(amp=0.5, nch=1)),
+        (2, _wav_bytes(amp=0.25, nch=2)),
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.wav_features(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_samples == 4000
+    assert abs(got[1].duration_s - 0.5) < 1e-12
+    assert abs(got[1].rms - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(got[1].peak - 0.5) < 1e-3
+    assert got[2].n_channels == 2
+    assert abs(got[2].rms - 0.25 / math.sqrt(2)) < 1e-3
+    assert got[3].n_samples == -1  # skip-don't-crash
+
+
+def test_real_image_decode_ppm_bmp_pixel_exact(spark):
+    """decode_rgb parses PPM and BMP to the SAME pixel array (BGR order
+    and bottom-up rows unwound for BMP), image_stats reports exact
+    channel means, and resize_rgb is exact nearest-neighbor."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    ppm, bmp = _ppm_bytes(pixels), _bmp_bytes(pixels)
+    np.testing.assert_array_equal(mm.decode_rgb(ppm), mm.decode_rgb(bmp))
+
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, b"??garbage")], "doc_id long, payload binary"
+    )
+    stats = {r.doc_id: r for r in mm.image_stats(df).collect()}
+    for d in (1, 2):
+        assert (stats[d].width, stats[d].height) == (2, 2)
+        assert stats[d].mean_r == (255 + 0 + 0 + 255) / 4.0
+        assert stats[d].mean_g == (0 + 255 + 0 + 255) / 4.0
+        assert stats[d].mean_b == (0 + 0 + 255 + 255) / 4.0
+    assert stats[3].width == -1
+
+    thumbs = {r.doc_id: r for r in mm.resize_rgb(df, width=4, height=4).collect()}
+    up = np.frombuffer(thumbs[1].thumb, dtype=np.uint8).reshape(4, 4, 3)
+    want = np.array(mm.decode_rgb(ppm))
+    # nearest-neighbor 2x upscale: each source pixel becomes a 2x2 block
+    for r in range(4):
+        for c in range(4):
+            np.testing.assert_array_equal(up[r, c], want[r * 2 // 4, c * 2 // 4])
