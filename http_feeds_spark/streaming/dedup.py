@@ -156,7 +156,17 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
     bands_path, shingles_path, asg_path = _paths(index_root)
 
     if _exists(spark, shingles_path):
-        seen = spark.read.parquet(shingles_path).select("doc_id")
+        store = spark.read.parquet(shingles_path)
+        if "bucket" not in store.columns:
+            # a pre-bucketing store: appending bucket=N subdirs next to
+            # its bare files would leave a layout partition discovery
+            # rejects — refuse loudly instead of corrupting it
+            raise ValueError(
+                f"dedup index at {index_root} uses the pre-bucketed layout; "
+                "rebuild it by refolding into a fresh root (the bucketed "
+                "layout is what makes erasure purges partition-local)"
+            )
+        seen = store.select("doc_id")
         batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
     sh_new = _shingle_batch(batch_docs)
     sig = mh.minhash_signature_cols(sh_new, "shingles", "doc_id", k=MINHASH_K)
