@@ -474,8 +474,19 @@ def run_erasure(
     the ledger). ``purge=True`` also rewrites the affected storage and
     clears the ledgers. Idempotent end to end: re-running re-derives the
     same erase set; already-recorded ids are dropped by erase_ids and an
-    already-purged store has no affected partitions. Returns the
-    per-store counts from propagate_erasure plus {"erase_ids": n}."""
+    already-purged store has no affected partitions.
+
+    Landing-zone scope: the RAW landing zone is a parquet STREAMING sink
+    — its ``_spark_metadata`` commit log owns file visibility, so an
+    in-place rewrite would orphan the log (the next micro-batch would
+    re-create it listing only new files, hiding the retained history
+    from every log-aware read). Its erasure story is therefore the
+    spec's own (README.md:184, :270-292): serve from the COMPACTED copy
+    (``compact_now`` — a deleted subject's content never enters it) and
+    age raw files out wholesale on a retention window; this function
+    covers the DERIVED stores, where targeted physical deletion is
+    possible. Returns the per-store counts from propagate_erasure plus
+    {"erase_ids": n}."""
     from pyspark.sql import functions as F
 
     from http_feeds_spark.operators import erasure
