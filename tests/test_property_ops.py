@@ -208,3 +208,53 @@ def test_phrase_search_matches_reference_on_random_corpora(spark, tmp_path):
             for r in ti.phrase_search(spark, root, phrase, k=10_000).collect()
         }
         assert got == want, (phrase, got, want)
+
+
+def test_erasure_upsert_interleaving_matches_rebuilt_index(spark, tmp_path):
+    """Randomized end-to-end invariant for the erasure flagship: after
+    ANY interleaving of (erase+purge, upsert) rounds on the text index,
+    search must equal an index freshly built over exactly the surviving
+    documents — same idf, same avgdl, same rows."""
+    from http_feeds_spark.operators import erasure
+    from http_feeds_spark.operators import text_index as ti
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs_py = dict(_random_corpus(rng, 60, vocab, 15))
+    root = str(tmp_path / "ti")
+
+    live = {i: docs_py[i] for i in range(40)}
+    df = spark.createDataFrame(list(live.items()), "doc_id long, text string")
+    ti.build_text_index(spark, df, root)
+    next_id = 40
+
+    for round_no in range(3):
+        # erase a random subset of live docs, purge physically
+        victims = rng.sample(sorted(live), k=rng.randint(1, 6))
+        erasure.erase_ids(
+            spark, root, spark.createDataFrame([(v,) for v in victims], "id long")
+        )
+        removed = ti.purge_erased(spark, root)
+        assert removed > 0
+        for v in victims:
+            del live[v]
+        # upsert a few new docs
+        fresh = {next_id + j: docs_py[(next_id + j) % 60] for j in range(3)}
+        next_id += 3
+        ti.upsert_documents(
+            spark,
+            spark.createDataFrame(list(fresh.items()), "doc_id long, text string"),
+            root,
+        )
+        live.update(fresh)
+
+        clean_root = str(tmp_path / f"clean{round_no}")
+        ti.build_text_index(
+            spark,
+            spark.createDataFrame(list(live.items()), "doc_id long, text string"),
+            clean_root,
+        )
+        terms = rng.sample(vocab, k=2)
+        got = [tuple(r) for r in ti.search(spark, root, terms, k=15).collect()]
+        want = [tuple(r) for r in ti.search(spark, clean_root, terms, k=15).collect()]
+        assert got == want and len(got) > 0, (round_no, terms)
