@@ -38,6 +38,7 @@ HEADLINE = [
     "q_llm_ann_index",    # search-only ANN against the persisted index
     "q_llm_ann_pq",       # IVF+PQ compressed ANN (code scan + in-plan ADC)
     "q_llm_ann_rerank",   # two-stage IVFADC-R (ADC shortlist + exact rerank)
+    "q_llm_ann_pqr",      # residual-codebook IVFADC (per-probe ADC tables)
     "q_llm_bm25_index",   # search-only BM25 against the posting store
     "q_llm_substr_scrub", # exact-substring span dedup (stride-1 windows)
     "q_stream_join",      # watermarked stream-stream join (batch twin)

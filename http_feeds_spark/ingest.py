@@ -545,7 +545,13 @@ def run_platform(
     composition is too: re-running after ANY partial failure resumes
     each component from its own cursor and converges — there is no
     cross-component transaction to tear. Call it on a schedule and the
-    platform follows the feed. Returns the per-component summaries."""
+    platform follows the feed.
+
+    Erasure scope: the monitor holds AGGREGATES (counts, unigram count
+    frames, HLL sketches), not subject rows — like k-means centroids,
+    they are outside per-subject erasure; the raw landing zone's story
+    is compaction + retention (see run_erasure). Returns the
+    per-component summaries."""
     root = platform_root.rstrip("/")
     out: dict = {"platform_root": platform_root}
     if landing:
