@@ -302,6 +302,45 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     return removed
 
 
+def rebuild_assignment(spark: SparkSession, index_root: str) -> DataFrame:
+    """Recompute the duplicate-cluster closure from scratch over the
+    STORED band/shingle indexes and commit it as a new epoch.
+
+    Why it exists: the incremental fold only ever ADDS edges, and an
+    erasure purge removes a document's rows without re-deriving the
+    clusters its edges had already merged — A~E~B stays one cluster
+    after E is erased (purge_erased's documented semantics: remove the
+    subject's data, not rewrite history). When cluster hygiene matters
+    more than that cheap default, this is the reset: one full-index
+    band self-join + exact-Jaccard verify + closure — the batch
+    pipeline's cost shape over the index (equi-joins only, ids-only
+    closure), no document re-shingling (the shingle store already holds
+    the sets). Returns the new assignment."""
+    bands_path, shingles_path, asg_path = _paths(index_root)
+    all_bands = spark.read.parquet(bands_path).drop("bucket")
+    all_shingles = spark.read.parquet(shingles_path).drop("bucket")
+    left = all_bands.withColumnRenamed("doc_id", "a")
+    right = all_bands.withColumnRenamed("doc_id", "b")
+    cands = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    a = all_shingles.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b = all_shingles.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", mh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+    asg = connected_components(pairs, src="a", dst="b")
+    _write_assignment(spark, asg_path, asg)
+    return asg
+
+
 def survivors_filter(spark: SparkSession, docs: DataFrame, index_root: str,
                      id_col: str = "doc_id") -> DataFrame:
     """Filter `docs` to cluster survivors + never-clustered docs using the

@@ -393,3 +393,39 @@ def test_run_platform_one_call_end_to_end(spark, tmp_path):
             assert erasure.erased_ids(spark, store_root) is None  # purged + cleared
     finally:
         srv.shutdown()
+
+
+def test_dedup_rebuild_splits_bridge_merged_clusters(spark, tmp_path):
+    """Purge keeps history's merges (A~E~B stays one cluster after E is
+    erased — documented); rebuild_assignment recomputes the closure from
+    the surviving stores and SPLITS clusters whose only connection was
+    the erased bridge."""
+    root = str(tmp_path / "sd")
+    # sliding 12-word windows stepping 2 over one 20-word sequence:
+    # consecutive windows share 8 of 12 shingles (J = 8/12 ≈ 0.67 ≥ 0.5),
+    # windows two steps apart share only 6 of 14 (J ≈ 0.43 < 0.5) — so
+    # the chain d1—d2—d5—d3—d4 is connected ONLY through its middle
+    W = [f"word{i:02d}" for i in range(20)]
+
+    def win(start):
+        return " ".join(W[start : start + 12])
+
+    docs = spark.createDataFrame(
+        [(1, win(0)), (2, win(2)), (5, win(4)), (3, win(6)), (4, win(8))],
+        "doc_id long, text string",
+    )
+    sd.fold_batch(spark, docs, root)
+    asg = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert asg[1] == asg[3] == asg[5]  # one chain-connected cluster
+
+    erasure.erase_ids(spark, root, spark.createDataFrame([(5,)], "id long"))
+    sd.purge_erased(spark, root)
+    merged = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert 5 not in merged
+    # history's merge survives the purge (the cheap default)
+    assert merged[1] == merged[3]
+
+    sd.rebuild_assignment(spark, root)
+    split = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    assert split[1] == split[2] and split[3] == split[4]
+    assert split[1] != split[3]  # the bridge-only merge is gone
