@@ -163,8 +163,15 @@ def upsert_vectors(
     is the reset, exactly the streaming/dedup.py artifact pattern."""
     cents = load_centroids(spark, index_root)
     _, corpus_path = _paths(index_root)
-    existing = spark.read.parquet(corpus_path).select(F.col(id_col))
+    store = spark.read.parquet(corpus_path)
+    existing = store.select(F.col(id_col))
     fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
+    # conform to the store's element type: appending (say) array<double>
+    # rows into an array<float> corpus would poison the store — every
+    # later read fails on the parquet type mismatch
+    store_type = dict((f.name, f.dataType) for f in store.schema.fields).get(vec_col)
+    if store_type is not None:
+        fresh = fresh.withColumn(vec_col, F.col(vec_col).cast(store_type))
     assigned = km.assign_clusters(fresh, cents, vec_col).select(
         id_col, vec_col, "cluster"
     )
@@ -175,6 +182,31 @@ def upsert_vectors(
     if n:
         assigned.write.mode("append").partitionBy("cluster").parquet(corpus_path)
     return n
+
+
+def update_vectors(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Replace existing ids' vectors in place (the re-embedding path —
+    a model refresh changes vectors under the SAME ids, which the
+    insert-only ``upsert_vectors`` deliberately ignores): logically
+    erase the ids, physically purge their rows from the affected
+    cluster partitions, then upsert the new vectors against the frozen
+    quantizer. Crash windows inherit the erasure story (old vectors
+    can't surface once the erase commits; retries converge). Returns
+    {"removed_rows", "vectors_indexed"}."""
+    ids = new_vectors.select(F.col(id_col).cast("long").alias("id")).distinct()
+    erasure.erase_ids(spark, index_root, ids)
+    removed = purge_erased(spark, index_root)
+    added = upsert_vectors(
+        spark, new_vectors, index_root, id_col=id_col, vec_col=vec_col
+    )
+    return {"removed_rows": int(removed), "vectors_indexed": int(added)}
 
 
 def load_centroids(spark: SparkSession, index_root: str) -> list[tuple[int, list[float]]]:

@@ -266,6 +266,36 @@ def upsert_documents(
     return n
 
 
+def update_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Re-index CHANGED documents in place. ``upsert_documents`` is
+    insert-only BY DESIGN (its per-id anti-join is what makes
+    at-least-once redelivery safe), so an edited document needs the
+    explicit update path: logically erase the ids, physically purge
+    their current postings (ledger snapshot → batch rewrite → ledger
+    clear, the purge_erased machinery), then upsert the new text —
+    which, post-purge, indexes as a fresh document.
+
+    Crash windows inherit the erasure story: after the erase commits
+    the OLD version can no longer surface from any read (an update in
+    flight reads as briefly absent, never stale). A retry — after a
+    crash OR a full re-run — re-applies the replacement (erases
+    whatever version the ids currently have, inserts the given one), so
+    the final state is always exactly the given documents, never a
+    duplicate and never a stale version. Returns {"removed_rows",
+    "docs_indexed"}."""
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    erasure.erase_ids(spark, index_root, ids)
+    removed = purge_erased(spark, index_root)
+    added = upsert_documents(spark, docs, index_root, id_col, text_col)
+    return {"removed_rows": int(removed), "docs_indexed": int(added)}
+
+
 def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **kw) -> bool:
     """Build iff absent. Present = meta/ exists AND at least one
     committed posting batch dir AND the postings carry the positions

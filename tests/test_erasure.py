@@ -429,3 +429,50 @@ def test_dedup_rebuild_splits_bridge_merged_clusters(spark, tmp_path):
     split = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
     assert split[1] == split[2] and split[3] == split[4]
     assert split[1] != split[3]  # the bridge-only merge is gone
+
+
+def test_update_paths_replace_in_place(spark, sf_dir, tmp_path):
+    """The explicit update paths (upsert is insert-only by design):
+    text_index.update_documents makes the NEW text searchable and the
+    old terms gone; ann_index.update_vectors moves the id to its new
+    neighborhood; both are idempotent on retry."""
+    docs = _docs(spark, sf_dir)
+    ti_root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, ti_root)
+    victim = int(
+        ti.search(spark, ti_root, TERMS, k=1).select("doc_id").collect()[0].doc_id
+    )
+    new_doc = spark.createDataFrame(
+        [(victim, "zzzunique qqqspecial zzzunique")], "doc_id long, text string"
+    )
+    out = ti.update_documents(spark, new_doc, ti_root)
+    assert out["removed_rows"] > 0 and out["docs_indexed"] == 1
+    assert victim not in {
+        r.doc_id for r in ti.search(spark, ti_root, TERMS, k=10_000).collect()
+    }
+    hits = ti.search(spark, ti_root, ["zzzunique"], k=5).collect()
+    assert [r.doc_id for r in hits] == [victim]
+    # retry: the same update RE-APPLIES the replacement (erase the new
+    # version, insert it again) — counts repeat, the final state is
+    # identical either way
+    again = ti.update_documents(spark, new_doc, ti_root)
+    assert again["docs_indexed"] == 1
+    hits2 = ti.search(spark, ti_root, ["zzzunique"], k=5).collect()
+    assert [r.doc_id for r in hits2] == [victim]
+
+    emb = _emb(spark, sf_dir)
+    ann_root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, ann_root, k=8, iters=2)
+    target = emb.where(F.col("vec_id") == 7).collect()[0]
+    moved = spark.createDataFrame(
+        [(3, [float(x) + 0.001 for x in target.embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ai.update_vectors(spark, moved, ann_root)
+    assert out == {"removed_rows": 1, "vectors_indexed": 1}
+    q = spark.createDataFrame(
+        [(1, [float(x) for x in target.embedding])],
+        "query_id long, embedding array<double>",
+    )
+    top = ai.search(spark, q, ann_root, k=2, nprobe=8).collect()
+    assert {r.vec_id for r in top} == {7, 3}  # id 3 now lives next to 7
