@@ -522,11 +522,14 @@ def run_platform(
     text_index: bool = True,
     dedup_index: bool = True,
     monitor: bool = True,
+    ann_index: bool = False,
+    pq_index: bool = False,
     erasure: bool = True,
     purge: bool = True,
     compact: bool = True,
     doc_id_field: str = "doc_id",
     text_field: str = "text",
+    vec_field: str = "embedding",
     timeout_ms: int | None = None,
 ) -> dict:
     """The whole document platform in one idempotent catch-up call:
@@ -535,6 +538,8 @@ def run_platform(
              → text index fold        (run_text_index)
              → LSH dedup index fold   (run_dedup_index)
              → corpus monitor fold    (run_monitor)
+             → [ANN / PQ vector index folds, when the feed carries an
+                embedding field — run_ann_index / run_pq_index]
              → erasure propagation    (run_erasure — DELETE tombstones
                logically erased everywhere, physically purged when
                ``purge``)
@@ -567,12 +572,19 @@ def run_platform(
         out["dedup_index"] = run_dedup_index(spark, url, f"{root}/dedup_index", **kw)
     if monitor:
         out["monitor"] = run_monitor(spark, url, f"{root}/monitor", **kw)
+    vkw = dict(id_field=doc_id_field, vec_field=vec_field, timeout_ms=timeout_ms)
+    if ann_index:
+        out["ann_index"] = run_ann_index(spark, url, f"{root}/ann_index", **vkw)
+    if pq_index:
+        out["pq_index"] = run_pq_index(spark, url, f"{root}/pq_index", **vkw)
     if erasure:
         out["erasure"] = run_erasure(
             spark,
             url,
             text_index_root=f"{root}/text_index" if text_index else None,
             dedup_index_root=f"{root}/dedup_index" if dedup_index else None,
+            ann_index_root=f"{root}/ann_index" if ann_index else None,
+            pq_index_root=f"{root}/pq_index" if pq_index else None,
             purge=purge,
         )
     return out

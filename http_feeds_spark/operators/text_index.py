@@ -256,6 +256,13 @@ def upsert_documents(
     if post is None:
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
     existing = post.select(F.col("doc_id").alias(id_col)).distinct()
+    # conform to the store's id type: a batch with (say) int ids appended
+    # into a long-keyed store would poison every later multi-batch read
+    # with a parquet type mismatch (the anti-join's implicit coercion
+    # would hide it until then)
+    new_docs = new_docs.withColumn(
+        id_col, F.col(id_col).cast(post.schema["doc_id"].dataType)
+    )
     fresh = new_docs.join(existing, id_col, "left_anti").localCheckpoint()
     n = fresh.count()
     if n:

@@ -476,3 +476,53 @@ def test_update_paths_replace_in_place(spark, sf_dir, tmp_path):
     )
     top = ai.search(spark, q, ann_root, k=2, nprobe=8).collect()
     assert {r.vec_id for r in top} == {7, 3}  # id 3 now lives next to 7
+
+
+def test_run_platform_with_vector_indexes(spark, tmp_path):
+    """Platform with the vector tiers on: one feed whose payloads carry
+    text AND an embedding grows all five stores; the DELETE tombstone
+    erases the subject from the ANN and PQ stores too."""
+    import math
+
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    dim = 8
+
+    def vec(i):
+        return [round(math.sin(i * 0.7 + d) + 0.001 * i, 6) for d in range(dim)]
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(10):
+            state.append(
+                "org.example.document",
+                str(i),
+                {
+                    "doc_id": i,
+                    "text": f"window filter merge body{i}",
+                    "embedding": vec(i),
+                },
+            )
+        state.append("org.example.document", "4", None, method="DELETE")
+        root = str(tmp_path / "platform")
+        out = ingest.run_platform(
+            spark, url, root, ann_index=True, pq_index=True
+        )
+        assert out["ann_index"]["indexed_vectors"] == 10
+        assert out["erasure"]["ann_index_erased"] == 1
+        assert out["erasure"]["ann_index_purged"] == 1
+        assert out["erasure"]["pq_index_purged"] == 1
+        # the vector folds normalize the payload's id field to vec_id
+        for store in (f"{root}/ann_index/corpus", f"{root}/pq_index/codes"):
+            assert (
+                spark.read.parquet(store).where(F.col("vec_id") == 4).count() == 0
+            )
+        q = spark.createDataFrame(
+            [(1, vec(4))], "query_id long, embedding array<double>"
+        )
+        got = ai.search(spark, q, f"{root}/ann_index", k=3, nprobe=16).collect()
+        assert got and 4 not in {r.vec_id for r in got}
+    finally:
+        srv.shutdown()
