@@ -1,0 +1,142 @@
+"""Store integrity checks — the fsck of the persisted index tiers.
+
+Every index store in this engine maintains invariants its operators
+rely on (batch-dir doc-disjointness, manifest consistency, frozen-model
+assignment agreement, fresh derived stats). They hold by construction
+through every documented crash window, but an operator debugging a
+production store wants them CHECKABLE, not assumed — this module reads
+a store and reports each invariant pass/fail with a count, touching
+ids-only projections wherever possible (no text, no vectors beyond the
+one assignment-agreement scan).
+
+Nothing here mutates anything: fsck is read-only by contract. A failed
+check names the repair (rebuild / vacuum / purge retry), it never runs
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import erasure
+from http_feeds_spark.stores import hadoop_fs, parquet_exists
+
+
+def _ledger_count(spark: SparkSession, index_root: str) -> int:
+    ids = erasure.erased_ids(spark, index_root)
+    return int(ids.count()) if ids is not None else 0
+
+
+def fsck_text_index(spark: SparkSession, index_root: str) -> dict:
+    """Invariant report for a text-index store:
+
+    - ``doc_overlap_violations``: doc ids present in MORE than one
+      visible posting batch (must be 0 — upsert's anti-join and
+      compaction's atomic switch both guarantee disjointness; a nonzero
+      count means double-counted BM25 scores);
+    - ``meta_fresh``: the derived-store fingerprint matches the visible
+      batch count (False = a crash landed a batch without the derived
+      rewrite; search heals on the fly, the next upsert repairs);
+    - ``inert_manifests``: committed manifests whose merged dir never
+      landed (harmless — their numbers stay reserved — but a growing
+      count means compaction keeps crashing before its merge write);
+    - ``vacuum_backlog``: committed source dirs hidden by an active
+      manifest but not yet deleted (run vacuum_postings);
+    - ``positional``: postings carry the positions column (phrase
+      queries available);
+    - ``erase_ledger_ids``: ids awaiting physical purge (readers filter
+      them meanwhile)."""
+    from http_feeds_spark.operators import text_index as ti
+
+    post_path, _, meta_path = ti._paths(index_root)
+    raw = ti._committed_batch_dirs(spark, post_path)
+    visible = ti._complete_batches(spark, post_path)
+    manifests = ti._manifests(spark, index_root)
+    raw_nos = {no for no, _ in raw}
+    visible_nos = {no for no, _ in visible}
+    inert = [g for g, new, _ in manifests if new not in raw_nos]
+    backlog = sum(
+        1
+        for _, new, sources in manifests
+        if new in raw_nos
+        for b in sources
+        if b in raw_nos
+    )
+    out = {
+        "committed_batches": len(raw),
+        "visible_batches": len(visible),
+        "inert_manifests": len(inert),
+        "vacuum_backlog": backlog,
+        "erase_ledger_ids": _ledger_count(spark, index_root),
+    }
+    post, n_batches = ti._visible_postings(spark, post_path)
+    if post is None:
+        out.update(
+            {"doc_overlap_violations": 0, "meta_fresh": True, "positional": False}
+        )
+        return out
+    out["positional"] = "positions" in post.columns
+    out["doc_overlap_violations"] = int(
+        post.select("doc_id", "batch")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    if parquet_exists(spark, meta_path):
+        meta = spark.read.parquet(meta_path).collect()[0]
+        out["meta_fresh"] = int(getattr(meta, "n_batches", -1)) == len(visible_nos)
+    else:
+        out["meta_fresh"] = False
+    return out
+
+
+def fsck_ann_index(spark: SparkSession, index_root: str) -> dict:
+    """Invariant report for an ANN corpus store:
+
+    - ``duplicate_ids``: ids appearing more than once in the corpus
+      (must be 0 — the upsert anti-join guarantees it);
+    - ``assignment_violations``: rows whose stored cluster is NOT the
+      nearest centroid of the frozen quantizer (must be 0: build AND
+      upsert both assign against the same centroids — a nonzero count
+      means store corruption, one map-only comparison pass);
+    - ``stage_leftover``: a purge stage dir survived (the next purge
+      resumes/cleans it; its presence right after a purge means the
+      purge crashed mid-swap);
+    - ``erase_ledger_ids``: ids awaiting physical purge."""
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.operators import ann_index as ai
+
+    _, corpus_path = ai._paths(index_root)
+    cents = ai.load_centroids(spark, index_root)
+    corpus = spark.read.parquet(corpus_path)
+    id_col = ai._id_col_of(spark, corpus_path)
+    vec_col = next(
+        f.name for f in corpus.schema.fields if f.name not in (id_col, "cluster")
+    )
+    dup = int(
+        corpus.groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    mismatches = int(
+        km.assign_clusters(
+            corpus.select(id_col, vec_col, F.col("cluster").alias("__stored")),
+            cents,
+            vec_col,
+        )
+        .where(F.col("cluster") != F.col("__stored"))
+        .count()
+    )
+    fs, stage = hadoop_fs(spark, corpus_path.rstrip("/") + "__purge_stage")
+    return {
+        "corpus_rows": int(corpus.count()),
+        "n_centroids": len(cents),
+        "duplicate_ids": dup,
+        "assignment_violations": mismatches,
+        "stage_leftover": bool(fs.exists(stage)),
+        "erase_ledger_ids": _ledger_count(spark, index_root),
+    }

@@ -1,0 +1,86 @@
+"""Store integrity checks (operators/fsck.py): clean stores report
+clean, and each injected violation is flagged by exactly the check that
+owns it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import ann_index as ai
+from http_feeds_spark.operators import erasure
+from http_feeds_spark.operators import fsck
+from http_feeds_spark.operators import text_index as ti
+
+
+def _docs(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _emb(spark, sf_dir):
+    from http_feeds_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_fsck_text_index_clean_and_violations(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), root)
+    ti.upsert_documents(spark, docs.where(F.col("doc_id") % 2 == 1), root)
+
+    clean = fsck.fsck_text_index(spark, root)
+    assert clean["doc_overlap_violations"] == 0
+    assert clean["meta_fresh"] is True
+    assert clean["inert_manifests"] == 0 and clean["vacuum_backlog"] == 0
+    assert clean["positional"] is True and clean["erase_ledger_ids"] == 0
+    assert clean["visible_batches"] == 2
+
+    # violation 1: a duplicate doc smuggled into a new batch (bypassing
+    # the upsert anti-join) -> overlap check fires
+    dup = docs.where(F.col("doc_id") == 0)
+    ti._write_postings_batch(spark, dup, f"{root}/{ti.POSTINGS_DIR}", 9)
+    assert fsck.fsck_text_index(spark, root)["doc_overlap_violations"] == 1
+    # ...and the derived fingerprint is now stale too
+    assert fsck.fsck_text_index(spark, root)["meta_fresh"] is False
+
+    # violation 2: an inert manifest (compaction crashed pre-merge)
+    spark.createDataFrame(
+        [(50, [0, 1])], "new_batch int, sources array<int>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/{ti.COMPACTION_DIR}/000000")
+    assert fsck.fsck_text_index(spark, root)["inert_manifests"] == 1
+
+    # logical erasure shows up in the report
+    erasure.erase_ids(spark, root, spark.createDataFrame([(0,)], "id long"))
+    assert fsck.fsck_text_index(spark, root)["erase_ledger_ids"] == 1
+
+
+def test_fsck_ann_index_clean_and_violations(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=2)
+    extra = emb.limit(0)  # no-op upsert keeps the store clean
+    ai.upsert_vectors(spark, extra, root)
+
+    clean = fsck.fsck_ann_index(spark, root)
+    assert clean["duplicate_ids"] == 0
+    assert clean["assignment_violations"] == 0
+    assert clean["stage_leftover"] is False
+    assert clean["n_centroids"] == 8
+
+    # violation: a row appended under the WRONG cluster partition
+    corpus_path = f"{root}/{ai.CORPUS_DIR}"
+    row = spark.read.parquet(corpus_path).limit(1).collect()[0]
+    wrong = (int(row.cluster) + 1) % 8
+    spark.createDataFrame(
+        [(999_999, [float(x) for x in row.embedding], wrong)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).withColumn(
+        "embedding",
+        F.col("embedding").cast(
+            spark.read.parquet(corpus_path).schema["embedding"].dataType
+        ),
+    ).write.mode("append").partitionBy("cluster").parquet(corpus_path)
+    bad = fsck.fsck_ann_index(spark, root)
+    assert bad["assignment_violations"] == 1
