@@ -93,6 +93,59 @@ def fsck_text_index(spark: SparkSession, index_root: str) -> dict:
     return out
 
 
+def fsck_monitor(spark: SparkSession, monitor_root: str) -> dict:
+    """Invariant report for a monitor store:
+
+    - ``torn_merges``: merged/<gen> dirs with no committed manifest
+      (invisible by design; the next compaction overwrites them);
+    - ``superseded_gens``: older generations an eventual vacuum removes;
+    - ``vacuum_backlog``: raw batch dirs hidden by the active manifest
+      but still on disk (pre-compaction readers may still be using them
+      — the snapshot rule — until vacuum);
+    - ``sketch_coverage``: visible units carrying the HLL sketch family
+      over total visible units (distinct-count queries need full
+      coverage)."""
+    from http_feeds_spark.stores import committed
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = monitor_root.rstrip("/")
+    exposed, man = mon._view(spark, root)
+    raw = mon._raw_ids(spark, root)
+    fs, _ = hadoop_fs(spark, root)
+    gens = []
+    _, jmerged = hadoop_fs(spark, f"{root}/{mon.MERGED_DIR}")
+    if fs.exists(jmerged):
+        for st in fs.listStatus(jmerged):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.isdigit():
+                gens.append(int(name))
+    active_gen = man[0] if man is not None else None
+    torn = [
+        g
+        for g in gens
+        if not committed(spark, f"{root}/{mon.MANIFEST_DIR}/{g:06d}")
+    ]
+    hidden = man[2] if man is not None else set()
+    units = list(exposed) + ([man[1]] if man is not None else [])
+    covered = sum(
+        1
+        for b in units
+        for p in [mon._unit_paths(spark, root, [b], mon.SKETCHES_DIR)[0]]
+        if committed(spark, p)
+    )
+    return {
+        "visible_units": len(units),
+        "raw_batches": len(raw),
+        "active_gen": active_gen,
+        "torn_merges": len(torn),
+        "superseded_gens": sum(
+            1 for g in gens if active_gen is not None and g < active_gen
+        ),
+        "vacuum_backlog": sum(1 for b in raw if b in hidden),
+        "sketch_coverage": f"{covered}/{len(units)}",
+    }
+
+
 def fsck_ann_index(spark: SparkSession, index_root: str) -> dict:
     """Invariant report for an ANN corpus store:
 

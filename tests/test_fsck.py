@@ -84,3 +84,35 @@ def test_fsck_ann_index_clean_and_violations(spark, sf_dir, tmp_path):
     ).write.mode("append").partitionBy("cluster").parquet(corpus_path)
     bad = fsck.fsck_ann_index(spark, root)
     assert bad["assignment_violations"] == 1
+
+
+def test_fsck_monitor_states(spark, tmp_path):
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = str(tmp_path / "mon")
+    for i, rows in enumerate(
+        [[(1, "alpha beta")], [(2, "gamma delta")], [(3, "epsilon zeta")]]
+    ):
+        mon.fold_batch(
+            spark, spark.createDataFrame(rows, "doc_id long, text string"), root, i
+        )
+    clean = fsck.fsck_monitor(spark, root)
+    assert clean["visible_units"] == 3 and clean["raw_batches"] == 3
+    assert clean["torn_merges"] == 0 and clean["vacuum_backlog"] == 0
+    assert clean["sketch_coverage"] == "3/3"
+
+    # torn merge: merged frames land, manifest never does
+    mon._range_counts(spark, root, [0, 1]).write.mode("overwrite").parquet(
+        f"{root}/{mon.MERGED_DIR}/000000/{mon.WORDS_DIR}"
+    )
+    assert fsck.fsck_monitor(spark, root)["torn_merges"] == 1
+
+    # committed compaction without vacuum: backlog visible
+    mon.compact_batches(spark, root, upto=1, run_vacuum=False)
+    mid = fsck.fsck_monitor(spark, root)
+    assert mid["visible_units"] == 2 and mid["vacuum_backlog"] == 2
+    assert mid["active_gen"] == 0 and mid["torn_merges"] == 0
+
+    mon.vacuum(spark, root)
+    done = fsck.fsck_monitor(spark, root)
+    assert done["vacuum_backlog"] == 0 and done["sketch_coverage"] == "2/2"
