@@ -193,3 +193,47 @@ def fsck_ann_index(spark: SparkSession, index_root: str) -> dict:
         "stage_leftover": bool(fs.exists(stage)),
         "erase_ledger_ids": _ledger_count(spark, index_root),
     }
+
+
+def fsck_pq_index(spark: SparkSession, index_root: str) -> dict:
+    """Invariant report for a PQ code store:
+
+    - ``duplicate_ids``: as the ANN check;
+    - ``code_shape_violations``: rows whose code array length ≠ m or
+      whose codes fall outside [0, ksub) — either means the store was
+      written against a different codebook model than the one persisted
+      (rebuild);
+    - ``residual``: which codebook variant the store declares;
+    - ``stage_leftover`` / ``erase_ledger_ids``: as the ANN check."""
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    codes_path, _, _ = pqi._paths(index_root)
+    _, books, residual = pqi.load_model(spark, index_root)
+    m, ksub = len(books), len(books[0])
+    codes = spark.read.parquet(codes_path)
+    id_col = ai._id_col_of(spark, codes_path)
+    dup = int(
+        codes.groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    bad_shape = int(
+        codes.where(
+            (F.size("codes") != m)
+            | (F.array_min("codes") < 0)
+            | (F.array_max("codes") >= ksub)
+        ).count()
+    )
+    fs, stage = hadoop_fs(spark, codes_path.rstrip("/") + "__purge_stage")
+    return {
+        "code_rows": int(codes.count()),
+        "m": m,
+        "ksub": ksub,
+        "residual": bool(residual),
+        "duplicate_ids": dup,
+        "code_shape_violations": bad_shape,
+        "stage_leftover": bool(fs.exists(stage)),
+        "erase_ledger_ids": _ledger_count(spark, index_root),
+    }

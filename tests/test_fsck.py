@@ -116,3 +116,25 @@ def test_fsck_monitor_states(spark, tmp_path):
     mon.vacuum(spark, root)
     done = fsck.fsck_monitor(spark, root)
     assert done["vacuum_backlog"] == 0 and done["sketch_coverage"] == "2/2"
+
+
+def test_fsck_pq_index_clean_and_violations(spark, sf_dir, tmp_path):
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    clean = fsck.fsck_pq_index(spark, root)
+    assert clean["duplicate_ids"] == 0
+    assert clean["code_shape_violations"] == 0
+    assert (clean["m"], clean["ksub"], clean["residual"]) == (4, 16, False)
+
+    # a row written against a DIFFERENT codebook model (wrong m)
+    spark.createDataFrame(
+        [(999_999, [1, 2], 0)], "vec_id long, codes array<tinyint>, cluster int"
+    ).write.mode("append").partitionBy("cluster").parquet(f"{root}/{pqi.CODES_DIR}")
+    assert fsck.fsck_pq_index(spark, root)["code_shape_violations"] == 1
+
+    rroot = str(tmp_path / "pqr")
+    pqi.build_pq_index(spark, emb, rroot, nlist=8, m=4, ksub=16, iters=1, residual=True)
+    assert fsck.fsck_pq_index(spark, rroot)["residual"] is True
