@@ -258,3 +258,70 @@ def test_erasure_upsert_interleaving_matches_rebuilt_index(spark, tmp_path):
         got = [tuple(r) for r in ti.search(spark, root, terms, k=15).collect()]
         want = [tuple(r) for r in ti.search(spark, clean_root, terms, k=15).collect()]
         assert got == want and len(got) > 0, (round_no, terms)
+
+
+def test_monitor_random_fold_compact_sequences_stay_exact(spark, tmp_path):
+    """Randomized monitor maintenance: seeded random folds interleaved
+    with prefix compactions (and one torn merge injected) must keep
+    every visible-unit answer exactly derivable from the raw documents —
+    stats sums, JS divergence, and HLL distinct counts (exact on this
+    tiny vocabulary)."""
+    from http_feeds_spark.operators import drift
+    from http_feeds_spark.streaming import monitor as mon
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(9)]
+    root = str(tmp_path / "mon")
+    batches = {}  # batch id -> rows
+    next_id = 0
+
+    def fold_one():
+        nonlocal next_id
+        rows = _random_corpus(rng, rng.randint(1, 4), vocab, 8)
+        rows = [(next_id * 100 + i, t) for i, (_, t) in enumerate(rows)]
+        mon.fold_batch(
+            spark, spark.createDataFrame(rows, "doc_id long, text string"), root, next_id
+        )
+        batches[next_id] = rows
+        next_id += 1
+
+    def units():
+        return sorted(r.batch for r in mon.read_stats(spark, root).collect())
+
+    def covered(unit, man):
+        if man is not None and unit == man[1]:
+            return sorted(b for b in man[2])
+        return [unit]
+
+    for step in range(8):
+        fold_one()
+        if step == 3:
+            # torn merge: merged frames land, manifest never does —
+            # must change no answer and be overwritten by the next compact
+            mon._range_counts(spark, root, units()[:2]).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{mon.MERGED_DIR}/009999/{mon.WORDS_DIR}")
+        if step in (2, 5, 7):
+            mon.compact_batches(spark, root, upto=rng.choice(units()))
+
+        man = mon._latest_manifest(spark, root)
+        us = units()
+        # raw-doc reconstruction per visible unit
+        by_unit = {
+            u: [r for b in covered(u, man) for r in batches[b]] for u in us
+        }
+        for u in us:
+            st = [r for r in mon.read_stats(spark, root).collect() if r.batch == u][0]
+            assert st.n_docs == len(by_unit[u]), (step, u)
+            d = mon.distinct_counts(spark, root, [u])
+            assert d["docs"] == len({i for i, _ in by_unit[u]}), (step, u)
+            words = {w for _, t in by_unit[u] for w in t.split()}
+            assert d["words"] == len(words), (step, u)
+        if len(us) >= 2:
+            a, b = us[0], us[-1]
+            want = drift.js_divergence_words(
+                spark.createDataFrame(by_unit[a], "doc_id long, text string"),
+                spark.createDataFrame(by_unit[b], "doc_id long, text string"),
+            )
+            got = mon.js_between(spark, root, [a], [b])
+            assert abs(got - want) < 1e-12, (step, a, b)
