@@ -115,7 +115,14 @@ def fold_batch(
     wsk = docs.select(F.explode(tx.words(F.col(text_col))).alias("__w")).agg(
         F.hll_sketch_agg("__w").alias("words_sk")
     )
-    dsk = docs.agg(F.hll_sketch_agg(F.col(id_col)).alias("docs_sk"))
+    dsk = docs.agg(
+        F.hll_sketch_agg(F.col(id_col)).alias("docs_sk"),
+        # distinct CONTENT sketch: overlap between ranges by
+        # inclusion-exclusion = exact-duplicate documents shared across
+        # them (content_overlap) — the cross-snapshot contamination
+        # signal, answered from the store
+        F.hll_sketch_agg(F.xxhash64(F.col(text_col))).alias("content_sk"),
+    )
     wsk.crossJoin(dsk).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{SKETCHES_DIR}/batch={batch_id}"
     )
@@ -281,6 +288,42 @@ def distinct_counts(
     return {"words": int(row.w or 0), "docs": int(row.d or 0)}
 
 
+def _distinct_contents(
+    spark: SparkSession, monitor_root: str, batches: list[int]
+) -> int:
+    root = monitor_root.rstrip("/")
+    df = spark.read.parquet(*_unit_paths(spark, root, batches, SKETCHES_DIR))
+    if "content_sk" not in df.columns:
+        raise ValueError(
+            "sketch store predates content sketches; refold (or compact "
+            "only post-upgrade batches) to enable content_overlap"
+        )
+    row = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("content_sk")).alias("c")
+    ).collect()[0]
+    return int(row.c or 0)
+
+
+def content_overlap(
+    spark: SparkSession,
+    monitor_root: str,
+    batches_a: list[int],
+    batches_b: list[int],
+) -> int:
+    """Estimated count of DISTINCT exact document contents present in
+    BOTH ranges — |A| + |B| − |A∪B| over the stored content-hash
+    sketches (inclusion-exclusion; same error model as distinct_counts).
+    The cross-snapshot contamination signal: 'how much of last week's
+    corpus reappears verbatim this week', answered with zero document
+    re-reads."""
+    a = _distinct_contents(spark, monitor_root, batches_a)
+    b = _distinct_contents(spark, monitor_root, batches_b)
+    both = _distinct_contents(
+        spark, monitor_root, list(batches_a) + list(batches_b)
+    )
+    return max(0, a + b - both)
+
+
 def new_vocabulary(
     spark: SparkSession,
     monitor_root: str,
@@ -377,14 +420,15 @@ def compact_batches(
     sk_paths = _unit_paths(spark, root, merge, SKETCHES_DIR)
     merged_sk = None
     if all(committed(spark, p) for p in sk_paths):
-        merged_sk = (
-            spark.read.parquet(*sk_paths)
-            .agg(
-                F.hll_union_agg("words_sk").alias("words_sk"),
-                F.hll_union_agg("docs_sk").alias("docs_sk"),
-            )
-            .localCheckpoint()
-        )  # sketches union losslessly — the merged unit answers every
+        sk_df = spark.read.parquet(*sk_paths)
+        aggs = [
+            F.hll_union_agg("words_sk").alias("words_sk"),
+            F.hll_union_agg("docs_sk").alias("docs_sk"),
+        ]
+        if "content_sk" in sk_df.columns:
+            aggs.append(F.hll_union_agg("content_sk").alias("content_sk"))
+        merged_sk = sk_df.agg(*aggs).localCheckpoint()
+        # sketches union losslessly — the merged unit answers every
         # distinct-count range query the originals did
     gdir = f"{root}/{MERGED_DIR}/{new_gen:06d}"
     merged_words.write.mode("overwrite").parquet(f"{gdir}/{WORDS_DIR}")

@@ -209,3 +209,34 @@ def test_distinct_sketches_match_exact_and_survive_compaction(spark, tmp_path):
     assert mon.distinct_counts(spark, root, [0]) == {"words": 5, "docs": 3}
     assert mon.distinct_counts(spark, root, [0, 2]) == {"words": 10, "docs": 4}
     assert mon.new_vocabulary(spark, root, [0], [2]) == 5
+
+
+def test_content_overlap_counts_shared_exact_contents(spark, tmp_path):
+    """Content-hash sketch tier: overlap between ranges equals the exact
+    count of distinct document CONTENTS present in both (exact on a tiny
+    corpus, well inside the HLL error), and survives compaction."""
+    root = str(tmp_path / "mon")
+    b0 = _mk_docs(
+        spark,
+        [(1, "shared one"), (2, "shared two"), (3, "only in batch zero")],
+    )
+    b1 = _mk_docs(
+        spark,
+        [(11, "shared one"), (12, "shared two"), (13, "fresh content here")],
+    )
+    b2 = _mk_docs(spark, [(21, "shared one"), (22, "totally new stuff")])
+    for i, b in enumerate([b0, b1, b2]):
+        mon.fold_batch(spark, b, root, i)
+
+    assert mon.content_overlap(spark, root, [0], [1]) == 2
+    assert mon.content_overlap(spark, root, [0], [2]) == 1
+    assert mon.content_overlap(spark, root, [1], [2]) == 1
+    assert mon.content_overlap(spark, root, [0, 1], [2]) == 1
+    # disjoint batches: nothing shared with a fresh batch
+    b3 = _mk_docs(spark, [(31, "never seen before text")])
+    mon.fold_batch(spark, b3, root, 3)
+    assert mon.content_overlap(spark, root, [0, 1, 2], [3]) == 0
+
+    assert mon.compact_batches(spark, root, upto=1) == [0, 2, 3]
+    assert mon.content_overlap(spark, root, [0], [2]) == 1  # merged unit
+    assert mon.content_overlap(spark, root, [0], [3]) == 0
