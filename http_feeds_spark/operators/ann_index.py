@@ -71,8 +71,9 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     if erased is None:
         return 0
     _, corpus_path = _paths(index_root)
+    id_col = _id_col_of(spark, corpus_path)
     removed = erasure.purge_partitioned_store(
-        spark, corpus_path, erased, _id_col_of(spark, corpus_path), "cluster"
+        spark, corpus_path, erased, id_col, "cluster", dedup_keys=[id_col]
     )
     erasure.clear_ledger_batches(spark, index_root, nos)
     return removed

@@ -162,6 +162,7 @@ def purge_partitioned_store(
     erased: DataFrame,
     id_col: str,
     part_col: str,
+    dedup_keys: list[str] | None = None,
 ) -> int:
     """Physically remove every row of a ``part_col=N``-partitioned
     parquet store whose ``id_col`` is in ``erased`` (one ``id`` column),
@@ -171,12 +172,23 @@ def purge_partitioned_store(
 
     Protocol (stage → swap), with every crash window recoverable:
 
-    1. **Resume** any torn swap first: a committed staged partition dir
+    1. **Resume** any torn swap first. A committed staged partition dir
        whose live dir is MISSING holds the only copy of that
-       partition's survivors — rename it into place. (A stale stage
-       from an older erase set is safe to restore: it was filtered by a
-       subset of the current ledger, readers still filter the rest, and
-       this purge re-filters it below.) Then drop the stage root.
+       partition's survivors — rename it into place. A committed staged
+       dir whose live dir EXISTS is merged, never discarded: the live
+       dir may be the pre-swap original (crash before the delete) or a
+       post-crash recreation by an append (upsert/fold to the same
+       partition after a crash between delete and rename) — in either
+       case the staged files are moved in ALONGSIDE the live files and
+       the partition is force-included in this purge's rewrite, which
+       re-filters against the current ledger and collapses the
+       duplicates the merge can introduce (``dedup_keys``; all columns
+       when None — callers whose rows carry a unique id pass [id_col]).
+       Only then is the stage root dropped: staged rows are represented
+       in live first. (A stale stage from an older erase set is safe to
+       merge: its ledger batches are still present — the ledger clears
+       only after a purge fully succeeds — so the re-filter below sees
+       its erase set too.)
     2. Find affected partitions by an ids-only semi-join; write their
        FILTERED survivors to the stage root (one job, its _SUCCESS is
        the stage commit).
@@ -190,6 +202,7 @@ def purge_partitioned_store(
     Returns the number of rows physically removed."""
     stage_root = store_path.rstrip("/") + "__purge_stage"
     fs, jstage = hadoop_fs(spark, stage_root)
+    merged_parts: list[str] = []
     if fs.exists(jstage):
         if committed(spark, stage_root):
             for st in fs.listStatus(jstage):
@@ -198,6 +211,16 @@ def purge_partitioned_store(
                     _, live = hadoop_fs(spark, f"{store_path}/{name}")
                     if not fs.exists(live):
                         fs.rename(st.getPath(), live)
+                    else:
+                        for fst in fs.listStatus(st.getPath()):
+                            fname = fst.getPath().getName()
+                            if fname.startswith(("_", ".")):
+                                continue
+                            _, tgt = hadoop_fs(
+                                spark, f"{store_path}/{name}/restored-{fname}"
+                            )
+                            fs.rename(fst.getPath(), tgt)
+                        merged_parts.append(name[len(part_col) + 1 :])
         fs.delete(jstage, True)
 
     df = spark.read.parquet(store_path)
@@ -206,13 +229,31 @@ def purge_partitioned_store(
         r[part_col]
         for r in df.join(key, id_col, "semi").select(part_col).distinct().collect()
     ]
-    if not affected:
+    part_str = {str(p) for p in affected}
+    rewrite = affected + [
+        # merged partitions are rewritten even with no erased rows left,
+        # to collapse merge duplicates (dir names are strings — match on
+        # the cast to stay type-agnostic across int/string part values)
+        p
+        for p in merged_parts
+        if p not in part_str
+    ]
+    if not rewrite:
         return 0
-    sub = df.where(F.col(part_col).isin(affected))
+    if merged_parts:
+        # dir-name values are strings — match on the cast to stay
+        # type-agnostic across int/string partition values
+        sub = df.where(
+            F.col(part_col).cast("string").isin([str(p) for p in rewrite])
+        )
+    else:
+        sub = df.where(F.col(part_col).isin(affected))
     removed = sub.join(key, id_col, "semi").count()
     kept = sub.join(key, id_col, "left_anti")
+    if merged_parts:
+        kept = kept.dropDuplicates(dedup_keys) if dedup_keys else kept.distinct()
     kept.write.mode("overwrite").partitionBy(part_col).parquet(stage_root)
-    for p in affected:
+    for p in rewrite:
         _, live = hadoop_fs(spark, f"{store_path}/{part_col}={p}")
         _, staged = hadoop_fs(spark, f"{stage_root}/{part_col}={p}")
         if fs.exists(live):

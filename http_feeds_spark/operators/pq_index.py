@@ -301,8 +301,9 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     if erased is None:
         return 0
     codes_path, _, _ = _paths(index_root)
+    id_col = _id_col_of(spark, codes_path)
     removed = erasure.purge_partitioned_store(
-        spark, codes_path, erased, _id_col_of(spark, codes_path), "cluster"
+        spark, codes_path, erased, id_col, "cluster", dedup_keys=[id_col]
     )
     erasure.clear_ledger_batches(spark, index_root, nos)
     return removed

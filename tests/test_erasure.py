@@ -526,3 +526,131 @@ def test_run_platform_with_vector_indexes(spark, tmp_path):
         assert got and 4 not in {r.vec_id for r in got}
     finally:
         srv.shutdown()
+
+
+def test_purge_resume_merges_when_append_recreated_live(spark, sf_dir, tmp_path):
+    """The r7 ADVICE data-loss window: crash lands between delete(live)
+    and rename(staged->live), then a retry's UPSERT (which run_platform
+    executes before the purge resume) recreates the live dir. The
+    resume must MERGE the staged survivors in — the old restore-only-
+    if-missing rule silently deleted the only copy of them."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=2)
+    corpus_path = f"{root}/{ai.CORPUS_DIR}"
+    rows = spark.read.parquet(corpus_path)
+    victim = int(rows.limit(1).collect()[0].vec_id)
+    cluster = int(
+        rows.where(F.col("vec_id") == victim).select("cluster").collect()[0].cluster
+    )
+    total = rows.count()
+    survivors = {
+        r.vec_id
+        for r in rows.where(
+            (F.col("cluster") == cluster) & (F.col("vec_id") != victim)
+        ).collect()
+    }
+    assert survivors  # the partition must have rows to lose
+    donor = next(iter(survivors))
+    donor_vec = (
+        rows.where(F.col("vec_id") == donor).select("embedding").collect()[0][0]
+    )
+    new_id = int(rows.agg(F.max("vec_id")).collect()[0][0]) + 1
+    emb_schema = rows.select("vec_id", "embedding").schema
+    erasure.erase_ids(spark, root, spark.createDataFrame([(victim,)], "id long"))
+
+    # hand-build the torn state: staged survivors committed, live gone
+    stage_root = corpus_path + "__purge_stage"
+    (
+        rows.where((F.col("cluster") == cluster) & (F.col("vec_id") != victim))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(stage_root)
+    )
+    import shutil
+
+    shutil.rmtree(f"{corpus_path}/cluster={cluster}")
+
+    # the retry's append lands FIRST (run_platform order): a new vector
+    # whose nearest centroid is the torn cluster recreates the live dir
+    appended = ai.upsert_vectors(
+        spark,
+        spark.createDataFrame([(new_id, donor_vec)], emb_schema),
+        root,
+    )
+    assert appended == 1
+    got_cluster = int(
+        spark.read.parquet(corpus_path)
+        .where(F.col("vec_id") == new_id)
+        .collect()[0]
+        .cluster
+    )
+    assert got_cluster == cluster  # live dir really was recreated
+
+    ai.purge_erased(spark, root)  # resume must merge, not discard
+    after = spark.read.parquet(corpus_path)
+    ids = {r.vec_id for r in after.select("vec_id").collect()}
+    assert survivors <= ids, "staged survivors were lost on resume"
+    assert victim not in ids and new_id in ids
+    assert after.count() == total - 1 + 1  # no duplicates either
+    assert not os.path.exists(stage_root)
+    assert erasure.erased_ids(spark, root) is None
+
+
+def test_purge_resume_no_duplicates_when_live_never_deleted(spark, sf_dir, tmp_path):
+    """Crash BEFORE the swap loop: stage committed, live still the full
+    original partition. The merge-on-resume must not duplicate the
+    survivors (the rewrite collapses them by id)."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann2")
+    ai.build_index(spark, emb, root, k=8, iters=2)
+    corpus_path = f"{root}/{ai.CORPUS_DIR}"
+    rows = spark.read.parquet(corpus_path)
+    victim = int(rows.limit(1).collect()[0].vec_id)
+    cluster = int(
+        rows.where(F.col("vec_id") == victim).select("cluster").collect()[0].cluster
+    )
+    total = rows.count()
+    erasure.erase_ids(spark, root, spark.createDataFrame([(victim,)], "id long"))
+    stage_root = corpus_path + "__purge_stage"
+    (
+        rows.where((F.col("cluster") == cluster) & (F.col("vec_id") != victim))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(stage_root)
+    )  # live dir untouched — full original still in place
+
+    assert ai.purge_erased(spark, root) == 1
+    after = spark.read.parquet(corpus_path)
+    assert after.count() == total - 1
+    assert after.select("vec_id").distinct().count() == total - 1
+    assert after.where(F.col("vec_id") == victim).count() == 0
+    assert not os.path.exists(stage_root)
+
+
+def test_purge_resume_merge_distinct_for_keyless_store(spark, tmp_path):
+    """The dedup band/shingle stores have no unique id — merge-on-resume
+    falls back to full-row distinct. Same crash-before-delete window on
+    a synthetic multi-row-per-doc store."""
+    store = str(tmp_path / "bands" / "data")
+    df = spark.createDataFrame(
+        [(d, b, 100 * d + b, d % 2) for d in range(1, 5) for b in range(3)],
+        "doc_id long, band int, sig long, bucket int",
+    )
+    df.write.partitionBy("bucket").parquet(store)
+    erased = spark.createDataFrame([(2,)], "id long")
+    # stage the filtered bucket-0 survivors, crash before any swap
+    (
+        df.where((F.col("bucket") == 0) & (F.col("doc_id") != 2))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(store + "__purge_stage")
+    )
+    removed = erasure.purge_partitioned_store(
+        spark, store, erased, "doc_id", "bucket"
+    )
+    assert removed == 3  # doc 2's three band rows
+    after = spark.read.parquet(store)
+    assert after.count() == 9  # 4 docs * 3 bands - 3, duplicates collapsed
+    assert after.distinct().count() == 9
+    assert after.where(F.col("doc_id") == 2).count() == 0
