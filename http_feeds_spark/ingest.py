@@ -527,6 +527,7 @@ def run_platform(
     erasure: bool = True,
     purge: bool = True,
     compact: bool = True,
+    compact_after: int | None = 16,
     doc_id_field: str = "doc_id",
     text_field: str = "text",
     vec_field: str = "embedding",
@@ -555,8 +556,17 @@ def run_platform(
     Erasure scope: the monitor holds AGGREGATES (counts, unigram count
     frames, HLL sketches), not subject rows — like k-means centroids,
     they are outside per-subject erasure; the raw landing zone's story
-    is compaction + retention (see run_erasure). Returns the
-    per-component summaries."""
+    is compaction + retention (see run_erasure).
+
+    Store maintenance: every fold appends one posting batch / monitor
+    unit, so a platform following a feed accumulates one directory per
+    catch-up forever unless something merges the prefix. When
+    ``compact_after`` is set (default 16), :func:`run_maintenance` runs
+    LAST: any store whose visible batch/unit count exceeds it is
+    compacted (text_index.compact_postings / monitor.compact_batches —
+    both crash-safe by their manifest protocols, answers bit-identical)
+    and vacuumed. None disables, for callers scheduling maintenance at
+    their own granularity. Returns the per-component summaries."""
     root = platform_root.rstrip("/")
     out: dict = {"platform_root": platform_root}
     if landing:
@@ -587,6 +597,74 @@ def run_platform(
             pq_index_root=f"{root}/pq_index" if pq_index else None,
             purge=purge,
         )
+    if compact_after is not None:
+        out["maintenance"] = run_maintenance(
+            spark,
+            platform_root,
+            text_index=text_index,
+            monitor=monitor,
+            compact_after=compact_after,
+        )
+    return out
+
+
+def run_maintenance(
+    spark: SparkSession,
+    platform_root: str,
+    *,
+    text_index: bool = True,
+    monitor: bool = True,
+    compact_after: int = 16,
+) -> dict:
+    """The store-maintenance policy: threshold-triggered compaction +
+    vacuum for the platform's append-accumulating stores, so a platform
+    that follows a feed stays BOUNDED without an external scheduler
+    knowing the store internals.
+
+    Policy: a store whose visible batch/unit count exceeds
+    ``compact_after`` has its full prefix merged (upto = max visible id);
+    the vacuums run unconditionally — they are pure cleanup the view
+    never depends on, no-ops when nothing is hidden, and running them
+    every call is what makes a crash between a previous compact and its
+    vacuum converge on the NEXT call even when the post-compact count is
+    back under the threshold. Both compactions are individually
+    crash-safe (manifest protocols in text_index.compact_postings /
+    monitor.compact_batches) and leave answers bit-identical, so the
+    policy layer adds no new crash window. Monitor caveat:
+    merging collapses range granularity (you can no longer split inside
+    the merged prefix) — callers needing range queries at batch
+    granularity should disable here and schedule compact_batches at the
+    granularity they keep (e.g. daily).
+
+    Returns per-store {"batches_before", "batches_after", "vacuumed"}
+    (absent stores count 0 and are skipped)."""
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = platform_root.rstrip("/")
+    out: dict = {}
+    if text_index:
+        ti_root = f"{root}/text_index"
+        before = ti.visible_batches(spark, ti_root)
+        summary = {"batches_before": len(before), "batches_after": len(before)}
+        if len(before) > compact_after:
+            summary["batches_after"] = len(
+                ti.compact_postings(spark, ti_root, upto=max(before))
+            )
+        summary["vacuumed"] = ti.vacuum_postings(spark, ti_root) if before else 0
+        out["text_index"] = summary
+    if monitor:
+        mon_root = f"{root}/monitor"
+        before = mon.visible_units(spark, mon_root)
+        summary = {"batches_before": len(before), "batches_after": len(before)}
+        if len(before) > compact_after:
+            summary["batches_after"] = len(
+                mon.compact_batches(
+                    spark, mon_root, upto=max(before), run_vacuum=False
+                )
+            )
+        summary["vacuumed"] = mon.vacuum(spark, mon_root) if before else 0
+        out["monitor"] = summary
     return out
 
 

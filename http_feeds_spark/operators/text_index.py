@@ -132,6 +132,14 @@ def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | 
     return spark.read.option("basePath", post_root).parquet(*paths), len(paths)
 
 
+def visible_batches(spark: SparkSession, index_root: str) -> list[int]:
+    """Visible posting batch numbers, ascending ([] when the index is
+    absent) — the read-only count a maintenance policy thresholds on
+    (ingest.run_maintenance) before deciding to ``compact_postings``."""
+    post_path, _, _ = _paths(index_root)
+    return [no for no, _ in _complete_batches(spark, post_path)]
+
+
 def _next_batch_no(spark: SparkSession, post_root: str) -> int:
     """max over committed dirs AND every committed manifest's reserved
     numbers, +1 — NOT the batch count: purges/compactions leave the

@@ -180,6 +180,17 @@ def _view(
     return [b for b in raw if b not in covered], man
 
 
+def visible_units(spark: SparkSession, monitor_root: str) -> list[int]:
+    """Visible unit ids, ascending: exposed raw batches plus, after a
+    compaction, the merged unit under its keep_id ([] when the store is
+    absent) — the read-only count a maintenance policy thresholds on
+    (ingest.run_maintenance) before deciding to ``compact_batches``."""
+    root = monitor_root.rstrip("/")
+    exposed, man = _view(spark, root)
+    keep = [man[1]] if man is not None else []
+    return sorted(set(keep) | set(exposed))
+
+
 def read_stats(spark: SparkSession, monitor_root: str) -> DataFrame:
     """(batch, n_docs, n_tokens, n_chars, short_docs) — one row per
     visible unit: exposed raw batches plus, after compaction, the merged
@@ -402,6 +413,17 @@ def compact_batches(
         if run_vacuum:
             vacuum(spark, root)
         return sorted(units)
+    if man is not None and keep_prev not in merge:
+        # fold_batch accepts arbitrary ids, so a unit can land BELOW the
+        # compacted range. Merging such units without the prior merged
+        # unit would cover keep_prev (covered_new ⊇ covered_prev ∋ its
+        # raw ids) while the new generation no longer carries its data —
+        # silently hiding it. Refuse loudly instead.
+        raise ValueError(
+            f"compact_batches(upto={upto}) would merge units {merge} "
+            f"without the prior merged unit {keep_prev}; use "
+            f"upto >= {keep_prev} so the prior generation is re-merged"
+        )
     new_gen = gen_prev + 1
     keep_new = merge[0]
     covered_new = sorted(covered_prev | set(merge))

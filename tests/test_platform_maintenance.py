@@ -1,0 +1,159 @@
+"""Store-maintenance policy (ingest.run_maintenance): a platform that
+follows a feed accumulates one posting batch / monitor unit per
+catch-up; the policy keeps both stores BOUNDED (threshold-triggered
+compaction + unconditional vacuum) while every answer stays
+bit-identical — plus the compact_batches below-range guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_feeds_spark import ingest
+from http_feeds_spark.operators import text_index as ti
+from http_feeds_spark.streaming import monitor as mon
+
+
+def _wave(spark, ids, tag):
+    return spark.createDataFrame(
+        [(i, f"window filter merge body{i} {tag} tail{i}") for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def _dir_count(path):
+    if not os.path.exists(path):
+        return 0
+    return sum(1 for n in os.listdir(path) if n.startswith("batch="))
+
+
+def test_run_maintenance_bounds_growth_answers_identical(spark, tmp_path):
+    """20 waves of folds, maintenance at compact_after=4: visible counts
+    AND on-disk batch-dir counts collapse, BM25 search / monitor stats /
+    HLL distinct counts are bit-identical before and after, and a second
+    maintenance call is a no-op."""
+    root = str(tmp_path / "platform")
+    ti_root, mon_root = f"{root}/text_index", f"{root}/monitor"
+    for w in range(20):
+        docs = _wave(spark, [w], f"wave{w}")
+        if not ti.ensure_text_index(spark, docs, ti_root):
+            ti.upsert_documents(spark, docs, ti_root)
+        mon.fold_batch(spark, docs, mon_root, batch_id=w)
+    assert len(ti.visible_batches(spark, ti_root)) == 20
+    assert len(mon.visible_units(spark, mon_root)) == 20
+
+    before_search = ti.search(spark, ti_root, ["window", "body7"], k=30).collect()
+    before_stats = mon.read_stats(spark, mon_root).agg(
+        F.sum("n_docs"), F.sum("n_tokens"), F.sum("n_chars"), F.sum("short_docs")
+    ).collect()[0]
+    before_distinct = mon.distinct_counts(spark, mon_root, list(range(20)))
+
+    out = ingest.run_maintenance(spark, root, compact_after=4)
+    assert out["text_index"]["batches_before"] == 20
+    assert out["text_index"]["batches_after"] == 1
+    # compact_postings vacuums internally (_replace_batches step 3), so
+    # the policy-level sweep finds nothing left for the text index
+    assert out["monitor"]["batches_before"] == 20
+    assert out["monitor"]["batches_after"] == 1
+    assert out["monitor"]["vacuumed"] > 0
+    # bounded ON DISK, not just in the view
+    assert _dir_count(f"{ti_root}/postings") == 1
+    assert _dir_count(f"{mon_root}/{mon.STATS_DIR}") == 0  # merged gen only
+
+    after_search = ti.search(spark, ti_root, ["window", "body7"], k=30).collect()
+    assert [r.asDict() for r in after_search] == [
+        r.asDict() for r in before_search
+    ]
+    after_stats = mon.read_stats(spark, mon_root).agg(
+        F.sum("n_docs"), F.sum("n_tokens"), F.sum("n_chars"), F.sum("short_docs")
+    ).collect()[0]
+    assert list(after_stats) == list(before_stats)
+    # the merged unit answers the full range under its keep id
+    after_distinct = mon.distinct_counts(spark, mon_root, [0])
+    assert after_distinct == before_distinct
+
+    again = ingest.run_maintenance(spark, root, compact_after=4)
+    assert again["text_index"]["batches_after"] == 1
+    assert again["text_index"]["vacuumed"] == 0  # nothing left to clean
+    assert again["monitor"]["vacuumed"] == 0
+
+
+def test_run_maintenance_converges_after_crash_before_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between compact and vacuum: the compaction manifests have
+    committed (answers already switched) but the hidden source dirs
+    remain. The next run_maintenance — even with counts back UNDER the
+    threshold — vacuums them away; answers never change."""
+    root = str(tmp_path / "platform")
+    ti_root, mon_root = f"{root}/text_index", f"{root}/monitor"
+    for w in range(6):
+        docs = _wave(spark, [w], f"wave{w}")
+        if not ti.ensure_text_index(spark, docs, ti_root):
+            ti.upsert_documents(spark, docs, ti_root)
+        mon.fold_batch(spark, docs, mon_root, batch_id=w)
+    # the crash state: compact committed, vacuum never ran (inject the
+    # crash by making the internal vacuum a no-op for this call)
+    with monkeypatch.context() as m:
+        m.setattr(ti, "vacuum_postings", lambda *a, **k: 0)
+        ti.compact_postings(spark, ti_root, upto=5)
+    mon.compact_batches(spark, mon_root, upto=5, run_vacuum=False)
+    assert _dir_count(f"{ti_root}/postings") == 7  # 6 sources + merge
+    assert _dir_count(f"{mon_root}/{mon.STATS_DIR}") == 6
+    search_mid = ti.search(spark, ti_root, ["window"], k=30).collect()
+
+    out = ingest.run_maintenance(spark, root, compact_after=16)
+    assert out["text_index"]["batches_before"] == 1  # view already switched
+    assert out["text_index"]["vacuumed"] > 0
+    assert out["monitor"]["vacuumed"] > 0
+    assert _dir_count(f"{ti_root}/postings") == 1
+    assert _dir_count(f"{mon_root}/{mon.STATS_DIR}") == 0
+    assert ti.search(spark, ti_root, ["window"], k=30).collect() == search_mid
+
+
+def test_run_platform_invokes_maintenance(spark, tmp_path):
+    """run_platform with compact_after wired: waves of feed catch-ups
+    keep the stores at one batch dir while search still answers."""
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        root = str(tmp_path / "platform")
+        for w in range(3):
+            state.append(
+                "org.example.document",
+                str(w),
+                {"doc_id": w, "text": f"window filter merge body{w} tail{w}"},
+            )
+            out = ingest.run_platform(spark, url, root, compact_after=1)
+        assert out["maintenance"]["text_index"]["batches_after"] == 1
+        assert len(ti.visible_batches(spark, f"{root}/text_index")) == 1
+        assert _dir_count(f"{root}/text_index/postings") == 1
+        hits = {
+            r.doc_id
+            for r in ti.search(spark, f"{root}/text_index", ["window"], k=10).collect()
+        }
+        assert hits == {0, 1, 2}
+    finally:
+        srv.shutdown()
+
+
+def test_compact_batches_refuses_below_range_unit(spark, tmp_path):
+    """The ADVICE guard: units folded BELOW the compacted range cannot
+    be merged without the prior merged unit — covered_new would hide
+    keep_prev's data without re-merging it. Refuse loudly; merging the
+    full range still works."""
+    root = str(tmp_path / "mon")
+    for b in (5, 6):
+        mon.fold_batch(spark, _wave(spark, [b], f"w{b}"), root, batch_id=b)
+    assert mon.compact_batches(spark, root, upto=10) == [5]
+    for b in (1, 2):
+        mon.fold_batch(spark, _wave(spark, [100 + b], f"w{b}"), root, batch_id=b)
+    with pytest.raises(ValueError, match="prior merged unit"):
+        mon.compact_batches(spark, root, upto=3)
+    assert mon.compact_batches(spark, root, upto=10) == [1]
+    total = mon.read_stats(spark, root).agg(F.sum("n_docs")).collect()[0][0]
+    assert total == 4  # nothing hidden, nothing lost
