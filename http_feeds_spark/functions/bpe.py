@@ -161,6 +161,7 @@ def train_bpe_driver(
     text_col: str = "text",
     min_pair_freq: int = 2,
     min_word_freq: int = 1,
+    max_words: int | None = 20_000_000,
 ) -> list[tuple[str, str]]:
     """The deployment-shape trainer for production vocab sizes: ONE
     corpus pass builds the (word, freq) table in-engine, which is then
@@ -173,16 +174,40 @@ def train_bpe_driver(
     this form is O(corpus) once plus seconds of driver time for the
     same result (bit-identical merge table, pinned in tests/test_bpe.py).
 
-    ``min_word_freq`` optionally prunes hapax words from the collected
-    table (the standard Sennrich truncation) — bounds driver memory on
-    noisy corpora; leave at 1 for exact parity with ``train_bpe``."""
+    Heaps' law is ~N^0.5 with NO ceiling: a real 100 TB web corpus has
+    10^8-10^9 distinct "words" (typo/numeric tail) — multi-GB on the
+    driver if collected raw. Two bounds, both ENGINE-side so the driver
+    never sees the tail:
+
+    - ``min_word_freq`` prunes rare words BEFORE the collect (the
+      standard Sennrich truncation; pushed into the aggregation, so the
+      shuffle output — not just the driver table — shrinks). A floor of
+      2 cannot change early merges (a hapax word contributes 1 to a
+      pair count that must beat ``min_pair_freq``=2 ties from everything
+      else) but is formally lossy late in training — the contract is
+      documented, parity at the default floor=1 is pinned.
+    - ``max_words`` is the refuse-don't-OOM gate: ONE count aggregate
+      runs before the collect, and a table larger than the gate raises
+      with the remedy (raise min_word_freq, or fall back to the exact
+      distributed ``train_bpe``) instead of silently collecting gigabytes
+      — the PCA one-row-collect rule applied to BPE. None disables."""
     from collections import Counter, defaultdict
 
-    rows = word_freqs(docs, text_col).collect()
+    wf = word_freqs(docs, text_col)
+    if min_word_freq > 1:
+        wf = wf.where(F.col("freq") >= min_word_freq)
+    if max_words is not None:
+        n_words = wf.count()
+        if n_words > max_words:
+            raise ValueError(
+                f"word table has {n_words} rows > max_words={max_words}; "
+                "raise min_word_freq to prune the rare tail before the "
+                "driver collect, raise max_words explicitly, or use the "
+                "distributed train_bpe"
+            )
+    rows = wf.collect()
     vocab: list[tuple[list[str], int]] = [
-        (list(r.word) + [END_OF_WORD], int(r.freq))
-        for r in rows
-        if int(r.freq) >= min_word_freq
+        (list(r.word) + [END_OF_WORD], int(r.freq)) for r in rows
     ]
     pair_counts: Counter = Counter()
     pair_words: defaultdict = defaultdict(set)

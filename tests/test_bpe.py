@@ -182,3 +182,47 @@ def test_encode_with_vocab_emits_trainer_ready_token_ids(spark, sf_dir):
     )
     rows = bpe.encode(alien, merges, vocab=vocab).collect()[0]
     assert bpe.UNKNOWN_ID in rows.token_ids  # unseen chars flagged, not dropped
+
+
+def test_driver_min_word_freq_floor_matches_reference_under_same_floor(spark):
+    """A hapax-heavy corpus (the 100 TB typo/numeric-tail shape):
+    min_word_freq=2 prunes the tail IN-ENGINE before the collect, and
+    the merge table equals the pure-Python reference trained on the
+    floored word table — the documented contract of the truncation."""
+    core = "the cat sat on the mat and the cat ran"
+    rows = [(i, core) for i in range(8)] + [
+        (100 + i, f"zqx{i}a wjv{i}b typo{i}cde") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe.train_bpe_driver(docs, n_merges=12, min_word_freq=2)
+    wf = {
+        w: f
+        for w, f in _spark_word_freqs(docs).items()
+        if f >= 2
+    }
+    assert got == _ref_train(wf, 12)
+    assert len(got) > 0
+
+
+def _spark_word_freqs(docs) -> dict[str, int]:
+    return {
+        r.word: int(r.freq) for r in bpe.word_freqs(docs).collect()
+    }
+
+
+def test_driver_max_words_gate_refuses_then_floor_admits(spark):
+    """The refuse-don't-OOM gate: a word table over max_words raises
+    with the remedy; pruning the hapax tail with min_word_freq brings
+    the same corpus under the same gate."""
+    import pytest
+
+    rows = [(i, f"unique{i}x unique{i}y common words here") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.train_bpe_driver(docs, n_merges=4, max_words=10)
+    merges = bpe.train_bpe_driver(
+        docs, n_merges=4, min_word_freq=2, max_words=10
+    )  # floor leaves only the 3 repeated words — under the gate
+    assert merges == _ref_train(
+        {w: f for w, f in _spark_word_freqs(docs).items() if f >= 2}, 4
+    )
