@@ -10,16 +10,19 @@ Codec tiers, honestly separated:
 
 - **REAL decoders for the formats the container can decode** with the
   stdlib + numpy alone: WAV (PCM 8/16/32-bit via ``wave`` —
-  ``wav_features``), binary PPM (P6 — ``decode_rgb``), and uncompressed
-  24-bit BMP (``decode_rgb``); ``image_stats`` and ``resize_rgb`` run
-  on genuinely decoded pixel arrays, sample-exact (pinned against
-  hand-constructed files in tests/test_multimodal_dedup.py).
-- **Import-gated stand-ins for compressed codecs** (JPEG/PNG/MP4 —
-  PIL / torchaudio / ffmpeg are NOT in this container): `decode_image`
-  raises NotImplementedError behind an import-try, and those pipelines
-  are exercised end-to-end with `fake_image_features` — a deterministic
-  byte-histogram extractor with the exact same schema, batching, and
-  partitioning as the real path would have.
+  ``wav_features``), binary PPM (P6 — ``decode_rgb``), uncompressed
+  24-bit BMP (``decode_rgb``), and 8-bit RGB/RGBA PNG — the dominant
+  lossless web format — via stdlib ``zlib`` inflate + numpy per-row
+  unfiltering (None/Sub/Up/Average/Paeth), with ``encode_png`` as the
+  export twin; ``image_stats`` and ``resize_rgb`` run on genuinely
+  decoded pixel arrays, sample-exact (pinned against hand-constructed
+  files in tests/test_multimodal_dedup.py).
+- **Import-gated stand-ins for the remaining compressed codecs**
+  (JPEG/MP4 — PIL / torchaudio / ffmpeg are NOT in this container):
+  `decode_image` raises NotImplementedError behind an import-try, and
+  those pipelines are exercised end-to-end with `fake_image_features` —
+  a deterministic byte-histogram extractor with the exact same schema,
+  batching, and partitioning as the real path would have.
 
 Scale posture: per-row Python cost is amortized by Arrow batches
 (spark.sql.execution.arrow.maxRecordsPerBatch); there is no shuffle — the
@@ -148,16 +151,176 @@ def wav_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_SCHEMA)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """(type, data) for every chunk in stream order (CRCs not verified —
+    a torn payload fails in zlib/shape checks downstream)."""
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        yield ctype, payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IEND":
+            break
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse the per-row PNG filters (spec §9: None/Sub/Up/Average/
+    Paeth) into an (h, w*ch) uint8 array. Up is vectorized; Sub/Average/
+    Paeth carry a left-neighbor dependency and walk the row — rows are
+    image-width-sized, and the whole decode runs inside an Arrow-batched
+    worker, so the loop never touches the engine's hot path."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        f = raw[pos]
+        cur = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif f == 2:  # Up: row above, vectorized
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average of left and above, floor division
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} unsupported")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode with ZERO new dependencies: stdlib ``zlib``
+    inflates the IDAT stream and numpy reverses the per-row filters.
+    Supports the formats that dominate lossless web images — 8-bit
+    truecolor (type 2) and truecolor+alpha (type 6), non-interlaced;
+    RGBA's alpha is dropped so every decode_rgb format returns the same
+    (H, W, 3) shape. Other color types / depths / Adam7 raise
+    ValueError (skip-don't-crash at the operator layer)."""
+    import struct
+    import zlib
+
+    ihdr = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "unsupported (want 8-bit RGB/RGBA, non-interlaced)"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG pixel data length mismatch")
+    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    return img[:, :, :3].copy()
+
+
+def encode_png(img, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for (H, W, 3) uint8 arrays — the export twin
+    of ``_decode_png`` (thumbnails from ``resize_rgb`` become real .png
+    bytes with zero new dependencies). ``filter_type`` applies one
+    filter (0-4) to every row; the decoder must invert all five, so the
+    tests encode each and pin pixel identity."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("encode_png wants (H, W, 3) uint8")
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type} not in 0..4")
+        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
-    (P6) and uncompressed 24-bit BMP — pure struct/numpy parsing, no
-    external codec. Returns an (H, W, 3) uint8 RGB array; raises
-    ValueError for other formats (compressed codecs are the
-    ``decode_image`` import-gated tier)."""
+    (P6), uncompressed 24-bit BMP, and 8-bit RGB/RGBA PNG (stdlib zlib
+    inflate + numpy per-row unfiltering) — no external codec. Returns an
+    (H, W, 3) uint8 array; raises ValueError for other formats (the
+    remaining compressed codecs, JPEG/MP4, are the ``decode_image``
+    import-gated tier)."""
     import struct
 
     import numpy as np
 
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -195,7 +358,9 @@ def decode_rgb(payload: bytes):
             row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + r * stride)
             img[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
         return img
-    raise ValueError("not a PPM/BMP payload (compressed formats need decode_image)")
+    raise ValueError(
+        "not a PNG/PPM/BMP payload (other compressed formats need decode_image)"
+    )
 
 
 IMAGE_STATS_SCHEMA = (

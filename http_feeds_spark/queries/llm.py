@@ -1742,31 +1742,42 @@ def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_mm_image_real", oracle=None, group="D")
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4h — REAL image decoding (no stand-in): deterministic P6 PPM
-    payloads are synthesized per document (gradient patterns derived
-    from doc_id) and decoded by the genuinely-real path —
+    """D4h — REAL image decoding (no stand-in): deterministic pixel
+    patterns are synthesized per document (gradients derived from
+    doc_id) and shipped as a MIX of containers — P6 PPM for even ranks,
+    8-bit RGB PNG (stdlib zlib deflate, r8) with a rotating filter type
+    for odd ranks — all decoded by the genuinely-real path:
     functions/multimodal.decode_rgb parses the container and
-    image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP pixel
-    identity, exact channel means, and exact nearest-neighbor resize
-    are pinned in tests/test_multimodal_dedup.py. Rows-only."""
+    image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP ≡ PNG
+    (all five filters) pixel identity, exact channel means, and exact
+    nearest-neighbor resize are pinned in
+    tests/test_multimodal_dedup.py. Rows-only."""
+    import numpy as np
+
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
 
-    def ppm_for(doc_id: int) -> bytes:
+    def pixels_for(doc_id: int):
         w = h = 8
-        body = bytes(
-            v
-            for r in range(h)
-            for c in range(w)
-            for v in (
-                (r * 32 + doc_id) % 256,
-                (c * 32 + doc_id * 3) % 256,
-                (r * c + doc_id * 7) % 256,
-            )
-        )
-        return f"P6\n{w} {h}\n255\n".encode() + body
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            for c in range(w):
+                img[r, c] = (
+                    (r * 32 + doc_id) % 256,
+                    (c * 32 + doc_id * 3) % 256,
+                    (r * c + doc_id * 7) % 256,
+                )
+        return img
+
+    def payload_for(rank: int, doc_id: int) -> bytes:
+        img = pixels_for(doc_id)
+        if rank % 2:
+            return mm.encode_png(img, filter_type=rank % 5)
+        h, w, _ = img.shape
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
     d = spark.createDataFrame(
-        [(i, ppm_for(i)) for i in ids], "doc_id long, payload binary"
+        [(i, payload_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
     )
     stats = mm.image_stats(d).select(
         "doc_id",

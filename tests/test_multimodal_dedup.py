@@ -194,3 +194,102 @@ def test_real_image_decode_ppm_bmp_pixel_exact(spark):
     for r in range(4):
         for c in range(4):
             np.testing.assert_array_equal(up[r, c], want[r * 2 // 4, c * 2 // 4])
+
+
+def test_real_png_decode_all_filters_pixel_exact(spark):
+    """The r8 PNG tier: 8-bit RGB PNGs encoded with EVERY filter type
+    (None/Sub/Up/Average/Paeth) decode to the identical pixel array as
+    the PPM twin of the same synthetic image — stdlib zlib inflate +
+    numpy unfiltering, no external codec. The filtered streams differ
+    across types (each filter genuinely exercised), and RGBA drops
+    alpha to the same (H, W, 3) shape."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    h, w = 9, 13  # odd sizes catch stride mistakes
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        for c in range(w):
+            img[r, c] = ((r * 37 + c * 11) % 256, (r * c * 5 + 7) % 256, (r + c * 29) % 256)
+    ppm = _ppm_bytes([[tuple(img[r, c]) for c in range(w)] for r in range(h)])
+    want = mm.decode_rgb(ppm)
+
+    streams = set()
+    for f in range(5):
+        png = mm.encode_png(img, filter_type=f)
+        streams.add(png)
+        np.testing.assert_array_equal(mm.decode_rgb(png), want, err_msg=f"filter {f}")
+    assert len(streams) == 5  # every filter produced a distinct encoding
+
+    # RGBA (color type 6): splice alpha into the raw stream by hand
+    import struct
+    import zlib
+
+    rows = b"".join(
+        b"\x00"
+        + np.concatenate([img[r], np.full((w, 1), 200, np.uint8)], axis=1).tobytes()
+        for r in range(h)
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rgba = (
+        mm.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm.decode_rgb(rgba), want)
+
+
+def test_png_unsupported_variants_skip_not_crash(spark):
+    """16-bit / interlaced / palette PNGs raise ValueError in decode_rgb
+    and emit the width=-1 skip row through image_stats — never fail the
+    batch; a PNG payload flows through the distributed operator with
+    stats identical to its PPM twin."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    good = mm.encode_png(img, filter_type=2)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def variant(depth=8, color=2, interlace=0):
+        rows = b"".join(b"\x00" + img[r].tobytes() for r in range(2))
+        return (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+
+    for bad in (variant(depth=16), variant(color=3), variant(interlace=1)):
+        with pytest.raises(ValueError, match="unsupported"):
+            mm.decode_rgb(bad)
+
+    ppm = _ppm_bytes([[tuple(img[r, c]) for c in range(2)] for r in range(2)])
+    df = spark.createDataFrame(
+        [(1, good), (2, variant(depth=16)), (3, ppm)],
+        "doc_id long, payload binary",
+    )
+    stats = {r.doc_id: r for r in mm.image_stats(df).collect()}
+    assert (stats[1].width, stats[1].height) == (2, 2)
+    assert stats[2].width == -1  # skip-don't-crash
+    assert (stats[1].mean_r, stats[1].mean_g, stats[1].mean_b) == (
+        stats[3].mean_r, stats[3].mean_g, stats[3].mean_b,
+    )
