@@ -40,6 +40,9 @@ HEADLINE = [
     "q_llm_ann_rerank",   # two-stage IVFADC-R (ADC shortlist + exact rerank)
     "q_llm_ann_pqr",      # residual-codebook IVFADC (per-probe ADC tables)
     "q_llm_bm25_index",   # search-only BM25 against the posting store
+    "q_llm_phrase_search",  # exact positional phrase over the posting store
+    "q_llm_proximity",    # slop-k proximity ranking over the posting store
+    "q_llm_pipeline",     # end-to-end corpus-prep pipeline composition
     "q_llm_substr_scrub", # exact-substring span dedup (stride-1 windows)
     "q_stream_join",      # watermarked stream-stream join (batch twin)
     "q_history_scd2",     # SCD-2 temporal read model (one window)

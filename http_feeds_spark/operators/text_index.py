@@ -190,6 +190,21 @@ def _bucket(term_col) -> F.Column:
     return F.pmod(F.xxhash64(c), F.lit(N_BUCKETS)).cast("int")
 
 
+def _buckets_of(spark: SparkSession, terms: list[str]) -> dict[str, int]:
+    """term → posting bucket for every distinct term, computed with the
+    engine's OWN xxhash64 in ONE job (a 1-row select of |terms|
+    expressions) — never one spark.range(1).collect() per term."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return {}
+    row = (
+        spark.range(1)
+        .select(*[_bucket(F.lit(t)).alias(f"b{i}") for i, t in enumerate(uniq)])
+        .collect()[0]
+    )
+    return {t: int(row[i]) for i, t in enumerate(uniq)}
+
+
 def build_text_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -375,18 +390,7 @@ def search(
         n, avgdl = int(row[0]), float(row[1])
 
     terms = sorted(set(terms))
-    buckets = sorted(
-        {
-            r.b
-            for r in spark.range(1)
-            .select(
-                F.explode(
-                    F.array(*[_bucket(F.lit(t)) for t in terms])
-                ).alias("b")
-            )
-            .collect()
-        }
-    )  # ≤ |terms| ints, computed with the engine's own hash
+    buckets = sorted(set(_buckets_of(spark, terms).values()))  # one job
     if stale:
         tstore = post_df.where(F.col("term").isin(terms)).groupBy("term").agg(
             F.count("*").cast("long").alias("df")
@@ -425,6 +429,29 @@ def search(
     )
 
 
+def _positional_postings(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """The guarded positional-posting view the phrase/proximity queries
+    share: visible postings (None when fully purged), positions column
+    required, erase-ledger filter applied."""
+    post_path, _, meta_path = _paths(index_root)
+    if not parquet_exists(spark, meta_path):
+        raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    post_df, _ = _visible_postings(spark, post_path)
+    if post_df is None:
+        return None
+    if "positions" not in post_df.columns:
+        raise ValueError(
+            f"index at {index_root} predates positional postings; rebuild "
+            "with build_text_index to enable phrase queries"
+        )
+    erased = erasure.erased_ids(spark, index_root)
+    if erased is not None:
+        post_df = post_df.join(
+            erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        )
+    return post_df
+
+
 def phrase_search(
     spark: SparkSession,
     index_root: str,
@@ -444,27 +471,15 @@ def phrase_search(
     no document reads. Erased docs are filtered like ``search``."""
     if not phrase:
         raise ValueError("empty phrase")
-    post_path, _, meta_path = _paths(index_root)
-    if not parquet_exists(spark, meta_path):
-        raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    post_df, _ = _visible_postings(spark, post_path)
+    post_df = _positional_postings(spark, index_root)
     if post_df is None:
         return spark.createDataFrame([], "doc_id long, n_matches int, rank int")
-    if "positions" not in post_df.columns:
-        raise ValueError(
-            f"index at {index_root} predates positional postings; rebuild "
-            "with build_text_index to enable phrase queries"
-        )
-    erased = erasure.erased_ids(spark, index_root)
-    if erased is not None:
-        post_df = post_df.join(
-            erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
-        )
+
+    bucket_of = _buckets_of(spark, phrase)  # ONE job for every term
 
     def term_postings(term: str) -> DataFrame:
-        b = spark.range(1).select(_bucket(F.lit(term)).alias("b")).collect()[0].b
         return post_df.where(
-            (F.col("bucket") == b) & (F.col("term") == term)
+            (F.col("bucket") == bucket_of[term]) & (F.col("term") == term)
         ).select("doc_id", "positions")
 
     acc = term_postings(phrase[0]).select(
@@ -490,6 +505,103 @@ def phrase_search(
         .withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))),
+        )
+    )
+
+
+def proximity_search(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered within-window proximity query over the positional
+    postings — the slop-k generalization of ``phrase_search`` (Zobel &
+    Moffat §6.3's positional companion): a match is an occurrence of the
+    terms IN ORDER at strictly increasing positions q_0 < … < q_{m-1}
+    whose span q_{m-1} − q_0 ≤ (m−1) + slop. ``slop=0`` degenerates to
+    exact adjacency (score == phrase_search's n_matches, pinned).
+
+    Matching is the greedy earliest-next-occurrence walk: from each
+    start q_0 the i-th term takes its smallest position > q_{i-1} —
+    which minimizes the final span for that start, so existence under
+    the window test is exact. Scoring rewards TIGHT spans: each match
+    contributes 1/(1 + span − (m−1)) (an adjacent match scores 1, one
+    inserted word ½, …), summed per doc and rounded to 6 dp.
+
+    Plan shape = phrase_search's: per-term reads pruned to ONE hash
+    bucket each (one job computes all buckets), candidates narrow by an
+    inner doc_id equi-join per term, and the walk itself is codegen'd
+    array algebra — transform/filter/array_min over (start, q) structs,
+    no UDF, no document reads. Returns (doc_id, n_matches, best_span,
+    score, rank); rank dense over (score desc, doc_id asc)."""
+    if not terms:
+        raise ValueError("empty term list")
+    post_df = _positional_postings(spark, index_root)
+    if post_df is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_matches int, best_span int, score double, rank int"
+        )
+    m = len(terms)
+    bucket_of = _buckets_of(spark, terms)
+
+    def term_postings(term: str) -> DataFrame:
+        return post_df.where(
+            (F.col("bucket") == bucket_of[term]) & (F.col("term") == term)
+        ).select("doc_id", "positions")
+
+    acc = term_postings(terms[0]).select(
+        "doc_id",
+        F.transform(
+            "positions", lambda p: F.struct(p.alias("p0"), p.alias("q"))
+        ).alias("__cand"),
+    )
+    def _advance(c):
+        # earliest occurrence of the current term strictly after c.q
+        # (a one-arg inner lambda: filter's two-arg form is (x, index))
+        return F.struct(
+            c["p0"].alias("p0"),
+            F.array_min(F.filter("__pos", lambda x: x > c["q"])).alias("q"),
+        )
+
+    for term in terms[1:]:
+        nxt = term_postings(term).select(
+            "doc_id", F.col("positions").alias("__pos")
+        )
+        acc = acc.join(nxt, "doc_id").select(
+            "doc_id",
+            F.filter(
+                F.transform("__cand", _advance),
+                lambda c: c["q"].isNotNull(),
+            ).alias("__cand"),
+        )
+    win = m - 1 + slop
+    spans = F.filter(
+        F.transform("__cand", lambda c: (c["q"] - c["p0"]).cast("int")),
+        lambda s: s <= F.lit(win),
+    )
+    from pyspark.sql import Window
+
+    hits = acc.select(
+        "doc_id",
+        F.size(spans).cast("int").alias("n_matches"),
+        F.array_min(spans).cast("int").alias("best_span"),
+        F.round(
+            F.aggregate(
+                spans,
+                F.lit(0.0),
+                lambda s, x: s + 1.0 / (1.0 + x - F.lit(float(m - 1))),
+            ),
+            6,
+        ).alias("score"),
+    ).where(F.col("n_matches") > 0)
+    return (
+        hits.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )
 

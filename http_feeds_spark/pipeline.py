@@ -123,12 +123,33 @@ def prepare_training_corpus(
 
     The report counts force one job per stage boundary — that is the
     point (a pipeline run IS an audit); callers needing a single lazy
-    DAG can compose the stage functions directly."""
+    DAG can compose the stage functions directly.
+
+    Stage boundaries are PERSISTED (memory-and-disk) for exactly one
+    stage: without the pin, every boundary count re-executes the whole
+    lineage back to the scan — the near-dup LSH pipeline alone would
+    re-run once per LATER stage, turning an n-stage audit into
+    O(n²) stage executions (measured ~10× wall at sf0.1). Each boundary
+    unpersists its predecessor, so steady-state storage is one stage's
+    corpus; the last pin is dropped before returning, leaving the
+    result frames as the usual lazy DAG."""
+    from pyspark.storagelevel import StorageLevel
+
     split_weights = dict(split_weights or DEFAULT_SPLIT)
     report: list[tuple[str, int]] = [("input", docs.count())]
+    pinned: list[DataFrame] = []
 
-    cur = quality_gate(docs, langs, min_chars, max_chars, min_words)
-    report.append(("quality", cur.count()))
+    def _boundary(df: DataFrame, stage: str) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        report.append((stage, df.count()))
+        if pinned:
+            pinned.pop().unpersist()
+        pinned.append(df)
+        return df
+
+    cur = _boundary(
+        quality_gate(docs, langs, min_chars, max_chars, min_words), "quality"
+    )
 
     if max_ppl is not None:
         # CCNet-style LM gate (functions/ngram_lm.py): reference = the
@@ -143,8 +164,7 @@ def prepare_training_corpus(
             .filter(F.col("ppl") <= max_ppl)
             .select("doc_id")
         )
-        cur = cur.join(keep, "doc_id", "left_semi")
-        report.append(("perplexity", cur.count()))
+        cur = _boundary(cur.join(keep, "doc_id", "left_semi"), "perplexity")
 
     if strip_boilerplate:
         from http_feeds_spark.operators import boilerplate as bp
@@ -153,11 +173,11 @@ def prepare_training_corpus(
             cur, n=segment_tokens, min_docs=boilerplate_min_docs
         ).select("doc_id", F.col("clean_text").alias("text"),
                  F.col("n_chars_clean").alias("n_chars"))
-        cur = (
+        cur = _boundary(
             stripped.filter(F.col("n_chars") > 0)
-            .join(cur.select("doc_id", "lang", "source"), "doc_id")
+            .join(cur.select("doc_id", "lang", "source"), "doc_id"),
+            "boilerplate",
         )
-        report.append(("boilerplate", cur.count()))
 
     if scrub_substrings:
         # sliding-window complement of the aligned-frame strip: cut
@@ -172,29 +192,30 @@ def prepare_training_corpus(
             F.col("scrubbed_text").alias("text"),
             F.length("scrubbed_text").cast("long").alias("n_chars"),
         )
-        cur = (
+        cur = _boundary(
             scrubbed.filter(F.col("n_chars") > 0)
-            .join(cur.select("doc_id", "lang", "source"), "doc_id")
+            .join(cur.select("doc_id", "lang", "source"), "doc_id"),
+            "substr_scrub",
         )
-        report.append(("substr_scrub", cur.count()))
 
-    cur = exact_dedup(cur)
-    report.append(("exact_dedup", cur.count()))
+    cur = _boundary(exact_dedup(cur), "exact_dedup")
 
     if near_dup:
         from http_feeds_spark.operators.components import dedup_corpus
         from http_feeds_spark.queries.llm import _near_dup_pairs
 
-        cur = dedup_corpus(cur, _near_dup_pairs(cur.select("doc_id", "text")))
-        report.append(("near_dedup", cur.count()))
+        cur = _boundary(
+            dedup_corpus(cur, _near_dup_pairs(cur.select("doc_id", "text"))),
+            "near_dedup",
+        )
 
     if eval_docs is not None:
-        cur = _decontaminate_against(cur, eval_docs, min_shared_fps)
-        report.append(("decontaminate", cur.count()))
+        cur = _boundary(
+            _decontaminate_against(cur, eval_docs, min_shared_fps), "decontaminate"
+        )
 
     if mixture:
-        cur = smp.resample_to_mixture(cur, mixture, seed=seed)
-        report.append(("mixture", cur.count()))
+        cur = _boundary(smp.resample_to_mixture(cur, mixture, seed=seed), "mixture")
 
     corpus = smp.with_split(cur, "doc_id", split_weights, seed=seed)
     train = corpus.filter(F.col("split") == "train").select(
@@ -214,4 +235,9 @@ def prepare_training_corpus(
             seed=seed,
         )
         report.append(("shards", out["n_shards"]))
+    # drop the final pin: every eager pass (counts, shard export) is
+    # done, and the returned frames stay the usual lazy DAG — a caller
+    # consuming them recomputes the pipeline once, exactly as before
+    while pinned:
+        pinned.pop().unpersist()
     return out

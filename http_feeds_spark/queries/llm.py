@@ -1019,6 +1019,27 @@ def q_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.phrase_search(spark, root, ["the", "data"], k=20)
 
 
+@register("q_llm_proximity", oracle=None, group="D")
+def q_llm_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25d — proximity/slop-k ranked retrieval (new r8): the positional
+    index answers "terms in order within a window" — phrase_search's
+    shifted-intersect generalized to spans ≤ (m−1)+slop via a greedy
+    earliest-next-occurrence walk in pure JVM array algebra, scored by
+    span tightness (adjacent match 1, one inserted word ½, …). Same
+    bucket-pruned plan shape as phrase_search. Rows-only; greedy-walk
+    reference parity (repeated terms included) and the slop=0 ≡
+    phrase_search degeneracy are pinned in tests/test_text_index.py."""
+    import os
+
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/text_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    ti.ensure_text_index(spark, docs, root)
+    return ti.proximity_search(spark, root, ["the", "data"], slop=2, k=20)
+
+
 @register("q_llm_vocab_growth", oracle=None, group="D")
 def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D37b — mergeable DISTINCT-count monitoring (streaming/monitor.py

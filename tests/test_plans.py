@@ -407,3 +407,28 @@ def test_phrase_search_prunes_buckets_no_cartesian(spark, sf_dir, tmp_path):
         assert len(seg) == 2 and "bucket" in seg[1][:200], c[:600]
     names = pi.subtree_names(pi.physical_root(df))
     assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
+
+
+def test_proximity_search_prunes_buckets_no_cartesian(spark, sf_dir, tmp_path):
+    """Proximity retrieval keeps phrase_search's plan shape: every
+    posting scan carries a bucket partition filter, candidates narrow by
+    doc_id EQUI-joins, the greedy walk is in-plan array algebra (no
+    Python UDF stage), and no cartesian/nested-loop appears."""
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    df = ti.proximity_search(spark, root, ["the", "data", "filter"], slop=2, k=10)
+    p = plans.executed_plan(df)
+    chunks = p.split("Scan parquet")[1:]
+    post_chunks = [c for c in chunks if "positions" in c[:2000]]
+    assert post_chunks, p
+    for c in post_chunks:
+        seg = c.split("PartitionFilters", 1)
+        assert len(seg) == 2 and "bucket" in seg[1][:200], c[:600]
+    names = pi.subtree_names(pi.physical_root(df))
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
+    assert not any("Python" in n and "Eval" in n for n in names), names

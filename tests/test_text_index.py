@@ -379,3 +379,132 @@ def test_phrase_search_matches_reference_and_survives_maintenance(
     assert victim not in {
         r.doc_id for r in ti.phrase_search(spark, root, phrase, k=10_000).collect()
     }
+
+
+def _proximity_reference(spark, docs, terms, slop):
+    """Pure-python greedy earliest-next-occurrence walk over the
+    engine's own tokenization — the oracle for proximity_search:
+    doc_id -> (n_matches, best_span, score)."""
+    from http_feeds_spark.functions import text as tx
+
+    rows = docs.select("doc_id", tx.words(F.col("text")).alias("toks")).collect()
+    m = len(terms)
+    out = {}
+    for r in rows:
+        toks = list(r.toks)
+        pos = {
+            t: [i for i, w in enumerate(toks) if w == t] for t in set(terms)
+        }
+        spans = []
+        for p0 in pos.get(terms[0], []):
+            q, ok = p0, True
+            for t in terms[1:]:
+                nxt = [x for x in pos.get(t, []) if x > q]
+                if not nxt:
+                    ok = False
+                    break
+                q = min(nxt)
+            if ok and q - p0 <= m - 1 + slop:
+                spans.append(q - p0)
+        if spans:
+            out[r.doc_id] = (
+                len(spans),
+                min(spans),
+                round(sum(1.0 / (1 + s - (m - 1)) for s in spans), 6),
+            )
+    return out
+
+
+def test_proximity_search_matches_reference_all_slops(spark, sf_dir, tmp_path):
+    """proximity_search == the greedy-walk reference at every slop on
+    the real corpus (repeated terms included), and slop=0 degenerates to
+    phrase_search: same docs, score == n_matches."""
+    from http_feeds_spark.functions import text as tx
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    toks = (
+        docs.select(tx.words(F.col("text")).alias("t")).limit(1).collect()[0].t
+    )
+    terms = [toks[0], toks[2]]  # a gapped pair: slop sensitivity
+    for slop in (0, 1, 2, 4):
+        want = _proximity_reference(spark, docs, terms, slop)
+        got = {
+            r.doc_id: (r.n_matches, r.best_span, r.score)
+            for r in ti.proximity_search(
+                spark, root, terms, slop=slop, k=100_000
+            ).collect()
+        }
+        assert got == want, f"slop={slop}"
+    assert any(
+        ti.proximity_search(spark, root, terms, slop=s, k=100_000).count()
+        < ti.proximity_search(spark, root, terms, slop=s + 2, k=100_000).count()
+        for s in (0, 1)
+    )  # widening the window must admit more docs somewhere
+
+    # slop=0 ≡ phrase_search on an adjacent pair
+    pair = [toks[0], toks[1]]
+    phrase = {
+        r.doc_id: r.n_matches
+        for r in ti.phrase_search(spark, root, pair, k=100_000).collect()
+    }
+    prox = {
+        r.doc_id: r.score
+        for r in ti.proximity_search(spark, root, pair, slop=0, k=100_000).collect()
+    }
+    assert prox == {d: float(n) for d, n in phrase.items()} and len(prox) > 0
+
+
+def test_proximity_search_repeated_terms_and_windows(spark, tmp_path):
+    """Crafted windows: repeated terms walk strictly forward, and the
+    span filter is exact at the boundary."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),            # adjacent: span 1
+            (2, "alpha x beta"),          # one gap: span 2
+            (3, "alpha x y z beta"),      # span 4
+            (4, "beta alpha"),            # wrong order: no match
+            (5, "ho ho x ho"),            # repeated: (0,1) and (1,3)
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    for slop, want_docs in ((0, {1}), (1, {1, 2}), (3, {1, 2, 3})):
+        got = {
+            r.doc_id
+            for r in ti.proximity_search(
+                spark, root, ["alpha", "beta"], slop=slop, k=10
+            ).collect()
+        }
+        assert got == want_docs, f"slop={slop}"
+    rep = {
+        r.doc_id: (r.n_matches, r.best_span)
+        for r in ti.proximity_search(spark, root, ["ho", "ho"], slop=1, k=10).collect()
+    }
+    assert rep == {5: (2, 1)}  # starts 0 and 1; greedy next, spans 1 and 2
+    assert _proximity_reference(spark, docs, ["ho", "ho"], 1) == {
+        5: (2, 1, round(1.0 + 0.5, 6))
+    }
+
+
+def test_buckets_of_computes_all_terms_in_one_job(spark):
+    """The r8 fix for phrase_search's per-term spark.range(1).collect():
+    _buckets_of hashes EVERY term in a single 1-row job, with values
+    identical to the engine's per-term hash."""
+    import uuid
+
+    sc = spark.sparkContext
+    gid = f"buckets-{uuid.uuid4()}"
+    sc.setJobGroup(gid, "bucket hashing")
+    try:
+        got = ti._buckets_of(spark, ["alpha", "beta", "gamma", "alpha"])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 1
+    for t, v in got.items():
+        single = (
+            spark.range(1).select(ti._bucket(F.lit(t)).alias("b")).collect()[0].b
+        )
+        assert v == single
