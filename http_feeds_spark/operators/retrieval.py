@@ -135,6 +135,65 @@ def bm25_topk(
     )
 
 
+def bm25_term_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, term, tf, dl, df, idf, score) — the per-(doc, term) BM25
+    component table over the FULL vocabulary as one LAZY plan, built for
+    the SQL surface (sql.register_pipeline_views → ``bm25_scores``): a
+    SQL user writes
+
+        SELECT doc_id,
+               CAST(ROUND(SUM(CAST(score AS DECIMAL(38,9))), 6)
+                    AS DOUBLE) AS score
+        FROM bm25_scores WHERE term IN (...)
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT k
+
+    and gets :func:`bm25_topk`'s exact numbers (pinned in
+    tests/test_sql_surface.py — same 9-dp per-term rounding, same
+    order-independent decimal summation).
+
+    Nothing materializes at registration: the term predicate pushes
+    through the grouping keys and the df join, so the post-explode
+    shuffle is query-sized exactly as in bm25_topk; N/avgdl ride in as
+    a broadcast one-row cross join and are unaffected by the term
+    filter (each term's df counts only that term's postings)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tx.words(F.lower(text_col)).alias("__toks"),
+    ).withColumn("dl", F.size("__toks").cast("long"))
+    post = (
+        toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.size(tx.words(F.lower(text_col))).cast("long")).alias("__tl"),
+    ).withColumn("__avgdl", F.col("__tl").cast("double") / F.col("__n"))
+    tdf = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    joined = post.join(tdf, "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0
+        + (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl")
+    return joined.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        "df",
+        idf.alias("idf"),
+        F.round(idf * tf * (k1 + 1.0) / (tf + k1 * dl_norm), 9).alias("score"),
+    )
+
+
 def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = K1, b: float = B) -> str:
     """The DuckDB-equivalent SQL for :func:`bm25_topk` over the
     `documents` view — same literal-free formula, same 9-dp decimal

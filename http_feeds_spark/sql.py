@@ -43,3 +43,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     ops.history_scd2(f).createOrReplaceTempView("feed_history")
     names += ["feed", "feed_compacted", "read_model", "feed_history"]
     return names
+
+
+def register_pipeline_views(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    chunk_size: int = 64,
+    chunk_overlap: int = 8,
+) -> list[str]:
+    """Expose the Group-D pipeline surface to ``spark.sql`` (the same
+    lazy-view contract as :func:`register_views` — nothing materializes
+    at registration):
+
+        chunks       — chunk_documents(documents): (doc_id, chunk_idx,
+                       start_tok, n_tok, chunk_text); RAG/window prep
+        data_card    — the corpus data card rollup (NULL dims are the
+                       rollup margins, per the operator)
+        bm25_scores  — per-(doc, term) BM25 components over the full
+                       vocabulary; filter terms + the documented decimal
+                       summation reproduces bm25_topk exactly (see
+                       retrieval.bm25_term_scores for the recipe)
+
+    SQL-vs-operator result equality is pinned in
+    tests/test_sql_surface.py. Assumes/refreshes the ``documents`` view
+    (register_views also creates it)."""
+    from http_feeds_spark.operators import chunking, datacard, retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    chunking.chunk_documents(docs, chunk_size, chunk_overlap).createOrReplaceTempView(
+        "chunks"
+    )
+    datacard.data_card(docs).createOrReplaceTempView("data_card")
+    retrieval.bm25_term_scores(docs).createOrReplaceTempView("bm25_scores")
+    return ["documents", "chunks", "data_card", "bm25_scores"]

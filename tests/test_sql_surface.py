@@ -57,3 +57,75 @@ def test_views_are_lazy_and_push_down(spark, sf_dir):
     df = spark.sql("SELECT seq, subject FROM feed WHERE seq > 500")
     assert plans.has_pushed_filters(df), plans.executed_plan(df)
     assert df.count() > 0
+
+
+def test_pipeline_views_equal_operator_api(spark, sf_dir):
+    """The Group-D SQL surface (register_pipeline_views): chunks /
+    data_card views return the operator's exact rows, and the documented
+    bm25_scores summation reproduces bm25_topk number for number."""
+    from http_feeds_spark.operators import chunking, datacard
+    from http_feeds_spark.operators import retrieval as rt
+
+    names = esql.register_pipeline_views(spark, sf_dir)
+    assert set(names) == {"documents", "chunks", "data_card", "bm25_scores"}
+    docs = spark.table("documents")
+
+    want_chunks = {
+        tuple(r)
+        for r in chunking.chunk_documents(docs).collect()
+    }
+    got_chunks = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_text FROM chunks"
+        ).collect()
+    }
+    assert got_chunks == want_chunks and len(got_chunks) > 0
+
+    want_card = {tuple(r) for r in datacard.data_card(docs).collect()}
+    got_card = {tuple(r) for r in spark.sql("SELECT * FROM data_card").collect()}
+    assert got_card == want_card
+
+    terms = ["the", "data", "filter"]
+    want_bm = [
+        (r.doc_id, r.score, r.rank)
+        for r in rt.bm25_topk(docs, terms, k=10).collect()
+    ]
+    got_bm = [
+        (r.doc_id, r.score, i + 1)
+        for i, r in enumerate(
+            spark.sql(
+                """
+                SELECT doc_id,
+                       CAST(ROUND(SUM(CAST(score AS DECIMAL(38,9))), 6) AS DOUBLE) AS score
+                FROM bm25_scores
+                WHERE term IN ('the', 'data', 'filter')
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id
+                LIMIT 10
+                """
+            ).collect()
+        )
+    ]
+    assert got_bm == want_bm and len(got_bm) == 10
+
+
+def test_bm25_scores_view_is_lazy_and_term_filter_prunes(spark, sf_dir):
+    """Registration materializes nothing, and a term predicate reaches
+    below the aggregates: the filtered plan carries the term filter on
+    the explode side (query-sized shuffle, the bm25_topk shape)."""
+    esql.register_pipeline_views(spark, sf_dir)
+    p = (
+        spark.sql("SELECT * FROM bm25_scores WHERE term = 'the'")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    # the term filter must sit below the (doc_id, term) aggregate —
+    # i.e. appear as a Filter over the exploded tokens, not only a
+    # post-aggregation filter
+    agg_pos = p.find("Aggregate")
+    assert agg_pos != -1
+    assert re.search(r"Filter .*the.*", p[agg_pos:]), p
