@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import kmeans as km
 from http_feeds_spark.operators import erasure
-from http_feeds_spark.stores import parquet_exists
+from http_feeds_spark.stores import parquet_exists, require_lossless_cast
 
 CENTROIDS_DIR = "centroids"
 CORPUS_DIR = "corpus"
@@ -143,6 +143,7 @@ def upsert_vectors(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strict_types: bool = False,
 ) -> int:
     """Append new vectors to the index WITHOUT retraining: each vector
     is assigned to its nearest existing centroid (one map-only pass
@@ -167,11 +168,32 @@ def upsert_vectors(
     store = spark.read.parquet(corpus_path)
     existing = store.select(F.col(id_col))
     fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
-    # conform to the store's element type: appending (say) array<double>
-    # rows into an array<float> corpus would poison the store — every
-    # later read fails on the parquet type mismatch
-    store_type = dict((f.name, f.dataType) for f in store.schema.fields).get(vec_col)
+    # conform to the store's schema: appending (say) array<double> rows
+    # into an array<float> corpus would poison the store — every later
+    # read fails on the parquet type mismatch. Ids conform refuse-loudly
+    # (a long id batch must not truncate into an int-keyed store —
+    # aliased ids index the wrong vectors); the VECTOR cast stays
+    # permissive by design: the store's element precision is the tier's
+    # declared quantization (float corpus ≈ the PQ tier's code budget
+    # argument), so double->float narrowing here is the documented
+    # ingest quantization, with strict_types=True to refuse instead
+    field = dict((f.name, f.dataType) for f in store.schema.fields)
+    id_type = field.get(id_col)
+    if id_type is not None:
+        require_lossless_cast(
+            dict((f.name, f.dataType) for f in fresh.schema.fields)[id_col],
+            id_type,
+            f"ANN corpus ids at {index_root}",
+        )
+        fresh = fresh.withColumn(id_col, F.col(id_col).cast(id_type))
+    store_type = field.get(vec_col)
     if store_type is not None:
+        if strict_types:
+            require_lossless_cast(
+                dict((f.name, f.dataType) for f in fresh.schema.fields)[vec_col],
+                store_type,
+                f"ANN corpus vectors at {index_root}",
+            )
         fresh = fresh.withColumn(vec_col, F.col(vec_col).cast(store_type))
     assigned = km.assign_clusters(fresh, cents, vec_col).select(
         id_col, vec_col, "cluster"

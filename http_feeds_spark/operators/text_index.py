@@ -51,7 +51,12 @@ from pyspark.sql import functions as F
 from http_feeds_spark.functions import text as tx
 from http_feeds_spark.operators import erasure
 from http_feeds_spark.operators.retrieval import B, K1
-from http_feeds_spark.stores import committed, hadoop_fs, parquet_exists
+from http_feeds_spark.stores import (
+    committed,
+    hadoop_fs,
+    parquet_exists,
+    require_lossless_cast,
+)
 
 POSTINGS_DIR = "postings"
 TERMS_DIR = "terms"
@@ -273,20 +278,32 @@ def upsert_documents(
     visible postings — at-least-once safe), the rest land as one new
     batch dir, then the derived stores are recomputed (index-sized).
     Returns the number of docs appended. Search ≡ a from-scratch build
-    over the union corpus is pinned in tests/test_text_index.py."""
-    post_path, _, _ = _paths(index_root)
-    post, n_batches = _visible_postings(spark, post_path)
-    if post is None:
+    over the union corpus is pinned in tests/test_text_index.py.
+
+    A meta-present store with ZERO visible batches is an EMPTY index
+    (the whole-index-erased purge leaves exactly this state — the store
+    still exists, answering every query with no hits) and accepts the
+    upsert as its first batch; only a store with no meta at all raises.
+    The id conformance cast is refuse-loudly: a batch whose id type
+    does not cast losslessly into the store's (long ids into an
+    int-keyed store) raises instead of silently truncating — truncated
+    ids would index the wrong documents under aliases
+    (stores.require_lossless_cast)."""
+    post_path, _, meta_path = _paths(index_root)
+    if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    existing = post.select(F.col("doc_id").alias(id_col)).distinct()
-    # conform to the store's id type: a batch with (say) int ids appended
-    # into a long-keyed store would poison every later multi-batch read
-    # with a parquet type mismatch (the anti-join's implicit coercion
-    # would hide it until then)
-    new_docs = new_docs.withColumn(
-        id_col, F.col(id_col).cast(post.schema["doc_id"].dataType)
-    )
-    fresh = new_docs.join(existing, id_col, "left_anti").localCheckpoint()
+    post, n_batches = _visible_postings(spark, post_path)
+    if post is not None:
+        store_t = post.schema["doc_id"].dataType
+        require_lossless_cast(
+            new_docs.schema[id_col].dataType, store_t,
+            f"text index doc ids at {index_root}",
+        )
+        new_docs = new_docs.withColumn(id_col, F.col(id_col).cast(store_t))
+        existing = post.select(F.col("doc_id").alias(id_col)).distinct()
+        fresh = new_docs.join(existing, id_col, "left_anti").localCheckpoint()
+    else:
+        fresh = new_docs.localCheckpoint()  # empty index: nothing to exclude
     n = fresh.count()
     if n:
         _write_postings_batch(

@@ -54,3 +54,34 @@ def parquet_exists(spark: SparkSession, path: str) -> bool:
         ):
             return False
         raise
+
+
+def require_lossless_cast(incoming, store, what: str) -> None:
+    """Refuse-loudly type conformance for store appends (the dedup
+    fold_batch rule applied to the cast sites): upserts cast incoming
+    batches to the store's schema so one odd batch cannot poison every
+    later multi-batch read — but with ANSI off a NARROWING cast coerces
+    silently (long doc ids truncate into an int-keyed store, indexing
+    wrong documents under aliased ids; double embeddings lose precision
+    into a float store). Raise unless the cast provably round-trips:
+    equal types, integral widening, float->double, or an array of a
+    lossless element cast."""
+    from pyspark.sql import types as T
+
+    if incoming == store:
+        return
+    int_rank = {T.ByteType(): 1, T.ShortType(): 2, T.IntegerType(): 3, T.LongType(): 4}
+    if incoming in int_rank and store in int_rank:
+        if int_rank[incoming] <= int_rank[store]:
+            return
+    elif incoming == T.FloatType() and store == T.DoubleType():
+        return
+    elif isinstance(incoming, T.ArrayType) and isinstance(store, T.ArrayType):
+        return require_lossless_cast(
+            incoming.elementType, store.elementType, what
+        )
+    raise ValueError(
+        f"{what}: incoming type {incoming.simpleString()} does not cast "
+        f"losslessly into the store's {store.simpleString()} — rebuild the "
+        "store with the wider type, or cast the batch explicitly upstream"
+    )

@@ -47,7 +47,7 @@ from http_feeds_spark.operators.components import (
     connected_components,
     incremental_components,
 )
-from http_feeds_spark.stores import parquet_exists
+from http_feeds_spark.stores import committed, parquet_exists
 
 BANDS_DIR = "bands"
 SHINGLES_DIR = "shingles"
@@ -163,8 +163,9 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
             # rejects — refuse loudly instead of corrupting it
             raise ValueError(
                 f"dedup index at {index_root} uses the pre-bucketed layout; "
-                "rebuild it by refolding into a fresh root (the bucketed "
-                "layout is what makes erasure purges partition-local)"
+                "run migrate_legacy_store(spark, index_root) once to rewrite "
+                "it in place (the bucketed layout is what makes erasure "
+                "purges partition-local)"
             )
         seen = store.select("doc_id")
         batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
@@ -237,6 +238,56 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
         "bucket"
     ).parquet(shingles_path)
     return asg
+
+
+def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
+    """One-call in-place migration of a pre-r7 (unbucketed) dedup index
+    to the bucketed layout — the upgrade path for deployments whose
+    ``fold_batch`` catch-ups refuse the old layout (the refuse-don't-
+    corrupt rule needs a door, not just a wall). Only the band/shingle
+    stores change (they gain the doc-id-hash ``bucket=N`` partitioning
+    that makes erasure purges partition-local); the epoch-versioned
+    assignment store is layout-stable and untouched. Rows are preserved
+    exactly — no re-shingling, no re-hashing of signatures.
+
+    Protocol per store (the erasure stage→swap, minus the filtering):
+
+    1. resume: a committed ``__migrate_stage`` whose live dir is MISSING
+       holds the only copy — rename it in; any other leftover stage is
+       dropped (the live dir is still authoritative).
+    2. if the live store lacks the bucket column: rewrite it bucketed
+       into the stage (the write's _SUCCESS is the stage commit), then
+       delete live, rename stage in.
+
+    Crash anywhere re-runs to convergence: before the delete the old
+    layout is still authoritative (step 2 re-stages deterministically);
+    after it, step 1 restores. Returns {"<store>": rows} for the stores
+    migrated (empty dict when the index is already bucketed)."""
+    bands_path, shingles_path, _ = _paths(index_root)
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    out: dict[str, int] = {}
+    for store in (bands_path, shingles_path):
+        stage = store.rstrip("/") + "__migrate_stage"
+        fs, jstage = _hadoop_path(spark, stage)
+        _, jlive = _hadoop_path(spark, store)
+        if fs.exists(jstage):
+            if committed(spark, stage) and not fs.exists(jlive):
+                fs.rename(jstage, jlive)  # resume a torn swap
+            else:
+                fs.delete(jstage, True)  # live still authoritative
+        if not _exists(spark, store):
+            continue
+        live = spark.read.parquet(store)
+        if "bucket" in live.columns:
+            continue
+        n = live.count()
+        live.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(stage)
+        fs.delete(jlive, True)
+        fs.rename(jstage, jlive)
+        out[store.rsplit("/", 1)[-1]] = n
+    return out
 
 
 def _relabel_min_surviving(asg: DataFrame) -> DataFrame:

@@ -863,3 +863,73 @@ def test_ingest_compact_rejects_mixed_id_encodings(spark):
         feed.write.parquet(f"{root}/raw")
         with pytest.raises(ValueError, match="mixes positional and opaque"):
             ingest.compact_now(spark, root)
+
+
+def test_dedup_legacy_store_migration(spark, tmp_path):
+    """A pre-r7 (unbucketed) dedup index refuses folds with a pointer to
+    migrate_legacy_store; migration rewrites the band/shingle stores
+    bucketed IN PLACE (rows exact, assignment untouched), after which
+    folds resume and match a fresh refold — and a crash between the
+    stage commit and the swap converges on re-run."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.streaming import dedup as sd
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    w1 = spark.createDataFrame(
+        [(1, text), (2, text + " extra")], "doc_id long, text string"
+    )
+    w2 = spark.createDataFrame(
+        [(3, "completely different words about unrelated topics entirely")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "sd")
+    sd.fold_batch(spark, w1, root)
+
+    # devolve to the legacy layout: flat files, no bucket column
+    bands_path, shingles_path, _ = sd._paths(root)
+    import shutil
+
+    for store in (bands_path, shingles_path):
+        flat = spark.read.parquet(store).drop("bucket").collect()
+        df = spark.createDataFrame(flat, spark.read.parquet(store).drop("bucket").schema)
+        shutil.rmtree(store)
+        df.write.parquet(store)
+
+    with pytest.raises(ValueError, match="migrate_legacy_store"):
+        sd.fold_batch(spark, w2, root)
+
+    before = {
+        s: sorted(tuple(r) for r in spark.read.parquet(s).collect())
+        for s in (bands_path, shingles_path)
+    }
+    out = sd.migrate_legacy_store(spark, root)
+    assert set(out) == {sd.BANDS_DIR, sd.SHINGLES_DIR}
+    for store, rows in before.items():
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(store).drop("bucket").collect()
+        )
+        assert after == rows  # rows exact, only the layout changed
+    assert sd.migrate_legacy_store(spark, root) == {}  # idempotent no-op
+
+    # crash window: stage committed, live deleted, swap torn
+    stage = bands_path.rstrip("/") + "__migrate_stage"
+    shutil.copytree(bands_path, stage)
+    shutil.rmtree(bands_path)
+    sd.migrate_legacy_store(spark, root)  # resume restores the store
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(bands_path).drop("bucket").collect()
+    ) == before[bands_path]
+
+    # folds resume post-migration; assignment matches a fresh refold
+    sd.fold_batch(spark, w2, root)
+    asg = {r.node: r.component for r in sd.read_assignment(spark, root).collect()}
+    fresh_root = str(tmp_path / "fresh")
+    sd.fold_batch(spark, w1, fresh_root)
+    sd.fold_batch(spark, w2, fresh_root)
+    want = {
+        r.node: r.component
+        for r in sd.read_assignment(spark, fresh_root).collect()
+    }
+    assert asg == want

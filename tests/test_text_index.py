@@ -508,3 +508,92 @@ def test_buckets_of_computes_all_terms_in_one_job(spark):
             spark.range(1).select(ti._bucket(F.lit(t)).alias("b")).collect()[0].b
         )
         assert v == single
+
+
+def test_upsert_into_fully_purged_index(spark, tmp_path):
+    """The whole-index-erased state (meta present, zero batches) is an
+    EMPTY index, not a broken one: search answers 0 hits AND
+    upsert_documents accepts the next batch directly — no rebuild
+    required (r8, the r7 asymmetry where only ensure_text_index could
+    recover)."""
+    from http_feeds_spark.operators import erasure
+
+    root = str(tmp_path / "ti")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta")], "doc_id long, text string"
+    )
+    ti.build_text_index(spark, docs, root)
+    erasure.erase_ids(spark, root, spark.createDataFrame([(1,), (2,)], "id long"))
+    ti.purge_erased(spark, root)
+    assert ti.search(spark, root, ["alpha"], k=5).count() == 0
+
+    added = ti.upsert_documents(
+        spark,
+        spark.createDataFrame([(3, "alpha epsilon")], "doc_id long, text string"),
+        root,
+    )
+    assert added == 1
+    hits = {r.doc_id for r in ti.search(spark, root, ["alpha"], k=5).collect()}
+    assert hits == {3}
+
+
+def test_upsert_refuses_widening_id_type(spark, tmp_path):
+    """Type conformance is refuse-loudly (r8): a long-id batch must not
+    truncate into an int-keyed store (aliased ids would index the wrong
+    documents); the lossless direction (int into long) still casts."""
+    import pytest
+
+    root = str(tmp_path / "ti_int")
+    ti.build_text_index(
+        spark,
+        spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string"),
+        root,
+    )
+    with pytest.raises(ValueError, match="losslessly"):
+        ti.upsert_documents(
+            spark,
+            spark.createDataFrame(
+                [(2**40, "gamma delta")], "doc_id long, text string"
+            ),
+            root,
+        )
+    root2 = str(tmp_path / "ti_long")
+    ti.build_text_index(
+        spark,
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        root2,
+    )
+    assert (
+        ti.upsert_documents(
+            spark,
+            spark.createDataFrame([(7, "gamma delta")], "doc_id int, text string"),
+            root2,
+        )
+        == 1
+    )
+
+
+def test_ann_upsert_strict_types_refuses_lossy_vector_cast(spark, sf_dir, tmp_path):
+    """The default ANN upsert quantizes incoming vectors to the store's
+    element precision (documented ingest quantization); strict_types
+    refuses a lossy cast, and a widening id batch refuses always."""
+    import pytest
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=4, iters=1)
+    store_elem = (
+        spark.read.parquet(f"{root}/{ai.CORPUS_DIR}")
+        .schema["embedding"].dataType.elementType.simpleString()
+    )
+    dim = len(emb.limit(1).collect()[0].embedding)
+    doubles = spark.createDataFrame(
+        [(10**9, [0.1] * dim)], "vec_id long, embedding array<double>"
+    )
+    if store_elem == "float":
+        with pytest.raises(ValueError, match="losslessly"):
+            ai.upsert_vectors(spark, doubles, root, strict_types=True)
+        assert ai.upsert_vectors(spark, doubles, root) == 1  # default quantizes
