@@ -603,6 +603,9 @@ def run_platform(
             platform_root,
             text_index=text_index,
             monitor=monitor,
+            dedup_index=dedup_index,
+            ann_index=ann_index,
+            pq_index=pq_index,
             compact_after=compact_after,
         )
     return out
@@ -614,7 +617,11 @@ def run_maintenance(
     *,
     text_index: bool = True,
     monitor: bool = True,
+    dedup_index: bool = True,
+    ann_index: bool = False,
+    pq_index: bool = False,
     compact_after: int = 16,
+    files_per_partition: int = 8,
 ) -> dict:
     """The store-maintenance policy: threshold-triggered compaction +
     vacuum for the platform's append-accumulating stores, so a platform
@@ -665,6 +672,48 @@ def run_maintenance(
             )
         summary["vacuumed"] = mon.vacuum(spark, mon_root) if before else 0
         out["monitor"] = summary
+
+    # the append-partitioned stores (dedup buckets, ANN/PQ clusters) gain
+    # one FILE-SET per fold/upsert rather than new batch dirs — their
+    # bound is files per partition dir, not batch count
+    from http_feeds_spark.stores import data_file_stats
+
+    def _file_compact(name: str, probe_path: str, compact_fn) -> None:
+        files, dirs = data_file_stats(spark, probe_path)
+        summary = {"files_before": files, "files_after": files}
+        if dirs and files > files_per_partition * dirs:
+            compact_fn()
+            summary["files_after"] = data_file_stats(spark, probe_path)[0]
+        if files:
+            out[name] = summary
+
+    if dedup_index:
+        from http_feeds_spark.streaming import dedup as sd
+
+        sd_root = f"{root}/dedup_index"
+        _file_compact(
+            "dedup_index",
+            f"{sd_root}/{sd.SHINGLES_DIR}",
+            lambda: sd.compact_store(spark, sd_root),
+        )
+    if ann_index:
+        from http_feeds_spark.operators import ann_index as ai
+
+        ai_root = f"{root}/ann_index"
+        _file_compact(
+            "ann_index",
+            f"{ai_root}/{ai.CORPUS_DIR}",
+            lambda: ai.compact_store(spark, ai_root),
+        )
+    if pq_index:
+        from http_feeds_spark.operators import pq_index as pqi
+
+        pq_root = f"{root}/pq_index"
+        _file_compact(
+            "pq_index",
+            f"{pq_root}/{pqi.CODES_DIR}",
+            lambda: pqi.compact_store(spark, pq_root),
+        )
     return out
 
 

@@ -79,6 +79,17 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     return removed
 
 
+def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
+    """Small-file compaction for the corpus store: each upsert appends
+    one file-set into the touched cluster dirs; this rewrites to ~one
+    file per cluster (stores.rewrite_partitioned_store — rows exact,
+    crash-resumable). Returns (files before, files after)."""
+    from http_feeds_spark.stores import rewrite_partitioned_store
+
+    _, corpus_path = _paths(index_root)
+    return rewrite_partitioned_store(spark, corpus_path, "cluster")
+
+
 def _paths(index_root: str) -> tuple[str, str]:
     root = index_root.rstrip("/")
     return (f"{root}/{CENTROIDS_DIR}", f"{root}/{CORPUS_DIR}")

@@ -53,6 +53,18 @@ CODEBOOKS_DIR = "codebooks"
 CENTROIDS_DIR = "centroids"
 
 
+def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
+    """Small-file compaction for the code store: each upsert appends one
+    file-set into the touched cluster dirs; this rewrites to ~one file
+    per cluster (stores.rewrite_partitioned_store — rows exact,
+    crash-resumable). The model stores are single-write artifacts and
+    never need it. Returns (files before, files after)."""
+    from http_feeds_spark.stores import rewrite_partitioned_store
+
+    codes_path, _, _ = _paths(index_root)
+    return rewrite_partitioned_store(spark, codes_path, "cluster")
+
+
 def _paths(index_root: str) -> tuple[str, str, str]:
     root = index_root.rstrip("/")
     return (

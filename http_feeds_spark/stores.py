@@ -85,3 +85,71 @@ def require_lossless_cast(incoming, store, what: str) -> None:
         f"losslessly into the store's {store.simpleString()} — rebuild the "
         "store with the wider type, or cast the batch explicitly upstream"
     )
+
+
+def data_file_stats(spark: SparkSession, store_path: str) -> tuple[int, int]:
+    """(n_data_files, n_partition_dirs) of a key=value-partitioned
+    parquet store — the metadata-only signal a maintenance policy
+    thresholds on (files per partition grows by one file-set per
+    append; the data itself never grows stale)."""
+    fs, root = hadoop_fs(spark, store_path)
+    if not fs.exists(root):
+        return 0, 0
+    files = dirs = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            dirs += 1
+            for f in fs.listStatus(st.getPath()):
+                if not f.getPath().getName().startswith(("_", ".")):
+                    files += 1
+    return files, dirs
+
+
+def rewrite_partitioned_store(
+    spark: SparkSession, store_path: str, part_col: str
+) -> tuple[int, int]:
+    """Rewrite a key=value-partitioned store in place down to ~one data
+    file per partition dir — the small-file compaction for the
+    APPEND-partitioned stores (dedup band/shingle buckets, ANN corpus
+    and PQ code clusters), which gain one file-set per fold/upsert and
+    otherwise accumulate files forever. Rows are preserved exactly; only
+    the file layout changes.
+
+    Protocol (the migrate_legacy_store stage→swap, store-wide):
+
+    1. resume: a committed ``__rewrite_stage`` whose live dir is MISSING
+       holds the only copy — rename it in; any other leftover stage is
+       dropped (live is authoritative — the rewrite is pure, so
+       re-staging is always safe).
+    2. read live, ``repartition(part_col)`` (each partition's rows land
+       in one task → ~one file per dir), write to the stage (_SUCCESS =
+       stage commit), delete live, rename stage in.
+
+    Single-maintainer assumption as for purges: run from the platform's
+    maintenance pass, not concurrently with folds. Returns (files
+    before, files after)."""
+    from pyspark.sql import functions as F
+
+    stage = store_path.rstrip("/") + "__rewrite_stage"
+    fs, jstage = hadoop_fs(spark, stage)
+    _, jlive = hadoop_fs(spark, store_path)
+    if fs.exists(jstage):
+        if committed(spark, stage) and not fs.exists(jlive):
+            fs.rename(jstage, jlive)  # resume a torn swap
+        else:
+            fs.delete(jstage, True)
+    before, _ = data_file_stats(spark, store_path)
+    if not parquet_exists(spark, store_path):
+        return 0, 0
+    (
+        spark.read.parquet(store_path)
+        .repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(stage)
+    )
+    fs.delete(jlive, True)
+    fs.rename(jstage, jlive)
+    after, _ = data_file_stats(spark, store_path)
+    return before, after

@@ -290,6 +290,26 @@ def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
     return out
 
 
+def compact_store(spark: SparkSession, index_root: str) -> dict:
+    """Small-file compaction for the append-partitioned band/shingle
+    stores: every fold appends one file-set into each touched bucket
+    dir, so files grow with fold count until this rewrites each store
+    to ~one file per bucket (stores.rewrite_partitioned_store — rows
+    exact, crash-resumable stage→swap). The assignment store never
+    needs it (epoch overwrite, old epochs deleted). Returns
+    {"<store>": (files_before, files_after)}."""
+    from http_feeds_spark.stores import rewrite_partitioned_store
+
+    bands_path, shingles_path, _ = _paths(index_root)
+    out: dict = {}
+    for store in (bands_path, shingles_path):
+        if _exists(spark, store) and "bucket" in spark.read.parquet(store).columns:
+            out[store.rsplit("/", 1)[-1]] = rewrite_partitioned_store(
+                spark, store, "bucket"
+            )
+    return out
+
+
 def _relabel_min_surviving(asg: DataFrame) -> DataFrame:
     """Re-point every component label at its MINIMUM surviving member —
     the connected_components label convention, so unaffected components

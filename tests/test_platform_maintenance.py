@@ -157,3 +157,88 @@ def test_compact_batches_refuses_below_range_unit(spark, tmp_path):
     assert mon.compact_batches(spark, root, upto=10) == [1]
     total = mon.read_stats(spark, root).agg(F.sum("n_docs")).collect()[0][0]
     assert total == 4  # nothing hidden, nothing lost
+
+
+def test_file_compaction_bounds_append_partitioned_stores(spark, tmp_path):
+    """The append-partitioned stores gain one FILE-SET per fold/upsert
+    (not new batch dirs): run_maintenance's files-per-partition policy
+    rewrites them to ~one file per partition dir with answers
+    bit-identical, and the stage→swap crash window resumes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.sources.tables import load_table
+    from http_feeds_spark.stores import data_file_stats, rewrite_partitioned_store
+    from http_feeds_spark.streaming import dedup as sd
+
+    root = str(tmp_path / "platform")
+    sd_root = f"{root}/dedup_index"
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    for w in range(5):
+        docs = spark.createDataFrame(
+            [(10 * w + i, f"{text} wave{w} doc{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        sd.fold_batch(spark, docs, sd_root)
+    shingles = f"{sd_root}/{sd.SHINGLES_DIR}"
+    files0, dirs0 = data_file_stats(spark, shingles)
+    assert files0 > dirs0  # the accumulation the policy exists for
+    asg_before = {
+        r.node: r.component for r in sd.read_assignment(spark, sd_root).collect()
+    }
+
+    out = ingest.run_maintenance(
+        spark, root, text_index=False, monitor=False, files_per_partition=1
+    )
+    files1, dirs1 = data_file_stats(spark, shingles)
+    assert files1 == dirs1  # one file per bucket dir
+    assert out["dedup_index"]["files_after"] < out["dedup_index"]["files_before"]
+    rows = spark.read.parquet(shingles)
+    assert rows.count() == 15 and rows.select("doc_id").distinct().count() == 15
+    asg_after = {
+        r.node: r.component for r in sd.read_assignment(spark, sd_root).collect()
+    }
+    assert asg_after == asg_before
+
+    # ANN corpus: build + repeated upserts accumulate cluster files
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ai_root = f"{root}/ann_index"
+    ai.build_index(spark, emb, ai_root, k=4, iters=1)
+    dim = len(emb.limit(1).collect()[0].embedding)
+    base = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+    for w in range(4):
+        ai.upsert_vectors(
+            spark,
+            spark.createDataFrame(
+                [(base + w, [0.01 * (w + 1)] * dim)], "vec_id long, embedding array<double>"
+            ),
+            ai_root,
+        )
+    corpus = f"{ai_root}/{ai.CORPUS_DIR}"
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    want = sorted(
+        tuple(r) for r in ai.search(spark, q, ai_root, k=5, nprobe=4).collect()
+    )
+    out2 = ingest.run_maintenance(
+        spark, root, text_index=False, monitor=False, dedup_index=False,
+        ann_index=True, files_per_partition=1,
+    )
+    files2, dirs2 = data_file_stats(spark, corpus)
+    assert files2 == dirs2
+    assert out2["ann_index"]["files_after"] < out2["ann_index"]["files_before"]
+    got = sorted(
+        tuple(r) for r in ai.search(spark, q, ai_root, k=5, nprobe=4).collect()
+    )
+    assert got == want
+
+    # crash window: stage committed, live deleted, swap torn → resume
+    stage = corpus.rstrip("/") + "__rewrite_stage"
+    shutil.copytree(corpus, stage)
+    shutil.rmtree(corpus)
+    rewrite_partitioned_store(spark, corpus, "cluster")
+    assert sorted(
+        tuple(r) for r in ai.search(spark, q, ai_root, k=5, nprobe=4).collect()
+    ) == want
