@@ -185,12 +185,14 @@ def fsck_ann_index(spark: SparkSession, index_root: str) -> dict:
         .count()
     )
     fs, stage = hadoop_fs(spark, corpus_path.rstrip("/") + "__purge_stage")
+    _, rw = hadoop_fs(spark, corpus_path.rstrip("/") + "__rewrite_stage")
     return {
         "corpus_rows": int(corpus.count()),
         "n_centroids": len(cents),
         "duplicate_ids": dup,
         "assignment_violations": mismatches,
         "stage_leftover": bool(fs.exists(stage)),
+        "rewrite_stage_leftover": bool(fs.exists(rw)),
         "erase_ledger_ids": _ledger_count(spark, index_root),
     }
 
@@ -227,6 +229,7 @@ def fsck_pq_index(spark: SparkSession, index_root: str) -> dict:
         ).count()
     )
     fs, stage = hadoop_fs(spark, codes_path.rstrip("/") + "__purge_stage")
+    _, rw = hadoop_fs(spark, codes_path.rstrip("/") + "__rewrite_stage")
     return {
         "code_rows": int(codes.count()),
         "m": m,
@@ -235,5 +238,62 @@ def fsck_pq_index(spark: SparkSession, index_root: str) -> dict:
         "duplicate_ids": dup,
         "code_shape_violations": bad_shape,
         "stage_leftover": bool(fs.exists(stage)),
+        "rewrite_stage_leftover": bool(fs.exists(rw)),
+        "erase_ledger_ids": _ledger_count(spark, index_root),
+    }
+
+
+def fsck_dedup_index(spark: SparkSession, index_root: str) -> dict:
+    """Invariant report for the streaming dedup index (the fourth store
+    family gets its check in r8):
+
+    - ``legacy_layout``: the band/shingle stores lack the bucket column
+      (pre-r7 layout — folds refuse it; run
+      streaming/dedup.migrate_legacy_store once);
+    - ``band_orphans``: doc ids with band rows but NO shingle row. The
+      fold writes shingles LAST (its commit point), so a nonzero count
+      is the torn-middle state an at-least-once redelivery heals —
+      persistent orphans with no pending redelivery mean the batch's
+      source is gone (refold those docs);
+    - ``assignment_orphans``: assignment nodes absent from the shingle
+      store — same torn-fold signature, same healing story;
+    - ``stage_leftovers``: purge/migrate/rewrite stage dirs present
+      (each protocol's next run resumes or discards them);
+    - ``erase_ledger_ids``: ids awaiting physical purge."""
+    from http_feeds_spark.streaming import dedup as sd
+
+    bands_path, shingles_path, asg_path = sd._paths(index_root)
+    bands = spark.read.parquet(bands_path)
+    shingles = spark.read.parquet(shingles_path)
+    legacy = "bucket" not in bands.columns or "bucket" not in shingles.columns
+    sh_ids = shingles.select("doc_id").distinct()
+    band_orphans = int(
+        bands.select("doc_id").distinct().join(sh_ids, "doc_id", "left_anti").count()
+    )
+    asg = sd._read_assignment_or_none(spark, asg_path)
+    asg_orphans = (
+        int(
+            asg.select(F.col("node").alias("doc_id"))
+            .distinct()
+            .join(sh_ids, "doc_id", "left_anti")
+            .count()
+        )
+        if asg is not None
+        else 0
+    )
+    fs, _ = hadoop_fs(spark, index_root)
+    leftovers = []
+    for store in (bands_path, shingles_path):
+        for suffix in ("__purge_stage", "__migrate_stage", "__rewrite_stage"):
+            _, p = hadoop_fs(spark, store.rstrip("/") + suffix)
+            if fs.exists(p):
+                leftovers.append(store.rsplit("/", 1)[-1] + suffix)
+    return {
+        "shingle_docs": int(sh_ids.count()),
+        "assignment_nodes": int(asg.count()) if asg is not None else 0,
+        "legacy_layout": bool(legacy),
+        "band_orphans": band_orphans,
+        "assignment_orphans": asg_orphans,
+        "stage_leftovers": leftovers,
         "erase_ledger_ids": _ledger_count(spark, index_root),
     }

@@ -138,3 +138,69 @@ def test_fsck_pq_index_clean_and_violations(spark, sf_dir, tmp_path):
     rroot = str(tmp_path / "pqr")
     pqi.build_pq_index(spark, emb, rroot, nlist=8, m=4, ksub=16, iters=1, residual=True)
     assert fsck.fsck_pq_index(spark, rroot)["residual"] is True
+
+
+def test_fsck_dedup_index_clean_and_violations(spark, tmp_path):
+    """The dedup index joins the fsck family (r8): clean after folds;
+    detects the torn-fold orphan signature, legacy layout, and stage
+    leftovers from any of the three store protocols."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.operators import erasure
+    from http_feeds_spark.streaming import dedup as sd
+
+    root = str(tmp_path / "sd")
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    sd.fold_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, text), (2, text + " extra")], "doc_id long, text string"
+        ),
+        root,
+    )
+    clean = fsck.fsck_dedup_index(spark, root)
+    assert clean["shingle_docs"] == 2 and clean["assignment_nodes"] == 2
+    assert not clean["legacy_layout"]
+    assert clean["band_orphans"] == 0 and clean["assignment_orphans"] == 0
+    assert clean["stage_leftovers"] == [] and clean["erase_ledger_ids"] == 0
+
+    # torn-fold signature: a band row whose doc never reached shingles
+    bands_path, shingles_path, _ = sd._paths(root)
+    spark.createDataFrame(
+        [(99, 0, 12345, 7)], "doc_id long, band_id int, band_hash long, bucket int"
+    ).write.mode("append").partitionBy("bucket").parquet(bands_path)
+    assert fsck.fsck_dedup_index(spark, root)["band_orphans"] == 1
+
+    # stage leftover + pending erasure
+    os.makedirs(shingles_path.rstrip("/") + "__rewrite_stage", exist_ok=True)
+    erasure.erase_ids(spark, root, spark.createDataFrame([(1,)], "id long"))
+    rep = fsck.fsck_dedup_index(spark, root)
+    assert rep["stage_leftovers"] == ["shingles__rewrite_stage"]
+    assert rep["erase_ledger_ids"] == 1
+
+    # legacy layout flags (devolve the shingle store)
+    import shutil
+
+    flat = spark.read.parquet(shingles_path).drop("bucket")
+    rows, schema = flat.collect(), flat.schema
+    shutil.rmtree(shingles_path)
+    spark.createDataFrame(rows, schema).write.parquet(shingles_path)
+    assert fsck.fsck_dedup_index(spark, root)["legacy_layout"] is True
+
+
+def test_fsck_rewrite_stage_leftover_flags(spark, sf_dir, tmp_path):
+    """The ANN/PQ reports surface a leftover file-compaction stage
+    (r8's rewrite protocol) separately from the purge stage."""
+    import os
+
+    from http_feeds_spark.operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=4, iters=1)
+    assert fsck.fsck_ann_index(spark, root)["rewrite_stage_leftover"] is False
+    os.makedirs(f"{root}/{ai.CORPUS_DIR}__rewrite_stage", exist_ok=True)
+    rep = fsck.fsck_ann_index(spark, root)
+    assert rep["rewrite_stage_leftover"] is True and rep["stage_leftover"] is False
