@@ -107,7 +107,7 @@ def data_file_stats(spark: SparkSession, store_path: str) -> tuple[int, int]:
 
 
 def rewrite_partitioned_store(
-    spark: SparkSession, store_path: str, part_col: str
+    spark: SparkSession, store_path: str, part_col: str, target_files: int = 1
 ) -> tuple[int, int]:
     """Rewrite a key=value-partitioned store in place down to ~one data
     file per partition dir — the small-file compaction for the
@@ -126,6 +126,13 @@ def rewrite_partitioned_store(
        in one task → ~one file per dir), write to the stage (_SUCCESS =
        stage commit), delete live, rename stage in.
 
+    ``target_files`` guards the scale trap of one-task-per-partition:
+    a store with FEW partition values (the 64-bucket dedup stores)
+    funnels huge partitions through single tasks at target_files=1 —
+    passing N adds a deterministic row-hash salt to the repartition so
+    each partition dir lands as ~N files written by N tasks. Size it as
+    ceil(partition bytes / a task-friendly chunk).
+
     Single-maintainer assumption as for purges: run from the platform's
     maintenance pass, not concurrently with folds. Returns (files
     before, files after)."""
@@ -142,10 +149,24 @@ def rewrite_partitioned_store(
     before, _ = data_file_stats(spark, store_path)
     if not parquet_exists(spark, store_path):
         return 0, 0
+    live = spark.read.parquet(store_path)
+    if target_files > 1:
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[c for c in live.columns if c != part_col])),
+            F.lit(target_files),
+        )
+        _, n_dirs = data_file_stats(spark, store_path)
+        shaped = (
+            live.withColumn("__salt", salt)
+            # explicit numPartitions: AQE must not coalesce the salted
+            # exchange back into one-task-per-partition
+            .repartition(max(1, n_dirs) * target_files, F.col(part_col), F.col("__salt"))
+            .drop("__salt")
+        )
+    else:
+        shaped = live.repartition(F.col(part_col))
     (
-        spark.read.parquet(store_path)
-        .repartition(F.col(part_col))
-        .write.mode("overwrite")
+        shaped.write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(stage)
     )

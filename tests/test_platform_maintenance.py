@@ -242,3 +242,25 @@ def test_file_compaction_bounds_append_partitioned_stores(spark, tmp_path):
     assert sorted(
         tuple(r) for r in ai.search(spark, q, ai_root, k=5, nprobe=4).collect()
     ) == want
+
+
+def test_rewrite_target_files_splits_partitions(spark, tmp_path):
+    """target_files > 1 (the guard against one-task-per-partition on
+    few-partition stores): each partition dir lands as ~N salted files,
+    rows exact."""
+    from http_feeds_spark.stores import data_file_stats, rewrite_partitioned_store
+
+    store = str(tmp_path / "store" / "data")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"payload{i}") for i in range(400)],
+        "doc_id long, bucket int, body string",
+    )
+    df.repartition(8).write.partitionBy("bucket").parquet(store)
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    rewrite_partitioned_store(spark, store, "bucket", target_files=3)
+    files, dirs = data_file_stats(spark, store)
+    assert dirs == 2 and 2 < files <= 6  # multiple files/dir (hash jitter)
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == before
+    rewrite_partitioned_store(spark, store, "bucket")  # back to 1/dir
+    files1, _ = data_file_stats(spark, store)
+    assert files1 == 2
