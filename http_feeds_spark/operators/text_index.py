@@ -623,6 +623,101 @@ def proximity_search(
     )
 
 
+def proximity_search_any(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """UNORDERED proximity query — the Lucene-default slop semantics
+    companion to the ordered :func:`proximity_search`: a match is a
+    window containing ONE occurrence of every query term in ANY order,
+    with span ≤ (m−1) + slop (slop=0 ⇒ the terms are consecutive in
+    some permutation). Terms are SET semantics (duplicates dropped —
+    unordered multiplicity is ill-defined).
+
+    The classical minimal-covering-window sweep, expressed as window
+    functions instead of a per-doc scan: occurrence rows (doc, term,
+    pos) sort by position per doc; ``last_t(p)`` = the latest
+    occurrence of term t at or before p (one running MAX per term);
+    the minimal window ending at p spans ``p − least(last_1..last_m)``.
+    Each p whose window passes the span test counts as one match
+    (windows ending at distinct positions — the same counting rule as
+    the ordered variant's distinct starts), scored 1/(1 + span − (m−1))
+    and summed.
+
+    Plan shape: per-term posting reads pruned to ONE bucket each (one
+    job computes all buckets), candidate docs narrowed FIRST by per-term
+    semi-joins (docs missing any term never reach the window), then one
+    hash exchange on doc_id for the m running-max windows — all
+    codegen'd, no UDF, no document reads. Returns (doc_id, n_matches,
+    best_span, score, rank); rank dense over (score desc, doc_id
+    asc)."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("empty term list")
+    post_df = _positional_postings(spark, index_root)
+    if post_df is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_matches int, best_span int, score double, rank int"
+        )
+    m = len(uniq)
+    bucket_of = _buckets_of(spark, uniq)
+
+    def term_postings(term: str) -> DataFrame:
+        return post_df.where(
+            (F.col("bucket") == bucket_of[term]) & (F.col("term") == term)
+        ).select("doc_id", "term", "positions")
+
+    frames = [term_postings(t) for t in uniq]
+    docs = frames[0].select("doc_id")
+    for f in frames[1:]:
+        docs = docs.join(f.select("doc_id"), "doc_id", "semi")
+    occ = frames[0]
+    for f in frames[1:]:
+        occ = occ.unionByName(f)
+    occ = occ.join(docs, "doc_id", "semi").select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"__l{i}")
+        for i, t in enumerate(uniq)
+    ]
+    span = F.col("pos") - F.least(*[F.col(f"__l{i}") for i in range(m)])
+    # least() skips nulls — the all-terms-seen test must be explicit
+    all_seen = F.lit(True)
+    for i in range(m):
+        all_seen = all_seen & F.col(f"__l{i}").isNotNull()
+    win = m - 1 + slop
+    swept = (
+        occ.select("doc_id", "pos", *lasts)
+        .withColumn("__span", span.cast("int"))
+        .where(all_seen & (F.col("__span") <= win))
+    )
+    hits = swept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_matches"),
+        F.min("__span").cast("int").alias("best_span"),
+        F.round(
+            F.sum(1.0 / (1.0 + F.col("__span") - F.lit(float(m - 1)))), 6
+        ).alias("score"),
+    )
+    return (
+        hits.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+    )
+
+
 def _replace_batches(
     spark: SparkSession,
     index_root: str,

@@ -1040,6 +1040,27 @@ def q_llm_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.proximity_search(spark, root, ["the", "data"], slop=2, k=20)
 
 
+@register("q_llm_proximity_any", oracle=None, group="D")
+def q_llm_proximity_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25e — UNORDERED proximity retrieval (new r8): the Lucene-default
+    slop companion to q_llm_proximity — a window containing one
+    occurrence of every term in ANY order, span ≤ (m−1)+slop, found by
+    the classical minimal-covering-window sweep expressed as per-term
+    running-max window functions (one hash exchange on doc_id, no UDF,
+    no document reads; candidates pre-narrowed by per-term semi-joins).
+    Rows-only; minimal-window reference parity and the
+    ordered-vs-unordered split are pinned in tests/test_text_index.py."""
+    import os
+
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/text_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    ti.ensure_text_index(spark, docs, root)
+    return ti.proximity_search_any(spark, root, ["the", "data"], slop=2, k=20)
+
+
 @register("q_llm_vocab_growth", oracle=None, group="D")
 def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D37b — mergeable DISTINCT-count monitoring (streaming/monitor.py

@@ -432,3 +432,33 @@ def test_proximity_search_prunes_buckets_no_cartesian(spark, sf_dir, tmp_path):
     names = pi.subtree_names(pi.physical_root(df))
     assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
     assert not any("Python" in n and "Eval" in n for n in names), names
+
+
+def test_proximity_any_single_doc_exchange_no_cartesian(spark, sf_dir, tmp_path):
+    """Unordered proximity: bucket partition filters on every posting
+    scan, candidates narrowed by semi-joins, the sweep's windows share
+    ONE doc_id hash partitioning, no cartesian and no Python stage."""
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.plans import inspect as pi
+    from http_feeds_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    df = ti.proximity_search_any(
+        spark, root, ["the", "data", "filter"], slop=2, k=10
+    )
+    p = plans.executed_plan(df)
+    chunks = p.split("Scan parquet")[1:]
+    post_chunks = [c for c in chunks if "positions" in c[:2000]]
+    assert post_chunks, p
+    for c in post_chunks:
+        seg = c.split("PartitionFilters", 1)
+        assert len(seg) == 2 and "bucket" in seg[1][:200], c[:600]
+    names = pi.subtree_names(pi.physical_root(df))
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names), names
+    assert not any("Python" in n and "Eval" in n for n in names), names
+    # the m running-max windows must collapse into ONE Window node over
+    # one doc_id exchange (the second Window is the post-limit rank over
+    # <= k rows), not m chained exchanges
+    assert sum(1 for n in names if n.startswith("Window")) == 2, names

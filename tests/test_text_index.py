@@ -597,3 +597,103 @@ def test_ann_upsert_strict_types_refuses_lossy_vector_cast(spark, sf_dir, tmp_pa
         with pytest.raises(ValueError, match="losslessly"):
             ai.upsert_vectors(spark, doubles, root, strict_types=True)
         assert ai.upsert_vectors(spark, doubles, root) == 1  # default quantizes
+
+
+def _proximity_any_reference(spark, docs, terms, slop):
+    """Pure-python minimal-covering-window sweep (unordered): doc_id ->
+    (n_matches, best_span, score) counting windows ending at each
+    position where all terms have occurred within the span bound."""
+    from http_feeds_spark.functions import text as tx
+
+    uniq = sorted(set(terms))
+    m = len(uniq)
+    rows = docs.select("doc_id", tx.words(F.col("text")).alias("toks")).collect()
+    out = {}
+    for r in rows:
+        toks = list(r.toks)
+        last = {t: None for t in uniq}
+        spans = []
+        for p, wtok in enumerate(toks):
+            if wtok in last:
+                last[wtok] = p
+                if all(v is not None for v in last.values()):
+                    span = p - min(last.values())
+                    if span <= m - 1 + slop:
+                        spans.append(span)
+        if spans:
+            out[r.doc_id] = (
+                len(spans),
+                min(spans),
+                round(sum(1.0 / (1 + s - (m - 1)) for s in spans), 6),
+            )
+    return out
+
+
+def test_proximity_any_matches_reference_and_order_free(spark, tmp_path):
+    """Unordered proximity: both orders match, the span boundary is
+    exact, and the window-function sweep equals the pure-python
+    minimal-covering-window reference."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta x"),          # adjacent, in order
+            (2, "beta alpha x"),          # adjacent, REVERSED — still a match
+            (3, "alpha x beta"),          # span 2
+            (4, "alpha x y z beta"),      # span 4
+            (5, "alpha only here"),       # missing beta
+            (6, "beta x alpha y beta"),   # two windows end at 2 and 4
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    for slop in (0, 1, 3):
+        want = _proximity_any_reference(spark, docs, ["alpha", "beta"], slop)
+        got = {
+            r.doc_id: (r.n_matches, r.best_span, r.score)
+            for r in ti.proximity_search_any(
+                spark, root, ["alpha", "beta"], slop=slop, k=100
+            ).collect()
+        }
+        assert got == want, f"slop={slop}"
+    got0 = {
+        r.doc_id
+        for r in ti.proximity_search_any(
+            spark, root, ["alpha", "beta"], slop=0, k=100
+        ).collect()
+    }
+    assert got0 == {1, 2}  # reversed adjacency matches; gaps do not
+    got1 = {
+        r.doc_id: r.n_matches
+        for r in ti.proximity_search_any(
+            spark, root, ["alpha", "beta"], slop=1, k=100
+        ).collect()
+    }
+    assert got1[6] == 2  # both span-2 windows admitted at slop=1
+    # ordered variant on the same corpus does NOT match doc 2
+    ordered = {
+        r.doc_id
+        for r in ti.proximity_search(
+            spark, root, ["alpha", "beta"], slop=0, k=100
+        ).collect()
+    }
+    assert 2 not in ordered and 1 in ordered
+
+
+def test_proximity_any_matches_reference_on_corpus(spark, sf_dir, tmp_path):
+    """Corpus parity at several slops, three-term queries included."""
+    from http_feeds_spark.functions import text as tx
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    toks = docs.select(tx.words(F.col("text")).alias("t")).limit(1).collect()[0].t
+    for terms in ([toks[0], toks[2]], [toks[0], toks[1], toks[3]]):
+        for slop in (0, 2):
+            want = _proximity_any_reference(spark, docs, terms, slop)
+            got = {
+                r.doc_id: (r.n_matches, r.best_span, r.score)
+                for r in ti.proximity_search_any(
+                    spark, root, terms, slop=slop, k=100_000
+                ).collect()
+            }
+            assert got == want, (terms, slop)
