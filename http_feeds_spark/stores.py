@@ -106,8 +106,53 @@ def data_file_stats(spark: SparkSession, store_path: str) -> tuple[int, int]:
     return files, dirs
 
 
+def resume_stage_swap(spark: SparkSession, store_path: str, suffix: str) -> bool:
+    """Shared stage→swap resume for the whole-store rewrite protocols
+    (file compaction, legacy migration): a committed stage with live
+    MISSING renames in (it holds the only copy); a committed stage with
+    live PRESENT merges its partition files in alongside — the live dir
+    may be a post-crash recreation by a fold that could not see the
+    store, so discarding the stage would lose every pre-crash row (the
+    purge-resume lesson, applied here) — and returns True so the caller
+    collapses the duplicates the merge can introduce; an uncommitted
+    stage is dropped. The stage root is always gone on return."""
+    stage = store_path.rstrip("/") + suffix
+    fs, jstage = hadoop_fs(spark, stage)
+    _, jlive = hadoop_fs(spark, store_path)
+    merged = False
+    if fs.exists(jstage):
+        if committed(spark, stage):
+            if not fs.exists(jlive):
+                fs.rename(jstage, jlive)
+                return False
+            for st in fs.listStatus(jstage):
+                name = st.getPath().getName()
+                if not st.isDirectory() or "=" not in name:
+                    continue
+                _, dlive = hadoop_fs(spark, f"{store_path}/{name}")
+                if not fs.exists(dlive):
+                    fs.rename(st.getPath(), dlive)
+                    merged = True
+                    continue
+                for fst in fs.listStatus(st.getPath()):
+                    fname = fst.getPath().getName()
+                    if fname.startswith(("_", ".")):
+                        continue
+                    _, tgt = hadoop_fs(
+                        spark, f"{store_path}/{name}/restored-{fname}"
+                    )
+                    fs.rename(fst.getPath(), tgt)
+                    merged = True
+        fs.delete(jstage, True)
+    return merged
+
+
 def rewrite_partitioned_store(
-    spark: SparkSession, store_path: str, part_col: str, target_files: int = 1
+    spark: SparkSession,
+    store_path: str,
+    part_col: str,
+    target_files: int = 1,
+    collapse_duplicates: bool = False,
 ) -> tuple[int, int]:
     """Rewrite a key=value-partitioned store in place down to ~one data
     file per partition dir — the small-file compaction for the
@@ -119,9 +164,16 @@ def rewrite_partitioned_store(
     Protocol (the migrate_legacy_store stage→swap, store-wide):
 
     1. resume: a committed ``__rewrite_stage`` whose live dir is MISSING
-       holds the only copy — rename it in; any other leftover stage is
-       dropped (live is authoritative — the rewrite is pure, so
-       re-staging is always safe).
+       holds the only copy — rename it in. A committed stage whose live
+       dir EXISTS is MERGED, never discarded: the live dir is either
+       the pre-swap original (crash before the delete) or a post-crash
+       recreation by a fold/upsert that could not see the store — in
+       both cases the staged files move in alongside and the rewrite
+       below collapses the exact-duplicate rows the merge can introduce
+       (safe for these stores: every row is a deterministic function of
+       its doc/vector, so a re-folded doc reproduces byte-identical
+       rows). An UNcommitted stage is dropped (torn stage write — live
+       is authoritative).
     2. read live, ``repartition(part_col)`` (each partition's rows land
        in one task → ~one file per dir), write to the stage (_SUCCESS =
        stage commit), delete live, rename stage in.
@@ -138,18 +190,16 @@ def rewrite_partitioned_store(
     before, files after)."""
     from pyspark.sql import functions as F
 
-    stage = store_path.rstrip("/") + "__rewrite_stage"
-    fs, jstage = hadoop_fs(spark, stage)
-    _, jlive = hadoop_fs(spark, store_path)
-    if fs.exists(jstage):
-        if committed(spark, stage) and not fs.exists(jlive):
-            fs.rename(jstage, jlive)  # resume a torn swap
-        else:
-            fs.delete(jstage, True)
+    merged = resume_stage_swap(spark, store_path, "__rewrite_stage")
     before, _ = data_file_stats(spark, store_path)
     if not parquet_exists(spark, store_path):
         return 0, 0
+    stage = store_path.rstrip("/") + "__rewrite_stage"
+    fs, jstage = hadoop_fs(spark, stage)
+    _, jlive = hadoop_fs(spark, store_path)
     live = spark.read.parquet(store_path)
+    if merged or collapse_duplicates:
+        live = live.distinct()
     if target_files > 1:
         salt = F.pmod(
             F.xxhash64(F.struct(*[c for c in live.columns if c != part_col])),

@@ -253,8 +253,10 @@ def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
     Protocol per store (the erasure stage→swap, minus the filtering):
 
     1. resume: a committed ``__migrate_stage`` whose live dir is MISSING
-       holds the only copy — rename it in; any other leftover stage is
-       dropped (the live dir is still authoritative).
+       holds the only copy — rename it in; one whose live dir EXISTS is
+       merged and the duplicates collapsed (stores.resume_stage_swap —
+       a fold may have recreated the live dir after a torn swap);
+       an uncommitted stage is dropped (live is authoritative).
     2. if the live store lacks the bucket column: rewrite it bucketed
        into the stage (the write's _SUCCESS is the stage commit), then
        delete live, rename stage in.
@@ -263,6 +265,8 @@ def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
     layout is still authoritative (step 2 re-stages deterministically);
     after it, step 1 restores. Returns {"<store>": rows} for the stores
     migrated (empty dict when the index is already bucketed)."""
+    from http_feeds_spark.stores import resume_stage_swap, rewrite_partitioned_store
+
     bands_path, shingles_path, _ = _paths(index_root)
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
     out: dict[str, int] = {}
@@ -270,11 +274,15 @@ def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
         stage = store.rstrip("/") + "__migrate_stage"
         fs, jstage = _hadoop_path(spark, stage)
         _, jlive = _hadoop_path(spark, store)
-        if fs.exists(jstage):
-            if committed(spark, stage) and not fs.exists(jlive):
-                fs.rename(jstage, jlive)  # resume a torn swap
-            else:
-                fs.delete(jstage, True)  # live still authoritative
+        # merge-on-resume, not restore-only-if-missing: a fold between a
+        # torn swap and this resume recreates the live dir (it cannot
+        # see the store), and discarding the stage would lose every
+        # pre-crash row; merged duplicates are byte-identical (rows are
+        # deterministic per doc) and collapse in the rewrite below
+        if resume_stage_swap(spark, store, "__migrate_stage"):
+            rewrite_partitioned_store(
+                spark, store, "bucket", collapse_duplicates=True
+            )
         if not _exists(spark, store):
             continue
         live = spark.read.parquet(store)

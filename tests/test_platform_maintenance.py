@@ -264,3 +264,60 @@ def test_rewrite_target_files_splits_partitions(spark, tmp_path):
     rewrite_partitioned_store(spark, store, "bucket")  # back to 1/dir
     files1, _ = data_file_stats(spark, store)
     assert files1 == 2
+
+
+def test_rewrite_resume_merges_when_fold_recreated_live(spark, tmp_path):
+    """The rewrite/migration twin of the purge-resume data-loss window:
+    crash between delete(live) and rename(stage->live), then a FOLD
+    recreates the live dir (it cannot see the store, so its anti-join
+    admits previously-indexed docs). The resume must merge the staged
+    rows back in and collapse the byte-identical duplicates — the old
+    restore-only-if-missing rule deleted the only copy."""
+    import shutil
+
+    from http_feeds_spark.streaming import dedup as sd
+
+    def _row(r):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in r)
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    w1 = spark.createDataFrame(
+        [(1, text), (2, text + " extra")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "sd")
+    sd.fold_batch(spark, w1, root)
+    bands_path, shingles_path, _ = sd._paths(root)
+    want = {
+        s: sorted(
+            _row(r) for r in spark.read.parquet(s).drop("bucket").collect()
+        )
+        for s in (bands_path, shingles_path)
+    }
+
+    # torn rewrite swap on BOTH stores: stage committed, live gone
+    for s in (bands_path, shingles_path):
+        shutil.copytree(s, s.rstrip("/") + "__rewrite_stage")
+        shutil.rmtree(s)
+
+    # the retry's fold lands first: doc 1 re-folds (no store to see) and
+    # doc 3 arrives new — the live dirs are recreated
+    w2 = spark.createDataFrame(
+        [(1, text), (3, "completely different words about other topics entirely")],
+        "doc_id long, text string",
+    )
+    sd.fold_batch(spark, w2, root)
+
+    from http_feeds_spark.stores import rewrite_partitioned_store
+
+    for s in (bands_path, shingles_path):
+        rewrite_partitioned_store(spark, s, "bucket")
+    for s, rows in want.items():
+        after = sorted(
+            _row(r) for r in spark.read.parquet(s).drop("bucket").collect()
+        )
+        doc_ids = {r[0] for r in after}
+        assert doc_ids == {1, 2, 3}, "pre-crash rows lost or new rows dropped"
+        # doc 1 folded twice: duplicates collapsed, rows byte-identical
+        for row in rows:
+            assert row in after, "staged row lost"
+        assert len(after) == len(set(after)), "merge duplicates survived"
