@@ -643,6 +643,15 @@ def run_maintenance(
     granularity should disable here and schedule compact_batches at the
     granularity they keep (e.g. daily).
 
+    Known trade at extreme scale: the full-prefix merge rewrites the
+    whole store once per threshold crossing — amortized O(store /
+    compact_after) bytes per fold, the simple-and-correct policy. A
+    tiered/leveled scheme (merge only similar-sized batch runs, LSM
+    practice) would cut the rewrite amplification and is the natural
+    next step if fold cadence makes the amortized cost bite; the
+    manifest protocols already support partial merges (compact_postings
+    takes ``upto``), only the policy here is all-or-nothing.
+
     Returns per-store {"batches_before", "batches_after", "vacuumed"}
     (absent stores count 0 and are skipped)."""
     from http_feeds_spark.operators import text_index as ti
