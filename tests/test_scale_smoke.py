@@ -69,3 +69,51 @@ def test_minhash_dedup_at_5x_corpus(spark):
     }
     for i in range(5):
         assert (i, i + 1_000_000) in found, f"planted dup {i} lost at 5x scale"
+
+
+def test_positional_retrieval_at_sf01(spark, tmp_path):
+    """Retrieval smoke at the largest local SF (5000 docs): the
+    positional index's phrase / ordered-proximity / unordered-proximity
+    answers still equal their pure-python references when the corpus is
+    50× the unit-test fixture — catching partition-sensitive bugs in
+    the position arrays and window sweeps."""
+    from http_feeds_spark.functions import text as tx
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.sources.tables import load_table
+    from tests.test_text_index import (
+        _phrase_counts_reference,
+        _proximity_any_reference,
+        _proximity_reference,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    toks = docs.select(tx.words(F.col("text")).alias("t")).limit(1).collect()[0].t
+    phrase = [toks[0], toks[1]]
+
+    want = _phrase_counts_reference(spark, docs, phrase)
+    got = {
+        r.doc_id: r.n_matches
+        for r in ti.phrase_search(spark, root, phrase, k=1_000_000).collect()
+    }
+    assert got == want and len(got) > 0
+
+    terms = [toks[0], toks[2]]
+    wp = _proximity_reference(spark, docs, terms, 2)
+    gp = {
+        r.doc_id: (r.n_matches, r.best_span, r.score)
+        for r in ti.proximity_search(spark, root, terms, slop=2, k=1_000_000).collect()
+    }
+    assert gp == wp
+
+    wa = _proximity_any_reference(spark, docs, terms, 2)
+    ga = {
+        r.doc_id: (r.n_matches, r.best_span, r.score)
+        for r in ti.proximity_search_any(
+            spark, root, terms, slop=2, k=1_000_000
+        ).collect()
+    }
+    assert ga == wa
