@@ -643,14 +643,15 @@ def run_maintenance(
     granularity should disable here and schedule compact_batches at the
     granularity they keep (e.g. daily).
 
-    Known trade at extreme scale: the full-prefix merge rewrites the
-    whole store once per threshold crossing — amortized O(store /
-    compact_after) bytes per fold, the simple-and-correct policy. A
-    tiered/leveled scheme (merge only similar-sized batch runs, LSM
-    practice) would cut the rewrite amplification and is the natural
-    next step if fold cadence makes the amortized cost bite; the
-    manifest protocols already support partial merges (compact_postings
-    takes ``upto``), only the policy here is all-or-nothing.
+    Text-index write amplification: the policy is SIZE-TIERED first
+    (compact_postings_tiered — only ≥min_run runs of the same size
+    class merge, so each byte is rewritten O(log store) times over its
+    lifetime and settled large batches are never churned), with the
+    full-prefix merge as the fallback that guarantees the
+    ``compact_after`` bound when tiering's steady state (min_run ×
+    size classes) still exceeds it. The monitor keeps the simple
+    full-prefix merge: its units are model-sized aggregate frames, not
+    corpus bytes, so amplification there is noise.
 
     Returns per-store {"batches_before", "batches_after", "vacuumed"}
     (absent stores count 0 and are skipped)."""
@@ -664,9 +665,15 @@ def run_maintenance(
         before = ti.visible_batches(spark, ti_root)
         summary = {"batches_before": len(before), "batches_after": len(before)}
         if len(before) > compact_after:
-            summary["batches_after"] = len(
-                ti.compact_postings(spark, ti_root, upto=max(before))
-            )
+            # size-tiered first (LSM write-amplification bound: settled
+            # large batches are not rewritten until enough same-sized
+            # peers accumulate); full-prefix merge only as the fallback
+            # that guarantees the compact_after bound when tiering's
+            # steady state (min_run x size classes) still exceeds it
+            after = ti.compact_postings_tiered(spark, ti_root)
+            if len(after) > compact_after:
+                after = ti.compact_postings(spark, ti_root, upto=max(after))
+            summary["batches_after"] = len(after)
         summary["vacuumed"] = ti.vacuum_postings(spark, ti_root) if before else 0
         out["text_index"] = summary
     if monitor:

@@ -790,6 +790,62 @@ def compact_postings(spark: SparkSession, index_root: str, upto: int) -> list[in
     return [no for no, _ in _complete_batches(spark, post_path)]
 
 
+def _batch_bytes(spark: SparkSession, path: str) -> int:
+    fs, p = hadoop_fs(spark, path)
+    return int(fs.getContentSummary(p).getLength())
+
+
+def compact_postings_tiered(
+    spark: SparkSession,
+    index_root: str,
+    *,
+    tier_factor: int = 4,
+    min_run: int = 4,
+) -> list[int]:
+    """SIZE-TIERED posting compaction (the LSM practice): merge only
+    runs of ≥ ``min_run`` batches in the SAME size class (class =
+    floor(log_{tier_factor}(bytes)), so a merge promotes its output
+    roughly one class up) instead of rewriting the whole prefix.
+
+    Why: the all-or-nothing ``compact_postings(upto=max)`` costs one
+    O(store) rewrite per threshold crossing. Tiering bounds write
+    amplification the standard way — each byte is rewritten
+    O(log_{tier_factor}(store/batch)) times over its lifetime, never
+    once per maintenance pass — while the steady-state batch count
+    stays O(min_run · #classes) = O(min_run · log(store)). Visible
+    listing cost stays bounded; large settled batches are never touched
+    until enough same-sized peers accumulate.
+
+    Each selected run merges through the same manifest-first
+    ``_replace_batches`` protocol as the prefix form (crash-safe,
+    search bit-identical, pinned). Batch sizes come from one metadata
+    pass (content summaries — no data read). Returns the visible batch
+    numbers after compaction."""
+    if tier_factor < 2 or min_run < 2:
+        raise ValueError("need tier_factor >= 2 and min_run >= 2")
+    post_path, _, _ = _paths(index_root)
+    visible = _complete_batches(spark, post_path)
+    if len(visible) < min_run:
+        vacuum_postings(spark, index_root)
+        return [no for no, _ in visible]
+    classes: dict[int, list[tuple[int, str]]] = {}
+    for no, p in visible:
+        b = max(1, _batch_bytes(spark, p))
+        cls = 0
+        while b >= tier_factor:
+            b //= tier_factor
+            cls += 1
+        classes.setdefault(cls, []).append((no, p))
+    for cls in sorted(classes):
+        run = classes[cls]
+        if len(run) >= min_run:
+            frame = spark.read.option("basePath", post_path).parquet(
+                *[p for _, p in run]
+            )
+            _replace_batches(spark, index_root, [no for no, _ in run], frame)
+    return [no for no, _ in _complete_batches(spark, post_path)]
+
+
 def purge_erased(spark: SparkSession, index_root: str) -> int:
     """Physically remove every posting of the ledger's erased doc ids
     (operators/erasure.py tier 2), then clear exactly the ledger batches

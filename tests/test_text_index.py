@@ -697,3 +697,74 @@ def test_proximity_any_matches_reference_on_corpus(spark, sf_dir, tmp_path):
                 ).collect()
             }
             assert got == want, (terms, slop)
+
+
+def test_tiered_compaction_merges_runs_not_settled_batches(spark, sf_dir, tmp_path):
+    """Size-tiered compaction (r8): a run of same-class small batches
+    merges into one; the settled LARGE batch's files are untouched on
+    disk (the write-amplification bound — the whole point vs the
+    full-prefix merge); search is bit-identical throughout."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    # one large settled batch (the full corpus) ...
+    ti.build_text_index(spark, docs, root)
+    # ... plus six tiny upsert batches
+    for i in range(6):
+        ti.upsert_documents(
+            spark,
+            spark.createDataFrame(
+                [(10_000 + i, f"window filter merge tiny{i}")],
+                "doc_id long, text string",
+            ),
+            root,
+        )
+    before_search = [tuple(r) for r in ti.search(spark, root, TERMS, k=20).collect()]
+    assert len(ti.visible_batches(spark, root)) == 7
+    post_path = f"{root}/{ti.POSTINGS_DIR}"
+    large_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{post_path}/batch=000000")
+        for f in fs
+    }
+    assert large_files
+
+    after = ti.compact_postings_tiered(spark, root, min_run=4)
+    assert len(after) == 2  # six tinies -> one; the large batch stays
+    assert 0 in after  # the settled batch number survives
+    still = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{post_path}/batch=000000")
+        for f in fs
+    }
+    assert still == large_files  # settled batch never rewritten
+    assert [
+        tuple(r) for r in ti.search(spark, root, TERMS, k=20).collect()
+    ] == before_search
+    hits = {r.doc_id for r in ti.search(spark, root, ["tiny3"], k=5).collect()}
+    assert hits == {10_003}
+
+    # below min_run nothing merges (no churn on a settled store)
+    assert ti.compact_postings_tiered(spark, root, min_run=4) == after
+
+
+def test_run_maintenance_uses_tiering_with_prefix_fallback(spark, tmp_path):
+    """The policy path: tiering bounds amplification when runs exist;
+    the full-prefix merge still guarantees the compact_after bound when
+    tiering alone cannot reach it."""
+    from http_feeds_spark import ingest
+
+    root = str(tmp_path / "platform")
+    ti_root = f"{root}/text_index"
+    for w in range(8):
+        docs = spark.createDataFrame(
+            [(w, f"window filter merge body{w}")], "doc_id long, text string"
+        )
+        if not ti.ensure_text_index(spark, docs, ti_root):
+            ti.upsert_documents(spark, docs, ti_root)
+    out = ingest.run_maintenance(spark, root, monitor=False, compact_after=4)
+    assert out["text_index"]["batches_before"] == 8
+    assert out["text_index"]["batches_after"] <= 4
+    hits = {r.doc_id for r in ti.search(spark, ti_root, ["window"], k=20).collect()}
+    assert hits == set(range(8))
