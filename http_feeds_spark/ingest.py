@@ -526,6 +526,7 @@ def run_platform(
     pq_index: bool = False,
     erasure: bool = True,
     purge: bool = True,
+    rebuild_clusters_after_purge: bool = False,
     compact: bool = True,
     compact_after: int | None = 16,
     doc_id_field: str = "doc_id",
@@ -597,6 +598,19 @@ def run_platform(
             pq_index_root=f"{root}/pq_index" if pq_index else None,
             purge=purge,
         )
+        if (
+            rebuild_clusters_after_purge
+            and out["erasure"].get("dedup_index_purged", 0) > 0
+        ):
+            # cluster hygiene after a purge: the incremental closure
+            # only ever ADDS edges, so a purged bridge doc leaves its
+            # merges behind (documented). Opt-in because the rebuild is
+            # a full closure over the stored indexes — right after
+            # erasures that matter, wasteful on every catch-up.
+            from http_feeds_spark.streaming import dedup as sd
+
+            sd.rebuild_assignment(spark, f"{root}/dedup_index")
+            out["erasure"]["dedup_clusters_rebuilt"] = True
     if compact_after is not None:
         out["maintenance"] = run_maintenance(
             spark,

@@ -654,3 +654,53 @@ def test_purge_resume_merge_distinct_for_keyless_store(spark, tmp_path):
     assert after.count() == 9  # 4 docs * 3 bands - 3, duplicates collapsed
     assert after.distinct().count() == 9
     assert after.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_run_platform_rebuilds_clusters_after_purge(spark, tmp_path):
+    """Opt-in cluster hygiene: a DELETE tombstone for the bridge doc of
+    a chain-connected cluster triggers purge + full re-closure inside
+    run_platform, splitting the cluster; without the flag the merge
+    survives (documented purge semantics)."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    W = [f"word{i:02d}" for i in range(20)]
+
+    def win(start):
+        return " ".join(W[start : start + 12])
+
+    chain = [(1, win(0)), (2, win(2)), (5, win(4)), (3, win(6)), (4, win(8))]
+    for flag, expect_split in ((False, False), (True, True)):
+        state = FeedState()
+        srv, url = serve(state)
+        try:
+            for i, text in chain:
+                state.append(
+                    "org.example.document", str(i), {"doc_id": i, "text": text}
+                )
+            root = str(tmp_path / f"platform_{flag}")
+            ingest.run_platform(
+                spark, url, root, monitor=False, text_index=False,
+                rebuild_clusters_after_purge=flag,
+            )
+            asg = {
+                r.node: r.component
+                for r in sd.read_assignment(spark, f"{root}/dedup_index").collect()
+            }
+            assert asg[1] == asg[3]  # chain-connected through doc 5
+
+            state.append("org.example.document", "5", None, method="DELETE")
+            out = ingest.run_platform(
+                spark, url, root, monitor=False, text_index=False,
+                rebuild_clusters_after_purge=flag,
+            )
+            assert out["erasure"]["dedup_index_purged"] > 0
+            assert out["erasure"].get("dedup_clusters_rebuilt", False) is flag
+            after = {
+                r.node: r.component
+                for r in sd.read_assignment(spark, f"{root}/dedup_index").collect()
+            }
+            assert 5 not in after
+            assert (after[1] != after[3]) is expect_split
+        finally:
+            srv.shutdown()
