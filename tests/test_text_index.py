@@ -768,3 +768,89 @@ def test_run_maintenance_uses_tiering_with_prefix_fallback(spark, tmp_path):
     assert out["text_index"]["batches_after"] <= 4
     hits = {r.doc_id for r in ti.search(spark, ti_root, ["window"], k=20).collect()}
     assert hits == set(range(8))
+
+
+def test_text_index_maintenance_interleave_fuzz(spark, tmp_path):
+    """Seeded random interleave of every text-index lifecycle op —
+    upsert batches, in-place updates, erasure purges, size-tiered and
+    full-prefix compactions, vacuums — checked at intervals against a
+    FRESH index built from exactly the surviving documents: search
+    answers must be bit-identical (same idf, same avgdl, same ranks)
+    no matter which maintenance history produced the store."""
+    import random
+
+    from http_feeds_spark.operators import erasure
+
+    rng = random.Random(8)
+    root = str(tmp_path / "ti")
+
+    def text_for(i, rev=0):
+        extra = f"rev{rev}" if rev else f"body{i}"
+        return f"window filter merge {extra} unique{i} tail{i % 7}"
+
+    next_id = 0
+    live: dict[int, tuple[str, int]] = {}  # id -> (text, rev)
+
+    def fold(n):
+        nonlocal next_id
+        batch = []
+        for _ in range(n):
+            live[next_id] = (text_for(next_id), 0)
+            batch.append((next_id, text_for(next_id)))
+            next_id += 1
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        if not ti.ensure_text_index(spark, df, root):
+            ti.upsert_documents(spark, df, root)
+
+    fold(4)
+    checkpoints = 0
+    for step in range(22):
+        op = rng.choices(
+            ["fold", "update", "erase", "tiered", "full", "vacuum"],
+            weights=[5, 2, 2, 2, 1, 1],
+        )[0]
+        if op == "fold":
+            fold(rng.randint(1, 3))
+        elif op == "update" and live:
+            doc = rng.choice(sorted(live))
+            rev = live[doc][1] + 1
+            live[doc] = (text_for(doc, rev), rev)
+            ti.update_documents(
+                spark,
+                spark.createDataFrame([(doc, live[doc][0])], "doc_id long, text string"),
+                root,
+            )
+        elif op == "erase" and len(live) > 1:
+            doc = rng.choice(sorted(live))
+            del live[doc]
+            erasure.erase_ids(
+                spark, root, spark.createDataFrame([(doc,)], "id long")
+            )
+            ti.purge_erased(spark, root)
+        elif op == "tiered":
+            ti.compact_postings_tiered(spark, root, min_run=3)
+        elif op == "full":
+            batches = ti.visible_batches(spark, root)
+            if batches:
+                ti.compact_postings(spark, root, upto=max(batches))
+        elif op == "vacuum":
+            ti.vacuum_postings(spark, root)
+
+        if step % 7 == 6:
+            checkpoints += 1
+            fresh = str(tmp_path / f"fresh{step}")
+            ti.build_text_index(
+                spark,
+                spark.createDataFrame(
+                    [(d, t) for d, (t, _) in sorted(live.items())],
+                    "doc_id long, text string",
+                ),
+                fresh,
+            )
+            for terms in (["window"], ["unique1", "filter"], ["tail3", "merge"]):
+                got = [tuple(r) for r in ti.search(spark, root, terms, k=50).collect()]
+                want = [
+                    tuple(r) for r in ti.search(spark, fresh, terms, k=50).collect()
+                ]
+                assert got == want, (step, terms)
+    assert checkpoints >= 3 and len(live) > 4
