@@ -11,18 +11,23 @@ Codec tiers, honestly separated:
 - **REAL decoders for the formats the container can decode** with the
   stdlib + numpy alone: WAV (PCM 8/16/32-bit via ``wave`` —
   ``wav_features``), binary PPM (P6 — ``decode_rgb``), uncompressed
-  24-bit BMP (``decode_rgb``), and 8-bit RGB/RGBA PNG — the dominant
+  24-bit BMP (``decode_rgb``), 8-bit RGB/RGBA PNG — the dominant
   lossless web format — via stdlib ``zlib`` inflate + numpy per-row
   unfiltering (None/Sub/Up/Average/Paeth), with ``encode_png`` as the
-  export twin; ``image_stats`` and ``resize_rgb`` run on genuinely
-  decoded pixel arrays, sample-exact (pinned against hand-constructed
-  files in tests/test_multimodal_dedup.py).
-- **Import-gated stand-ins for the remaining compressed codecs**
-  (JPEG/MP4 — PIL / torchaudio / ffmpeg are NOT in this container):
-  `decode_image` raises NotImplementedError behind an import-try, and
-  those pipelines are exercised end-to-end with `fake_image_features` —
-  a deterministic byte-histogram extractor with the exact same schema,
-  batching, and partitioning as the real path would have.
+  export twin, and (r9) baseline JPEG — the dominant LOSSY web format —
+  via functions/jpeg.py (marker parse, canonical Huffman entropy
+  decode with restart markers, dequantization, batched float IDCT,
+  4:2:0/4:2:2 chroma upsampling, YCbCr→RGB; ``encode_jpeg`` as the
+  test/export twin); ``image_stats`` and ``resize_rgb`` run on
+  genuinely decoded pixel arrays (pinned against hand-constructed
+  files in tests/test_multimodal_dedup.py; JPEG within the classical
+  DCT round-trip tolerance at quality 100).
+- **Import-gated stand-in for the one remaining compressed codec**
+  (MP4 — ffmpeg is NOT in this container): `decode_image` raises
+  NotImplementedError behind an import-try, and those pipelines are
+  exercised end-to-end with `fake_image_features` — a deterministic
+  byte-histogram extractor with the exact same schema, batching, and
+  partitioning as the real path would have.
 
 Scale posture: per-row Python cost is amortized by Arrow batches
 (spark.sql.execution.arrow.maxRecordsPerBatch); there is no shuffle — the
@@ -310,10 +315,13 @@ def encode_png(img, filter_type: int = 0) -> bytes:
 
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
-    (P6), uncompressed 24-bit BMP, and 8-bit RGB/RGBA PNG (stdlib zlib
-    inflate + numpy per-row unfiltering) — no external codec. Returns an
-    (H, W, 3) uint8 array; raises ValueError for other formats (the
-    remaining compressed codecs, JPEG/MP4, are the ``decode_image``
+    (P6), uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (stdlib zlib
+    inflate + numpy per-row unfiltering), and baseline JPEG (r9:
+    functions/jpeg.py — Huffman entropy decode, dequant, batched float
+    IDCT, chroma upsampling, YCbCr→RGB; progressive/arithmetic variants
+    raise like 16-bit PNG does) — no external codec anywhere. Returns an
+    (H, W, 3) uint8 array; raises ValueError for other formats (the one
+    remaining compressed codec, MP4, is the ``decode_image``
     import-gated tier)."""
     import struct
 
@@ -321,6 +329,10 @@ def decode_rgb(payload: bytes):
 
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from http_feeds_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -359,7 +371,7 @@ def decode_rgb(payload: bytes):
             img[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
         return img
     raise ValueError(
-        "not a PNG/PPM/BMP payload (other compressed formats need decode_image)"
+        "not a PNG/JPEG/PPM/BMP payload (other compressed formats need decode_image)"
     )
 
 
