@@ -27,9 +27,95 @@ LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
 
 
 def words(col) -> Column:
-    """Whitespace tokens (the corpus is single-space word soup)."""
+    """RAW single-space tokens — empties included when the text has
+    leading/trailing/consecutive spaces. Kept verbatim because the
+    word-count family (textstats, datacard, monitor, drift, substr,
+    chunking, boilerplate) pins DuckDB oracles on exactly
+    ``string_split(text, ' ')``; the retrieval/dedup family uses
+    :func:`analyze` instead, which never emits empty tokens."""
     col = F.col(col) if isinstance(col, str) else col
     return F.split(col, " ")
+
+
+# Shared analyzers for the retrieval/dedup text family. "standard" is
+# the real-text default: lowercase, split on Unicode non-alphanumeric
+# runs, drop empties — so `"Word."` and `"word"` index identically and
+# consecutive whitespace never mints empty tokens. "whitespace" is the
+# legacy single-space split (no lowercasing — the pre-analyzer text
+# INDEX behavior); "whitespace_lower" lowercases first (the pre-analyzer
+# DEDUP-family behavior — llm.tokenized / streaming dedup shingles).
+# Every analyzer drops empties, so tokens-counted ≡ tokens-posted
+# under all of them (dl and the postings always agree).
+ANALYZERS = ("standard", "whitespace", "whitespace_lower")
+
+# Java-regex Unicode classes; DuckDB/RE2 accepts the same pattern, and
+# the pure-Python twin below matches via str.isalnum() (L* ∪ N* in both).
+STANDARD_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def _require_analyzer(analyzer: str) -> str:
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    return analyzer
+
+
+def analyze(col, analyzer: str = "standard") -> Column:
+    """Tokenize ``col`` under the named analyzer — the ONE tokenization
+    the whole retrieval/dedup family shares (posting build, query side,
+    shingles, AND document length), so idf/avgdl/dl/postings can never
+    disagree about what a token is. Pure built-in expressions
+    (lower/split/filter): scan-parallel, codegen'd, shuffle-free."""
+    _require_analyzer(analyzer)
+    col = F.col(col) if isinstance(col, str) else col
+    if analyzer == "standard":
+        toks = F.split(F.lower(col), STANDARD_SPLIT_RE)
+    elif analyzer == "whitespace_lower":
+        toks = F.split(F.lower(col), " ")
+    else:  # whitespace
+        toks = F.split(col, " ")
+
+    def _nonempty(t):  # named: a 2-arg lambda would be (element, index)
+        return t != ""
+
+    return F.filter(toks, _nonempty)
+
+
+def tokenize(text: str, analyzer: str = "standard") -> list[str]:
+    """Pure-Python twin of :func:`analyze` for the QUERY side (and the
+    pytest references): query terms must be tokenized by the same
+    analyzer the index was built with, or phrase/BM25 silently miss.
+    Equivalence with the Spark expression is pinned in
+    tests/test_analyzer.py (str.isalnum() covers the same L*/N* Unicode
+    categories as the Java `\\p{L}\\p{N}` classes)."""
+    _require_analyzer(analyzer)
+    if analyzer == "whitespace":
+        return [t for t in text.split(" ") if t]
+    if analyzer == "whitespace_lower":
+        return [t for t in text.lower().split(" ") if t]
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def tokenize_query(terms, analyzer: str = "standard") -> list[str]:
+    """Normalize user-supplied query terms through the analyzer: each
+    term re-tokenizes (so `"Don't"` under "standard" becomes
+    `["don", "t"]`, matching how the corpus was indexed) and the flat
+    in-order list comes back. Accepts a string or a list of strings."""
+    if isinstance(terms, str):
+        terms = [terms]
+    out: list[str] = []
+    for t in terms:
+        out.extend(tokenize(t, analyzer))
+    return out
 
 
 def token_count(col) -> Column:

@@ -45,6 +45,9 @@ def fsck_text_index(spark: SparkSession, index_root: str) -> dict:
       manifest but not yet deleted (run vacuum_postings);
     - ``positional``: postings carry the positions column (phrase
       queries available);
+    - ``analyzer``: the tokenization this index was built under (from
+      meta/; a pre-analyzer store reports "whitespace" — its actual
+      build-time behavior). Every query and upsert runs under it;
     - ``erase_ledger_ids``: ids awaiting physical purge (readers filter
       them meanwhile)."""
     from http_feeds_spark.operators import text_index as ti
@@ -75,6 +78,9 @@ def fsck_text_index(spark: SparkSession, index_root: str) -> dict:
         out.update(
             {"doc_overlap_violations": 0, "meta_fresh": True, "positional": False}
         )
+        if parquet_exists(spark, meta_path):
+            meta = spark.read.parquet(meta_path).collect()[0]
+            out["analyzer"] = getattr(meta, "analyzer", None) or "whitespace"
         return out
     out["positional"] = "positions" in post.columns
     out["doc_overlap_violations"] = int(
@@ -88,6 +94,7 @@ def fsck_text_index(spark: SparkSession, index_root: str) -> dict:
     if parquet_exists(spark, meta_path):
         meta = spark.read.parquet(meta_path).collect()[0]
         out["meta_fresh"] = int(getattr(meta, "n_batches", -1)) == len(visible_nos)
+        out["analyzer"] = getattr(meta, "analyzer", None) or "whitespace"
     else:
         out["meta_fresh"] = False
     return out

@@ -51,16 +51,19 @@ def postings_for_terms(
     terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, term, tf, dl) for ONLY the query terms.
 
     The term filter sits between the explode and the aggregation, so the
     (term, doc) shuffle is query-sized, not corpus-sized. dl (document
     token length) rides along via map-side projection — it is constant
-    per doc, carried with first()."""
+    per doc, carried with first(). Tokenization is the SHARED analyzer
+    (functions/text.analyze) — the same one the query side uses, so dl,
+    idf, and the term filter can never disagree about what a token is."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        tx.words(F.lower(text_col)).alias("__toks"),
+        tx.analyze(text_col, analyzer).alias("__toks"),
     ).withColumn("dl", F.size("__toks").cast("long"))
     return (
         toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
@@ -70,12 +73,14 @@ def postings_for_terms(
     )
 
 
-def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
+def corpus_stats(
+    docs: DataFrame, text_col: str = "text", analyzer: str = "standard"
+) -> tuple[int, float]:
     """(N, avgdl) in one scalar aggregate. The token-length sum is exact
     long arithmetic, so avgdl is bit-identical across engines."""
     row = docs.agg(
         F.count("*").alias("n"),
-        F.sum(F.size(tx.words(F.lower(text_col))).cast("long")).alias("tl"),
+        F.sum(F.size(tx.analyze(text_col, analyzer)).cast("long")).alias("tl"),
     ).collect()[0]
     return int(row["n"]), float(row["tl"]) / float(row["n"])
 
@@ -88,6 +93,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Top-k docs for a bag-of-terms query under Lucene-style BM25:
 
@@ -96,10 +102,17 @@ def bm25_topk(
 
     Returns (doc_id, score, rank) with score rounded to 6 dp and rank
     dense over (score desc, doc_id asc) — fully deterministic output.
+    Corpus AND query terms tokenize under the same ``analyzer``
+    (functions/text.analyze / tokenize_query), so "Word." queries match
+    "word" under the default — identical semantics to the persisted
+    index path (text_index.search), pinned in tests.
     """
     spark = docs.sparkSession
-    post = postings_for_terms(docs, terms, id_col, text_col)
-    n, avgdl = corpus_stats(docs, text_col)
+    terms = tx.tokenize_query(terms, analyzer)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    post = postings_for_terms(docs, terms, id_col, text_col, analyzer)
+    n, avgdl = corpus_stats(docs, text_col, analyzer)
 
     # per-term document frequency -> idf literals (<= |terms| rows; the
     # ln() runs driver-side in Python so both engines consume a literal)
@@ -141,6 +154,7 @@ def bm25_term_scores(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, term, tf, dl, df, idf, score) — the per-(doc, term) BM25
     component table over the FULL vocabulary as one LAZY plan, built for
@@ -164,7 +178,7 @@ def bm25_term_scores(
     filter (each term's df counts only that term's postings)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        tx.words(F.lower(text_col)).alias("__toks"),
+        tx.analyze(text_col, analyzer).alias("__toks"),
     ).withColumn("dl", F.size("__toks").cast("long"))
     post = (
         toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
@@ -173,7 +187,7 @@ def bm25_term_scores(
     )
     stats = docs.agg(
         F.count("*").cast("long").alias("__n"),
-        F.sum(F.size(tx.words(F.lower(text_col))).cast("long")).alias("__tl"),
+        F.sum(F.size(tx.analyze(text_col, analyzer)).cast("long")).alias("__tl"),
     ).withColumn("__avgdl", F.col("__tl").cast("double") / F.col("__n"))
     tdf = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     joined = post.join(tdf, "term").crossJoin(F.broadcast(stats))

@@ -160,10 +160,45 @@ def _next_batch_no(spark: SparkSession, post_root: str) -> int:
     return (max(taken) + 1) if taken else 0
 
 
-def _write_derived(spark: SparkSession, index_root: str, n_batches: int) -> None:
+def index_analyzer(spark: SparkSession, index_root: str) -> str:
+    """The analyzer this index was built with (recorded in meta/). A
+    pre-analyzer meta (no such column) reads as "whitespace" — exactly
+    the tokenization those indexes were built under, so old stores keep
+    answering correctly without a rebuild."""
+    _, _, meta_path = _paths(index_root)
+    if not parquet_exists(spark, meta_path):
+        raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    meta = spark.read.parquet(meta_path).collect()[0]
+    return getattr(meta, "analyzer", None) or "whitespace"
+
+
+def _require_index_analyzer(stored: str, requested: str | None, index_root: str) -> str:
+    """Refuse-loudly analyzer conformance (the stores.require_lossless_cast
+    pattern): querying or upserting under a different analyzer than the
+    index was built with silently misses — raise instead."""
+    if requested is not None and requested != stored:
+        raise ValueError(
+            f"text index at {index_root} was built with analyzer "
+            f"{stored!r} but {requested!r} was requested; rebuild with "
+            "build_text_index(analyzer=...) to change analyzers"
+        )
+    return stored
+
+
+def _write_derived(
+    spark: SparkSession, index_root: str, n_batches: int, analyzer: str | None = None
+) -> None:
     """Recompute terms/ + meta/ from the VISIBLE postings (index-sized
-    passes) and stamp them with the batch fingerprint. meta/ last."""
+    passes) and stamp them with the batch fingerprint. meta/ last.
+    ``analyzer=None`` carries the CURRENT meta's analyzer forward (the
+    compaction/upsert paths must never change it)."""
     post_path, terms_path, meta_path = _paths(index_root)
+    if analyzer is None:
+        analyzer = (
+            index_analyzer(spark, index_root)
+            if parquet_exists(spark, meta_path)
+            else "whitespace"
+        )
     post, _ = _visible_postings(spark, post_path)
     terms = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     (
@@ -180,6 +215,7 @@ def _write_derived(spark: SparkSession, index_root: str, n_batches: int) -> None
             F.count("*").cast("long").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.lit(n_batches).cast("int").alias("n_batches"),
+            F.lit(analyzer).alias("analyzer"),
         )
     )
     stats.coalesce(1).write.mode("overwrite").parquet(meta_path)
@@ -216,15 +252,26 @@ def build_text_index(
     index_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> None:
     """Two aggregates + three writes; every pass linear, corpus never
     collected. Postings carry dl so search is join-free.
+
+    ``analyzer`` (functions/text.analyze) is the ONE tokenization the
+    index lives under — recorded in meta/, enforced on every upsert and
+    query (the classical analyzer-mismatch bug class: an index built
+    lowercased and queried raw silently misses). "standard" =
+    lowercase + Unicode non-alphanumeric split + drop empties — the
+    real-text default; "whitespace" = the legacy single-space split.
+    Under EVERY analyzer dl counts exactly the posted tokens (empties
+    never counted), so idf/avgdl and the postings always agree.
 
     A build is a DESTRUCTIVE rebuild: meta/ is deleted FIRST (so a torn
     rebuild reads as absent — the module's crash story), then any prior
     posting batches and compaction manifests (a rebuild over an old
     multi-batch store must not leave stale dirs visible next to the new
     batch 0), then the fresh stores land with meta/ last."""
+    tx._require_analyzer(analyzer)
     post_path, _, meta_path = _paths(index_root)
     fs, jmeta = hadoop_fs(spark, meta_path)
     if fs.exists(jmeta):
@@ -233,8 +280,8 @@ def build_text_index(
         _, jp = hadoop_fs(spark, stale)
         if fs.exists(jp):
             fs.delete(jp, True)
-    _write_postings_batch(spark, docs, post_path, 0, id_col, text_col)
-    _write_derived(spark, index_root, 1)
+    _write_postings_batch(spark, docs, post_path, 0, id_col, text_col, analyzer)
+    _write_derived(spark, index_root, 1, analyzer)
 
 
 def _write_postings_batch(
@@ -244,8 +291,14 @@ def _write_postings_batch(
     batch_no: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> None:
-    toks = tx.words(F.col(text_col))
+    # analyze() never emits empty tokens, so dl == exactly the tokens
+    # posted below (the pre-analyzer layout counted raw split slots and
+    # then filtered empties out of the postings — idf/avgdl and dl could
+    # disagree on multi-space text); positions are offsets into the
+    # ANALYZED token sequence, so phrase adjacency spans punctuation.
+    toks = tx.analyze(F.col(text_col), analyzer)
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("int").alias("dl"),
@@ -272,6 +325,7 @@ def upsert_documents(
     index_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str | None = None,
 ) -> int:
     """Append new documents WITHOUT rebuilding: ids already indexed are
     dropped (ids-only anti-join against a column-pruned scan of the
@@ -292,6 +346,11 @@ def upsert_documents(
     post_path, _, meta_path = _paths(index_root)
     if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    # the new batch MUST tokenize exactly like the existing postings: an
+    # explicit mismatched analyzer is refused; None inherits the store's
+    analyzer = _require_index_analyzer(
+        index_analyzer(spark, index_root), analyzer, index_root
+    )
     post, n_batches = _visible_postings(spark, post_path)
     if post is not None:
         store_t = post.schema["doc_id"].dataType
@@ -307,9 +366,10 @@ def upsert_documents(
     n = fresh.count()
     if n:
         _write_postings_batch(
-            spark, fresh, post_path, _next_batch_no(spark, post_path), id_col, text_col
+            spark, fresh, post_path, _next_batch_no(spark, post_path),
+            id_col, text_col, analyzer,
         )
-        _write_derived(spark, index_root, n_batches + 1)
+        _write_derived(spark, index_root, n_batches + 1, analyzer)
     return n
 
 
@@ -319,6 +379,7 @@ def update_documents(
     index_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str | None = None,
 ) -> dict:
     """Re-index CHANGED documents in place. ``upsert_documents`` is
     insert-only BY DESIGN (its per-id anti-join is what makes
@@ -336,24 +397,37 @@ def update_documents(
     the final state is always exactly the given documents, never a
     duplicate and never a stale version. Returns {"removed_rows",
     "docs_indexed"}."""
+    # conformance up front: refuse a mismatched analyzer BEFORE erasing
+    # anything (the erase is destructive; the check is not)
+    _require_index_analyzer(index_analyzer(spark, index_root), analyzer, index_root)
     ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
     erasure.erase_ids(spark, index_root, ids)
     removed = purge_erased(spark, index_root)
-    added = upsert_documents(spark, docs, index_root, id_col, text_col)
+    added = upsert_documents(spark, docs, index_root, id_col, text_col, analyzer)
     return {"removed_rows": int(removed), "docs_indexed": int(added)}
 
 
 def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **kw) -> bool:
-    """Build iff absent. Present = meta/ exists AND at least one
-    committed posting batch dir AND the postings carry the positions
-    column — an index in a stale layout (a pre-batch-format or
-    pre-positional artifact under a persistent warehouse dir) reads as
-    absent and is rebuilt in place (schema probe is footer-only)."""
+    """Build iff absent. Present = meta/ exists AND records an analyzer
+    AND at least one committed posting batch dir AND the postings carry
+    the positions column — an index in a stale layout (a pre-batch-
+    format, pre-positional, or pre-analyzer artifact under a persistent
+    warehouse dir) reads as absent and is rebuilt in place (schema
+    probes are footer-only). An EXPLICIT ``analyzer=`` kwarg that
+    differs from a present index's also rebuilds (the caller is asking
+    for a different tokenization, and an index cannot change analyzers
+    in place)."""
     post_path, _, meta_path = _paths(index_root)
     if parquet_exists(spark, meta_path):
         batches = _complete_batches(spark, post_path)
-        if batches and "positions" in spark.read.parquet(batches[0][1]).columns:
-            return False
+        if (
+            batches
+            and "positions" in spark.read.parquet(batches[0][1]).columns
+            and "analyzer" in spark.read.parquet(meta_path).columns
+        ):
+            want = kw.get("analyzer")
+            if want is None or want == index_analyzer(spark, index_root):
+                return False
     build_text_index(spark, docs, index_root, **kw)
     return True
 
@@ -365,18 +439,31 @@ def search(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """SEARCH-ONLY BM25 against the prebuilt index: reads prune to the
     query terms' bucket directories (≤ |terms| of N_BUCKETS), idf comes
     from a |terms|-row lookup of the terms store, scoring is join-free
     (dl rides the posting). Output contract = retrieval.bm25_topk:
     (doc_id, score, rank), score rounded to 6 dp, rank dense over
-    (score desc, doc_id asc)."""
+    (score desc, doc_id asc).
+
+    Query terms pass through the INDEX'S OWN analyzer (recorded in
+    meta/) before lookup — an index built lowercased must see lowercased
+    query terms or it silently misses (the classical analyzer-mismatch
+    bug class). A term that analyzes to several tokens ("Don't" →
+    don, t) queries as those tokens. ``analyzer`` is a conformance
+    assertion only: passing one that differs from the index's raises."""
     post_path, terms_path, meta_path = _paths(index_root)
     if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
     meta = spark.read.parquet(meta_path).collect()[0]
     n, avgdl = int(meta.n_docs), float(meta.avgdl)
+    stored_analyzer = getattr(meta, "analyzer", None) or "whitespace"
+    _require_index_analyzer(stored_analyzer, analyzer, index_root)
+    terms = tx.tokenize_query(terms, stored_analyzer)
+    if not terms:  # every query term analyzed away (pure punctuation)
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
     post_df, n_batches = _visible_postings(spark, post_path)
     if post_df is None:
         if n == 0:
@@ -446,16 +533,22 @@ def search(
     )
 
 
-def _positional_postings(spark: SparkSession, index_root: str) -> DataFrame | None:
+def _positional_postings(
+    spark: SparkSession, index_root: str, analyzer: str | None = None
+) -> tuple[DataFrame | None, str]:
     """The guarded positional-posting view the phrase/proximity queries
-    share: visible postings (None when fully purged), positions column
-    required, erase-ledger filter applied."""
+    share: (visible postings — None when fully purged, index analyzer),
+    positions column required, erase-ledger filter applied, analyzer
+    conformance enforced (an explicit mismatched ``analyzer`` raises)."""
     post_path, _, meta_path = _paths(index_root)
     if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
+    meta = spark.read.parquet(meta_path).collect()[0]
+    stored = getattr(meta, "analyzer", None) or "whitespace"
+    _require_index_analyzer(stored, analyzer, index_root)
     post_df, _ = _visible_postings(spark, post_path)
     if post_df is None:
-        return None
+        return None, stored
     if "positions" not in post_df.columns:
         raise ValueError(
             f"index at {index_root} predates positional postings; rebuild "
@@ -466,7 +559,7 @@ def _positional_postings(spark: SparkSession, index_root: str) -> DataFrame | No
         post_df = post_df.join(
             erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
         )
-    return post_df
+    return post_df, stored
 
 
 def phrase_search(
@@ -474,6 +567,7 @@ def phrase_search(
     index_root: str,
     phrase: list[str],
     k: int = 10,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """EXACT phrase query against the positional postings: documents
     containing the terms ADJACENT and in order, ranked by occurrence
@@ -485,10 +579,18 @@ def phrase_search(
     the candidate set narrows by an INNER equi-join on doc_id per term
     (docs missing any term leave the plan early); match start-positions
     are ``array_intersect(acc, positions_i − i)`` — codegen'd, no UDF,
-    no document reads. Erased docs are filtered like ``search``."""
+    no document reads. Erased docs are filtered like ``search``.
+
+    The phrase passes through the index's analyzer first (order
+    preserved — a term analyzing to several tokens extends the phrase,
+    so ["don't", "stop"] under "standard" queries don t stop, exactly
+    how the corpus side was indexed)."""
     if not phrase:
         raise ValueError("empty phrase")
-    post_df = _positional_postings(spark, index_root)
+    post_df, stored = _positional_postings(spark, index_root, analyzer)
+    phrase = tx.tokenize_query(phrase, stored)
+    if not phrase:
+        raise ValueError("phrase analyzed to zero tokens")
     if post_df is None:
         return spark.createDataFrame([], "doc_id long, n_matches int, rank int")
 
@@ -532,6 +634,7 @@ def proximity_search(
     terms: list[str],
     slop: int = 0,
     k: int = 10,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """Ordered within-window proximity query over the positional
     postings — the slop-k generalization of ``phrase_search`` (Zobel &
@@ -555,7 +658,10 @@ def proximity_search(
     score, rank); rank dense over (score desc, doc_id asc)."""
     if not terms:
         raise ValueError("empty term list")
-    post_df = _positional_postings(spark, index_root)
+    post_df, stored = _positional_postings(spark, index_root, analyzer)
+    terms = tx.tokenize_query(terms, stored)
+    if not terms:
+        raise ValueError("term list analyzed to zero tokens")
     if post_df is None:
         return spark.createDataFrame(
             [], "doc_id long, n_matches int, best_span int, score double, rank int"
@@ -629,6 +735,7 @@ def proximity_search_any(
     terms: list[str],
     slop: int = 0,
     k: int = 10,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """UNORDERED proximity query — the Lucene-default slop semantics
     companion to the ordered :func:`proximity_search`: a match is a
@@ -654,10 +761,12 @@ def proximity_search_any(
     codegen'd, no UDF, no document reads. Returns (doc_id, n_matches,
     best_span, score, rank); rank dense over (score desc, doc_id
     asc)."""
-    uniq = sorted(set(terms))
-    if not uniq:
+    if not terms:
         raise ValueError("empty term list")
-    post_df = _positional_postings(spark, index_root)
+    post_df, stored = _positional_postings(spark, index_root, analyzer)
+    uniq = sorted(set(tx.tokenize_query(terms, stored)))
+    if not uniq:
+        raise ValueError("term list analyzed to zero tokens")
     if post_df is None:
         return spark.createDataFrame(
             [], "doc_id long, n_matches int, best_span int, score double, rank int"
@@ -888,7 +997,11 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
                 _replace_batches(spark, index_root, affected + [donor], donor_frame)
             else:
                 # the whole index is erased: drop every store and stamp
-                # an empty meta — search answers every query with 0 hits
+                # an empty meta — search answers every query with 0 hits.
+                # The analyzer SURVIVES the purge (read before the wipe):
+                # the store still exists, and its next upsert must
+                # tokenize like the one this store was created with.
+                analyzer = index_analyzer(spark, index_root)
                 fs, _ = hadoop_fs(spark, index_root)
                 for no, p in visible:
                     _, jp = hadoop_fs(spark, p)
@@ -902,7 +1015,8 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
                 if fs.exists(jt):
                     fs.delete(jt, True)
                 spark.createDataFrame(
-                    [(0, 0.0, 0)], "n_docs long, avgdl double, n_batches int"
+                    [(0, 0.0, 0, analyzer)],
+                    "n_docs long, avgdl double, n_batches int, analyzer string",
                 ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     erasure.clear_ledger_batches(spark, index_root, ledger_nos)
     return removed

@@ -58,12 +58,15 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2a: MinHash-LSH near-dup ----------------------------------------------
 
 
-def tokenized(docs: DataFrame) -> DataFrame:
+def tokenized(docs: DataFrame, analyzer: str = "standard") -> DataFrame:
     """(doc_id, tokens) — the ONE tokenization every Jaccard pipeline
-    shares. Checkpointed so multi-pipeline consumers (near-dup n=3 +
-    ngram-sim n=2, see `jaccard_suite`) tokenize the corpus exactly once."""
+    shares (functions/text.analyze — the same analyzer family the text
+    index records, so near-dup shingles see "Word." and "word" as the
+    same token on real corpora). Checkpointed so multi-pipeline
+    consumers (near-dup n=3 + ngram-sim n=2, see `jaccard_suite`)
+    tokenize the corpus exactly once."""
     return (
-        docs.withColumn("tokens", tx.words(F.lower("text")))
+        docs.withColumn("tokens", tx.analyze("text", analyzer))
         .select("doc_id", "tokens")
         .localCheckpoint()
     )
@@ -75,7 +78,7 @@ def _shingled(docs: DataFrame, n: int, tokens: DataFrame | None = None) -> DataF
     re-tokenizing — the shared stage between the 0.5-threshold near-dup
     (n=3) and the 0.3-threshold ngram-sim (n=2) pipelines."""
     src = tokens if tokens is not None else docs.withColumn(
-        "tokens", tx.words(F.lower("text"))
+        "tokens", tx.analyze("text")
     ).select("doc_id", "tokens")
     return (
         src.filter(F.size("tokens") >= n)
@@ -222,7 +225,7 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explode + 64 conditional-sum aggregates — scalar codegen, map-side
     partial agg. Rows-only check."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = docs.withColumn("tokens", tx.words(F.lower("text"))).select("doc_id", "tokens")
+    toks = docs.withColumn("tokens", tx.analyze("text")).select("doc_id", "tokens")
     sigs = mh.simhash_cols(toks, "tokens", "doc_id")
     return mh.simhash_candidates(sigs, "doc_id", max_hamming=3)
 
@@ -1660,12 +1663,16 @@ def decontaminate(
     split_docs: DataFrame,
     min_shared: int = 2,
     max_fp_train_df: int = 100,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, text, split['train'|'test']) → contaminated pairs
     (test_doc_id, train_doc_id, n_shared_fps, n_test_fps, overlap_ratio).
-    See q_llm_decontaminate for the scale rationale."""
+    See q_llm_decontaminate for the scale rationale. Fingerprints are
+    computed over ANALYZED tokens (functions/text.analyze) so an eval
+    question matches its corpus twin across punctuation/case variants —
+    the whole point of decontamination on real text."""
     staged = (
-        split_docs.withColumn("tokens", tx.words(F.lower("text")))
+        split_docs.withColumn("tokens", tx.analyze("text", analyzer))
         .filter(F.size("tokens") >= 6)
         .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
     )
@@ -1786,14 +1793,16 @@ def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
     patterns are synthesized per document (gradients derived from
-    doc_id) and shipped as a MIX of containers — P6 PPM for even ranks,
+    doc_id) and shipped as a MIX of containers — P6 PPM (rank mod 3 = 0),
     8-bit RGB PNG (stdlib zlib deflate, r8) with a rotating filter type
-    for odd ranks — all decoded by the genuinely-real path:
+    (rank mod 3 = 1), and baseline JPEG at quality 100 (functions/
+    jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the chroma-upsample path
+    runs too; rank mod 3 = 2) — all decoded by the genuinely-real path:
     functions/multimodal.decode_rgb parses the container and
     image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP ≡ PNG
-    (all five filters) pixel identity, exact channel means, and exact
-    nearest-neighbor resize are pinned in
-    tests/test_multimodal_dedup.py. Rows-only."""
+    (all five filters) pixel identity, exact channel means, exact
+    nearest-neighbor resize, and the JPEG round-trip tolerance are
+    pinned in tests/test_multimodal_dedup.py. Rows-only."""
     import numpy as np
 
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
@@ -1811,9 +1820,13 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         return img
 
     def payload_for(rank: int, doc_id: int) -> bytes:
+        from http_feeds_spark.functions.jpeg import encode_jpeg
+
         img = pixels_for(doc_id)
-        if rank % 2:
+        if rank % 3 == 1:
             return mm.encode_png(img, filter_type=rank % 5)
+        if rank % 3 == 2:
+            return encode_jpeg(img, quality=100, subsample=bool(rank % 2))
         h, w, _ = img.shape
         return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 

@@ -52,6 +52,7 @@ from http_feeds_spark.stores import committed, parquet_exists
 BANDS_DIR = "bands"
 SHINGLES_DIR = "shingles"
 ASSIGNMENT_DIR = "assignment"
+ANALYZER_DIR = "analyzer"
 # bands/shingles are bucketed by doc-id hash so a physical erasure purge
 # rewrites only the buckets holding erased docs (erasure.py tier 2),
 # never the whole append-only store
@@ -132,12 +133,12 @@ def _write_assignment(spark: SparkSession, asg_root: str, asg: DataFrame) -> Non
 _exists = parquet_exists
 
 
-def _shingle_batch(docs: DataFrame) -> DataFrame:
+def _shingle_batch(docs: DataFrame, analyzer: str = "standard") -> DataFrame:
     """(doc_id, shingles) for the batch — same front end as the batch
     near-dup pipeline; checkpointed because it feeds the signature
     aggregate, the verify join, and the store append."""
     return (
-        docs.withColumn("tokens", tx.words(F.lower("text")))
+        docs.withColumn("tokens", tx.analyze("text", analyzer))
         .filter(F.size("tokens") >= SHINGLE_N)
         .withColumn(
             "shingles",
@@ -148,12 +149,59 @@ def _shingle_batch(docs: DataFrame) -> DataFrame:
     )
 
 
-def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> DataFrame:
+def store_analyzer(spark: SparkSession, index_root: str) -> str | None:
+    """The analyzer this dedup index shingles under, or None when the
+    store does not exist yet. Shingle hashes are analyzer-dependent, so
+    every fold MUST tokenize like the first one or cross-batch Jaccard
+    silently degrades — the text-index meta rule, applied here. A store
+    predating the analyzer meta reads as "whitespace_lower" (exactly the
+    pre-analyzer shingle tokenization: lower + single-space split)."""
+    root = index_root.rstrip("/")
+    meta = f"{root}/{ANALYZER_DIR}"
+    if parquet_exists(spark, meta):
+        row = spark.read.parquet(meta).collect()[0]
+        return str(row.analyzer)
+    if _exists(spark, f"{root}/{SHINGLES_DIR}"):
+        return "whitespace_lower"  # legacy store, pre-analyzer tokenization
+    return None
+
+
+def _write_store_analyzer(spark: SparkSession, index_root: str, analyzer: str) -> None:
+    spark.createDataFrame([(analyzer,)], "analyzer string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_root.rstrip('/')}/{ANALYZER_DIR}")
+
+
+def fold_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_root: str,
+    analyzer: str | None = None,
+) -> DataFrame:
     """Fold one batch of (doc_id, text) rows into the index; returns the
     updated (node, component) assignment (also persisted). Idempotent
     per doc id: re-delivered documents are dropped before indexing, so
-    at-least-once upstreams need no external dedup."""
+    at-least-once upstreams need no external dedup.
+
+    Every fold shingles under the store's OWN analyzer (recorded at
+    store creation, see :func:`store_analyzer`): an explicit mismatched
+    ``analyzer`` raises instead of silently hashing incomparable
+    shingles; ``None`` inherits (new stores default to "standard")."""
     bands_path, shingles_path, asg_path = _paths(index_root)
+
+    stored = store_analyzer(spark, index_root)
+    if stored is None:
+        # fresh store: this fold decides the analyzer, recorded FIRST so
+        # a torn fold still pins it for the retry
+        stored = analyzer or "standard"
+        tx._require_analyzer(stored)
+        _write_store_analyzer(spark, index_root, stored)
+    elif analyzer is not None and analyzer != stored:
+        raise ValueError(
+            f"dedup index at {index_root} shingles under analyzer "
+            f"{stored!r} but {analyzer!r} was requested; rebuild the "
+            "store to change analyzers"
+        )
 
     if _exists(spark, shingles_path):
         store = spark.read.parquet(shingles_path)
@@ -169,7 +217,7 @@ def fold_batch(spark: SparkSession, batch_docs: DataFrame, index_root: str) -> D
             )
         seen = store.select("doc_id")
         batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
-    sh_new = _shingle_batch(batch_docs)
+    sh_new = _shingle_batch(batch_docs, stored)
     sig = mh.minhash_signature_cols(sh_new, "shingles", "doc_id", k=MINHASH_K)
     new_bands = mh.band_rows(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS).localCheckpoint()
 
@@ -295,6 +343,11 @@ def migrate_legacy_store(spark: SparkSession, index_root: str) -> dict:
         fs.delete(jlive, True)
         fs.rename(jstage, jlive)
         out[store.rsplit("/", 1)[-1]] = n
+    # a pre-analyzer store shingled under lower + single-space split:
+    # record that explicitly so future folds inherit the right one even
+    # after the implicit legacy inference stops applying
+    if out and store_analyzer(spark, index_root) == "whitespace_lower":
+        _write_store_analyzer(spark, index_root, "whitespace_lower")
     return out
 
 
