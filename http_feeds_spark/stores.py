@@ -191,7 +191,9 @@ def rewrite_partitioned_store(
     from pyspark.sql import functions as F
 
     merged = resume_stage_swap(spark, store_path, "__rewrite_stage")
-    before, _ = data_file_stats(spark, store_path)
+    # one namespace walk serves both the before-count and the dir count
+    # (at a 100K-partition store each listing is a full metadata pass)
+    before, n_dirs = data_file_stats(spark, store_path)
     if not parquet_exists(spark, store_path):
         return 0, 0
     stage = store_path.rstrip("/") + "__rewrite_stage"
@@ -205,7 +207,6 @@ def rewrite_partitioned_store(
             F.xxhash64(F.struct(*[c for c in live.columns if c != part_col])),
             F.lit(target_files),
         )
-        _, n_dirs = data_file_stats(spark, store_path)
         shaped = (
             live.withColumn("__salt", salt)
             # explicit numPartitions: AQE must not coalesce the salted
