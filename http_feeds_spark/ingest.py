@@ -620,6 +620,7 @@ def run_platform(
             dedup_index=dedup_index,
             ann_index=ann_index,
             pq_index=pq_index,
+            landing=landing,
             compact_after=compact_after,
         )
     return out
@@ -634,8 +635,10 @@ def run_maintenance(
     dedup_index: bool = True,
     ann_index: bool = False,
     pq_index: bool = False,
+    landing: bool = True,
     compact_after: int = 16,
     files_per_partition: int = 8,
+    landing_max_files: int = 64,
 ) -> dict:
     """The store-maintenance policy: threshold-triggered compaction +
     vacuum for the platform's append-accumulating stores, so a platform
@@ -744,7 +747,228 @@ def run_maintenance(
             f"{pq_root}/{pqi.CODES_DIR}",
             lambda: pqi.compact_store(spark, pq_root),
         )
+    if landing:
+        # the raw landing zone is the streaming SINK — its file bound
+        # must go through the sink's commit log (r9, compact_landing_files)
+        summary = compact_landing_files(
+            spark, f"{root}/landing", max_files=landing_max_files
+        )
+        if summary["files_before"]:
+            out["landing"] = summary
     return out
+
+
+def _sink_log_state(spark: SparkSession, meta_dir: str):
+    """(fs, entries) for a streaming parquet sink's ``_spark_metadata``
+    commit log: entries maps batch id -> (file name, [SinkFileStatus
+    dicts]). Entry files are written by Spark via temp+rename, so
+    presence = committed. Returns (fs, None) when the log is absent."""
+    import json
+
+    from http_feeds_spark.stores import hadoop_fs
+
+    fs, jmeta = hadoop_fs(spark, meta_dir)
+    if not fs.exists(jmeta):
+        return fs, None
+    jvm = spark.sparkContext._jvm
+    entries: dict[int, tuple[str, list]] = {}
+    for st in fs.listStatus(jmeta):
+        name = st.getPath().getName()
+        base = name[:-8] if name.endswith(".compact") else name
+        if name.startswith(".") or not base.isdigit():
+            continue
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            fs.open(st.getPath()), "UTF-8"
+        )
+        lines = text.splitlines()
+        if not lines or lines[0] != "v1":
+            raise ValueError(
+                f"unrecognized sink log version in {meta_dir}/{name}: "
+                f"{lines[:1]!r} (only v1 is supported)"
+            )
+        entries[int(base)] = (name, [json.loads(ln) for ln in lines[1:] if ln])
+    return fs, entries
+
+
+def _write_sink_log_entry(spark, fs, meta_dir: str, name: str, statuses: list) -> None:
+    """Overwrite one commit-log entry (temp + atomic rename, through the
+    Hadoop FS so checksum sidecars stay consistent). A name that does not
+    parse as a batch id (the .tmp) is invisible to the log reader."""
+    import json
+
+    from http_feeds_spark.stores import hadoop_fs
+
+    _, tmp = hadoop_fs(spark, f"{meta_dir}/.{name}.maint.tmp")
+    _, final = hadoop_fs(spark, f"{meta_dir}/{name}")
+    body = "v1\n" + "".join(
+        json.dumps(s, separators=(",", ":")) + "\n" for s in statuses
+    )
+    out = fs.create(tmp, True)
+    out.write(bytearray(body.encode("utf-8")))
+    out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def compact_landing_files(
+    spark: SparkSession,
+    landing_root: str,
+    *,
+    max_files: int = 64,
+    target_files: int = 4,
+) -> dict:
+    """Small-file compaction for the RAW landing zone — the one store
+    run_maintenance could not bound before r9: the streaming parquet
+    sink lands one file-set per micro-batch forever (a feed-following
+    platform at one catch-up per minute accumulates ~500K files/year),
+    and a naive rewrite would orphan the sink's ``_spark_metadata``
+    commit log, which OWNS file visibility for every log-aware read.
+
+    This rewrite honors the log. The sink reads its view as: the latest
+    compaction entry C (arithmetic from the configured
+    ``spark.sql.streaming.fileSink.log.compactInterval``) plus the delta
+    entries C+1..B. The rewrite therefore (a) rewrites all committed
+    rows into ``target_files`` new data files, (b) rewrites entry C (or
+    entry 0 when no boundary has passed) to list exactly those files and
+    every later delta entry to list nothing, and (c) deletes the old
+    data files. Batch NUMBERING IS PRESERVED — the sink's next
+    micro-batch still lands as B+1 and its own future compactions build
+    on the rewritten entry (pinned in tests by crossing the next
+    boundary after a rewrite). ``rows`` in the summary is re-counted
+    through the log-aware reader AFTER the rewrite, so bit-identity is
+    part of the operation's own contract.
+
+    Crash story (stage -> manifest -> apply, the store convention):
+    new files move into the sink dir FIRST (unreferenced = invisible to
+    log readers), then a manifest commits under
+    ``<raw>__maint_stage/manifest`` (temp+rename) recording the log
+    rewrite and the old files; the log rewrite and old-file deletion
+    re-apply idempotently from the manifest on the next call after a
+    crash at any point. A fresh attempt first deletes any ``maint-*``
+    files the log does not reference (orphans of an attempt that died
+    before its manifest committed).
+
+    Single-maintainer assumption, like every store rewrite here: run
+    from the platform's maintenance pass, never concurrently with the
+    sink or with readers (mid-rewrite a reader can transiently see a
+    mixed file set; note the read MODEL is insensitive even then — its
+    per-subject latest-row window collapses duplicated rows — but raw
+    row counts are not). Returns {"files_before", "files_after",
+    "rows"} (no-op below ``max_files``)."""
+    import json
+
+    from http_feeds_spark.stores import hadoop_fs
+
+    raw, _, _ = _paths(landing_root)
+    meta_dir = f"{raw}/_spark_metadata"
+    fs, entries = _sink_log_state(spark, meta_dir)
+    stage_dir = f"{raw}__maint_stage"
+    manifest_path = f"{stage_dir}/manifest"
+    _, jmanifest = hadoop_fs(spark, manifest_path)
+    _, jstage = hadoop_fs(spark, stage_dir)
+
+    def _apply(man: dict) -> None:
+        """Re-playable post-commit phase: log rewrite + old-file delete."""
+        _write_sink_log_entry(
+            spark, fs, meta_dir, man["list_entry"], man["new_statuses"]
+        )
+        for name in man["empty_entries"]:
+            _write_sink_log_entry(spark, fs, meta_dir, name, [])
+        for p in man["old_paths"]:
+            _, jp = hadoop_fs(spark, p)
+            fs.delete(jp, False)
+        fs.delete(jstage, True)
+
+    if fs.exists(jmanifest):  # resume a torn rewrite, converge first
+        jvm = spark.sparkContext._jvm
+        man = json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(fs.open(jmanifest), "UTF-8")
+        )
+        _apply(man)
+        fs, entries = _sink_log_state(spark, meta_dir)
+
+    if entries is None:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    B = max(entries)
+    interval = int(
+        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
+    )
+    for i, (name, _) in entries.items():
+        if name.endswith(".compact") and (i + 1) % interval != 0:
+            raise ValueError(
+                f"sink log compaction entry {name} does not match the "
+                f"configured compact interval {interval}; refusing to "
+                "rewrite a log whose layout I cannot reproduce"
+            )
+    C = ((B + 1) // interval) * interval - 1  # latest boundary <= B, or -1
+    view_ids = ([C] if C >= 0 else [0]) + list(range((C if C >= 0 else 0) + 1, B + 1))
+    missing = [i for i in view_ids if i not in entries]
+    if missing:
+        raise ValueError(
+            f"sink log at {meta_dir} is missing visible entries {missing}"
+        )
+    old_statuses = [s for i in view_ids for s in entries[i][1] if s.get("action") != "delete"]
+    files_before = len(old_statuses)
+    if files_before <= max_files:
+        return {"files_before": files_before, "files_after": files_before}
+
+    # orphan sweep: maint-* files not referenced by the log are leftovers
+    # of an attempt that died before its manifest committed
+    referenced = {s["path"].rsplit("/", 1)[-1] for s in old_statuses}
+    _, jraw = hadoop_fs(spark, raw)
+    for st in fs.listStatus(jraw):
+        name = st.getPath().getName()
+        if name.startswith("maint-") and name not in referenced:
+            fs.delete(st.getPath(), False)
+
+    rows_df = spark.read.parquet(raw)  # log-aware: exactly the committed rows
+    rows_df.repartition(max(1, target_files)).write.mode("overwrite").parquet(
+        f"{stage_dir}/data"
+    )
+    _, jdata = hadoop_fs(spark, f"{stage_dir}/data")
+    new_statuses = []
+    i = 0
+    for st in fs.listStatus(jdata):
+        fname = st.getPath().getName()
+        if not fname.endswith(".parquet"):
+            continue
+        dst_name = f"maint-{B:06d}-{i:05d}.parquet"
+        _, jdst = hadoop_fs(spark, f"{raw}/{dst_name}")
+        fs.rename(st.getPath(), jdst)
+        dst_st = fs.getFileStatus(jdst)
+        new_statuses.append(
+            {
+                "path": dst_st.getPath().toString(),
+                "size": dst_st.getLen(),
+                "isDir": False,
+                "modificationTime": dst_st.getModificationTime(),
+                "blockReplication": 1,
+                "blockSize": int(dst_st.getBlockSize()),
+                "action": "add",
+            }
+        )
+        i += 1
+
+    man = {
+        "list_entry": entries[C][0] if C >= 0 else entries[0][0],
+        "new_statuses": new_statuses,
+        "empty_entries": [
+            entries[j][0] for j in range((C if C >= 0 else 0) + 1, B + 1)
+        ],
+        "old_paths": [s["path"] for s in old_statuses],
+    }
+    _, jtmp = hadoop_fs(spark, f"{stage_dir}/.manifest.tmp")
+    out = fs.create(jtmp, True)
+    out.write(bytearray(json.dumps(man).encode("utf-8")))
+    out.close()
+    fs.rename(jtmp, jmanifest)  # commit point
+
+    _apply(man)
+    return {
+        "files_before": files_before,
+        "files_after": len(new_statuses),
+        "rows": spark.read.parquet(raw).count(),
+    }
 
 
 def _count_or_zero(spark: SparkSession, path: str) -> int:
