@@ -1,0 +1,247 @@
+"""Platform epochs — cross-store consistent reads for a multi-store
+platform that has NO cross-component transaction by design.
+
+Each store under ``ingest.run_platform`` resumes its own cursor, so a
+reader joining text-index hits against the dedup assignment mid-catch-up
+can see store A at wave N and store B at wave N−1. The classical fix
+without a transaction is the SNAPSHOT TOKEN: after a successful wave the
+platform records every component's read frontier into one committed
+manifest (``<root>/epochs/<n>``), and a reader PINS an epoch — every
+store read then resolves against the frontier that manifest recorded,
+all from the same wave, while later waves land concurrently.
+
+What a frontier is, per store (each already versions its reads):
+
+- text index: the visible posting batch ids — ``text_index.search``
+  takes ``batches=`` and recomputes df/avgdl/N from exactly those dirs;
+- monitor: the visible unit ids — every monitor range read already
+  takes a unit list (``_unit_paths``'s snapshot rule);
+- dedup index: the committed assignment epoch number —
+  ``dedup.read_assignment_epoch`` (folds retain
+  ``ASSIGNMENT_KEEP_EPOCHS`` epochs so a pinned reader survives a
+  concurrent wave);
+- landing zone: the sink commit-log batch id — the pinned read lists
+  files from log entries ≤ that id, the same arithmetic the sink's own
+  reader uses.
+
+Honesty about lifetime: an epoch is a SHORT-LIVED consistency token,
+not time travel. Maintenance compaction (run_maintenance) rewrites the
+batch sets a pin references; a read through a pin whose physical dirs
+are gone raises with the remedy ("pin a newer epoch") — fail-stop,
+never a silently newer answer. Record epochs AFTER maintenance (as
+run_platform does) and pin only for the duration of a query round.
+
+Scale: recording an epoch is a handful of metadata listings plus one
+one-row parquet write; pinned reads add zero shuffles over their live
+counterparts (same plans, explicit path lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from http_feeds_spark.stores import committed, hadoop_fs
+
+EPOCHS_DIR = "epochs"
+
+
+def _epoch_dirs(spark: SparkSession, platform_root: str) -> list[tuple[int, str]]:
+    root = f"{platform_root.rstrip('/')}/{EPOCHS_DIR}"
+    fs, jroot = hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.isdigit() and committed(spark, st.getPath().toString()):
+            out.append((int(name), st.getPath().toString()))
+    return sorted(out)
+
+
+def list_epochs(spark: SparkSession, platform_root: str) -> list[int]:
+    """Committed epoch numbers, ascending."""
+    return [n for n, _ in _epoch_dirs(spark, platform_root)]
+
+
+def record_epoch(
+    spark: SparkSession, platform_root: str, *, keep_epochs: int = 8
+) -> dict:
+    """Capture every component's CURRENT read frontier as epoch N
+    (max committed + 1) and commit it as one one-row parquet manifest.
+    Components whose store is absent record an empty frontier (readers
+    of that component raise store-absent exactly like live reads).
+    Retention: epochs ≤ N − keep_epochs are deleted — the epoch store
+    itself must not become the next unbounded directory."""
+    from http_feeds_spark import ingest
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.stores import parquet_exists
+    from http_feeds_spark.streaming import dedup as sd
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = platform_root.rstrip("/")
+
+    text_batches: list[int] = []
+    if parquet_exists(spark, f"{root}/text_index/{ti.META_DIR}"):
+        text_batches = ti.visible_batches(spark, f"{root}/text_index")
+    monitor_units = mon.visible_units(spark, f"{root}/monitor")
+    asg_epochs = sd._complete_epochs(spark, f"{root}/dedup_index/{sd.ASSIGNMENT_DIR}")
+    dedup_epoch = asg_epochs[-1][0] if asg_epochs else -1
+    _, entries = ingest._sink_log_state(
+        spark, f"{root}/landing/raw/_spark_metadata"
+    )
+    landing_batch = max(entries) if entries else -1
+
+    prior = _epoch_dirs(spark, platform_root)
+    n = (prior[-1][0] + 1) if prior else 0
+    rec = {
+        "epoch": n,
+        "text_batches": sorted(text_batches),
+        "monitor_units": sorted(monitor_units),
+        "dedup_epoch": dedup_epoch,
+        "landing_batch": landing_batch,
+    }
+    spark.createDataFrame(
+        [
+            (
+                n,
+                rec["text_batches"],
+                rec["monitor_units"],
+                dedup_epoch,
+                landing_batch,
+            )
+        ],
+        "epoch int, text_batches array<int>, monitor_units array<int>, "
+        "dedup_epoch int, landing_batch int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{EPOCHS_DIR}/{n:06d}"
+    )
+    fs, _ = hadoop_fs(spark, root)
+    for old_n, path in prior:
+        if old_n <= n - keep_epochs:
+            _, jp = hadoop_fs(spark, path)
+            fs.delete(jp, True)
+    return rec
+
+
+class PlatformEpoch:
+    """A pinned epoch: every read resolves against the recorded wave-N
+    frontier. Construct via :func:`pin`."""
+
+    def __init__(self, spark: SparkSession, platform_root: str, rec):
+        self.spark = spark
+        self.root = platform_root.rstrip("/")
+        self.epoch = int(rec.epoch)
+        self.text_batches = [int(b) for b in rec.text_batches]
+        self.monitor_units = [int(u) for u in rec.monitor_units]
+        self.dedup_epoch = int(rec.dedup_epoch)
+        self.landing_batch = int(rec.landing_batch)
+
+    def text_search(self, terms: list[str], k: int = 10) -> DataFrame:
+        from http_feeds_spark.operators import text_index as ti
+
+        return ti.search(
+            self.spark, f"{self.root}/text_index", terms, k=k,
+            batches=self.text_batches,
+        )
+
+    def monitor_stats(self) -> DataFrame:
+        """(batch, n_docs, n_tokens, n_chars, short_docs) over exactly
+        the pinned units, resolved through the monitor's own snapshot
+        rule (a pinned unit later covered by a compaction still serves
+        from its raw dir until vacuum; gone raises)."""
+        from pyspark.sql import functions as F
+
+        from http_feeds_spark.streaming import monitor as mon
+
+        if not self.monitor_units:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no monitor units")
+        mon_root = f"{self.root}/monitor"
+        paths = mon._unit_paths(self.spark, mon_root, self.monitor_units, mon.STATS_DIR)
+        frames = []
+        raw_paths = [p for p in paths if f"/{mon.MERGED_DIR}/" not in p]
+        if raw_paths:
+            frames.append(
+                self.spark.read.option(
+                    "basePath", f"{mon_root}/{mon.STATS_DIR}"
+                ).parquet(*raw_paths)
+            )
+        for u, p in zip(self.monitor_units, paths):
+            if f"/{mon.MERGED_DIR}/" in p:
+                frames.append(
+                    self.spark.read.parquet(p).withColumn(
+                        "batch", F.lit(u).cast("int")
+                    )
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def dedup_assignment(self) -> DataFrame:
+        from http_feeds_spark.streaming import dedup as sd
+
+        if self.dedup_epoch < 0:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no dedup assignment")
+        return sd.read_assignment_epoch(
+            self.spark, f"{self.root}/dedup_index", self.dedup_epoch
+        )
+
+    def landing(self) -> DataFrame:
+        """The raw landing rows as of the pinned sink batch: files listed
+        by the commit-log view at that batch id (latest compaction entry
+        ≤ pin, plus deltas up to it — the sink reader's own arithmetic)."""
+        from http_feeds_spark import ingest
+
+        if self.landing_batch < 0:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no landing batches")
+        spark = self.spark
+        raw = f"{self.root}/landing/raw"
+        _, entries = ingest._sink_log_state(spark, f"{raw}/_spark_metadata")
+        if entries is None:
+            raise FileNotFoundError(f"no landing sink log under {raw}")
+        B = self.landing_batch
+        interval = int(
+            spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
+        )
+        C = ((B + 1) // interval) * interval - 1
+        view_ids = ([C] if C >= 0 else [0]) + list(
+            range((C if C >= 0 else 0) + 1, B + 1)
+        )
+        missing = [i for i in view_ids if i not in entries]
+        if missing:
+            raise ValueError(
+                f"landing log entries {missing} of the pinned epoch are "
+                "gone (retention or maintenance); pin a newer epoch"
+            )
+        files = [
+            s["path"]
+            for i in view_ids
+            for s in entries[i][1]
+            if s.get("action") != "delete"
+        ]
+        if not files:
+            return spark.read.parquet(raw).limit(0)
+        return spark.read.parquet(*files)
+
+
+def pin(
+    spark: SparkSession, platform_root: str, epoch: int | None = None
+) -> PlatformEpoch:
+    """Pin an epoch (default: the latest committed). Raises when none
+    exist or the requested one is outside the retention window."""
+    dirs = _epoch_dirs(spark, platform_root)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed epochs under {platform_root}/{EPOCHS_DIR}; "
+            "run_platform records one per wave"
+        )
+    have = dict(dirs)
+    if epoch is None:
+        epoch = dirs[-1][0]
+    if epoch not in have:
+        raise ValueError(
+            f"epoch {epoch} is outside the retention window "
+            f"(have {sorted(have)}); pin a newer epoch"
+        )
+    rec = spark.read.parquet(have[epoch]).collect()[0]
+    return PlatformEpoch(spark, platform_root, rec)

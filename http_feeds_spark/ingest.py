@@ -529,6 +529,7 @@ def run_platform(
     rebuild_clusters_after_purge: bool = False,
     compact: bool = True,
     compact_after: int | None = 16,
+    record_epochs: bool = True,
     doc_id_field: str = "doc_id",
     text_field: str = "text",
     vec_field: str = "embedding",
@@ -567,7 +568,15 @@ def run_platform(
     compacted (text_index.compact_postings / monitor.compact_batches —
     both crash-safe by their manifest protocols, answers bit-identical)
     and vacuumed. None disables, for callers scheduling maintenance at
-    their own granularity. Returns the per-component summaries."""
+    their own granularity.
+
+    Epochs (r9): after a successful wave (and after maintenance, so the
+    recorded frontier survives it) every component's read frontier is
+    committed as ``<root>/epochs/<n>`` (http_feeds_spark/epochs.py) —
+    a reader that pins epoch N sees EVERY store at wave N while wave
+    N+1 lands concurrently: the platform's cross-store consistency
+    token without a cross-component transaction. ``record_epochs=False``
+    disables. Returns the per-component summaries (+ the epoch record)."""
     root = platform_root.rstrip("/")
     out: dict = {"platform_root": platform_root}
     if landing:
@@ -623,6 +632,12 @@ def run_platform(
             landing=landing,
             compact_after=compact_after,
         )
+    if record_epochs:
+        # AFTER maintenance, so the recorded frontier names the
+        # post-compaction batch/unit ids a pinned reader can still open
+        from http_feeds_spark import epochs
+
+        out["epoch"] = epochs.record_epoch(spark, platform_root)
     return out
 
 

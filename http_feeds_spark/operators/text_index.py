@@ -440,6 +440,7 @@ def search(
     k1: float = K1,
     b: float = B,
     analyzer: str | None = None,
+    batches: list[int] | None = None,
 ) -> DataFrame:
     """SEARCH-ONLY BM25 against the prebuilt index: reads prune to the
     query terms' bucket directories (≤ |terms| of N_BUCKETS), idf comes
@@ -453,7 +454,15 @@ def search(
     query terms or it silently misses (the classical analyzer-mismatch
     bug class). A term that analyzes to several tokens ("Don't" →
     don, t) queries as those tokens. ``analyzer`` is a conformance
-    assertion only: passing one that differs from the index's raises."""
+    assertion only: passing one that differs from the index's raises.
+
+    ``batches`` pins an AS-OF read (the platform-epoch reader,
+    http_feeds_spark/epochs.py): exactly those posting batch dirs are
+    read — later upserts invisible — and df/avgdl/N recompute from the
+    pinned postings (the existing heal path), so the answer is the one
+    the same query gave when that batch set WAS the visible frontier.
+    A pinned batch that a later compaction has vacuumed raises (an
+    epoch pin is a short-lived consistency token, not time travel)."""
     post_path, terms_path, meta_path = _paths(index_root)
     if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
@@ -464,17 +473,32 @@ def search(
     terms = tx.tokenize_query(terms, stored_analyzer)
     if not terms:  # every query term analyzed away (pure punctuation)
         return spark.createDataFrame([], "doc_id long, score double, rank int")
-    post_df, n_batches = _visible_postings(spark, post_path)
-    if post_df is None:
-        if n == 0:
-            # fully-purged index: every document was erased and physically
-            # removed — an empty corpus answers every query with no hits
+    if batches is not None:
+        if not batches:  # pinned before the first batch: empty index
             return spark.createDataFrame([], "doc_id long, score double, rank int")
-        raise FileNotFoundError(
-            f"no committed posting batches at {index_root} (stale or "
-            "incompatible layout); rebuild with build_text_index"
-        )
-    stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
+        paths = [f"{post_path}/batch={no:06d}" for no in sorted(set(batches))]
+        for no, p in zip(sorted(set(batches)), paths):
+            if not committed(spark, p):
+                raise ValueError(
+                    f"posting batch {no} of the pinned epoch was compacted "
+                    f"away at {index_root}; pin a newer epoch"
+                )
+        post_df = spark.read.option("basePath", post_path).parquet(*paths)
+        n_batches = len(paths)
+        stale = True  # recompute df/avgdl/N from exactly the pinned postings
+    else:
+        post_df, n_batches = _visible_postings(spark, post_path)
+        if post_df is None:
+            if n == 0:
+                # fully-purged index: every document was erased and
+                # physically removed — an empty corpus answers every
+                # query with no hits
+                return spark.createDataFrame([], "doc_id long, score double, rank int")
+            raise FileNotFoundError(
+                f"no committed posting batches at {index_root} (stale or "
+                "incompatible layout); rebuild with build_text_index"
+            )
+        stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
     erased = erasure.erased_ids(spark, index_root)
     if erased is not None:
         # logical-erasure window (ledger set, purge not yet run): erased

@@ -114,6 +114,14 @@ def _read_assignment_or_none(spark: SparkSession, asg_root: str) -> DataFrame | 
     return spark.read.parquet(epochs[-1][1]) if epochs else None
 
 
+# how many committed assignment epochs survive each fold's cleanup:
+# the current one plus (ASSIGNMENT_KEEP_EPOCHS - 1) predecessors, so a
+# reader pinned to the previous epoch (http_feeds_spark/epochs.py)
+# survives one concurrent wave — the platform's cross-store consistency
+# window. Raising it trades disk for a longer pin horizon.
+ASSIGNMENT_KEEP_EPOCHS = 2
+
+
 def _write_assignment(spark: SparkSession, asg_root: str, asg: DataFrame) -> None:
     epochs = _complete_epochs(spark, asg_root)
     new = (epochs[-1][0] + 1) if epochs else 0
@@ -122,8 +130,28 @@ def _write_assignment(spark: SparkSession, asg_root: str, asg: DataFrame) -> Non
     fs, root = _hadoop_path(spark, asg_root)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if st.isDirectory() and name.isdigit() and int(name) < new:
+        if (
+            st.isDirectory()
+            and name.isdigit()
+            and int(name) <= new - ASSIGNMENT_KEEP_EPOCHS
+        ):
             fs.delete(st.getPath(), True)
+
+
+def read_assignment_epoch(spark: SparkSession, index_root: str, epoch: int) -> DataFrame:
+    """The (node, component) assignment AS OF a specific epoch — the
+    pinned read the platform-epoch reader uses. Epochs older than the
+    retention window (ASSIGNMENT_KEEP_EPOCHS) are deleted by later
+    folds; reading one raises with the remedy rather than silently
+    serving a newer clustering."""
+    _, _, asg_path = _paths(index_root)
+    have = dict(_complete_epochs(spark, asg_path))
+    if epoch not in have:
+        raise ValueError(
+            f"assignment epoch {epoch} at {index_root} is outside the "
+            f"retention window (have {sorted(have)}); pin a newer epoch"
+        )
+    return spark.read.parquet(have[epoch])
 
 
 # store probing shared with operators/ann_index.py — see stores.py for

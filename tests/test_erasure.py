@@ -382,13 +382,33 @@ def test_run_platform_one_call_end_to_end(spark, tmp_path):
                 {"doc_id": i, "text": f"window filter merge body{i} tail{i}"},
             )
         state.append("org.example.document", "0", None, method="DELETE")
+        # wave 1 recorded epoch 0: pin it BEFORE wave 2 lands
+        from http_feeds_spark import epochs
+
+        assert out["epoch"]["epoch"] == 0
+        pinned = epochs.pin(spark, root, 0)
+        wave1_hits = {r.doc_id for r in pinned.text_search(["window"], k=10).collect()}
+        assert wave1_hits == {0, 2, 3, 4}
+
         out2 = ingest.run_platform(spark, url, root)
         assert out2["landing"]["compacted_rows"] == 6  # 8 docs - 2 tombstoned
+        assert out2["epoch"]["epoch"] == 1
         hits2 = {
             r.doc_id
             for r in ti.search(spark, f"{root}/text_index", ["window"], k=10).collect()
         }
         assert hits2 == {2, 3, 4, 5, 6, 7}
+        # erasure TRUMPS the pin: wave 2 physically purged doc 0, which
+        # rewrote (and vacuumed) the batch the epoch-0 pin references —
+        # the pinned read fails stop instead of resurrecting erased data
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pin a newer epoch"):
+            pinned.text_search(["window"], k=10).collect()
+        p1 = epochs.pin(spark, root, 1)
+        assert {
+            r.doc_id for r in p1.text_search(["window"], k=10).collect()
+        } == hits2
         for store_root in (f"{root}/text_index", f"{root}/dedup_index"):
             assert erasure.erased_ids(spark, store_root) is None  # purged + cleared
     finally:

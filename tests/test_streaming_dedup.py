@@ -223,9 +223,12 @@ def test_torn_assignment_write_never_loses_prior_clusters(spark, sf_dir, tmp_pat
         ).collect()
     }
     assert got == want
-    # exactly one committed epoch remains after cleanup
+    # the retention window remains after cleanup: the reclaimed slot
+    # plus its predecessor (ASSIGNMENT_KEEP_EPOCHS=2 — r9 keeps one
+    # prior epoch so a platform-epoch pin survives a concurrent wave)
     assert [d for d in sorted(os.listdir(asg_root)) if d.isdigit()] == [
-        f"{int(latest) + 1:06d}"
+        latest,
+        f"{int(latest) + 1:06d}",
     ]
 
 
