@@ -68,6 +68,9 @@ def register_pipeline_views(
     SQL-vs-operator result equality is pinned in
     tests/test_sql_surface.py. Assumes/refreshes the ``documents`` view
     (register_views also creates it)."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.functions import text as tx
     from http_feeds_spark.operators import chunking, datacard, retrieval
 
     docs = load_table(spark, sf_dir, "documents")
@@ -77,4 +80,149 @@ def register_pipeline_views(
     )
     datacard.data_card(docs).createOrReplaceTempView("data_card")
     retrieval.bm25_term_scores(docs).createOrReplaceTempView("bm25_scores")
-    return ["documents", "chunks", "data_card", "bm25_scores"]
+    # (doc_id, pos, term) occurrence rows under the shared analyzer —
+    # the base relation the positional SQL search functions query
+    docs.select(
+        F.col("doc_id"),
+        F.posexplode(tx.analyze("text")).alias("pos", "term"),
+    ).createOrReplaceTempView("positional_postings")
+    return ["documents", "chunks", "data_card", "bm25_scores", "positional_postings"]
+
+
+def _sql_analyze_tokens(terms_expr: str, analyzer: str) -> str:
+    """The SQL twin of functions/text.tokenize_query over an
+    ARRAY<STRING> expression: each element re-tokenizes under the
+    analyzer and the flat in-order token array comes back — so a SQL
+    query term 'Don''t' matches exactly how the corpus side was
+    analyzed. Spark/Java regex; equivalence with the Python/DataFrame
+    twins is pinned in tests/test_sql_surface.py."""
+    from http_feeds_spark.functions import text as tx
+
+    tx._require_analyzer(analyzer)
+    if analyzer == "standard":
+        split = f"split(lower(t), '[^\\\\p{{L}}\\\\p{{N}}]+')"
+    elif analyzer == "whitespace_lower":
+        split = "split(lower(t), ' ')"
+    else:  # whitespace
+        split = "split(t, ' ')"
+    return f"filter(flatten(transform({terms_expr}, t -> {split})), x -> x <> '')"
+
+
+def register_search_functions(spark: SparkSession, analyzer: str = "standard") -> list[str]:
+    """Make the parameterized searches ``spark.sql``-REACHABLE — a
+    SQL-first user issues a query with terms as arguments, no Python in
+    the loop (closes the r8 gap where only fixed views existed):
+
+        SELECT * FROM bm25_search(array('window', 'filter'), 10)
+        SELECT * FROM phrase_search(array('window filter merge'), 5)
+        SELECT * FROM proximity_search_any(array('window','merge'), 2, 5)
+
+    SQL table functions (Spark 4 ``CREATE TEMPORARY FUNCTION ... RETURNS
+    TABLE``) over the lazy pipeline views, so everything stays one
+    Catalyst plan — no UDTF, no Python worker, no materialization at
+    registration. Query terms pass through the SAME analyzer as the
+    corpus side inside the SQL itself (:func:`_sql_analyze_tokens`).
+    ``LIMIT`` cannot take a function argument, so top-k is the rank
+    window + ``rank <= k`` filter — the same (score desc, doc_id asc)
+    contract as the operators.
+
+    Semantics ≡ the operators, pinned in tests/test_sql_surface.py:
+    ``bm25_search`` reproduces retrieval.bm25_topk exactly (same 9-dp
+    decimal partial-sum recipe over the ``bm25_scores`` view);
+    ``phrase_search`` is the arity-agnostic shifted-intersection — a
+    start s matches when every phrase offset i has its token at s+i
+    (GROUP BY (doc, pos−i) HAVING COUNT(DISTINCT i) = m) — equal to the
+    positional-index operator on the same corpus; ``proximity_search_any``
+    is the minimal-covering-window sweep as a windowed self-join (for
+    each occurrence p and term t the latest occurrence of t in
+    [p−win, p]; all m present ⇒ span = p − min last_t), the documented
+    equivalence of text_index.proximity_search_any's running-max form.
+    The ORDERED proximity walk stays Python-only (its greedy
+    earliest-next recursion is not arity-agnostic SQL).
+
+    Requires :func:`register_pipeline_views` (the ``bm25_scores`` and
+    ``positional_postings`` views) registered with the SAME analyzer.
+    A query that analyzes to zero tokens returns zero rows (the
+    operator raises — SQL functions prefer empty over error)."""
+    toks = _sql_analyze_tokens("terms", analyzer)
+    phrase_toks = _sql_analyze_tokens("phrase", analyzer)
+
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION bm25_search(terms ARRAY<STRING>, k INT)
+      RETURNS TABLE (doc_id BIGINT, score DOUBLE, rank INT)
+      RETURN
+      WITH q AS (SELECT DISTINCT explode({toks}) AS term),
+      scored AS (
+        SELECT doc_id,
+               CAST(ROUND(SUM(CAST(score AS DECIMAL(38,9))), 6) AS DOUBLE) AS score
+        FROM bm25_scores WHERE term IN (SELECT term FROM q)
+        GROUP BY doc_id
+      )
+      SELECT doc_id, score, rank FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= k
+    """)
+
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION phrase_search(phrase ARRAY<STRING>, k INT)
+      RETURNS TABLE (doc_id BIGINT, n_matches INT, rank INT)
+      RETURN
+      WITH q AS (SELECT posexplode({phrase_toks}) AS (i, term)),
+      starts AS (
+        SELECT p.doc_id, p.pos - q.i AS start
+        FROM positional_postings p JOIN q ON p.term = q.term
+        GROUP BY p.doc_id, p.pos - q.i
+        HAVING COUNT(DISTINCT q.i) = (SELECT COUNT(*) FROM q)
+      ),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches FROM starts GROUP BY doc_id
+      )
+      SELECT doc_id, n_matches, rank FROM (
+        SELECT doc_id, n_matches,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id ASC) AS INT) AS rank
+        FROM hits
+      ) WHERE rank <= k
+    """)
+
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION proximity_search_any(
+        terms ARRAY<STRING>, slop INT, k INT)
+      RETURNS TABLE (doc_id BIGINT, n_matches INT, best_span INT, score DOUBLE, rank INT)
+      RETURN
+      WITH q AS (SELECT DISTINCT explode({toks}) AS term),
+      m AS (SELECT COUNT(*) AS m FROM q),
+      occ AS (
+        SELECT p.doc_id, p.term, p.pos
+        FROM positional_postings p JOIN q ON p.term = q.term
+      ),
+      -- the function argument (slop) may only appear in WHERE/HAVING
+      -- inside a SQL function body, so the window bound filters there
+      cand AS (
+        SELECT o1.doc_id, o1.pos AS p, o2.term, MAX(o2.pos) AS last_t
+        FROM occ o1 JOIN occ o2 ON o2.doc_id = o1.doc_id
+        WHERE o2.pos BETWEEN o1.pos - ((SELECT m FROM m) - 1 + slop) AND o1.pos
+        GROUP BY o1.doc_id, o1.pos, o2.term
+      ),
+      spans AS (
+        SELECT doc_id, p, CAST(p - MIN(last_t) AS INT) AS span
+        FROM cand GROUP BY doc_id, p
+        HAVING COUNT(*) = (SELECT m FROM m)
+      ),
+      hits AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_matches,
+               CAST(MIN(span) AS INT) AS best_span,
+               ROUND(SUM(CAST(1.0 AS DOUBLE)
+                         / (CAST(1.0 AS DOUBLE) + span - (SELECT m - 1 FROM m))),
+                     6) AS score
+        FROM spans GROUP BY doc_id
+      )
+      SELECT doc_id, n_matches, best_span, score, rank FROM (
+        SELECT doc_id, n_matches, best_span, CAST(score AS DOUBLE) AS score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM hits
+      ) WHERE rank <= k
+    """)
+    return ["bm25_search", "phrase_search", "proximity_search_any"]

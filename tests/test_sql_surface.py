@@ -67,7 +67,9 @@ def test_pipeline_views_equal_operator_api(spark, sf_dir):
     from http_feeds_spark.operators import retrieval as rt
 
     names = esql.register_pipeline_views(spark, sf_dir)
-    assert set(names) == {"documents", "chunks", "data_card", "bm25_scores"}
+    assert set(names) == {
+        "documents", "chunks", "data_card", "bm25_scores", "positional_postings"
+    }
     docs = spark.table("documents")
 
     want_chunks = {
@@ -129,3 +131,69 @@ def test_bm25_scores_view_is_lazy_and_term_filter_prunes(spark, sf_dir):
     agg_pos = p.find("Aggregate")
     assert agg_pos != -1
     assert re.search(r"Filter .*the.*", p[agg_pos:]), p
+
+
+def test_sql_search_functions_equal_operators(spark, sf_dir, tmp_path):
+    """r9: the parameterized searches are spark.sql-REACHABLE — a SQL
+    user passes terms as function arguments and gets the operator's
+    exact answers (bm25: bit-exact incl. the decimal summation recipe;
+    phrase: shifted-intersection == the positional-index operator on the
+    same corpus; unordered proximity: the windowed-join sweep == the
+    running-max operator)."""
+    from http_feeds_spark.operators import retrieval as rt
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.sources.tables import load_table
+
+    esql.register_pipeline_views(spark, sf_dir)
+    fns = esql.register_search_functions(spark)
+    assert set(fns) == {"bm25_search", "phrase_search", "proximity_search_any"}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, root)
+
+    # bm25: SQL fn == the per-query operator (bit-exact scores)
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in spark.sql(
+            "SELECT * FROM bm25_search(array('window', 'filter', 'merge'), 10)"
+        ).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.rank)
+        for r in rt.bm25_topk(docs, ["window", "filter", "merge"], k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # phrase: SQL fn == the positional-index operator, including a
+    # multi-word term (tokenize_query expansion inside the SQL)
+    for phrase in (["window", "filter"], ["window filter"]):
+        got_p = [
+            (r.doc_id, r.n_matches)
+            for r in spark.sql(
+                "SELECT doc_id, n_matches FROM phrase_search("
+                + "array(" + ",".join(f"'{t}'" for t in phrase) + "), 20)"
+            ).collect()
+        ]
+        want_p = [
+            (r.doc_id, r.n_matches)
+            for r in ti.phrase_search(spark, root, phrase, k=20).collect()
+        ]
+        assert got_p == want_p and len(got_p) > 0, phrase
+
+    # unordered proximity: SQL sweep == the running-max operator
+    got_x = [
+        (r.doc_id, r.n_matches, r.best_span, r.score)
+        for r in spark.sql(
+            "SELECT doc_id, n_matches, best_span, score "
+            "FROM proximity_search_any(array('window', 'merge'), 2, 20)"
+        ).collect()
+    ]
+    want_x = [
+        (r.doc_id, r.n_matches, r.best_span, r.score)
+        for r in ti.proximity_search_any(spark, root, ["window", "merge"], slop=2, k=20).collect()
+    ]
+    assert got_x == want_x and len(got_x) > 0
+
+    # terms that analyze to nothing: empty result, not an error
+    assert spark.sql("SELECT * FROM bm25_search(array('...'), 5)").count() == 0
+    assert spark.sql("SELECT * FROM phrase_search(array('...'), 5)").count() == 0
