@@ -48,16 +48,20 @@ def suggest_params(
     growth: float = 4.0,
     pq_bytes: int | None = None,
     residual: bool = False,
+    nlist: int | None = None,
 ) -> dict:
     """Closed-form starting parameters for a corpus of ``n_vectors``
     ``dim``-dimensional embeddings. Returns {"nlist", "m", "ksub"}
     (m/ksub only when ``pq_bytes`` is given — the per-vector code
-    budget in bytes). Deterministic; validated by validate_pq_params
-    before returning."""
+    budget in bytes). An explicit ``nlist`` is kept verbatim and the
+    residual ksub sizes against ITS per-cluster population — the
+    mixed-explicit case the r9 auto-param builders hit. Deterministic;
+    validated by validate_pq_params before returning."""
     if n_vectors <= 0 or dim <= 0:
         raise ValueError("n_vectors and dim must be positive")
-    nlist = max(1, int(round(growth * math.sqrt(n_vectors))))
-    nlist = min(nlist, max(1, n_vectors // MIN_POINTS_PER_CENTROID))
+    if nlist is None:
+        nlist = max(1, int(round(growth * math.sqrt(n_vectors))))
+        nlist = min(nlist, max(1, n_vectors // MIN_POINTS_PER_CENTROID))
     out: dict = {"nlist": nlist}
     if pq_bytes is not None:
         m = max(

@@ -107,7 +107,7 @@ def build_index(
     emb: DataFrame,
     index_root: str,
     *,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -117,8 +117,20 @@ def build_index(
     One Lloyd training (functions/kmeans.py — deterministic, so rebuilds
     are bit-identical), one map-only assignment pass, one write of the
     corpus clustered into ``cluster=N/`` partition directories. Write
-    order is the crash story (module docstring): centroids land last."""
+    order is the crash story (module docstring): centroids land last.
+
+    ``k=None`` (the r9 default) sizes nlist from the corpus itself —
+    vectuner.suggest_params' nlist ≈ growth·√N capped at N/39 training
+    points per centroid — so a full-corpus build needs no magic number
+    (the knob a 100 TB user gets wrong first). An explicit ``k`` is
+    honored verbatim: the feed-bootstrap path (ingest.run_ann_index)
+    deliberately passes one, because sizing from the FIRST BATCH of a
+    growing feed would freeze a too-small quantizer."""
     cent_path, corpus_path = _paths(index_root)
+    if k is None:
+        from http_feeds_spark.functions.vectuner import suggest_params
+
+        k = suggest_params(emb.count(), 1)["nlist"]  # dim irrelevant sans PQ
     cents = km.kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
     (
         km.assign_clusters(emb, cents, vec_col)

@@ -99,18 +99,35 @@ def build_pq_index(
     emb: DataFrame,
     index_root: str,
     *,
-    nlist: int = 16,
-    m: int = 4,
-    ksub: int = 16,
+    nlist: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    pq_bytes: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    validate: bool = True,
 ) -> None:
     """Train coarse quantizer + m sub-codebooks, encode the corpus, and
     persist all three stores. Every pass is linear and map-only after
     its (model-sized) training collects; the corpus is read twice
     (train, encode+assign) and written once as codes.
+
+    Parameters default to AUTO (r9): any of nlist/m/ksub left None is
+    filled from vectuner.suggest_params over the corpus's own (N, dim)
+    — nlist ≈ growth·√N capped at 39 training points per centroid, m =
+    the largest divisor of dim within the ``pq_bytes`` per-vector code
+    budget, ksub = the largest power of two the (flat or per-cluster
+    residual) training population supports at ≥4 points per codeword.
+    ``validate=True`` (default) runs vectuner.validate_pq_params on the
+    FINAL parameters, explicit or suggested — the refuse-loudly gate
+    against silently-rotten codebooks (ksub above the training
+    population trains duplicate/empty codewords; recall degrades with
+    no error anywhere). The feed-bootstrap path (ingest.run_pq_index)
+    passes ``validate=False`` deliberately: it trains from the FIRST
+    batch of a growing feed, where under-populated codebooks are the
+    documented bootstrap trade, not a configuration mistake.
 
     ``residual=True`` trains the codebooks on COARSE RESIDUALS
     (x − centroid(cluster(x))) — the paper's §V.B refinement: residuals
@@ -122,7 +139,23 @@ def build_pq_index(
     retrains both together), and search computes its ADC table per
     (query, probed cluster) pair instead of once per query — nprobe×
     the (model-sized) table work, identical code-scan bytes."""
+    from http_feeds_spark.functions import vectuner as vt
+
     codes_path, books_path, cent_path = _paths(index_root)
+    if nlist is None or m is None or ksub is None or validate:
+        n_vectors = emb.count()
+        dim = len(emb.select(vec_col).first()[0])
+        if nlist is None or m is None or ksub is None:
+            suggested = vt.suggest_params(
+                n_vectors, dim, pq_bytes=pq_bytes, residual=residual, nlist=nlist
+            )
+            nlist = suggested["nlist"]
+            m = m if m is not None else suggested["m"]
+            ksub = ksub if ksub is not None else suggested["ksub"]
+        if validate:
+            vt.validate_pq_params(
+                n_vectors, dim, nlist=nlist, m=m, ksub=ksub, residual=residual
+            )
     cents = km.kmeans_centroids(emb, id_col, vec_col, k=nlist, iters=iters)
     assigned = km.assign_clusters(emb, cents, vec_col)
     if residual:

@@ -105,3 +105,82 @@ def test_tune_nprobe_pq_tier(spark, tmp_path):
     out = vt.tune_nprobe(spark, root, queries, tier="pq", k=10, target_recall=0.9)
     assert out["recall"] >= 0.9
     assert out["nprobe"] < p["nlist"]  # clustered data: pruning is safe
+
+
+def test_build_with_defaults_auto_params(spark, tmp_path):
+    """r9 wiring: build_index / build_pq_index with NO explicit params
+    size themselves from the corpus (verdict done-criteria: recall@10 of
+    the auto build >= the hand-picked fixture's)."""
+    import math
+
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _clustered(spark)
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # IVF: auto nlist lands at the suggest_params value
+    auto_root = str(tmp_path / "ann_auto")
+    ai.build_index(spark, emb, auto_root, iters=3)
+    auto_nlist = len(ai.load_centroids(spark, auto_root))
+    assert auto_nlist == vt.suggest_params(n, 16)["nlist"]
+
+    # exact ground truth: the IVF index probed at full width IS
+    # exhaustive exact search — one frame both PQ variants score against
+    exact = ai.search(spark, queries, auto_root, k=10, nprobe=auto_nlist)
+    exact = exact.localCheckpoint()
+
+    # PQ: full auto (nlist, m, ksub all suggested) builds and validates
+    pq_auto = str(tmp_path / "pq_auto")
+    pqi.build_pq_index(spark, emb, pq_auto, iters=3)
+    cents, books, residual = pqi.load_model(spark, pq_auto)
+    sugg = vt.suggest_params(n, 16, pq_bytes=8)
+    assert len(cents) == sugg["nlist"]
+    assert len(books) == sugg["m"] and len(books[0]) == sugg["ksub"]
+
+    # the verdict's done-criteria: auto-params recall@10 (vs EXACT
+    # neighbors, both tiers at full probe so only code quality differs)
+    # >= the hand-picked fixture's m=4/ksub=16
+    pq_hand = str(tmp_path / "pq_hand")
+    pqi.build_pq_index(spark, emb, pq_hand, nlist=4, m=4, ksub=16, iters=3)
+
+    def pq_recall(root):
+        nlist = len(pqi.load_model(spark, root)[0])
+        approx = pqi.search(spark, queries, root, k=10, nprobe=nlist)
+        return vt._recall_at_k(approx, exact, 10)
+
+    assert pq_recall(pq_auto) >= pq_recall(pq_hand)
+
+    # mixed explicit/auto: explicit nlist kept, residual ksub sized
+    # against ITS per-cluster population
+    pq_mixed = str(tmp_path / "pq_mixed")
+    pqi.build_pq_index(spark, emb, pq_mixed, nlist=4, residual=True, iters=2)
+    cents_m, books_m, _ = pqi.load_model(spark, pq_mixed)
+    assert len(cents_m) == 4
+    assert len(books_m[0]) * 4 <= n / 4  # >= 4 residuals per codeword
+
+
+def test_build_pq_validates_explicit_params(spark, tmp_path):
+    """The refuse-loudly gate now runs on every build: an explicit ksub
+    above the training population raises; validate=False (the documented
+    feed-bootstrap escape) builds anyway."""
+    import pytest as _pytest
+
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _clustered(spark, n_clusters=4, per=10)  # 40 vectors
+    root = str(tmp_path / "pq")
+    with _pytest.raises(ValueError, match="ksub"):
+        pqi.build_pq_index(spark, emb, root, nlist=4, m=4, ksub=64, iters=1)
+    with _pytest.raises(ValueError, match="ksub"):
+        # flat would pass (40 >= 8); residual population is 40/8 = 5
+        pqi.build_pq_index(
+            spark, emb, root, nlist=8, m=4, ksub=8, residual=True, iters=1
+        )
+    pqi.build_pq_index(
+        spark, emb, root, nlist=4, m=4, ksub=64, iters=1, validate=False
+    )
+    assert pqi.load_model(spark, root)[0]  # built despite the bad config
