@@ -42,6 +42,7 @@ HEADLINE = [
     "q_llm_bm25_index",   # search-only BM25 against the posting store
     "q_llm_phrase_search",  # exact positional phrase over the posting store
     "q_llm_proximity",    # slop-k proximity ranking over the posting store
+    "q_llm_proximity_any",  # unordered (Lucene-slop) proximity, one exchange
     "q_llm_pipeline",     # end-to-end corpus-prep pipeline composition
     "q_llm_substr_scrub", # exact-substring span dedup (stride-1 windows)
     "q_stream_join",      # watermarked stream-stream join (batch twin)
@@ -61,9 +62,31 @@ LEGACY12 = [
 ]
 
 
+def _load_gate(threshold: float = 5.0, max_wait_s: float = 240.0) -> dict:
+    """Pre-bench machine-load gate (BASELINE.md: the r5 bisect proved
+    round-over-round deltas track loadavg, not code — r8 drove at 18.3
+    and needed a caveat in every table). Wait in 30 s steps until the
+    1-minute loadavg drops below ``threshold`` or ``max_wait_s`` is
+    spent; either way RECORD what happened so the bench line carries
+    its own environment evidence instead of an external footnote."""
+    start = os.getloadavg()[0]
+    waited = 0.0
+    load = start
+    while load > threshold and waited < max_wait_s:
+        time.sleep(30.0)
+        waited += 30.0
+        load = os.getloadavg()[0]
+    return {
+        "loadavg_at_start": round(start, 2),
+        "load_gate_waited_s": int(waited),
+        "load_gate": "ok" if load <= threshold else f"waived_after_{int(waited)}s",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    gate = _load_gate()
 
     from http_feeds_spark.queries import registry
     from http_feeds_spark.session import get_spark
@@ -100,6 +123,7 @@ def main() -> None:
                 # environment evidence: BASELINE.md's r2->r3 bisect showed
                 # round-over-round deltas track machine load, not code
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                **gate,
             }
         )
     )
