@@ -856,14 +856,14 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5d — winnowing document fingerprints (Schleimer et al. 2003):
     3-word shingles → md5-prefix hashes → min of each 4-hash sliding
     window → distinct sorted fingerprint set. String-min is engine-
-    independent, so the oracle reproduces it exactly. Map-only."""
+    independent, so the oracle reproduces it exactly. r9: the window
+    mins run EXPLODED with one keyed exchange (see
+    text.add_winnow_fingerprints — the per-row array formulation was
+    quadratic at runtime once Catalyst inlined the hash array into the
+    per-window lambda), so cost is linear in total shingles."""
     d = _docs(spark, sf_dir)
-    # materialize each stage as a column: Spark does not CSE across
-    # higher-order-function lambdas, so nesting these would re-evaluate
-    # the inner arrays per element (measured >100× slower). The non-empty
-    # filter runs EARLY on the cheap token count (>=6 tokens ⟺ >=4
-    # windows ⟺ fps non-empty): filtering on size(fps) afterwards would
-    # push the whole fingerprint expression down into the Filter node.
+    # the non-empty filter runs EARLY on the cheap token count
+    # (>=6 tokens ⟺ >=4 windows ⟺ fps non-empty)
     staged = (
         d.withColumn("tokens", tx.words(F.lower("text")))
         .filter(F.size("tokens") >= 6)

@@ -100,12 +100,12 @@ def _sql_analyze_tokens(terms_expr: str, analyzer: str) -> str:
 
     tx._require_analyzer(analyzer)
     if analyzer == "standard":
-        split = f"split(lower(t), '[^\\\\p{{L}}\\\\p{{N}}]+')"
+        extract = "regexp_extract_all(lower(t), '[\\\\p{L}\\\\p{N}]+', 0)"
     elif analyzer == "whitespace_lower":
-        split = "split(lower(t), ' ')"
+        extract = "regexp_extract_all(lower(t), '[^ ]+', 0)"
     else:  # whitespace
-        split = "split(t, ' ')"
-    return f"filter(flatten(transform({terms_expr}, t -> {split})), x -> x <> '')"
+        extract = "regexp_extract_all(t, '[^ ]+', 0)"
+    return f"flatten(transform({terms_expr}, t -> {extract}))"
 
 
 def register_search_functions(spark: SparkSession, analyzer: str = "standard") -> list[str]:

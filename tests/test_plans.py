@@ -205,9 +205,10 @@ def test_decontaminate_fp_equi_join_after_stop_fp(spark, sf_dir):
         root, lambda n: n.endswith("HashJoin") or n == "SortMergeJoin"
     )
     # the stop-fp df-filter join and the test⋈train contamination join
-    assert len(joins) >= 2, names
-    for j in joins:
-        assert "fp#" in pi.node_line(j), pi.node_line(j)
+    # key on fp; the winnowing re-join (r9 exploded formulation) and the
+    # corpus anti-join key on the doc id — every one an equi-join
+    fp_joins = [j for j in joins if "fp#" in pi.node_line(j)]
+    assert len(fp_joins) >= 2, names
     assert "HashAggregate" in names, names  # the stop-fp document-freq agg
 
 
