@@ -425,8 +425,13 @@ def run_pq_index(
         ).where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
         if vecs.limit(1).count() == 0:
             return
+        # validate=False: the bootstrap trains from the FIRST batch of a
+        # growing feed — under-populated codebooks are the documented
+        # bootstrap trade there, not the configuration mistake the
+        # refuse-loudly gate exists for (pq_index.build_pq_index)
         if not pqi.ensure_pq_index(
-            spark, vecs, index_root, nlist=nlist, m=m, ksub=ksub, iters=iters
+            spark, vecs, index_root, nlist=nlist, m=m, ksub=ksub, iters=iters,
+            validate=False,
         ):
             pqi.upsert_vectors(spark, vecs, index_root)
 
@@ -870,6 +875,25 @@ def compact_landing_files(
     per-subject latest-row window collapses duplicated rows — but raw
     row counts are not). Returns {"files_before", "files_after",
     "rows"} (no-op below ``max_files``)."""
+    return _rewrite_landing(
+        spark, landing_root, max_files=max_files, target_files=target_files
+    )
+
+
+def _rewrite_landing(
+    spark: SparkSession,
+    landing_root: str,
+    keep_fn=None,
+    *,
+    max_files: int | None = None,
+    target_files: int = 4,
+) -> dict:
+    """The shared commit-log surgery (see compact_landing_files for the
+    full protocol): resume a torn rewrite from its manifest, then — when
+    the gate passes — rewrite ``keep_fn(log-aware raw)`` (None = keep
+    everything) into ``target_files`` data files, swap them into the
+    log, delete the old files. ``max_files=None`` always rewrites (the
+    retention caller); an int gates on the visible file count."""
     import json
 
     from http_feeds_spark.stores import hadoop_fs
@@ -924,19 +948,35 @@ def compact_landing_files(
         )
     old_statuses = [s for i in view_ids for s in entries[i][1] if s.get("action") != "delete"]
     files_before = len(old_statuses)
-    if files_before <= max_files:
+    if max_files is not None and files_before <= max_files:
         return {"files_before": files_before, "files_after": files_before}
+    if files_before == 0:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
 
     # orphan sweep: maint-* files not referenced by the log are leftovers
-    # of an attempt that died before its manifest committed
+    # of an attempt that died before its manifest committed. The sweep
+    # also yields the next rewrite GENERATION: names must be fresh per
+    # attempt — a second rewrite with no new sink batches in between
+    # would otherwise re-target the previous rewrite's file names, and
+    # Hadoop rename onto an existing path silently no-ops (the old file
+    # would then be deleted as an old path while the log references it)
     referenced = {s["path"].rsplit("/", 1)[-1] for s in old_statuses}
     _, jraw = hadoop_fs(spark, raw)
+    gen = 0
     for st in fs.listStatus(jraw):
         name = st.getPath().getName()
-        if name.startswith("maint-") and name not in referenced:
-            fs.delete(st.getPath(), False)
+        if name.startswith("maint-"):
+            if name not in referenced:
+                fs.delete(st.getPath(), False)
+            else:
+                try:
+                    gen = max(gen, int(name.split("-")[1]) + 1)
+                except ValueError:
+                    pass
 
     rows_df = spark.read.parquet(raw)  # log-aware: exactly the committed rows
+    if keep_fn is not None:
+        rows_df = keep_fn(rows_df)
     rows_df.repartition(max(1, target_files)).write.mode("overwrite").parquet(
         f"{stage_dir}/data"
     )
@@ -947,9 +987,10 @@ def compact_landing_files(
         fname = st.getPath().getName()
         if not fname.endswith(".parquet"):
             continue
-        dst_name = f"maint-{B:06d}-{i:05d}.parquet"
+        dst_name = f"maint-{gen:06d}-{i:05d}.parquet"
         _, jdst = hadoop_fs(spark, f"{raw}/{dst_name}")
-        fs.rename(st.getPath(), jdst)
+        if not fs.rename(st.getPath(), jdst):
+            raise IOError(f"could not move {st.getPath()} to {dst_name}")
         dst_st = fs.getFileStatus(jdst)
         new_statuses.append(
             {
@@ -984,6 +1025,106 @@ def compact_landing_files(
         "files_after": len(new_statuses),
         "rows": spark.read.parquet(raw).count(),
     }
+
+
+RETENTION_DIR = "retention"
+
+
+def retention_horizon(spark: SparkSession, landing_root: str) -> int | None:
+    """The landing zone's retirement horizon: raw entries with seq ≤ it
+    have been aged out wholesale and live ONLY in the compacted copy.
+    None = no retirement has ever run (raw is self-sufficient)."""
+    from http_feeds_spark.stores import parquet_exists
+
+    path = f"{landing_root.rstrip('/')}/{RETENTION_DIR}"
+    if not parquet_exists(spark, path):
+        return None
+    return int(spark.read.parquet(path).collect()[0].horizon_seq)
+
+
+def _full_feed(spark: SparkSession, landing_root: str) -> DataFrame:
+    """The COMPLETE event set irrespective of retirement: raw alone
+    before any retirement; raw ∪ compacted (deduped on seq — unique per
+    entry) after one. Every full-history consumer (compact_now,
+    read_model) must read through this, or a post-retirement pass would
+    silently drop the aged-out subjects."""
+    raw, _, compacted = _paths(landing_root)
+    feed = spark.read.parquet(raw)
+    if retention_horizon(spark, landing_root) is not None:
+        feed = feed.unionByName(
+            spark.read.parquet(compacted)
+        ).dropDuplicates(["seq"])
+    return feed
+
+
+def retire_landing_history(
+    spark: SparkSession,
+    landing_root: str,
+    *,
+    horizon_seq: int,
+    tombstone_horizon_seq: int | None = None,
+    target_files: int = 4,
+) -> dict:
+    """Age raw landing history out WHOLESALE below a seq horizon — the
+    spec's own retention story (README.md:184: keep the feed small;
+    compaction owns superseded entries) applied to the landing zone, and
+    the missing half of its erasure story (run_erasure docstring): a
+    tombstoned subject's content never enters the compacted copy, and
+    this pass makes it leave raw, completing physical deletion.
+
+    Protocol, in crash-safe order:
+
+    1. ``compact_now`` — refresh the compacted copy from the FULL feed
+       (it reads through :func:`_full_feed`, so re-compaction after a
+       prior retirement loses nothing). Everything about to be retired
+       is now represented there (latest-per-subject, seq preserved
+       verbatim so consumer cursors stay valid; ``tombstone_horizon_seq``
+       passes through for mid-replay consumers, README.md:290).
+    2. commit the retention marker (max of the prior horizon and this
+       one) — from here every full-history read unions compacted in, so
+       a crash between marker and rewrite over-serves (duplicates the
+       compaction window collapses), never under-serves.
+    3. rewrite raw through the commit-log surgery keeping only
+       ``seq > horizon_seq`` (same manifest-resume protocol as
+       compact_landing_files — re-running converges).
+
+    Refused on a raw zone with null seqs (opaque ids): retiring by seq
+    would be meaningless there — mint seq at ingest (parse_seq_auto) or
+    normalize upstream. Returns {"horizon_seq", "compacted_rows",
+    "files_before", "files_after", "rows"} (rows = raw rows kept)."""
+    from pyspark.sql import functions as F
+
+    raw, _, _ = _paths(landing_root)
+    if (
+        spark.read.parquet(raw)
+        .filter(F.col("seq").isNull())
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise ValueError(
+            "landing zone has null-seq rows (opaque event ids): a seq "
+            "retirement horizon is meaningless there — mint seq at "
+            "ingest (parse_seq_auto) or normalize the feed upstream"
+        )
+    compacted_rows = compact_now(
+        spark, landing_root, tombstone_horizon_seq=tombstone_horizon_seq
+    ).count()
+    prior = retention_horizon(spark, landing_root)
+    horizon = max(horizon_seq, prior if prior is not None else horizon_seq)
+    spark.createDataFrame(
+        [(int(horizon),)], "horizon_seq long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{landing_root.rstrip('/')}/{RETENTION_DIR}"
+    )
+    out = _rewrite_landing(
+        spark,
+        landing_root,
+        keep_fn=lambda df: df.where(F.col("seq") > horizon),
+        target_files=target_files,
+    )
+    out.update({"horizon_seq": horizon, "compacted_rows": compacted_rows})
+    return out
 
 
 def _count_or_zero(spark: SparkSession, path: str) -> int:
@@ -1027,11 +1168,22 @@ def compact_now(
     positional and opaque ids is rejected: re-minting would renumber the
     positional rows and silently invalidate every persisted consumer
     cursor — the one thing this rewrite promises not to do.
+
+    Retirement-aware (r9): reads through :func:`_full_feed`, so after a
+    ``retire_landing_history`` pass — raw holding only the tail — the
+    rewrite still compacts the COMPLETE history (the prior compacted
+    copy is an input to its own replacement; dropping it here would be
+    the data-loss bug the retention marker exists to prevent).
     """
     raw, _, compacted = _paths(landing_root)
     from pyspark.sql import functions as F
 
-    feed = spark.read.parquet(raw)
+    feed = _full_feed(spark, landing_root)
+    if retention_horizon(spark, landing_root) is not None:
+        # the plan now READS `compacted` while this rewrite OVERWRITES
+        # it — materialize first (Spark refuses read-and-overwrite of
+        # one path in a single job, and rightly so)
+        feed = feed.localCheckpoint()
     has_null = feed.filter(F.col("seq").isNull()).limit(1).count() > 0
     if has_null:
         if feed.filter(F.col("seq").isNotNull()).limit(1).count() > 0:
@@ -1071,10 +1223,18 @@ def read_model(spark: SparkSession, landing_root: str, prefer_compacted: bool = 
     the cheaper compacted scan for callers that control the
     compact-then-read ordering (e.g. a bootstrap job that just ran
     ``run(..., compact=True)``); it falls back to raw when no compacted
-    copy exists."""
+    copy exists.
+
+    Retirement-aware (r9): once ``retire_landing_history`` has aged raw
+    history out, raw alone is NOT self-sufficient — the retention
+    marker routes every read through :func:`_full_feed` (raw tail ∪
+    compacted), so retired-but-live subjects keep answering and
+    ``prefer_compacted`` only matters pre-retirement."""
     from http_feeds_spark.stores import parquet_exists
 
     raw, _, compacted = _paths(landing_root)
+    if retention_horizon(spark, landing_root) is not None:
+        return ops.read_model(_full_feed(spark, landing_root))
     # only a definitively-ABSENT compacted store falls back to raw; a
     # corrupted/unreadable one propagates (silently masking it would hide
     # a broken artifact behind a correct-but-expensive raw scan)

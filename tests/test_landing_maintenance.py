@@ -184,3 +184,181 @@ def test_run_maintenance_includes_landing(spark, tmp_path):
     )
     assert out["landing"]["files_after"] <= 4 < out["landing"]["files_before"]
     assert _values(spark, f"{platform}/landing") == before
+
+
+# --- retention: age raw history out wholesale (r9) --------------------------
+
+
+def test_retire_landing_history_end_to_end(spark, tmp_path):
+    """The spec's landing retention story (README:184) end to end over
+    the REAL connector: retire raw below a seq horizon, the read model
+    stays bit-identical (retired-but-live subjects served from the
+    compacted copy), a tombstoned subject's content physically leaves
+    the zone, the sink keeps appending over the rewritten log, and a
+    later compact_now still covers the FULL history."""
+    from pyspark.sql import functions as F
+
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(6):
+            state.append("org.example.doc", str(i), {"doc_id": i, "v": 1})
+        state.append("org.example.doc", "1", {"doc_id": 1, "v": 2})  # update
+        state.append("org.example.doc", "2", None, method="DELETE")  # tombstone
+        root = str(tmp_path / "landing")
+        ingest.run(spark, url, root)
+
+        def model():
+            return sorted(
+                (r.subject, r.seq)
+                for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+            )
+
+        before = model()
+        assert [s for s, _ in before] == ["0", "1", "3", "4", "5"]
+        raw_seqs = sorted(
+            r.seq for r in spark.read.parquet(f"{root}/raw").select("seq").collect()
+        )
+        assert len(raw_seqs) == 8
+
+        horizon = raw_seqs[-1]  # retire EVERYTHING ingested so far
+        out = ingest.retire_landing_history(spark, root, horizon_seq=horizon)
+        assert out["horizon_seq"] == horizon
+        assert out["rows"] == 0  # raw holds only the (empty) tail
+        assert ingest.retention_horizon(spark, root) == horizon
+        # the read model is bit-identical: served from the compacted copy
+        assert model() == before
+        # the tombstoned subject's content is physically GONE everywhere
+        for path in (f"{root}/compacted",):
+            assert (
+                spark.read.parquet(path).where(F.col("subject") == "2").count() == 0
+            )
+
+        # the sink keeps appending over the rewritten log
+        state.append("org.example.doc", "6", {"doc_id": 6, "v": 1})
+        state.append("org.example.doc", "0", None, method="DELETE")
+        ingest.run(spark, url, root)
+        after = model()
+        assert [s for s, _ in after] == ["1", "3", "4", "5", "6"]
+        # retired subjects (1, 3..5) still answer — compacted serves them
+        assert dict(before)["1"] == dict(after)["1"]
+
+        # a later full compaction covers retired history (the _full_feed
+        # union — without it this rewrite would drop subjects 1, 3..5,
+        # whose rows now live only in the compacted copy); "0" and "2"
+        # are tombstoned and dropped, completing their physical deletion
+        compacted = ingest.compact_now(spark, root)
+        assert sorted(r.subject for r in compacted.collect()) == ["1", "3", "4", "5", "6"]
+    finally:
+        srv.shutdown()
+
+
+def test_retire_monotonic_and_rerun_converges(spark, tmp_path):
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(10):
+            state.append("org.example.doc", str(i % 3), {"doc_id": i})
+        root = str(tmp_path / "landing")
+        ingest.run(spark, url, root)
+        seqs = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+        before = sorted(
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+        )
+        mid = seqs[4]
+        ingest.retire_landing_history(spark, root, horizon_seq=mid)
+        kept = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+        assert kept == [s for s in seqs if s > mid]
+        # a LOWER horizon cannot roll retirement back (monotonic max)
+        ingest.retire_landing_history(spark, root, horizon_seq=seqs[0])
+        assert ingest.retention_horizon(spark, root) == mid
+        # re-running at the same horizon is a no-op that stays correct
+        ingest.retire_landing_history(spark, root, horizon_seq=mid)
+        after = sorted(
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+        )
+        assert after == before
+    finally:
+        srv.shutdown()
+
+
+def test_retire_refuses_null_seq_zone(spark, tmp_path):
+    """A raw zone with null seqs (opaque wire ids) has no meaningful seq
+    horizon — refuse with the remedy instead of retiring arbitrarily."""
+    root = str(tmp_path / "landing")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "20")
+        .load()
+        .selectExpr(
+            "CAST(NULL AS BIGINT) AS seq",
+            "CAST(value AS STRING) AS id",
+            "concat('s', value % 3) AS subject",
+            "'PUT' AS method",
+            "timestamp AS time",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/raw")
+        .option("checkpointLocation", f"{root}/_checkpoint")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    time.sleep(2)
+    q.stop()
+    q.awaitTermination(30)
+    with pytest.raises(ValueError, match="mint seq"):
+        ingest.retire_landing_history(spark, root, horizon_seq=5)
+
+
+def test_retire_crash_between_marker_and_rewrite_over_serves(spark, tmp_path, monkeypatch):
+    """A crash after the retention marker commits but before the raw
+    rewrite must OVER-serve (duplicates the compaction window collapses),
+    never under-serve; the re-run converges."""
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(6):
+            state.append("org.example.doc", str(i % 2), {"doc_id": i})
+        root = str(tmp_path / "landing")
+        ingest.run(spark, url, root)
+        before = sorted(
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+        )
+        seqs = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+
+        real = ingest._rewrite_landing
+
+        def dying(*a, **kw):
+            raise RuntimeError("injected crash before the raw rewrite")
+
+        monkeypatch.setattr(ingest, "_rewrite_landing", dying)
+        with pytest.raises(RuntimeError, match="injected"):
+            ingest.retire_landing_history(spark, root, horizon_seq=seqs[3])
+        # marker committed, raw untouched: reads union and stay exact
+        assert ingest.retention_horizon(spark, root) == seqs[3]
+        mid_crash = sorted(
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+        )
+        assert mid_crash == before
+
+        monkeypatch.setattr(ingest, "_rewrite_landing", real)
+        ingest.retire_landing_history(spark, root, horizon_seq=seqs[3])
+        kept = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+        assert kept == [s for s in seqs if s > seqs[3]]
+        after = sorted(
+            (r.subject, r.seq)
+            for r in ingest.read_model(spark, root).select("subject", "seq").collect()
+        )
+        assert after == before
+    finally:
+        srv.shutdown()
