@@ -535,6 +535,7 @@ def run_platform(
     compact: bool = True,
     compact_after: int | None = 16,
     record_epochs: bool = True,
+    retire_below_seq: int | None = None,
     doc_id_field: str = "doc_id",
     text_field: str = "text",
     vec_field: str = "embedding",
@@ -581,13 +582,24 @@ def run_platform(
     a reader that pins epoch N sees EVERY store at wave N while wave
     N+1 lands concurrently: the platform's cross-store consistency
     token without a cross-component transaction. ``record_epochs=False``
-    disables. Returns the per-component summaries (+ the epoch record)."""
+    disables. ``retire_below_seq`` runs :func:`retire_landing_history`
+    after the landing catch-up (the spec's retention story from the
+    one-call API — pass the minimum cursor across consumers that still
+    bootstrap from raw). Returns the per-component summaries (+ the
+    epoch record)."""
     root = platform_root.rstrip("/")
     out: dict = {"platform_root": platform_root}
     if landing:
         out["landing"] = run(
             spark, url, f"{root}/landing", compact=compact, timeout_ms=timeout_ms
         )
+        if retire_below_seq is not None and out["landing"]["raw_rows"]:
+            # the spec's retention story from the one-call API: raw ages
+            # out below the caller's horizon (the minimum cursor across
+            # consumers bootstrapping from raw), compacted serves history
+            out["landing"]["retention"] = retire_landing_history(
+                spark, f"{root}/landing", horizon_seq=retire_below_seq
+            )
     kw = dict(
         doc_id_field=doc_id_field, text_field=text_field, timeout_ms=timeout_ms
     )

@@ -304,3 +304,83 @@ def fsck_dedup_index(spark: SparkSession, index_root: str) -> dict:
         "stage_leftovers": leftovers,
         "erase_ledger_ids": _ledger_count(spark, index_root),
     }
+
+
+def fsck_landing(spark: SparkSession, landing_root: str) -> dict:
+    """Invariant report for the landing zone (the streaming sink plus
+    its r9 maintenance/retention machinery — the sixth store family):
+
+    - ``log_present``: the sink's ``_spark_metadata`` commit log exists;
+    - ``visible_entries_missing``: batch ids the log reader's view needs
+      (latest compaction entry + deltas) that are absent — MUST be empty
+      (a torn log; log-aware reads throw);
+    - ``files_listed`` / ``files_missing``: data files the view lists,
+      and how many are gone from disk — ``files_missing`` MUST be 0 (a
+      rewrite deleted files the log still references);
+    - ``maint_orphans``: ``maint-*`` files on disk the log does NOT
+      reference (leftovers of a rewrite that died pre-manifest; the next
+      maintenance pass sweeps them);
+    - ``rewrite_stage_leftover``: a ``raw__maint_stage`` dir exists
+      (with its manifest = a committed rewrite mid-apply, resumed by the
+      next maintenance call; without = torn staging, discarded);
+    - ``retention_horizon``: the retirement marker (None = never
+      retired); ``compacted_present``: the compacted copy exists —
+      with a horizon set its absence is DATA LOSS (retired rows lived
+      only there); ``unretired_rows``: raw rows with seq ≤ horizon
+      (legal between the marker commit and the rewrite — readers union
+      and stay exact — and converged by the next retirement pass);
+      reported as -1 when ``files_missing`` > 0 (the count itself would
+      need the files the log has lost — fsck stays read-only-robust)."""
+    from http_feeds_spark import ingest
+    from http_feeds_spark.stores import parquet_exists
+
+    raw = f"{landing_root.rstrip('/')}/{ingest.RAW_DIR}"
+    meta_dir = f"{raw}/_spark_metadata"
+    fs, entries = ingest._sink_log_state(spark, meta_dir)
+    out: dict = {"log_present": entries is not None}
+    if entries is None:
+        return out
+    B = max(entries)
+    interval = int(
+        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
+    )
+    C = ((B + 1) // interval) * interval - 1
+    view_ids = ([C] if C >= 0 else [0]) + list(
+        range((C if C >= 0 else 0) + 1, B + 1)
+    )
+    out["visible_entries_missing"] = [i for i in view_ids if i not in entries]
+    listed = [
+        s["path"]
+        for i in view_ids
+        if i in entries
+        for s in entries[i][1]
+        if s.get("action") != "delete"
+    ]
+    out["files_listed"] = len(listed)
+    missing = 0
+    for p in listed:
+        _, jp = hadoop_fs(spark, p)
+        if not fs.exists(jp):
+            missing += 1
+    out["files_missing"] = missing
+    referenced = {p.rsplit("/", 1)[-1] for p in listed}
+    _, jraw = hadoop_fs(spark, raw)
+    out["maint_orphans"] = sum(
+        1
+        for st in fs.listStatus(jraw)
+        if st.getPath().getName().startswith("maint-")
+        and st.getPath().getName() not in referenced
+    )
+    _, jstage = hadoop_fs(spark, f"{raw}__maint_stage")
+    out["rewrite_stage_leftover"] = bool(fs.exists(jstage))
+    horizon = ingest.retention_horizon(spark, landing_root)
+    out["retention_horizon"] = horizon
+    compacted = f"{landing_root.rstrip('/')}/{ingest.COMPACTED_DIR}"
+    out["compacted_present"] = parquet_exists(spark, compacted)
+    if horizon is not None:
+        out["unretired_rows"] = (
+            int(spark.read.parquet(raw).where(F.col("seq") <= horizon).count())
+            if missing == 0
+            else -1
+        )
+    return out

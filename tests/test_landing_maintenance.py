@@ -362,3 +362,77 @@ def test_retire_crash_between_marker_and_rewrite_over_serves(spark, tmp_path, mo
         assert after == before
     finally:
         srv.shutdown()
+
+
+def test_fsck_landing_clean_and_injected_violations(spark, tmp_path):
+    """fsck_landing on a clean zone, through a retirement, and with
+    injected violations (a listed file deleted, an orphan planted)."""
+    from http_feeds_spark.operators import fsck
+
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        root = str(tmp_path / "landing")
+        assert fsck.fsck_landing(spark, root) == {"log_present": False}
+        for i in range(6):
+            state.append("org.example.doc", str(i % 2), {"doc_id": i})
+        ingest.run(spark, url, root)
+
+        rep = fsck.fsck_landing(spark, root)
+        assert rep["log_present"] and rep["visible_entries_missing"] == []
+        assert rep["files_missing"] == 0 and rep["maint_orphans"] == 0
+        assert rep["retention_horizon"] is None
+        assert not rep["rewrite_stage_leftover"]
+
+        seqs = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+        ingest.retire_landing_history(spark, root, horizon_seq=seqs[2])
+        rep = fsck.fsck_landing(spark, root)
+        assert rep["retention_horizon"] == seqs[2]
+        assert rep["compacted_present"] and rep["unretired_rows"] == 0
+        assert rep["files_missing"] == 0 and rep["maint_orphans"] == 0
+
+        # violations: plant an orphan; delete a listed file
+        with open(f"{root}/raw/maint-999999-00000.parquet", "wb") as f:
+            f.write(b"junk")
+        rep = fsck.fsck_landing(spark, root)
+        assert rep["maint_orphans"] == 1
+        listed = [
+            f for f in os.listdir(f"{root}/raw")
+            if f.endswith(".parquet") and f != "maint-999999-00000.parquet"
+        ]
+        os.remove(f"{root}/raw/{listed[0]}")
+        rep = fsck.fsck_landing(spark, root)
+        assert rep["files_missing"] >= 1
+    finally:
+        srv.shutdown()
+
+
+def test_run_platform_retire_below_seq(spark, tmp_path):
+    """The one-call API's retention knob: run_platform with
+    retire_below_seq leaves raw holding only the tail while the read
+    model keeps answering for every live subject."""
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(6):
+            state.append("org.example.doc", str(i), {"doc_id": i, "text": f"window body{i}"})
+        root = str(tmp_path / "platform")
+        out = ingest.run_platform(
+            spark, url, root,
+            text_index=False, dedup_index=False, monitor=False, erasure=False,
+            retire_below_seq=3,
+        )
+        assert out["landing"]["retention"]["horizon_seq"] == 3
+        assert ingest.retention_horizon(spark, f"{root}/landing") == 3
+        kept = sorted(r.seq for r in spark.read.parquet(f"{root}/landing/raw").collect())
+        assert kept and min(kept) > 3
+        subjects = sorted(
+            r.subject for r in ingest.read_model(spark, f"{root}/landing").collect()
+        )
+        assert subjects == [str(i) for i in range(6)]
+    finally:
+        srv.shutdown()
