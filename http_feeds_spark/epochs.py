@@ -90,6 +90,28 @@ def record_epoch(
         spark, f"{root}/landing/raw/_spark_metadata"
     )
     landing_batch = max(entries) if entries else -1
+    # the landing frontier is the exact FILE LIST, not just a batch id:
+    # a later landing file-compaction rewrites the compaction entry the
+    # batch-id arithmetic would resolve to (listing rows from NEWER
+    # waves too), so an id-pinned read could silently over-serve. A
+    # file-pinned read either serves exactly the wave-N rows or fails
+    # stop when maintenance has rewritten them away.
+    landing_files: list[str] = []
+    if entries:
+        interval = int(
+            spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
+        )
+        c = ((landing_batch + 1) // interval) * interval - 1
+        view_ids = ([c] if c >= 0 else [0]) + list(
+            range((c if c >= 0 else 0) + 1, landing_batch + 1)
+        )
+        landing_files = [
+            s["path"]
+            for i in view_ids
+            if i in entries
+            for s in entries[i][1]
+            if s.get("action") != "delete"
+        ]
 
     prior = _epoch_dirs(spark, platform_root)
     n = (prior[-1][0] + 1) if prior else 0
@@ -99,6 +121,7 @@ def record_epoch(
         "monitor_units": sorted(monitor_units),
         "dedup_epoch": dedup_epoch,
         "landing_batch": landing_batch,
+        "landing_files": sorted(landing_files),
     }
     spark.createDataFrame(
         [
@@ -108,10 +131,11 @@ def record_epoch(
                 rec["monitor_units"],
                 dedup_epoch,
                 landing_batch,
+                rec["landing_files"],
             )
         ],
         "epoch int, text_batches array<int>, monitor_units array<int>, "
-        "dedup_epoch int, landing_batch int",
+        "dedup_epoch int, landing_batch int, landing_files array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{EPOCHS_DIR}/{n:06d}"
     )
@@ -135,6 +159,7 @@ class PlatformEpoch:
         self.monitor_units = [int(u) for u in rec.monitor_units]
         self.dedup_epoch = int(rec.dedup_epoch)
         self.landing_batch = int(rec.landing_batch)
+        self.landing_files = [str(p) for p in (getattr(rec, "landing_files", None) or [])]
 
     def text_search(self, terms: list[str], k: int = 10) -> DataFrame:
         from http_feeds_spark.operators import text_index as ti
@@ -187,41 +212,27 @@ class PlatformEpoch:
         )
 
     def landing(self) -> DataFrame:
-        """The raw landing rows as of the pinned sink batch: files listed
-        by the commit-log view at that batch id (latest compaction entry
-        ≤ pin, plus deltas up to it — the sink reader's own arithmetic)."""
-        from http_feeds_spark import ingest
-
+        """The raw landing rows as of the pinned wave: EXACTLY the data
+        files the commit-log view listed when the epoch was recorded. A
+        file a later maintenance rewrite or retirement has deleted makes
+        the read fail stop (re-resolving the log by batch id instead
+        would silently OVER-serve after a file compaction — the
+        rewritten compaction entry lists rows from newer waves too)."""
         if self.landing_batch < 0:
             raise FileNotFoundError(f"epoch {self.epoch} recorded no landing batches")
         spark = self.spark
-        raw = f"{self.root}/landing/raw"
-        _, entries = ingest._sink_log_state(spark, f"{raw}/_spark_metadata")
-        if entries is None:
-            raise FileNotFoundError(f"no landing sink log under {raw}")
-        B = self.landing_batch
-        interval = int(
-            spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
-        )
-        C = ((B + 1) // interval) * interval - 1
-        view_ids = ([C] if C >= 0 else [0]) + list(
-            range((C if C >= 0 else 0) + 1, B + 1)
-        )
-        missing = [i for i in view_ids if i not in entries]
-        if missing:
-            raise ValueError(
-                f"landing log entries {missing} of the pinned epoch are "
-                "gone (retention or maintenance); pin a newer epoch"
-            )
-        files = [
-            s["path"]
-            for i in view_ids
-            for s in entries[i][1]
-            if s.get("action") != "delete"
-        ]
-        if not files:
-            return spark.read.parquet(raw).limit(0)
-        return spark.read.parquet(*files)
+        from http_feeds_spark.stores import hadoop_fs
+
+        for p in self.landing_files:
+            fs, jp = hadoop_fs(spark, p)
+            if not fs.exists(jp):
+                raise ValueError(
+                    f"landing file {p} of the pinned epoch is gone "
+                    "(maintenance rewrite or retention); pin a newer epoch"
+                )
+        if not self.landing_files:
+            return spark.read.parquet(f"{self.root}/landing/raw").limit(0)
+        return spark.read.parquet(*self.landing_files)
 
 
 def pin(

@@ -25,19 +25,30 @@ def _wave(spark, ids, tag):
 
 
 def _land_batch(spark, root: str, seconds: float = 2.0) -> None:
-    q = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", "20")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", f"{root}/landing/raw")
-        .option("checkpointLocation", f"{root}/landing/_checkpoint")
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
-    time.sleep(seconds)
-    q.stop()
-    q.awaitTermination(30)
+    import os
+
+    before = 0
+    meta = f"{root}/landing/raw/_spark_metadata"
+    if os.path.isdir(meta):
+        before = sum(1 for f in os.listdir(meta) if not f.startswith("."))
+    for _ in range(4):  # retry: a cold JVM can eat the whole first window
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "20")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{root}/landing/raw")
+            .option("checkpointLocation", f"{root}/landing/_checkpoint")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        time.sleep(seconds)
+        q.stop()
+        q.awaitTermination(30)
+        now = sum(1 for f in os.listdir(meta) if not f.startswith(".")) if os.path.isdir(meta) else 0
+        if now > before:
+            return
+    raise AssertionError("sink committed no new entries in 4 attempts")
 
 
 def test_pinned_reader_sees_wave_n_while_wave_n1_lands(spark, tmp_path):
@@ -162,3 +173,32 @@ def test_empty_frontier_components_raise_cleanly(spark, tmp_path):
         pinned.dedup_assignment()
     with pytest.raises(FileNotFoundError):
         pinned.landing()
+
+
+def test_pinned_landing_fails_stop_after_file_compaction(spark, tmp_path):
+    """A landing FILE compaction rewrites the compaction entry the pin's
+    batch-id would resolve to, listing rows from newer waves too — so
+    the pin records the exact file list and a read through it must fail
+    stop after maintenance, never silently serve the newer rows."""
+    root = str(tmp_path / "platform")
+    _land_batch(spark, root)
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+    want = sorted(r.value for r in pinned.landing().select("value").collect())
+    assert want  # the pin serves wave N exactly
+
+    _land_batch(spark, root)  # wave N+1
+    # still exact while the files live
+    assert sorted(r.value for r in pinned.landing().select("value").collect()) == want
+
+    out = ingest.compact_landing_files(
+        spark, f"{root}/landing", max_files=0, target_files=1
+    )
+    assert out["files_before"] > 0  # the surgery genuinely ran
+    with pytest.raises(ValueError, match="pin a newer epoch"):
+        pinned.landing().collect()
+    # a fresh epoch pins the rewritten frontier and reads everything
+    rec2 = epochs.record_epoch(spark, root)
+    p2 = epochs.pin(spark, root, rec2["epoch"])
+    got = sorted(r.value for r in p2.landing().select("value").collect())
+    assert got[: len(want)] == want and len(got) > len(want)
