@@ -1167,6 +1167,36 @@ def q_llm_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_sql_search", oracle=None, group="D")
+def q_llm_sql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext (r9) — the SQL-callable search surface exercised through
+    the driver contract: register the pipeline views + the Spark-4 SQL
+    table functions (sql.register_search_functions), then answer a BM25
+    query, a phrase query, and an unordered proximity query ENTIRELY
+    from spark.sql — terms as function arguments, no DataFrame API in
+    the query path. Each function is pinned value-exact against its
+    operator in tests/test_sql_surface.py; this entry keeps the SQL
+    path on the driver's rows-only radar. Output: one row per (surface,
+    rank) with the doc and its score-like measure."""
+    from http_feeds_spark import sql as esql
+
+    esql.register_pipeline_views(spark, sf_dir)
+    esql.register_search_functions(spark)
+    bm25 = spark.sql(
+        "SELECT 'bm25' AS surface, rank, doc_id, score AS measure "
+        "FROM bm25_search(array('window', 'filter', 'merge'), 10)"
+    )
+    phrase = spark.sql(
+        "SELECT 'phrase' AS surface, rank, doc_id, CAST(n_matches AS DOUBLE) AS measure "
+        "FROM phrase_search(array('window filter'), 10)"
+    )
+    prox = spark.sql(
+        "SELECT 'proximity_any' AS surface, rank, doc_id, score AS measure "
+        "FROM proximity_search_any(array('window', 'merge'), 2, 10)"
+    )
+    return bm25.unionByName(phrase).unionByName(prox).orderBy("surface", "rank")
+
+
 @register("q_llm_hybrid_search", oracle=None, group="D")
 def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D41 — hybrid lexical+vector retrieval via Reciprocal Rank Fusion
