@@ -22,7 +22,12 @@ What a frontier is, per store (each already versions its reads):
   concurrent wave);
 - landing zone: the sink commit-log batch id — the pinned read lists
   files from log entries ≤ that id, the same arithmetic the sink's own
-  reader uses.
+  reader uses;
+- ANN / PQ indexes: the EXACT data-file lists of their stores
+  (ann_index.snapshot_files / pq_index.snapshot_files) — feed upserts
+  only append files, so a search over the recorded list serves exactly
+  the wave-N corpus while wave N+1 lands, and a hybrid reader (BM25 ⊕
+  ANN, the RRF composition) sees ONE wave on both index families.
 
 Honesty about lifetime: an epoch is a SHORT-LIVED consistency token,
 not time travel. Maintenance compaction (run_maintenance) rewrites the
@@ -73,6 +78,8 @@ def record_epoch(
     Retention: epochs ≤ N − keep_epochs are deleted — the epoch store
     itself must not become the next unbounded directory."""
     from http_feeds_spark import ingest
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
     from http_feeds_spark.operators import text_index as ti
     from http_feeds_spark.stores import parquet_exists
     from http_feeds_spark.streaming import dedup as sd
@@ -86,6 +93,8 @@ def record_epoch(
     monitor_units = mon.visible_units(spark, f"{root}/monitor")
     asg_epochs = sd._complete_epochs(spark, f"{root}/dedup_index/{sd.ASSIGNMENT_DIR}")
     dedup_epoch = asg_epochs[-1][0] if asg_epochs else -1
+    ann_snap = ai.snapshot_files(spark, f"{root}/ann_index")
+    pq_snap = pqi.snapshot_files(spark, f"{root}/pq_index")
     _, entries = ingest._sink_log_state(
         spark, f"{root}/landing/raw/_spark_metadata"
     )
@@ -101,14 +110,32 @@ def record_epoch(
         interval = int(
             spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
         )
+        # fail-stop recording, mirroring ingest._rewrite_landing: a log
+        # whose compaction layout doesn't match the configured interval,
+        # or with a visible entry missing (torn log), must refuse HERE —
+        # recording a partial frontier would make the later pinned read
+        # silently under-serve, the exact lie this module exists to stop
+        for i, (name, _) in entries.items():
+            if name.endswith(".compact") and (i + 1) % interval != 0:
+                raise ValueError(
+                    f"sink log compaction entry {name} does not match the "
+                    f"configured compact interval {interval}; refusing to "
+                    "record a landing frontier I cannot resolve"
+                )
         c = ((landing_batch + 1) // interval) * interval - 1
         view_ids = ([c] if c >= 0 else [0]) + list(
             range((c if c >= 0 else 0) + 1, landing_batch + 1)
         )
+        missing = [i for i in view_ids if i not in entries]
+        if missing:
+            raise ValueError(
+                f"sink log at {root}/landing/raw/_spark_metadata is missing "
+                f"visible entries {missing}; refusing to record a partial "
+                "landing frontier"
+            )
         landing_files = [
             s["path"]
             for i in view_ids
-            if i in entries
             for s in entries[i][1]
             if s.get("action") != "delete"
         ]
@@ -122,6 +149,11 @@ def record_epoch(
         "dedup_epoch": dedup_epoch,
         "landing_batch": landing_batch,
         "landing_files": sorted(landing_files),
+        "ann_centroid_files": ann_snap.get("centroids", []),
+        "ann_corpus_files": ann_snap.get("corpus", []),
+        "pq_centroid_files": pq_snap.get("centroids", []),
+        "pq_codebook_files": pq_snap.get("codebooks", []),
+        "pq_code_files": pq_snap.get("codes", []),
     }
     spark.createDataFrame(
         [
@@ -132,10 +164,18 @@ def record_epoch(
                 dedup_epoch,
                 landing_batch,
                 rec["landing_files"],
+                rec["ann_centroid_files"],
+                rec["ann_corpus_files"],
+                rec["pq_centroid_files"],
+                rec["pq_codebook_files"],
+                rec["pq_code_files"],
             )
         ],
         "epoch int, text_batches array<int>, monitor_units array<int>, "
-        "dedup_epoch int, landing_batch int, landing_files array<string>",
+        "dedup_epoch int, landing_batch int, landing_files array<string>, "
+        "ann_centroid_files array<string>, ann_corpus_files array<string>, "
+        "pq_centroid_files array<string>, pq_codebook_files array<string>, "
+        "pq_code_files array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{EPOCHS_DIR}/{n:06d}"
     )
@@ -160,6 +200,17 @@ class PlatformEpoch:
         self.dedup_epoch = int(rec.dedup_epoch)
         self.landing_batch = int(rec.landing_batch)
         self.landing_files = [str(p) for p in (getattr(rec, "landing_files", None) or [])]
+        # pre-r10 epochs lack the vector-index frontiers; their pinned
+        # vector reads raise not-recorded, never silently read live
+        self.ann_files = {
+            "centroids": [str(p) for p in (getattr(rec, "ann_centroid_files", None) or [])],
+            "corpus": [str(p) for p in (getattr(rec, "ann_corpus_files", None) or [])],
+        }
+        self.pq_files = {
+            "centroids": [str(p) for p in (getattr(rec, "pq_centroid_files", None) or [])],
+            "codebooks": [str(p) for p in (getattr(rec, "pq_codebook_files", None) or [])],
+            "codes": [str(p) for p in (getattr(rec, "pq_code_files", None) or [])],
+        }
 
     def text_search(self, terms: list[str], k: int = 10) -> DataFrame:
         from http_feeds_spark.operators import text_index as ti
@@ -201,6 +252,33 @@ class PlatformEpoch:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def ann_search(self, queries: DataFrame, **kw) -> DataFrame:
+        """IVF ANN search as of the pinned wave: centroids and corpus
+        resolve to exactly the recorded files (ann_index.search's
+        ``snapshot=``), so a wave-N+1 upsert landing concurrently never
+        leaks into the result; a file maintenance has rewritten fails
+        stop. Erasure trumps the pin (the ledger is consulted live)."""
+        from http_feeds_spark.operators import ann_index as ai
+
+        if not self.ann_files["centroids"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no ANN index")
+        return ai.search(
+            self.spark, queries, f"{self.root}/ann_index",
+            snapshot=self.ann_files, **kw,
+        )
+
+    def pq_search(self, queries: DataFrame, **kw) -> DataFrame:
+        """IVF+PQ search as of the pinned wave (pq_index.search's
+        ``snapshot=``) — same contract as :meth:`ann_search`."""
+        from http_feeds_spark.operators import pq_index as pqi
+
+        if not self.pq_files["centroids"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no PQ index")
+        return pqi.search(
+            self.spark, queries, f"{self.root}/pq_index",
+            snapshot=self.pq_files, **kw,
+        )
 
     def dedup_assignment(self) -> DataFrame:
         from http_feeds_spark.streaming import dedup as sd

@@ -255,9 +255,41 @@ def update_vectors(
     return {"removed_rows": int(removed), "vectors_indexed": int(added)}
 
 
-def load_centroids(spark: SparkSession, index_root: str) -> list[tuple[int, list[float]]]:
-    """The trained model: k (cid, vector) rows — model-sized collect."""
+def snapshot_files(spark: SparkSession, index_root: str) -> dict[str, list[str]]:
+    """The index's EXACT data-file frontier right now —
+    ``{"centroids": [...], "corpus": [...]}`` — the token a platform
+    epoch records (epochs.py D46). Upserts only APPEND corpus files and
+    rebuilds/compactions/purges REPLACE files, so a search over exactly
+    this list reads exactly the current wave's rows whatever lands
+    later, and fails stop (stores.read_pinned_files) once maintenance
+    has rewritten any of them. Metadata-only; {} when the index is
+    absent."""
+    cent_path, corpus_path = _paths(index_root)
+    if not parquet_exists(spark, cent_path):
+        return {}
+    from http_feeds_spark.stores import list_data_files
+
+    return {
+        "centroids": list_data_files(spark, cent_path),
+        "corpus": list_data_files(spark, corpus_path),
+    }
+
+
+def load_centroids(
+    spark: SparkSession, index_root: str, *, files: list[str] | None = None
+) -> list[tuple[int, list[float]]]:
+    """The trained model: k (cid, vector) rows — model-sized collect.
+    ``files`` pins the exact centroid files of a recorded epoch (a
+    rebuild overwrites them, so a stale pin fails stop — the quantizer
+    and the pinned corpus must come from the same wave)."""
     cent_path, _ = _paths(index_root)
+    if files is not None:
+        from http_feeds_spark.stores import read_pinned_files
+
+        rows = read_pinned_files(
+            spark, cent_path, files, "ANN centroid"
+        ).collect()
+        return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no ANN index at {index_root}; build_index first")
     rows = spark.read.parquet(cent_path).collect()
@@ -276,6 +308,7 @@ def search(
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """SEARCH-ONLY IVF ANN against the prebuilt index: no training jobs
     anywhere in this path (pinned in tests/test_ann_index.py).
@@ -286,10 +319,26 @@ def search(
     the corpus scan, so only probed ``cluster=N/`` directories are read.
     ``exclude_self`` defaults False here — index queries are usually an
     external table; pass True when querying the corpus against itself
-    (see kmeans.ann_search_batch's id-space note)."""
-    cents = load_centroids(spark, index_root)
+    (see kmeans.ann_search_batch's id-space note).
+
+    ``snapshot`` (a :func:`snapshot_files` dict, usually from a pinned
+    platform epoch) makes the read AS-OF that frontier: centroids and
+    corpus resolve to exactly the recorded files — ``basePath`` keeps
+    the cluster partition column, so probe pruning still prunes — and a
+    file maintenance has since rewritten fails stop. The erasure ledger
+    is still consulted LIVE: erasure trumps pins (epochs.py contract),
+    an erased id never surfaces through an older epoch."""
     _, corpus_path = _paths(index_root)
-    corpus = spark.read.parquet(corpus_path)
+    if snapshot is not None:
+        from http_feeds_spark.stores import read_pinned_files
+
+        cents = load_centroids(spark, index_root, files=snapshot["centroids"])
+        corpus = read_pinned_files(
+            spark, corpus_path, snapshot["corpus"], "ANN corpus"
+        )
+    else:
+        cents = load_centroids(spark, index_root)
+        corpus = spark.read.parquet(corpus_path)
     # logical-erasure window: ids in the erase ledger must not surface
     # (no-op plan while the ledger is absent — erasure.not_erased)
     corpus = erasure.not_erased(spark, index_root, corpus, id_col)

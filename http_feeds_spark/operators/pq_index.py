@@ -203,13 +203,49 @@ def ensure_pq_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) 
     return True
 
 
+def snapshot_files(spark: SparkSession, index_root: str) -> dict[str, list[str]]:
+    """The index's EXACT data-file frontier —
+    ``{"codes": [...], "codebooks": [...], "centroids": [...]}`` — the
+    platform-epoch token (epochs.py D46), same semantics as
+    ann_index.snapshot_files: a search pinned to this list serves
+    exactly the current wave and fails stop after a rewrite.
+    Metadata-only; {} when the index is absent."""
+    codes_path, books_path, cent_path = _paths(index_root)
+    if not parquet_exists(spark, cent_path):
+        return {}
+    from http_feeds_spark.stores import list_data_files
+
+    return {
+        "codes": list_data_files(spark, codes_path),
+        "codebooks": list_data_files(spark, books_path),
+        "centroids": list_data_files(spark, cent_path),
+    }
+
+
 def load_model(
-    spark: SparkSession, index_root: str
+    spark: SparkSession, index_root: str, *, snapshot: dict | None = None
 ) -> tuple[list[tuple[int, list[float]]], pq.Codebooks, bool]:
     """(coarse centroids, codebooks, residual?) — model-sized collects
     only. Pre-residual stores lack the flag column and read as the flat
-    variant."""
+    variant. ``snapshot`` pins both model stores to a recorded epoch's
+    exact files (a rebuild overwrites them → stale pins fail stop)."""
     _, books_path, cent_path = _paths(index_root)
+    if snapshot is not None:
+        from http_feeds_spark.stores import read_pinned_files
+
+        crows = read_pinned_files(
+            spark, cent_path, snapshot["centroids"], "PQ centroid"
+        ).collect()
+        cents = sorted((int(r.cid), [float(x) for x in r.cvec]) for r in crows)
+        residual = bool(getattr(crows[0], "residual", False)) if crows else False
+        rows = read_pinned_files(
+            spark, books_path, snapshot["codebooks"], "PQ codebook"
+        ).collect()
+        n_sub = 1 + max(r.sub for r in rows)
+        books: pq.Codebooks = [[] for _ in range(n_sub)]
+        for r in rows:
+            books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
+        return cents, [sorted(b) for b in books], residual
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
     crows = spark.read.parquet(cent_path).collect()
@@ -235,6 +271,7 @@ def search(
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """SEARCH-ONLY IVF+PQ: no training jobs in this path.
 
@@ -244,8 +281,15 @@ def search(
     shuffle); the pruned cluster set is pushed as a partition filter so
     only probed cluster=N/ CODE directories are read off disk; scoring
     is the two-HOF ADC sum; per-query top-k carries ids + one double.
-    Returns (qid, id, adc_d2, rank), nearest first."""
-    cents, books, residual = load_model(spark, index_root)
+    Returns (qid, id, adc_d2, rank), nearest first.
+
+    ``snapshot`` (a :func:`snapshot_files` dict, usually from a pinned
+    platform epoch) makes the read AS-OF that frontier — model and code
+    files resolve to exactly the recorded list (``basePath`` keeps the
+    cluster partition column, so probe pruning still prunes); a file
+    maintenance has since rewritten fails stop. The erasure ledger is
+    consulted LIVE: erasure trumps pins (epochs.py contract)."""
+    cents, books, residual = load_model(spark, index_root, snapshot=snapshot)
     codes_path, _, _ = _paths(index_root)
     if residual:
         # residual codebooks: the ADC table depends on the PROBED
@@ -269,7 +313,12 @@ def search(
             nprobe,
             "__qv",
         ).select(qid_col, "__dt", "cluster")
-    codes = spark.read.parquet(codes_path)
+    if snapshot is not None:
+        from http_feeds_spark.stores import read_pinned_files
+
+        codes = read_pinned_files(spark, codes_path, snapshot["codes"], "PQ code")
+    else:
+        codes = spark.read.parquet(codes_path)
     # logical-erasure window: ids in the erase ledger must not surface
     # (no-op plan while the ledger is absent — erasure.not_erased)
     codes = erasure.not_erased(spark, index_root, codes, id_col)

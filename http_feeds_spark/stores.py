@@ -56,6 +56,48 @@ def parquet_exists(spark: SparkSession, path: str) -> bool:
         raise
 
 
+def list_data_files(spark: SparkSession, store_path: str) -> list[str]:
+    """Every data file under a parquet store, recursively (partition
+    dirs included), sorted — the exact-file frontier a platform epoch
+    pins (epochs.py). Skips committer/metadata names (``_SUCCESS``,
+    dot-files). Metadata-only: one recursive listing, no data read.
+    Returns [] when the store is absent."""
+    fs, root = hadoop_fs(spark, store_path)
+    if not fs.exists(root):
+        return []
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def read_pinned_files(spark: SparkSession, base_path: str, files: list[str], what: str):
+    """Read an EXACT pinned file list (an epoch frontier) as one
+    DataFrame: ``basePath`` keeps key=value partition columns parsing —
+    and with them partition-filter file pruning — exactly as the live
+    directory scan would. Fail-stop contract (epochs.py): a pinned file
+    a later rewrite/compaction/purge deleted raises with the remedy,
+    never silently re-resolves to newer data."""
+    for p in files:
+        fs, jp = hadoop_fs(spark, p)
+        if not fs.exists(jp):
+            raise ValueError(
+                f"{what} file {p} of the pinned epoch is gone "
+                "(store rewrite, compaction, or purge); pin a newer epoch"
+            )
+    if not files:
+        return spark.read.parquet(base_path).limit(0)
+    return spark.read.option("basePath", base_path).parquet(*files)
+
+
 def require_lossless_cast(incoming, store, what: str) -> None:
     """Refuse-loudly type conformance for store appends (the dedup
     fold_batch rule applied to the cast sites): upserts cast incoming

@@ -173,6 +173,163 @@ def test_empty_frontier_components_raise_cleanly(spark, tmp_path):
         pinned.dedup_assignment()
     with pytest.raises(FileNotFoundError):
         pinned.landing()
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(FileNotFoundError):
+        pinned.ann_search(q)
+    with pytest.raises(FileNotFoundError):
+        pinned.pq_search(q)
+
+
+def _vecs(spark, ids, seed_axis):
+    """Deterministic 4-dim unit-ish vectors; `seed_axis` rotates which
+    axis dominates so waves are geometrically distinguishable."""
+    rows = [
+        (i, [1.0 if d == (i + seed_axis) % 4 else 0.1 * ((i + d) % 3) for d in range(4)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _build_vector_wave_n(spark, root):
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    emb = _vecs(spark, range(8), 0)
+    ai.build_index(spark, emb, f"{root}/ann_index", k=2, iters=2)
+    pqi.build_pq_index(
+        spark, emb, f"{root}/pq_index", nlist=2, m=2, ksub=2, validate=False
+    )
+    return emb
+
+
+def test_pinned_vector_reads_see_wave_n_while_n1_lands(spark, tmp_path):
+    """The r10 frontier extension: a pinned epoch holds BOTH vector-index
+    families (ANN raw tier + PQ compressed tier) at wave N while wave
+    N+1 upserts land — so a hybrid reader (BM25 ⊕ ANN, the RRF
+    composition) pinning one epoch sees ONE consistent wave across the
+    lexical and vector stores, the exact cross-store skew D46 closes."""
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    root = str(tmp_path / "platform")
+    _build_vector_wave_n(spark, root)
+    ti.build_text_index(spark, _wave(spark, [1, 2, 3], "waveN"), f"{root}/text_index")
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+
+    q = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    want_ann = [(r.query_id, r.vec_id, r.rank) for r in pinned.ann_search(q, k=4).collect()]
+    want_pq = [(r.query_id, r.vec_id, r.rank) for r in pinned.pq_search(q, k=4).collect()]
+    want_lex = {r.doc_id for r in pinned.text_search(["window"], k=10).collect()}
+    assert want_ann and want_pq and want_lex == {1, 2, 3}
+
+    # wave N+1: vectors engineered to WIN the query if they leaked in
+    new = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    assert ai.upsert_vectors(spark, new, f"{root}/ann_index") == 3
+    assert pqi.upsert_vectors(spark, new, f"{root}/pq_index") == 3
+    ti.upsert_documents(spark, _wave(spark, [4, 5], "waveN1"), f"{root}/text_index")
+
+    # live reads see wave N+1 ...
+    live = {r.vec_id for r in ai.search(spark, q, f"{root}/ann_index", k=4).collect()}
+    assert live & {100, 101, 102}
+    # ... while the pinned reader still answers wave N exactly, on all
+    # three stores the hybrid composition joins
+    assert [(r.query_id, r.vec_id, r.rank) for r in pinned.ann_search(q, k=4).collect()] == want_ann
+    assert [(r.query_id, r.vec_id, r.rank) for r in pinned.pq_search(q, k=4).collect()] == want_pq
+    assert {r.doc_id for r in pinned.text_search(["window"], k=10).collect()} == want_lex
+
+    # the next epoch's pin serves the new wave
+    rec2 = epochs.record_epoch(spark, root)
+    p2 = epochs.pin(spark, root, rec2["epoch"])
+    assert {r.vec_id for r in p2.ann_search(q, k=4).collect()} & {100, 101, 102}
+
+
+def test_pinned_vector_read_fails_stop_after_rewrite(spark, tmp_path):
+    """Maintenance rewrites (corpus compaction; full index rebuild)
+    delete pinned files: the pinned read must raise with the remedy,
+    never silently serve the rewritten store."""
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import pq_index as pqi
+
+    root = str(tmp_path / "platform")
+    emb = _build_vector_wave_n(spark, root)
+    # a second file-set in the cluster dirs so compaction has work
+    ai.upsert_vectors(spark, _vecs(spark, range(8, 12), 0), f"{root}/ann_index")
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+    q = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    assert pinned.ann_search(q, k=4).count() > 0
+
+    before, after = ai.compact_store(spark, f"{root}/ann_index")
+    assert after < before
+    with pytest.raises(ValueError, match="pin a newer epoch"):
+        pinned.ann_search(q, k=4).collect()
+
+    assert pinned.pq_search(q, k=4).count() > 0
+    pqi.build_pq_index(  # rebuild overwrites model + codes
+        spark, emb, f"{root}/pq_index", nlist=2, m=2, ksub=2, validate=False
+    )
+    with pytest.raises(ValueError, match="pin a newer epoch"):
+        pinned.pq_search(q, k=4).collect()
+
+    # post-maintenance epochs pin the rewritten frontier and read fine
+    rec2 = epochs.record_epoch(spark, root)
+    p2 = epochs.pin(spark, root, rec2["epoch"])
+    assert p2.ann_search(q, k=4).count() > 0
+    assert p2.pq_search(q, k=4).count() > 0
+
+
+def test_erasure_trumps_vector_pins(spark, tmp_path):
+    """The D42/D46 interaction extends to the vector tiers: an id erased
+    AFTER the epoch was recorded must not surface through the pin (the
+    ledger is consulted live), and once purged the pin fails stop."""
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import erasure
+
+    root = str(tmp_path / "platform")
+    _build_vector_wave_n(spark, root)
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+    q = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    victim = pinned.ann_search(q, k=1).collect()[0].vec_id
+    erasure.erase_ids(
+        spark, f"{root}/ann_index", spark.createDataFrame([(victim,)], "id long")
+    )
+    assert victim not in {r.vec_id for r in pinned.ann_search(q, k=8).collect()}
+    ai.purge_erased(spark, f"{root}/ann_index")  # physical purge rewrites files
+    with pytest.raises(ValueError, match="pin a newer epoch"):
+        pinned.ann_search(q, k=8).collect()
+
+
+def test_record_epoch_refuses_torn_landing_log(spark, tmp_path):
+    """The ADVICE r9 medium: a visible sink-log entry missing at record
+    time must refuse LOUDLY — recording a partial landing frontier would
+    make the pinned read silently under-serve."""
+    import os
+
+    root = str(tmp_path / "platform")
+    _land_batch(spark, root)
+    _land_batch(spark, root)  # ensure ≥2 visible entries
+    meta = f"{root}/landing/raw/_spark_metadata"
+    ids = sorted(int(f) for f in os.listdir(meta) if f.isdigit())
+    assert ids, "expected plain delta entries below the first boundary"
+    os.remove(f"{meta}/{ids[0]}")
+    crc = f"{meta}/.{ids[0]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="missing visible entries"):
+        epochs.record_epoch(spark, root)
 
 
 def test_pinned_landing_fails_stop_after_file_compaction(spark, tmp_path):
