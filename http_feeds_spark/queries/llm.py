@@ -1194,7 +1194,16 @@ def q_llm_sql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'proximity_any' AS surface, rank, doc_id, score AS measure "
         "FROM proximity_search_any(array('window', 'merge'), 2, 10)"
     )
-    return bm25.unionByName(phrase).unionByName(prox).orderBy("surface", "rank")
+    ordered = spark.sql(
+        "SELECT 'proximity' AS surface, rank, doc_id, score AS measure "
+        "FROM proximity_search(array('window', 'merge'), 2, 10)"
+    )
+    return (
+        bm25.unionByName(phrase)
+        .unionByName(prox)
+        .unionByName(ordered)
+        .orderBy("surface", "rank")
+    )
 
 
 @register("q_llm_hybrid_search", oracle=None, group="D")

@@ -51,6 +51,7 @@ def register_pipeline_views(
     *,
     chunk_size: int = 64,
     chunk_overlap: int = 8,
+    analyzer: str = "standard",
 ) -> list[str]:
     """Expose the Group-D pipeline surface to ``spark.sql`` (the same
     lazy-view contract as :func:`register_views` — nothing materializes
@@ -67,24 +68,31 @@ def register_pipeline_views(
 
     SQL-vs-operator result equality is pinned in
     tests/test_sql_surface.py. Assumes/refreshes the ``documents`` view
-    (register_views also creates it)."""
+    (register_views also creates it). ``analyzer`` threads through to
+    BOTH analyzed views (``bm25_scores``, ``positional_postings``) —
+    pass the SAME value to :func:`register_search_functions`, which
+    validates the name up front, so the query and corpus sides can
+    never silently tokenize differently."""
     from pyspark.sql import functions as F
 
     from http_feeds_spark.functions import text as tx
     from http_feeds_spark.operators import chunking, datacard, retrieval
 
+    tx._require_analyzer(analyzer)
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     chunking.chunk_documents(docs, chunk_size, chunk_overlap).createOrReplaceTempView(
         "chunks"
     )
     datacard.data_card(docs).createOrReplaceTempView("data_card")
-    retrieval.bm25_term_scores(docs).createOrReplaceTempView("bm25_scores")
+    retrieval.bm25_term_scores(docs, analyzer=analyzer).createOrReplaceTempView(
+        "bm25_scores"
+    )
     # (doc_id, pos, term) occurrence rows under the shared analyzer —
     # the base relation the positional SQL search functions query
     docs.select(
         F.col("doc_id"),
-        F.posexplode(tx.analyze("text")).alias("pos", "term"),
+        F.posexplode(tx.analyze("text", analyzer)).alias("pos", "term"),
     ).createOrReplaceTempView("positional_postings")
     return ["documents", "chunks", "data_card", "bm25_scores", "positional_postings"]
 
@@ -115,6 +123,7 @@ def register_search_functions(spark: SparkSession, analyzer: str = "standard") -
 
         SELECT * FROM bm25_search(array('window', 'filter'), 10)
         SELECT * FROM phrase_search(array('window filter merge'), 5)
+        SELECT * FROM proximity_search(array('window','merge'), 2, 5)
         SELECT * FROM proximity_search_any(array('window','merge'), 2, 5)
 
     SQL table functions (Spark 4 ``CREATE TEMPORARY FUNCTION ... RETURNS
@@ -133,12 +142,28 @@ def register_search_functions(spark: SparkSession, analyzer: str = "standard") -
     start s matches when every phrase offset i has its token at s+i
     (GROUP BY (doc, pos−i) HAVING COUNT(DISTINCT i) = m) — equal to the
     positional-index operator on the same corpus; ``proximity_search_any``
-    is the minimal-covering-window sweep as a windowed self-join (for
-    each occurrence p and term t the latest occurrence of t in
-    [p−win, p]; all m present ⇒ span = p − min last_t), the documented
-    equivalence of text_index.proximity_search_any's running-max form.
-    The ORDERED proximity walk stays Python-only (its greedy
-    earliest-next recursion is not arity-agnostic SQL).
+    is the SAME linear running-max sweep as the operator
+    (text_index.proximity_search_any): occurrence rows cross-joined
+    against the m query terms (model-sized — m rows), one running
+    ``MAX(pos) OVER (PARTITION BY doc, query-term ORDER BY pos ROWS
+    UNBOUNDED PRECEDING)`` per pair, minimal window ending at p spans
+    p − min(last_t). ONE pass over the occurrences, ONE doc_id
+    exchange, NO occurrence-to-occurrence join — the r9 form was a
+    positional self-join that degraded toward per-doc quadratic on
+    long documents with frequent terms; the plan guard in
+    tests/test_sql_surface.py pins the corpus is scanned once.
+    ``proximity_search`` (ORDERED, new r10) is the operator's greedy
+    earliest-next walk itself, arity-agnostic through SQL higher-order
+    functions: per (doc, phrase-offset) the term's sorted position
+    array is collected (the posting-list shape), and each start p0 of
+    the first term folds ``aggregate(slice(arrs, 2, m−1), p0,
+    (acc, a) -> array_min(filter(a.ps, x -> x > acc)))`` — the i-th
+    term takes its earliest position after the (i−1)-th, exactly
+    text_index.proximity_search's codegen'd array walk, with NULL
+    (no such position) propagating through the fold. One corpus scan,
+    one doc_id exchange, no self-join; the HOF reads materialized
+    ARRAY COLUMNS (aggregation output), not re-inlined expression
+    trees, so the r9 winnowing blowup shape cannot recur here.
 
     Requires :func:`register_pipeline_views` (the ``bm25_scores`` and
     ``positional_postings`` views) registered with the SAME analyzer.
@@ -197,18 +222,25 @@ def register_search_functions(spark: SparkSession, analyzer: str = "standard") -
         SELECT p.doc_id, p.term, p.pos
         FROM positional_postings p JOIN q ON p.term = q.term
       ),
-      -- the function argument (slop) may only appear in WHERE/HAVING
-      -- inside a SQL function body, so the window bound filters there
-      cand AS (
-        SELECT o1.doc_id, o1.pos AS p, o2.term, MAX(o2.pos) AS last_t
-        FROM occ o1 JOIN occ o2 ON o2.doc_id = o1.doc_id
-        WHERE o2.pos BETWEEN o1.pos - ((SELECT m FROM m) - 1 + slop) AND o1.pos
-        GROUP BY o1.doc_id, o1.pos, o2.term
+      -- the operator's linear sweep: each occurrence row fans out to
+      -- the m query terms (a model-sized cross join, never occ × occ)
+      -- and last_t(p) is ONE running max per (doc, query-term) — so a
+      -- doc with t occurrences costs t·m window rows, not t² pairs
+      swept AS (
+        SELECT o.doc_id, o.pos, qt.term AS qterm,
+               MAX(CASE WHEN o.term = qt.term THEN o.pos END) OVER (
+                 PARTITION BY o.doc_id, qt.term ORDER BY o.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t
+        FROM occ o CROSS JOIN q qt
       ),
+      -- the function argument (slop) may only appear in WHERE/HAVING
+      -- inside a SQL function body, so the span test lives in HAVING;
+      -- COUNT(last_t) = m is the all-terms-seen test (nulls = unseen)
       spans AS (
-        SELECT doc_id, p, CAST(p - MIN(last_t) AS INT) AS span
-        FROM cand GROUP BY doc_id, p
-        HAVING COUNT(*) = (SELECT m FROM m)
+        SELECT doc_id, pos AS p, CAST(pos - MIN(last_t) AS INT) AS span
+        FROM swept GROUP BY doc_id, pos
+        HAVING COUNT(last_t) = (SELECT m FROM m)
+           AND pos - MIN(last_t) <= (SELECT m FROM m) - 1 + slop
       ),
       hits AS (
         SELECT doc_id,
@@ -225,4 +257,64 @@ def register_search_functions(spark: SparkSession, analyzer: str = "standard") -
         FROM hits
       ) WHERE rank <= k
     """)
-    return ["bm25_search", "phrase_search", "proximity_search_any"]
+
+    spark.sql(f"""
+      CREATE OR REPLACE TEMPORARY FUNCTION proximity_search(
+        terms ARRAY<STRING>, slop INT, k INT)
+      RETURNS TABLE (doc_id BIGINT, n_matches INT, best_span INT, score DOUBLE, rank INT)
+      RETURN
+      WITH q AS (SELECT posexplode({toks}) AS (i, term)),
+      m AS (SELECT COUNT(*) AS m FROM q),
+      occ AS (
+        SELECT p.doc_id, q.i, p.pos
+        FROM positional_postings p JOIN q ON p.term = q.term
+      ),
+      -- per (doc, phrase offset): the term's sorted position list —
+      -- the posting-list shape the operator's walk consumes
+      byoff AS (
+        SELECT doc_id, i, array_sort(collect_list(pos)) AS ps
+        FROM occ GROUP BY doc_id, i
+      ),
+      -- docs carrying ALL m offsets, position lists ordered by offset
+      darr AS (
+        SELECT doc_id, array_sort(collect_list(struct(i, ps))) AS arrs
+        FROM byoff GROUP BY doc_id
+        HAVING COUNT(*) = (SELECT m FROM m)
+      ),
+      -- the greedy earliest-next walk from every start of term 0: the
+      -- fold advances through offsets 1..m-1, each taking its earliest
+      -- position strictly after the previous; NULL (dead end) sticks.
+      -- slop may only appear in WHERE/HAVING inside a function body,
+      -- so spans explode unfiltered and the window test sits below
+      spans AS (
+        SELECT doc_id, span FROM (
+          SELECT doc_id,
+                 explode(transform(arrs[0].ps, p0 ->
+                   aggregate(slice(arrs, 2, size(arrs) - 1), p0,
+                             (acc, a) -> array_min(filter(a.ps, x -> x > acc)))
+                   - p0)) AS span
+          FROM darr
+        )
+        WHERE span IS NOT NULL AND span <= (SELECT m FROM m) - 1 + slop
+      ),
+      hits AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_matches,
+               CAST(MIN(span) AS INT) AS best_span,
+               ROUND(SUM(CAST(1.0 AS DOUBLE)
+                         / (CAST(1.0 AS DOUBLE) + span - (SELECT m - 1 FROM m))),
+                     6) AS score
+        FROM spans GROUP BY doc_id
+      )
+      SELECT doc_id, n_matches, best_span, score, rank FROM (
+        SELECT doc_id, n_matches, best_span, CAST(score AS DOUBLE) AS score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM hits
+      ) WHERE rank <= k
+    """)
+    return [
+        "bm25_search",
+        "phrase_search",
+        "proximity_search",
+        "proximity_search_any",
+    ]

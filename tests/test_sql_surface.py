@@ -146,7 +146,9 @@ def test_sql_search_functions_equal_operators(spark, sf_dir, tmp_path):
 
     esql.register_pipeline_views(spark, sf_dir)
     fns = esql.register_search_functions(spark)
-    assert set(fns) == {"bm25_search", "phrase_search", "proximity_search_any"}
+    assert set(fns) == {
+        "bm25_search", "phrase_search", "proximity_search", "proximity_search_any",
+    }
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = str(tmp_path / "idx")
     ti.build_text_index(spark, docs, root)
@@ -197,3 +199,97 @@ def test_sql_search_functions_equal_operators(spark, sf_dir, tmp_path):
     # terms that analyze to nothing: empty result, not an error
     assert spark.sql("SELECT * FROM bm25_search(array('...'), 5)").count() == 0
     assert spark.sql("SELECT * FROM phrase_search(array('...'), 5)").count() == 0
+    assert spark.sql("SELECT * FROM proximity_search(array('...'), 1, 5)").count() == 0
+
+
+def test_sql_ordered_proximity_equals_operator_at_every_slop(spark, sf_dir, tmp_path):
+    """r10: the ORDERED proximity walk is SQL-callable — the HOF fold is
+    the operator's greedy earliest-next walk, value-exact at every slop
+    (slop=0 degenerates to adjacency, larger slops admit more starts),
+    including a multi-word term expanding the phrase through the
+    analyzer."""
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.sources.tables import load_table
+
+    esql.register_pipeline_views(spark, sf_dir)
+    esql.register_search_functions(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, root)
+
+    for terms in (["window", "merge"], ["window filter"], ["window"]):
+        arr = "array(" + ",".join(f"'{t}'" for t in terms) + ")"
+        for slop in (0, 1, 2, 5):
+            got = [
+                (r.doc_id, r.n_matches, r.best_span, r.score)
+                for r in spark.sql(
+                    "SELECT doc_id, n_matches, best_span, score "
+                    f"FROM proximity_search({arr}, {slop}, 20)"
+                ).collect()
+            ]
+            want = [
+                (r.doc_id, r.n_matches, r.best_span, r.score)
+                for r in ti.proximity_search(
+                    spark, root, terms, slop=slop, k=20
+                ).collect()
+            ]
+            assert got == want, (terms, slop)
+    # at least one probed combination must actually match
+    assert spark.sql(
+        "SELECT * FROM proximity_search(array('window','merge'), 5, 20)"
+    ).count() > 0
+
+
+def test_sql_proximity_is_the_linear_sweep_not_a_self_join(spark, sf_dir):
+    """r10: the SQL proximity body is the operator's running-max sweep —
+    the corpus relation appears ONCE in the optimized plan (the r9 form
+    self-joined the occurrence rows: two corpus scans, per-doc quadratic
+    pair blowup on long documents with frequent terms)."""
+    esql.register_pipeline_views(spark, sf_dir)
+    esql.register_search_functions(spark)
+    df = spark.sql("SELECT * FROM proximity_search_any(array('window','merge'), 2, 10)")
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    # each corpus read tokenizes through one regexp_extract_all +
+    # posexplode generator — exactly one of each means one corpus scan
+    assert p.count("posexplode") == 1, p
+    # OneRowRelation rows are the model-sized q/m scalar subqueries;
+    # real table scans print as "Relation [...]" — exactly one
+    assert p.count("Relation [") == 1, p
+    assert df.count() > 0  # and the linear form still finds matches
+
+
+def test_pipeline_views_thread_the_analyzer(spark, sf_dir, tmp_path):
+    """r10 (r9 ADVICE): register_pipeline_views takes the analyzer and
+    threads it through BOTH analyzed views, so a non-default analyzer's
+    SQL functions query views tokenized the SAME way — pinned against
+    the operator under that analyzer."""
+    import pytest
+
+    from http_feeds_spark.operators import text_index as ti
+    from http_feeds_spark.sources.tables import load_table
+
+    with pytest.raises(ValueError, match="analyzer"):
+        esql.register_pipeline_views(spark, sf_dir, analyzer="nope")
+
+    esql.register_pipeline_views(spark, sf_dir, analyzer="whitespace_lower")
+    esql.register_search_functions(spark, analyzer="whitespace_lower")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx_wsl")
+    ti.build_text_index(spark, docs, root, analyzer="whitespace_lower")
+    got = [
+        (r.doc_id, r.n_matches, r.best_span, r.score)
+        for r in spark.sql(
+            "SELECT doc_id, n_matches, best_span, score "
+            "FROM proximity_search_any(array('window', 'merge'), 2, 20)"
+        ).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_matches, r.best_span, r.score)
+        for r in ti.proximity_search_any(
+            spark, root, ["window", "merge"], slop=2, k=20
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    # restore the default-analyzer views for any later test in the session
+    esql.register_pipeline_views(spark, sf_dir)
+    esql.register_search_functions(spark)
