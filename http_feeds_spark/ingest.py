@@ -1059,13 +1059,23 @@ def _full_feed(spark: SparkSession, landing_root: str) -> DataFrame:
     before any retirement; raw ∪ compacted (deduped on seq — unique per
     entry) after one. Every full-history consumer (compact_now,
     read_model) must read through this, or a post-retirement pass would
-    silently drop the aged-out subjects."""
+    silently drop the aged-out subjects.
+
+    Null-seq rows (opaque wire ids carry no position) bypass the seq
+    dedup and union back verbatim: ``dropDuplicates`` treats NULLs as
+    EQUAL, so post-retirement it would silently collapse every null-seq
+    event into one survivor. They cannot be duplicated between the two
+    sides anyway — retirement itself refuses null seqs, so the
+    compacted copy's retired slice is all non-null."""
+    from pyspark.sql import functions as F
+
     raw, _, compacted = _paths(landing_root)
     feed = spark.read.parquet(raw)
     if retention_horizon(spark, landing_root) is not None:
-        feed = feed.unionByName(
-            spark.read.parquet(compacted)
-        ).dropDuplicates(["seq"])
+        both = feed.unionByName(spark.read.parquet(compacted))
+        feed = both.where(F.col("seq").isNotNull()).dropDuplicates(
+            ["seq"]
+        ).unionByName(both.where(F.col("seq").isNull()))
     return feed
 
 

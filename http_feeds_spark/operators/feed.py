@@ -153,17 +153,26 @@ def compact(feed: DataFrame, key: str = "subject", order_col: str = "seq") -> Da
     """Log compaction: keep only the newest entry per subject.
 
     README.md:181-267: "remove entries from the feed when another entry
-    was added to the feed with the same subject". One window, one shuffle
-    on the key; rank column is dropped so output stays envelope-shaped.
-    At 100 TB this runs as the periodic landing-zone rewrite job
-    (maintenance), and as the query-time view shown here.
-    """
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    return (
-        feed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    was added to the feed with the same subject". At 100 TB this runs as
+    the periodic landing-zone rewrite job (maintenance), and as the
+    query-time view shown here.
+
+    Plan shape (r10, the skew-robust form): latest-per-subject is
+    ``max_by(struct(other cols), struct(order_col))`` — an AGGREGATE,
+    so map-side partial aggregation runs before the key exchange
+    (each task ships ONE candidate row per subject it saw, pinned by a
+    plan guard). The previous ``row_number`` window shuffled EVERY row
+    of a subject to one task and sorted there — a hot subject (one
+    aggregate updated 10⁹ times) serialized on a single reducer at
+    100×. The struct ordering key mirrors the window's
+    ``desc``-nulls-last exactly: a null ``order_col`` loses to any
+    non-null one, and an all-null subject still keeps one row (struct
+    comparison, unlike a bare max_by key, never discards null-key
+    rows wholesale)."""
+    cols = feed.columns
+    others = [c for c in cols if c != key]
+    top = F.max_by(F.struct(*others), F.struct(F.col(order_col))).alias("__top")
+    return feed.groupBy(key).agg(top).select(key, "__top.*").select(*cols)
 
 
 def drop_tombstoned(compacted: DataFrame, horizon_seq: int | None = None) -> DataFrame:

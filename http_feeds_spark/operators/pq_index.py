@@ -144,7 +144,12 @@ def build_pq_index(
     codes_path, books_path, cent_path = _paths(index_root)
     if nlist is None or m is None or ksub is None or validate:
         n_vectors = emb.count()
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"empty corpus (no {vec_col} vectors); nothing to index"
+            )
+        dim = len(first[0])
         if nlist is None or m is None or ksub is None:
             suggested = vt.suggest_params(
                 n_vectors, dim, pq_bytes=pq_bytes, residual=residual, nlist=nlist

@@ -288,6 +288,73 @@ def test_retire_monotonic_and_rerun_converges(spark, tmp_path):
         srv.shutdown()
 
 
+def _stream_feed_rows(
+    spark, root: str, seq_expr: str, subject_expr: str, min_rows: int = 4
+) -> None:
+    """Append feed-shaped rate-source rows to <root>/raw through the
+    sink (the log-visible path); the checkpoint resumes, so consecutive
+    calls with different projections extend one raw zone."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "40")
+        .load()
+        .selectExpr(
+            f"CAST({seq_expr} AS BIGINT) AS seq",
+            "CAST(value AS STRING) AS id",
+            f"{subject_expr} AS subject",
+            "'PUT' AS method",
+            "timestamp AS time",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/raw")
+        .option("checkpointLocation", f"{root}/_checkpoint")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        time.sleep(1.0)
+        try:
+            if spark.read.parquet(f"{root}/raw").count() >= min_rows:
+                break
+        except Exception:
+            pass
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_null_seq_rows_survive_full_feed_post_retirement(spark, tmp_path):
+    """r10 (r9 ADVICE): dropDuplicates treats NULLs as equal, so the
+    post-retirement full-feed dedup on seq would silently collapse every
+    null-seq (opaque-id) row landing AFTER a retirement into one
+    survivor. Null-seq rows must bypass the dedup verbatim — they can
+    never be duplicated across the raw/compacted sides anyway
+    (retirement refuses null seqs; a later compact_now refuses mixed
+    feeds)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "landing")
+    _stream_feed_rows(spark, root, "value + 1", "concat('s', value % 3)")
+    seqs = sorted(r.seq for r in spark.read.parquet(f"{root}/raw").collect())
+    assert len(seqs) >= 3
+    ingest.retire_landing_history(spark, root, horizon_seq=seqs[-1])
+
+    # opaque-id events land after the retirement: seq is null
+    _stream_feed_rows(spark, root, "NULL", "concat('n', value % 2)")
+    raw_nulls = (
+        spark.read.parquet(f"{root}/raw").where(F.col("seq").isNull()).count()
+    )
+    assert raw_nulls >= 2
+
+    full = ingest._full_feed(spark, root)
+    assert full.where(F.col("seq").isNull()).count() == raw_nulls
+    # and the read model serves BOTH new null-seq subjects
+    subjects = {
+        r.subject for r in ingest.read_model(spark, root).select("subject").collect()
+    }
+    assert {"n0", "n1"} <= subjects
+
+
 def test_retire_refuses_null_seq_zone(spark, tmp_path):
     """A raw zone with null seqs (opaque wire ids) has no meaningful seq
     horizon — refuse with the remedy instead of retiring arbitrarily."""

@@ -47,9 +47,22 @@ def test_semi_anti_join_shapes(spark, sf_dir):
 
 
 def test_compaction_single_shuffle(spark, sf_dir):
-    """The latest-per-subject window must shuffle exactly once (on the
-    key) — no extra exchanges."""
+    """Latest-per-subject must shuffle exactly once (on the key) — no
+    extra exchanges."""
     assert plans.shuffle_count(q(spark, "q_compaction", sf_dir)) == 1
+
+
+def test_compaction_is_partial_aggregable(spark, sf_dir):
+    """r10 skew robustness: compaction is max_by — PARTIAL aggregation
+    runs before the key exchange, so each task ships one candidate row
+    per subject it saw and a hot subject (10⁹ updates of one aggregate)
+    can no longer serialize a single reducer the way the old
+    row_number window did (which shipped and sorted EVERY row of a
+    subject on one task)."""
+    for name in ("q_compaction", "q_read_model"):
+        p = plans.executed_plan(q(spark, name, sf_dir))
+        assert "partial_max_by" in p, (name, p)
+        assert "row_number" not in p, (name, p)
 
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):

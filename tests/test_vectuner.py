@@ -184,3 +184,15 @@ def test_build_pq_validates_explicit_params(spark, tmp_path):
         spark, emb, root, nlist=4, m=4, ksub=64, iters=1, validate=False
     )
     assert pqi.load_model(spark, root)[0]  # built despite the bad config
+
+
+def test_build_pq_empty_corpus_raises_clearly(spark, tmp_path):
+    """r10 (r9 ADVICE): an empty corpus must raise 'nothing to index',
+    not an opaque NoneType subscript from the dim probe."""
+    import pytest as _pytest
+
+    from http_feeds_spark.operators import pq_index as pqi
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="nothing to index"):
+        pqi.build_pq_index(spark, empty, str(tmp_path / "pq_empty"))
