@@ -638,3 +638,147 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(do_sample, schema=FRAMES_SCHEMA)
+
+
+# --- MP4 / ISO-BMFF metadata triage (r10) -----------------------------------
+#
+# Full video DECODE stays the documented import-gated boundary
+# (decode_image), but what a training-data pipeline needs FIRST is
+# metadata triage: duration, track count, resolution, codec fourcc —
+# enough to route/filter/cost a corpus before any codec runs. The
+# ISO-BMFF container (MPEG-4 Part 12) is a plain big-endian box tree,
+# stdlib-struct parseable, the same way the WAV/PPM tier started in r7.
+
+_BMFF_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    buf[start:end]. Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0). Raises ValueError on a torn box — a size
+    running past the buffer means the payload is truncated/corrupt."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("torn ISO-BMFF box (largesize header truncated)")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"torn ISO-BMFF box {btype!r} (size {size})")
+        yield btype, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing garbage after the last ISO-BMFF box")
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV/M4A) metadata triage — a stdlib-``struct`` box
+    walk, NO codec anywhere: ``ftyp`` major brand, ``mvhd``
+    timescale/duration (version 0 and 1 layouts), per-``trak`` handler
+    (``hdlr``), presentation size (``tkhd``, 16.16 fixed point), and
+    the first ``stsd`` sample-entry fourcc per track (the codec id —
+    avc1/hev1/mp4a/...). Unknown box types are skipped (the format's
+    own forward-compat rule); torn/truncated boxes raise ValueError —
+    the Spark surface (:func:`probe_video_meta`) maps that to a
+    skip-don't-crash row like every codec tier."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp box)")
+    import struct
+
+    meta: dict = {
+        "major_brand": None,
+        "timescale": 0,
+        "duration_s": None,
+        "n_tracks": 0,
+        "width": 0,
+        "height": 0,
+        "video_codec": None,
+        "audio_codec": None,
+    }
+
+    def walk(start: int, end: int, trak: dict | None = None) -> None:
+        for btype, s, e in _iter_boxes(payload, start, end):
+            if btype == b"ftyp":
+                meta["major_brand"] = payload[s : s + 4].decode("ascii", "replace")
+            elif btype == b"mvhd":
+                version = payload[s]
+                if version == 1:
+                    ts, = struct.unpack_from(">I", payload, s + 20)
+                    dur, = struct.unpack_from(">Q", payload, s + 24)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, s + 12)
+                meta["timescale"] = ts
+                meta["duration_s"] = (dur / ts) if ts else None
+            elif btype == b"trak":
+                t: dict = {}
+                meta["n_tracks"] += 1
+                walk(s, e, t)
+                if t.get("handler") == b"vide" and meta["video_codec"] is None:
+                    meta["video_codec"] = t.get("codec")
+                    meta["width"] = t.get("width", 0)
+                    meta["height"] = t.get("height", 0)
+                elif t.get("handler") == b"soun" and meta["audio_codec"] is None:
+                    meta["audio_codec"] = t.get("codec")
+            elif btype == b"tkhd" and trak is not None:
+                version = payload[s]
+                base = s + 4 + (32 if version == 1 else 20)  # past ids/durations
+                w, h = struct.unpack_from(">II", payload, base + 52)
+                trak["width"], trak["height"] = w >> 16, h >> 16
+            elif btype == b"hdlr" and trak is not None:
+                trak["handler"] = payload[s + 8 : s + 12]
+            elif btype == b"stsd" and trak is not None:
+                n_entries, = struct.unpack_from(">I", payload, s + 4)
+                if n_entries > 0:
+                    trak["codec"] = payload[s + 12 : s + 16].decode("ascii", "replace")
+            elif btype in _BMFF_CONTAINERS:
+                walk(s, e, trak)
+
+    walk(0, len(payload))
+    return meta
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, major_brand string, duration_s double, timescale int, "
+    "n_tracks int, width int, height int, video_codec string, audio_codec string"
+)
+
+
+def probe_video_meta(df: DataFrame) -> DataFrame:
+    """Corpus-wide video triage: one metadata row per payload via
+    :func:`parse_mp4_meta`. Non-ISO-BMFF / torn payloads emit
+    ``n_tracks = -1`` (skip-don't-crash, the image_stats convention).
+    Map-only, Arrow-batched, no shuffle — the triage that decides which
+    payloads are worth a real (external) decoder at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "major_brand", "duration_s", "timescale",
+            "n_tracks", "width", "height", "video_codec", "audio_codec",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = parse_mp4_meta(bytes(payload))
+                    for k in cols[1:]:
+                        out[k].append(m[k])
+                except Exception:
+                    out["major_brand"].append(None)
+                    out["duration_s"].append(None)
+                    out["timescale"].append(0)
+                    out["n_tracks"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["video_codec"].append(None)
+                    out["audio_codec"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=VIDEO_META_SCHEMA)

@@ -1828,6 +1828,53 @@ def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_mm_video_meta", oracle=None, group="D")
+def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4i (r10) — MP4/ISO-BMFF metadata TRIAGE: deterministic minimal
+    containers are synthesized per document (box tree hand-packed from
+    the MPEG-4 Part 12 layout — brand/duration/resolution/codec derived
+    from doc_id; every third payload deliberately torn) and triaged by
+    functions/multimodal.probe_video_meta — the stdlib box walk
+    extracting duration, track count, resolution, and codec fourccs
+    with NO codec anywhere. Torn payloads surface as n_tracks = -1
+    (skip-don't-crash, the codec-tier convention). Full video decode
+    remains the documented import-gated boundary; this is the triage a
+    100 TB pipeline runs FIRST. Spec-layout fixtures pinned in
+    tests/test_video_meta.py. Rows-only: engine-synthesized binaries."""
+    import struct as st
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+
+    def _box(t: bytes, p: bytes) -> bytes:
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    def mp4_for(doc_id: int) -> bytes:
+        ts, dur = 600, 600 * (1 + doc_id % 9)
+        w, h = 320 + 16 * (doc_id % 4), 240 + 16 * (doc_id % 3)
+        codec = [b"avc1", b"hev1", b"av01"][doc_id % 3]
+        mvhd = _box(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
+        tkhd = _box(
+            b"tkhd",
+            st.pack(">B3xIIIII", 0, 0, 0, 1, 0, 0)
+            + b"\x00" * 52
+            + st.pack(">II", w << 16, h << 16),
+        )
+        stsd = _box(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + codec + b"\x00" * 8)
+        hdlr = _box(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+        trak = _box(b"trak", tkhd + _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd))))
+        full = (
+            _box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomavc1")
+            + _box(b"moov", mvhd + trak)
+            + _box(b"mdat", b"\xab" * 32)
+        )
+        return full[:-9] if doc_id % 3 == 2 else full  # every third: torn
+
+    d = spark.createDataFrame(
+        [(i, mp4_for(i)) for i in ids], "doc_id long, payload binary"
+    )
+    return mm.probe_video_meta(d).orderBy("doc_id")
+
+
 @register("q_mm_image_real", oracle=None, group="D")
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
