@@ -46,7 +46,21 @@ def words(col) -> Column:
 # DEDUP-family behavior — llm.tokenized / streaming dedup shingles).
 # Every analyzer drops empties, so tokens-counted ≡ tokens-posted
 # under all of them (dl and the postings always agree).
-ANALYZERS = ("standard", "whitespace", "whitespace_lower")
+# "standard_porter" (r10) = standard tokenization, then the FIXED
+# English stopword set below is dropped and every surviving token is
+# Porter-stemmed (Porter 1980 — public domain) — so inflected forms
+# ("running", "runs") index and query as one term. The name FULLY
+# determines behavior (fixed stopword list, exact algorithm), which is
+# what the index-meta conformance machinery requires: recording the
+# analyzer string is recording the whole analysis chain.
+ANALYZERS = ("standard", "whitespace", "whitespace_lower", "standard_porter")
+
+# the fixed standard_porter stopword set — the classic minimal English
+# function-word list (Lucene's EnglishAnalyzer default, public domain)
+STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
 
 # Java-regex Unicode classes; DuckDB/RE2 accepts the same pattern, and
 # the pure-Python twin below matches via str.isalnum() (L* ∪ N* in both).
@@ -57,6 +71,136 @@ def _require_analyzer(analyzer: str) -> str:
     if analyzer not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
     return analyzer
+
+
+def porter_stem(word: str) -> str:
+    """The Porter stemming algorithm (M.F. Porter, 'An algorithm for
+    suffix stripping', Program 14(3), 1980 — public domain), implemented
+    from the paper's step tables. Input must be lowercase; words of
+    length ≤ 2 return unchanged (the paper's convention)."""
+    if len(word) <= 2:
+        return word
+
+    def cons(w: str, i: int) -> bool:
+        c = w[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not cons(w, i - 1)
+        return True
+
+    def measure(stem: str) -> int:
+        m, i, n = 0, 0, len(stem)
+        while i < n and cons(stem, i):
+            i += 1
+        while i < n:
+            while i < n and not cons(stem, i):
+                i += 1
+            if i >= n:
+                break
+            m += 1
+            while i < n and cons(stem, i):
+                i += 1
+        return m
+
+    def has_vowel(stem: str) -> bool:
+        return any(not cons(stem, i) for i in range(len(stem)))
+
+    def double_cons(w: str) -> bool:
+        return len(w) >= 2 and w[-1] == w[-2] and cons(w, len(w) - 1)
+
+    def cvc(w: str) -> bool:
+        return (
+            len(w) >= 3
+            and cons(w, len(w) - 3)
+            and not cons(w, len(w) - 2)
+            and cons(w, len(w) - 1)
+            and w[-1] not in "wxy"
+        )
+
+    w = word
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif measure(w) == 1 and cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # steps 2-4: (suffix -> replacement) applied when measure(stem)
+    # clears the step's threshold; longest-match within each step via
+    # table order (the paper's tables are prefix-free per final letter)
+    for table, thresh in (
+        (
+            (
+                ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                ("iviti", "ive"), ("biliti", "ble"),
+            ),
+            0,
+        ),
+        (
+            (
+                ("icate", "ic"), ("ative", ""), ("alize", "al"),
+                ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+            ),
+            0,
+        ),
+    ):
+        for suf, rep in table:
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if measure(stem) > thresh:
+                    w = stem + rep
+                break
+    # step 4 (m > 1): strip the derivational tail
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+        "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 1 and (suf != "ion" or stem[-1:] in ("s", "t")):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = measure(w[:-1])
+        if m > 1 or (m == 1 and not cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if measure(w) > 1 and double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def _porter_terms(tokens) -> list[str]:
+    """standard_porter's post-tokenization chain: drop the fixed
+    stopword set, stem the survivors."""
+    return [porter_stem(t) for t in tokens if t not in STOPWORDS]
 
 
 def analyze(col, analyzer: str = "standard") -> Column:
@@ -72,14 +216,40 @@ def analyze(col, analyzer: str = "standard") -> Column:
     ``element_at(tokens, …)``) re-evaluates PER ELEMENT — Spark does not
     CSE across lambda boundaries — which measured as a 6× blowup of the
     decontamination stage at sf0.1. Scan-parallel, codegen'd,
-    shuffle-free, and ~25% cheaper than split+filter even standalone."""
+    shuffle-free, and ~25% cheaper than split+filter even standalone.
+
+    The one exception is ``standard_porter`` (r10): stemming is not a
+    regex, so its post-tokenization chain runs as an Arrow-batched
+    pandas UDF over the codegen'd standard tokens — the documented
+    retrieval-quality-for-Python-worker trade, paid once at index build
+    and query time, never inside another operator's lambda (the UDF is
+    a black box to Catalyst, so it CANNOT be inlined/re-evaluated the
+    way expression trees are)."""
     _require_analyzer(analyzer)
     col = F.col(col) if isinstance(col, str) else col
     if analyzer == "standard":
         return F.regexp_extract_all(F.lower(col), F.lit(STANDARD_TOKEN_RE), F.lit(0))
+    if analyzer == "standard_porter":
+        base = F.regexp_extract_all(F.lower(col), F.lit(STANDARD_TOKEN_RE), F.lit(0))
+        return _porter_terms_udf()(base)
     if analyzer == "whitespace_lower":
         return F.regexp_extract_all(F.lower(col), F.lit("[^ ]+"), F.lit(0))
     return F.regexp_extract_all(col, F.lit("[^ ]+"), F.lit(0))
+
+
+def _porter_terms_udf():
+    """The Arrow-batched stem/stopword stage (built lazily so importing
+    this module never touches the UDF machinery)."""
+    import pandas as pd
+
+    def stem_terms(tokens):
+        return tokens.map(lambda ts: _porter_terms(list(ts)))
+
+    # real type objects, not strings: the module's `from __future__
+    # import annotations` would stringify inline hints and break
+    # pandas_udf's eval-type inference
+    stem_terms.__annotations__ = {"tokens": pd.Series, "return": pd.Series}
+    return F.pandas_udf(stem_terms, "array<string>")
 
 
 def tokenize(text: str, analyzer: str = "standard") -> list[str]:
@@ -94,6 +264,8 @@ def tokenize(text: str, analyzer: str = "standard") -> list[str]:
         return [t for t in text.split(" ") if t]
     if analyzer == "whitespace_lower":
         return [t for t in text.lower().split(" ") if t]
+    if analyzer == "standard_porter":
+        return _porter_terms(tokenize(text, "standard"))
     out: list[str] = []
     cur: list[str] = []
     for ch in text.lower():

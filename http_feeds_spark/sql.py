@@ -107,6 +107,16 @@ def _sql_analyze_tokens(terms_expr: str, analyzer: str) -> str:
     from http_feeds_spark.functions import text as tx
 
     tx._require_analyzer(analyzer)
+    if analyzer == "standard_porter":
+        # stemming is a Python-side chain (text.porter_stem), not a SQL
+        # expression — the SQL function bodies cannot stem query terms,
+        # so silently registering them would tokenize queries
+        # differently from the corpus views. Refuse with the remedy.
+        raise ValueError(
+            "analyzer 'standard_porter' is not SQL-expressible (Porter "
+            "stemming runs as a pandas UDF); use the DataFrame search "
+            "operators, or register the SQL surface with a regex analyzer"
+        )
     if analyzer == "standard":
         extract = "regexp_extract_all(lower(t), '[\\\\p{L}\\\\p{N}]+', 0)"
     elif analyzer == "whitespace_lower":

@@ -428,3 +428,94 @@ def test_near_dup_pipeline_catches_case_variants_under_standard(spark):
     pairs = {(r.a, r.b) for r in _near_dup_pairs(docs).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+# --- the standard_porter tier (r10) --------------------------------------
+
+
+def test_porter_stem_paper_vectors():
+    """porter_stem pinned against the algorithm paper's own step
+    examples (Porter 1980) — including the multi-step composites."""
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "conflated": "conflat", "hopping": "hop",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "operator": "oper",
+        "decisiveness": "decis", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "replacement": "replac", "adoption": "adopt",
+        "communism": "commun", "activate": "activ", "effective": "effect",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+        "running": "run", "runs": "run", "generalizations": "gener",
+    }
+    assert {w: tx.porter_stem(w) for w in vectors} == vectors
+
+
+def test_standard_porter_semantics():
+    """Tokenize like standard, drop the fixed stopword set, stem."""
+    assert tx.tokenize("The dogs were RUNNING quickly!", "standard_porter") == [
+        "dog", "were", "run", "quickli",
+    ]
+    assert tx.tokenize("the and of a", "standard_porter") == []  # all stopwords
+    assert tx.tokenize("...", "standard_porter") == []
+    assert tx.tokenize_query(["Running", "DOGS"], "standard_porter") == ["run", "dog"]
+
+
+def test_porter_improves_recall_on_inflected_corpus(spark, tmp_path):
+    """The tier's reason to exist: a corpus written in inflected forms
+    answers base-form queries under standard_porter where the standard
+    analyzer misses entirely — and the conformance machinery makes the
+    new tier exactly as safe as the old ones."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The dogs were running through the fields."),
+            (2, "A dog runs; it ran and keeps running!"),
+            (3, "Relational query engines optimize aggregations."),
+        ],
+        "doc_id long, text string",
+    )
+    std_root = str(tmp_path / "std")
+    por_root = str(tmp_path / "por")
+    ti.build_text_index(spark, docs, std_root, analyzer="standard")
+    ti.build_text_index(spark, docs, por_root, analyzer="standard_porter")
+
+    # base-form query: standard finds only the literal token "runs"→no
+    # ("run" never appears verbatim); porter matches every inflection
+    std_hits = {r.doc_id for r in ti.search(spark, std_root, ["run"], k=10).collect()}
+    por_hits = {r.doc_id for r in ti.search(spark, por_root, ["run"], k=10).collect()}
+    assert std_hits == set()
+    assert por_hits == {1, 2}
+    # inflected query forms all hit the same docs under porter
+    assert {r.doc_id for r in ti.search(spark, por_root, ["running"], k=10).collect()} == {1, 2}
+    # phrase under porter: the inflected query ["dogs", "running"]
+    # stems to [dog, run], adjacent only in doc 2 ("A dog runs ...")
+    assert {
+        r.doc_id
+        for r in ti.phrase_search(spark, por_root, ["dogs", "running"], k=10).collect()
+    } == {2}
+
+    # refusal matrix row: the porter index refuses other analyzers
+    with pytest.raises(ValueError, match="analyzer"):
+        ti.search(spark, por_root, ["run"], analyzer="standard")
+    with pytest.raises(ValueError, match="analyzer"):
+        ti.upsert_documents(spark, docs, por_root, analyzer="whitespace")
+    # meta records the tier; upsert with no arg inherits it
+    more = spark.createDataFrame([(9, "another runner arriving")], "doc_id long, text string")
+    assert ti.upsert_documents(spark, more, por_root) == 1
+    assert {r.doc_id for r in ti.search(spark, por_root, ["run"], k=10).collect()} == {1, 2}
+    assert {r.doc_id for r in ti.search(spark, por_root, ["arrive"], k=10).collect()} == {9}
+
+
+def test_porter_not_sql_expressible_refused(spark, sf_dir):
+    """The SQL search functions cannot stem query terms (no UDF in the
+    function body) — registering them under standard_porter must refuse
+    loudly with the remedy instead of silently mismatching the views."""
+    from http_feeds_spark import sql as esql
+
+    with pytest.raises(ValueError, match="not SQL-expressible"):
+        esql.register_search_functions(spark, analyzer="standard_porter")
