@@ -83,6 +83,108 @@ def _load_gate(threshold: float = 5.0, max_wait_s: float = 240.0) -> dict:
     }
 
 
+def _ensure_bench_text_corpus(spark, path: str, n_docs: int, n_words: int) -> bool:
+    """Deterministic punctuated benchmark corpus (r10): the driver
+    tables' documents at sf0.1 are 5K docs × ~300 chars, so every
+    text-index plan change lands inside job overhead (the r9 verdict
+    measured the whole family moving 25-40% with no plan change). This
+    builds ~n_docs × ~3 KB real-shaped text — Zipf-skewed vocabulary,
+    punctuation glued to words, occasional uppercase — entirely with
+    Spark expressions (no driver-side generation, no randomness:
+    xxhash64 of (doc, position) drives every choice, so the corpus is
+    bit-identical across rounds and the index builds once). Returns
+    True when it built."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.stores import parquet_exists
+
+    if parquet_exists(spark, path):
+        return False
+    syl = [
+        "an", "ber", "cor", "dal", "en", "fi", "gor", "hul", "in", "jor",
+        "kel", "lum", "mor", "nex", "or", "pel", "qui", "rol", "sta", "tur",
+        "ul", "ver", "win", "xo", "yer", "zam",
+    ]
+    vocab = [a + b for a in syl for b in syl][:400]
+    # plant known mid-frequency query terms at stable skew positions
+    vocab[40], vocab[55], vocab[70], vocab[85] = "window", "filter", "merge", "rollup"
+    varr = F.array(*[F.lit(w) for w in vocab])
+    V = len(vocab)
+
+    def word(i):
+        h1 = F.xxhash64(F.col("doc_id"), i, F.lit(1))
+        h2 = F.xxhash64(F.col("doc_id"), i, F.lit(2))
+        h3 = F.xxhash64(F.col("doc_id"), i, F.lit(3))
+        # Zipf-ish skew: idx uniform on [1, k] with k itself uniform —
+        # P(idx = j) ~ harmonic tail, so low indices are stopword-common
+        k = F.pmod(h2, F.lit(V)) + 1
+        w = F.element_at(varr, (F.pmod(h1, k) + 1).cast("int"))
+        w = F.when(F.pmod(h3, F.lit(11)) == 5, F.upper(w)).otherwise(w)
+        punct = (
+            F.when(F.pmod(h3, F.lit(7)) == 0, F.lit(","))
+            .when(F.pmod(h3, F.lit(7)) == 1, F.lit("."))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(w, punct)
+
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), F.lit(n_words)), word), " "
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return True
+
+
+def _bench_text_tier(spark, timings: dict[str, float]) -> float:
+    """The real-sized text-index tier: bm25/phrase/ordered/unordered
+    proximity against a ~50K-doc × ~3 KB corpus — large enough that a
+    posting-path regression moves the number, not the noise floor.
+    Returns the one-time corpus+index build seconds (0.0 when both
+    already existed — the corpus is deterministic, so later rounds
+    reuse the warehouse artifact and bench pure search)."""
+    from http_feeds_spark.operators import text_index as ti
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_TEXT_DOCS", "50000"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    corpus_path = f"{wh}/bench_text/corpus_{n_docs}"
+    index_root = f"{wh}/bench_text/index_{n_docs}"
+
+    t0 = time.perf_counter()
+    built = _ensure_bench_text_corpus(spark, corpus_path, n_docs, n_words=450)
+    docs = spark.read.parquet(corpus_path)
+    built = ti.ensure_text_index(spark, docs, index_root) or built
+    build_s = round(time.perf_counter() - t0, 3) if built else 0.0
+
+    tier = {
+        "text50k_bm25": lambda: ti.search(
+            spark, index_root, ["window", "filter", "merge"], k=10
+        ),
+        "text50k_phrase": lambda: ti.phrase_search(
+            spark, index_root, ["window", "filter"], k=10
+        ),
+        "text50k_proximity": lambda: ti.proximity_search(
+            spark, index_root, ["window", "merge"], slop=3, k=10
+        ),
+        "text50k_proximity_any": lambda: ti.proximity_search_any(
+            spark, index_root, ["window", "merge"], slop=3, k=10
+        ),
+    }
+    for name, fn in tier.items():
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+    return build_s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -108,6 +210,8 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
 
+    text_build_s = _bench_text_tier(spark, timings)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +220,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # one-time cost of the deterministic 50K-doc text corpus
+                # + index (0.0 when the warehouse artifact already
+                # existed; search timings above never include it)
+                "text_tier_build_s": text_build_s,
                 "legacy12_subtotal": round(
                     sum(timings[n] for n in LEGACY12 if n in timings), 3
                 ),
