@@ -384,3 +384,93 @@ def fsck_landing(spark: SparkSession, landing_root: str) -> dict:
             else -1
         )
     return out
+
+
+def fsck_epochs(spark: SparkSession, platform_root: str) -> dict:
+    """Invariant report for the platform-epoch store (the seventh store
+    family, r10): each committed epoch's recorded frontiers are probed
+    for SERVABILITY — whether a pin taken now would read, or fail stop
+    because maintenance/retention/erasure has rewritten what it
+    references. Metadata-only (existence/commit-marker probes; no data
+    read), read-only like every fsck.
+
+    Per epoch:
+
+    - ``stale``: stores whose recorded frontier no longer resolves (a
+      pinned read of that store raises with the pin-a-newer-epoch
+      remedy — EXPECTED after maintenance; a growing stale tail just
+      means retention is working);
+    - ``absent``: stores the epoch recorded no frontier for (that
+      component didn't exist at record time; pinned reads raise
+      store-absent);
+
+    plus ``fully_servable``: epochs every recorded store still serves.
+    The latest epoch SHOULD normally be fully servable — run_platform
+    records it after maintenance; a stale LATEST epoch means something
+    rewrote stores outside the platform wave (manual compaction,
+    erasure purge) and a fresh record_epoch is due."""
+    from http_feeds_spark import epochs as ep
+    from http_feeds_spark.stores import committed
+    from http_feeds_spark.streaming import dedup as sd
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = platform_root.rstrip("/")
+    dirs = ep._epoch_dirs(spark, platform_root)
+    out: dict = {"epochs": [n for n, _ in dirs], "reports": []}
+    if not dirs:
+        return out
+    asg_have = {
+        n for n, _ in sd._complete_epochs(spark, f"{root}/dedup_index/{sd.ASSIGNMENT_DIR}")
+    }
+    fs, _ = hadoop_fs(spark, root)
+
+    def _gone(paths: list[str]) -> bool:
+        for p in paths:
+            _, jp = hadoop_fs(spark, p)
+            if not fs.exists(jp):
+                return True
+        return False
+
+    for n, path in dirs:
+        pin = ep.PlatformEpoch(spark, platform_root, spark.read.parquet(path).collect()[0])
+        stale: list[str] = []
+        absent: list[str] = []
+        if not pin.text_batches:
+            absent.append("text_index")
+        elif any(
+            not committed(spark, f"{root}/text_index/postings/batch={b:06d}")
+            for b in pin.text_batches
+        ):
+            stale.append("text_index")
+        if not pin.monitor_units:
+            absent.append("monitor")
+        else:
+            try:
+                paths = mon._unit_paths(
+                    spark, f"{root}/monitor", pin.monitor_units, mon.STATS_DIR
+                )
+                if any(not committed(spark, p) for p in paths):
+                    stale.append("monitor")
+            except Exception:
+                stale.append("monitor")
+        if pin.dedup_epoch < 0:
+            absent.append("dedup_index")
+        elif pin.dedup_epoch not in asg_have:
+            stale.append("dedup_index")
+        if pin.landing_batch < 0:
+            absent.append("landing")
+        elif _gone(pin.landing_files):
+            stale.append("landing")
+        if not pin.ann_files["centroids"]:
+            absent.append("ann_index")
+        elif _gone(pin.ann_files["centroids"] + pin.ann_files["corpus"]):
+            stale.append("ann_index")
+        if not pin.pq_files["centroids"]:
+            absent.append("pq_index")
+        elif _gone(
+            pin.pq_files["centroids"] + pin.pq_files["codebooks"] + pin.pq_files["codes"]
+        ):
+            stale.append("pq_index")
+        out["reports"].append({"epoch": n, "stale": stale, "absent": absent})
+    out["fully_servable"] = [r["epoch"] for r in out["reports"] if not r["stale"]]
+    return out

@@ -1001,6 +1001,29 @@ def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.search(spark, root, ["window", "filter", "merge"], k=10)
 
 
+@register("q_llm_porter_search", oracle=None, group="D")
+def q_llm_porter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25h (r10) — retrieval under the ``standard_porter`` analyzer
+    tier (functions/text.py: standard tokenization → fixed English
+    stopword set → Porter stemmer as an Arrow-batched pandas UDF): the
+    index is built once under the warehouse dir with the analyzer
+    recorded in its meta, and BASE-FORM queries answer inflected text —
+    the recall the plain standard analyzer structurally cannot give.
+    Stemmer pinned against the Porter paper's own vectors, recall
+    improvement + conformance-refusal row pinned in
+    tests/test_analyzer.py. Rows-only (stemming has no SQL twin —
+    the SQL surface refuses this analyzer loudly)."""
+    import os
+
+    from http_feeds_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/text_index_porter/{os.path.basename(sf_dir.rstrip('/'))}"
+    ti.ensure_text_index(spark, docs, root, analyzer="standard_porter")
+    return ti.search(spark, root, ["window", "filter", "merge"], k=10)
+
+
 @register("q_llm_phrase_search", oracle=None, group="D")
 def q_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D25c — EXACT phrase retrieval against the positional inverted

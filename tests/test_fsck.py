@@ -204,3 +204,63 @@ def test_fsck_rewrite_stage_leftover_flags(spark, sf_dir, tmp_path):
     os.makedirs(f"{root}/{ai.CORPUS_DIR}__rewrite_stage", exist_ok=True)
     rep = fsck.fsck_ann_index(spark, root)
     assert rep["rewrite_stage_leftover"] is True and rep["stage_leftover"] is False
+
+
+def test_fsck_epochs_servability_matrix(spark, tmp_path):
+    """r10, the seventh store family: fsck_epochs reports, per committed
+    epoch, which recorded frontiers still serve a pin — fully servable
+    right after recording, the affected store flipping to stale after a
+    maintenance rewrite, never-recorded components as absent."""
+    from http_feeds_spark import epochs
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import fsck
+    from http_feeds_spark.operators import text_index as ti
+
+    root = str(tmp_path / "platform")
+    docs = spark.createDataFrame(
+        [(i, f"window filter merge body{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 4 == d) + 0.1 for d in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    ti.build_text_index(spark, docs, f"{root}/text_index")
+    ai.build_index(spark, emb, f"{root}/ann_index", k=2, iters=1)
+    rec0 = epochs.record_epoch(spark, root)
+
+    rep = fsck.fsck_epochs(spark, root)
+    assert rep["epochs"] == [rec0["epoch"]]
+    r0 = rep["reports"][0]
+    assert r0["stale"] == []
+    assert set(r0["absent"]) == {"monitor", "dedup_index", "landing", "pq_index"}
+    assert rep["fully_servable"] == [rec0["epoch"]]
+
+    # a corpus rewrite stales the ANN frontier of the OLD epoch only
+    ai.upsert_vectors(
+        spark,
+        spark.createDataFrame(
+            [(100, [0.5, 0.5, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        ),
+        f"{root}/ann_index",
+    )
+    ai.compact_store(spark, f"{root}/ann_index")
+    rec1 = epochs.record_epoch(spark, root)
+    rep = fsck.fsck_epochs(spark, root)
+    by_epoch = {r["epoch"]: r for r in rep["reports"]}
+    assert by_epoch[rec0["epoch"]]["stale"] == ["ann_index"]
+    assert by_epoch[rec1["epoch"]]["stale"] == []
+    assert rep["fully_servable"] == [rec1["epoch"]]
+    # the fsck verdict matches what a pin actually does
+    q = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pin a newer epoch"):
+        epochs.pin(spark, root, rec0["epoch"]).ann_search(q, k=2).collect()
+    assert epochs.pin(spark, root, rec1["epoch"]).ann_search(q, k=2).count() > 0
+    # empty platform: no epochs, no reports
+    assert fsck.fsck_epochs(spark, str(tmp_path / "elsewhere")) == {
+        "epochs": [], "reports": [],
+    }
