@@ -38,7 +38,11 @@ run_platform does) and pin only for the duration of a query round.
 
 Scale: recording an epoch is a handful of metadata listings plus one
 one-row parquet write; pinned reads add zero shuffles over their live
-counterparts (same plans, explicit path lists).
+counterparts (same plans, explicit path lists). The exact-file
+frontiers (landing, ANN, PQ) are O(store data files) strings — bounded
+by the same maintenance that motivates them (landing_max_files for the
+sink; compact_store folds the vector corpora to ~one file per cluster,
+so an epoch row carries ~nlist paths, not one per historical append).
 """
 
 from __future__ import annotations

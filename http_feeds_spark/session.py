@@ -62,6 +62,16 @@ def get_spark(
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark 4 has
         # no nanos timestamp type — read as long, convert on load (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin the warehouse to the repo root, not the caller's CWD: the
+        # ensure-once bench/index artifacts (text corpus, ANN/BM25
+        # stores) must resolve to ONE location whatever directory the
+        # driver/bench/test process launched from
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", os.path.join(repo_root, "spark-warehouse")
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # python streaming sources + many short-lived UDF stages: give the
         # worker fork/connect-back path headroom under load (default 15s)
