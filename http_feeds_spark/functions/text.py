@@ -475,3 +475,37 @@ def add_winnow_fingerprints(
             out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
         )
     )
+
+
+def compression_ratio(col) -> Column:
+    """Per-document zlib COMPRESSION RATIO (compressed bytes / raw
+    UTF-8 bytes, level 6) — the entropy-based quality signal modern
+    corpus pipelines filter on (used in the FineWeb / DataComp-LM
+    ablation families): machine-generated or boilerplate-repetitive
+    text compresses far below natural prose, while encrypted/base64/
+    random junk refuses to compress at all — so BOTH tails of the ratio
+    are removal candidates, catching degenerate documents the
+    word-level Gopher repetition rules miss (repetition at the
+    CHARACTER level, or across scales the fixed n-gram windows skip).
+
+    zlib is not a SQL expression, so this runs as an Arrow-batched
+    pandas UDF (map-only, scan-parallel, no shuffle) — like the Porter
+    tier, the documented Python-worker path. Deterministic: fixed
+    zlib level, byte-exact across runs/partitions. Empty/null text
+    maps to ratio 1.0 (nothing to compress ⇒ keep by default)."""
+    import pandas as pd
+
+    def ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None or t == "":
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pandas_udf(ratio, "double")(c)

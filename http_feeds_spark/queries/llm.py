@@ -577,6 +577,27 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_compress_quality", oracle=None, group="D")
+def q_llm_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6e (r10) — compression-ratio quality signal
+    (functions/text.compression_ratio): per-doc zlib ratio (compressed
+    bytes / raw UTF-8 bytes, level 6 — deterministic), the entropy
+    filter of the FineWeb/DataComp-LM ablation families. Degenerate
+    repetition compresses toward 0 and random junk toward/above 1, so
+    corpus filters drop BOTH tails — character-level degeneracy the
+    word-level Gopher rules miss. Arrow-batched map-only pandas UDF, no
+    shuffle. Rows-only (zlib has no SQL twin); ordering between
+    repetitive, natural, and random text is pinned in
+    tests/test_repetition.py."""
+    d = _docs(spark, sf_dir)
+    ratio = tx.compression_ratio("text")
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("zlib_ratio"),
+        (ratio < 0.95).alias("passes_entropy_ceiling"),
+    ).orderBy("doc_id")
+
+
 # --- D6d: model-based quality scoring ----------------------------------------
 
 

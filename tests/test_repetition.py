@@ -106,3 +106,42 @@ def test_empty_and_single_token_edge_cases(spark):
     for i in (1, 2):
         assert got[i].top_2gram_frac == 0.0
         assert got[i].dup_5gram_frac == 0.0
+
+
+def test_compression_ratio_orders_degeneracy(spark):
+    """r10 D6e: the zlib entropy signal — degenerate repetition
+    compresses toward 0, natural prose sits in between, incompressible
+    junk near/above 1; byte-exact vs a driver-side zlib reference
+    (deterministic level-6), empty text maps to 1.0."""
+    import zlib
+
+    from http_feeds_spark.functions import text as tx
+
+    import base64
+    import hashlib
+
+    natural = " ".join(
+        f"On day {i} the {w} observer took careful notes about the weather,"
+        " terrain, and the slowly fading light over the harbor."
+        for i, w in enumerate(["first", "second", "third", "fourth", "fifth", "patient"])
+    )
+    repetitive = "spam ham " * 40
+    # incompressible: deterministic hash-chained bytes, base85-printable
+    blob = b"".join(hashlib.sha256(bytes([i])).digest() for i in range(24))
+    junk = base64.b85encode(blob).decode()
+    rows = [(1, natural), (2, repetitive), (3, junk), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", tx.compression_ratio("text").alias("ratio")
+        ).collect()
+    }
+    # byte-exact against the reference implementation
+    for doc_id, t in rows:
+        if t:
+            raw = t.encode("utf-8")
+            assert got[doc_id] == len(zlib.compress(raw, 6)) / len(raw), doc_id
+    assert got[2] < got[1] < got[3]  # repetition < prose < junk
+    assert got[2] < 0.2
+    assert got[4] == 1.0 and got[5] == 1.0
