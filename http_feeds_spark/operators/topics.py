@@ -1,0 +1,79 @@
+"""Corpus topic profiling — cluster the embedding space and label each
+cluster with its distinguishing terms (SURVEY §2 D49).
+
+The curation loop every large-corpus effort runs before pruning or
+re-mixing: k-means over the embedding column partitions the corpus into
+topical clusters (functions/kmeans.py — deterministic Lloyd rounds, so
+profiles are reproducible run to run), and each cluster is labeled by
+its most frequent analyzed terms. Cluster sizes expose imbalance (one
+mega-cluster = a boilerplate family worth SemDeDup'ing); labels make
+the decision human-readable ("cluster 3 is 40% of the corpus and its
+terms are cookie/consent/privacy" → prune). The same report drives
+cluster-stratified sampling and the SemDeDup tier's k choice.
+
+Plan shape: one model-sized centroid training (the only iterative
+part), one map-only assignment join, one (cluster, term) count
+aggregate — map-side combined, shuffle bounded by k × vocabulary, never
+by corpus rows — and a per-cluster rank window over that bounded count
+frame. No UDF anywhere under the default analyzer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from http_feeds_spark.functions import kmeans as km
+from http_feeds_spark.functions import text as tx
+
+
+def topic_profile(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    top_terms: int = 5,
+    iters: int = 2,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    analyzer: str = "standard",
+    drop_stopwords: bool = True,
+) -> DataFrame:
+    """(cluster, n_docs, rank, term, term_count) — one row per
+    (cluster, top term), rank 1..top_terms by in-cluster frequency
+    (ties term-ascending, so the profile is fully deterministic).
+
+    ``drop_stopwords`` (default) removes the fixed English stopword set
+    from labeling under the non-stemming analyzers — otherwise every
+    cluster is labeled "the/and/of" and the profile says nothing; the
+    ``standard_porter`` analyzer already drops them in tokenization.
+    Documents without an embedding row are outside the profile (inner
+    join — the profile describes the CLUSTERED corpus)."""
+    cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
+    assigned = km.assign_clusters(emb, cents, vec_col).select(
+        F.col(vec_id_col).alias(id_col), "cluster"
+    )
+    joined = docs.select(id_col, text_col).join(assigned, id_col)
+    toks = tx.analyze(text_col, analyzer)
+    terms = joined.select("cluster", F.explode(toks).alias("term"))
+    if drop_stopwords and analyzer != "standard_porter":
+        terms = terms.where(~F.col("term").isin(*sorted(tx.STOPWORDS)))
+    counts = terms.groupBy("cluster", "term").agg(
+        F.count("*").alias("term_count")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("term_count"), F.asc("term")
+    )
+    top = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_terms
+    )
+    sizes = joined.groupBy("cluster").agg(F.count("*").cast("long").alias("n_docs"))
+    return top.join(sizes, "cluster").select(
+        "cluster",
+        "n_docs",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("term_count").cast("long").alias("term_count"),
+    )

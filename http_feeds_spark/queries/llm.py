@@ -598,6 +598,28 @@ def q_llm_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("q_llm_topics", oracle=None, group="D")
+def q_llm_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D49 (r10) — corpus topic profiling (operators/topics.py): k-means
+    over the embedding column partitions the corpus into topical
+    clusters (deterministic Lloyd rounds), each labeled by its most
+    frequent analyzed terms with stopwords excluded — the
+    cluster-sizes-plus-labels report every curation loop reads before
+    pruning/re-mixing, and the input to cluster-stratified sampling and
+    the SemDeDup k choice. One training, one map-only assignment, one
+    map-side-combined (cluster, term) count — shuffle bounded by
+    k × vocabulary, never corpus rows. Rows-only (k-means has no SQL
+    twin); planted-topic labeling, stopword exclusion, determinism,
+    and the partial-agg plan pinned in tests/test_topics.py."""
+    from http_feeds_spark.operators import topics
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    return topics.topic_profile(docs, emb, k=8, top_terms=4, iters=2).orderBy(
+        "cluster", "rank"
+    )
+
+
 # --- D6d: model-based quality scoring ----------------------------------------
 
 

@@ -1,0 +1,75 @@
+"""Corpus topic profiling (operators/topics.py D49): planted topical
+clusters must come back with the planted vocabulary as their labels,
+sizes must partition the clustered corpus, and the profile must be
+deterministic run to run (deterministic Lloyd training + tie-broken
+ranking)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from http_feeds_spark.operators import topics
+
+
+def _corpus(spark):
+    """Two well-separated embedding clusters with disjoint vocabularies:
+    docs 0-9 are 'astronomy' near axis 0, docs 10-19 'cooking' near
+    axis 1 (deterministic jitter, non-zero everywhere)."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "telescope orbit nebula telescope star orbit", [1.0, 0.1 + 0.01 * i, 0.1, 0.1]))
+    for i in range(10, 20):
+        rows.append((i, "recipe oven flour recipe butter oven", [0.1, 1.0, 0.1 + 0.01 * i, 0.1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<float>")
+    return df.select("doc_id", "text"), df.select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+
+
+def test_planted_topics_labeled_and_sized(spark):
+    docs, emb = _corpus(spark)
+    prof = topics.topic_profile(docs, emb, k=2, top_terms=2, iters=3)
+    rows = prof.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, {"n_docs": r.n_docs, "terms": []})
+        by_cluster[r.cluster]["terms"].append((r.rank, r.term, r.term_count))
+    assert len(by_cluster) == 2
+    assert sorted(c["n_docs"] for c in by_cluster.values()) == [10, 10]
+    label_sets = [
+        {t for _, t, _ in sorted(c["terms"])} for c in by_cluster.values()
+    ]
+    # each planted topic's two most frequent words label exactly one cluster
+    assert {"telescope", "orbit"} in label_sets
+    assert {"recipe", "oven"} in label_sets
+    # frequencies are the exact planted counts (2 per doc × 10 docs)
+    assert all(tc == 20 for c in by_cluster.values() for _, _, tc in c["terms"])
+
+    # deterministic: a second run is row-for-row identical
+    again = topics.topic_profile(docs, emb, k=2, top_terms=2, iters=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_stopwords_do_not_label_clusters(spark):
+    docs, emb = _corpus(spark)
+    noisy = docs.withColumn(
+        "text", F.concat(F.lit("the and of the and of the "), F.col("text"))
+    )
+    prof = topics.topic_profile(noisy, emb, k=2, top_terms=2, iters=3)
+    labels = {r.term for r in prof.collect()}
+    assert labels.isdisjoint({"the", "and", "of"})
+    # opt-out keeps them (the raw-count view)
+    raw = topics.topic_profile(
+        noisy, emb, k=2, top_terms=2, iters=3, drop_stopwords=False
+    )
+    assert "the" in {r.term for r in raw.collect()}
+
+
+def test_profile_shuffle_is_vocab_bounded(spark):
+    """The count aggregate must be map-side combined (the shuffle
+    carries (cluster, term) partials, never corpus rows)."""
+    from http_feeds_spark import plans
+
+    docs, emb = _corpus(spark)
+    prof = topics.topic_profile(docs, emb, k=2, top_terms=2, iters=1)
+    assert plans.has_partial_aggregation(prof)
