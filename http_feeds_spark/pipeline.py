@@ -105,6 +105,7 @@ def prepare_training_corpus(
     substr_length: int = 12,
     max_ppl: float | None = None,
     ppl_reference: DataFrame | None = None,
+    zlib_ratio_bounds: tuple[float, float] | None = None,
     near_dup: bool = True,
     eval_docs: DataFrame | None = None,
     min_shared_fps: int = 2,
@@ -150,6 +151,18 @@ def prepare_training_corpus(
     cur = _boundary(
         quality_gate(docs, langs, min_chars, max_chars, min_words), "quality"
     )
+
+    if zlib_ratio_bounds is not None:
+        # entropy gate (functions/text.compression_ratio, r10): both
+        # tails are degenerate — ratios below `lo` are character-level
+        # repetition the word-window rules miss, above `hi`
+        # incompressible junk. Runs BEFORE the LM gate: one cheap
+        # Arrow-batched pass that spares perplexity scoring the
+        # documents it would reject anyway.
+        lo, hi = zlib_ratio_bounds
+        cur = _boundary(
+            cur.filter(tx.compression_ratio("text").between(lo, hi)), "entropy"
+        )
 
     if max_ppl is not None:
         # CCNet-style LM gate (functions/ngram_lm.py): reference = the

@@ -287,3 +287,35 @@ def test_feed_to_trainer_shards_e2e(spark, tmp_path):
         assert {"doc_id", "text", "bin", "shard"} <= set(back.columns)
     finally:
         srv.shutdown()
+
+
+def test_entropy_stage_drops_both_tails(spark, sf_dir):
+    """r10: the optional zlib entropy gate — a planted degenerate
+    repeater (ratio → 0) and planted incompressible junk (ratio → 1)
+    both die at the 'entropy' boundary while normal docs pass; default
+    None leaves the pipeline byte-identical (no stage in the report)."""
+    import base64
+    import hashlib
+
+    docs = _docs(spark, sf_dir)
+    junk_text = base64.b85encode(
+        b"".join(hashlib.sha256(bytes([i])).digest() for i in range(40))
+    ).decode()
+    plants = spark.createDataFrame(
+        [
+            (910001, "spam ham " * 60, "en", "srcE", len("spam ham " * 60)),
+            (910002, junk_text, "en", "srcE", len(junk_text)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(plants)
+    result = prepare_training_corpus(
+        spark, corpus, near_dup=False, zlib_ratio_bounds=(0.2, 0.75)
+    )
+    stages = dict(result["report"])
+    final_ids = {r.doc_id for r in result["corpus"].select("doc_id").collect()}
+    assert 910001 not in final_ids and 910002 not in final_ids
+    assert stages["entropy"] < stages["quality"]  # the plants actually hit
+    # default: no entropy stage anywhere in the report
+    base = prepare_training_corpus(spark, corpus, near_dup=False)
+    assert "entropy" not in dict(base["report"])
