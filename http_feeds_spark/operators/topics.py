@@ -77,3 +77,43 @@ def topic_profile(
         "term",
         F.col("term_count").cast("long").alias("term_count"),
     )
+
+
+def cluster_stratified_sample(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    per_cluster: int,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACTLY min(per_cluster, cluster size) documents per topical
+    cluster — the profile's actionable sibling: where
+    :func:`topic_profile` tells a curator a cluster is over-represented,
+    this draws the balanced sample (eval sets, annotation batches,
+    topic-balanced mixtures) without the corpus-frequency bias a plain
+    uniform sample inherits.
+
+    Deterministic end to end: the same Lloyd training as the profile
+    (same k/iters ⇒ identical clusters), then
+    sampling.stratified_sample_exact's hash-ranked quota per cluster —
+    the seed is a reproducible tape, and membership is stable across
+    partition layouts. Returns the sampled docs with their ``cluster``.
+    One map-only assignment join + one window shuffle on the cluster
+    key; the skew caveat of stratified_sample_exact applies to a
+    mega-cluster (pre-filter first — or fix the imbalance this sample
+    exists to reveal)."""
+    from http_feeds_spark.functions.sampling import stratified_sample_exact
+
+    cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
+    assigned = km.assign_clusters(emb, cents, vec_col).select(
+        F.col(vec_id_col).alias(id_col), "cluster"
+    )
+    joined = docs.join(assigned, id_col)
+    return stratified_sample_exact(
+        joined, "cluster", per_cluster, id_col, seed=seed
+    )

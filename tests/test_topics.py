@@ -73,3 +73,19 @@ def test_profile_shuffle_is_vocab_bounded(spark):
     docs, emb = _corpus(spark)
     prof = topics.topic_profile(docs, emb, k=2, top_terms=2, iters=1)
     assert plans.has_partial_aggregation(prof)
+
+
+def test_cluster_stratified_sample_exact_quota(spark):
+    """Exactly min(per_cluster, size) docs per cluster, deterministic
+    across runs, different seeds draw different members."""
+    docs, emb = _corpus(spark)
+    s1 = topics.cluster_stratified_sample(docs, emb, per_cluster=3, k=2, iters=3)
+    got = s1.groupBy("cluster").count().collect()
+    assert sorted(r["count"] for r in got) == [3, 3]
+    s2 = topics.cluster_stratified_sample(docs, emb, per_cluster=3, k=2, iters=3)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(r.doc_id for r in s2.collect())
+    s3 = topics.cluster_stratified_sample(docs, emb, per_cluster=3, k=2, iters=3, seed=7)
+    assert sorted(r.doc_id for r in s3.collect()) != sorted(r.doc_id for r in s1.collect())
+    # quota above the cluster size: the whole cluster, nothing invented
+    s4 = topics.cluster_stratified_sample(docs, emb, per_cluster=99, k=2, iters=3)
+    assert s4.count() == 20
