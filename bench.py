@@ -45,6 +45,8 @@ HEADLINE = [
     "q_llm_proximity_any",  # unordered (Lucene-slop) proximity, one exchange
     "q_llm_pipeline",     # end-to-end corpus-prep pipeline composition
     "q_llm_substr_scrub", # exact-substring span dedup (stride-1 windows)
+    "q_llm_compress_quality",  # zlib entropy signal (Arrow pandas UDF)
+    "q_llm_topics",       # corpus topic profiling (k-means + term labels)
     "q_stream_join",      # watermarked stream-stream join (batch twin)
     "q_history_scd2",     # SCD-2 temporal read model (one window)
     "q_llm_textstats",    # corpus statistics
