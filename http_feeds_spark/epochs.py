@@ -72,15 +72,11 @@ def list_epochs(spark: SparkSession, platform_root: str) -> list[int]:
     return [n for n, _ in _epoch_dirs(spark, platform_root)]
 
 
-def record_epoch(
-    spark: SparkSession, platform_root: str, *, keep_epochs: int = 8
-) -> dict:
-    """Capture every component's CURRENT read frontier as epoch N
-    (max committed + 1) and commit it as one one-row parquet manifest.
-    Components whose store is absent record an empty frontier (readers
-    of that component raise store-absent exactly like live reads).
-    Retention: epochs ≤ N − keep_epochs are deleted — the epoch store
-    itself must not become the next unbounded directory."""
+def _capture_frontiers(spark: SparkSession, root: str) -> dict:
+    """One pass over every component's CURRENT read frontier — a
+    handful of metadata listings, no data read. Factored out so
+    record_epoch can capture TWICE and compare (its cross-store
+    barrier)."""
     from http_feeds_spark import ingest
     from http_feeds_spark.operators import ann_index as ai
     from http_feeds_spark.operators import pq_index as pqi
@@ -88,8 +84,6 @@ def record_epoch(
     from http_feeds_spark.stores import parquet_exists
     from http_feeds_spark.streaming import dedup as sd
     from http_feeds_spark.streaming import monitor as mon
-
-    root = platform_root.rstrip("/")
 
     text_batches: list[int] = []
     if parquet_exists(spark, f"{root}/text_index/{ti.META_DIR}"):
@@ -111,22 +105,19 @@ def record_epoch(
     # stop when maintenance has rewritten them away.
     landing_files: list[str] = []
     if entries:
-        interval = int(
-            spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
-        )
-        # fail-stop recording, mirroring ingest._rewrite_landing: a log
-        # whose compaction layout doesn't match the configured interval,
-        # or with a visible entry missing (torn log), must refuse HERE —
-        # recording a partial frontier would make the later pinned read
-        # silently under-serve, the exact lie this module exists to stop
-        for i, (name, _) in entries.items():
-            if name.endswith(".compact") and (i + 1) % interval != 0:
-                raise ValueError(
-                    f"sink log compaction entry {name} does not match the "
-                    f"configured compact interval {interval}; refusing to "
-                    "record a landing frontier I cannot resolve"
-                )
-        c = ((landing_batch + 1) // interval) * interval - 1
+        # the visible window derives from the OBSERVED log, not the live
+        # session config: the boundary is the latest .compact entry (the
+        # log is self-describing — Spark's own sink reader derives its
+        # interval from the compact filenames), so a log written under a
+        # different compactInterval, or a legitimate config change since,
+        # still resolves instead of permanently refusing. A visible entry
+        # MISSING (torn log) still refuses — recording a partial frontier
+        # would make the later pinned read silently under-serve, the
+        # exact lie this module exists to stop.
+        compact_ids = [
+            i for i, (name, _) in entries.items() if name.endswith(".compact")
+        ]
+        c = max(compact_ids) if compact_ids else -1
         view_ids = ([c] if c >= 0 else [0]) + list(
             range((c if c >= 0 else 0) + 1, landing_batch + 1)
         )
@@ -144,10 +135,7 @@ def record_epoch(
             if s.get("action") != "delete"
         ]
 
-    prior = _epoch_dirs(spark, platform_root)
-    n = (prior[-1][0] + 1) if prior else 0
-    rec = {
-        "epoch": n,
+    return {
         "text_batches": sorted(text_batches),
         "monitor_units": sorted(monitor_units),
         "dedup_epoch": dedup_epoch,
@@ -159,6 +147,45 @@ def record_epoch(
         "pq_codebook_files": pq_snap.get("codebooks", []),
         "pq_code_files": pq_snap.get("codes", []),
     }
+
+
+def record_epoch(
+    spark: SparkSession, platform_root: str, *, keep_epochs: int = 8
+) -> dict:
+    """Capture every component's CURRENT read frontier as epoch N
+    (max committed + 1) and commit it as one one-row parquet manifest.
+    Components whose store is absent record an empty frontier (readers
+    of that component raise store-absent exactly like live reads).
+    Retention: epochs ≤ N − keep_epochs are deleted — the epoch store
+    itself must not become the next unbounded directory.
+
+    Cross-store barrier: the per-store frontiers are metadata listings
+    taken at DIFFERENT instants with no transaction, so a wave landing
+    concurrently could straddle the record (ANN sees the new upsert,
+    the text index does not — exactly the inconsistency epochs exist to
+    stop). The frontiers are therefore captured TWICE and the epoch
+    refuses to commit unless both passes agree — a moved frontier means
+    ingestion is live, and the caller must record from a quiescent
+    point (run_platform records after its wave completes, which is the
+    intended call site)."""
+    root = platform_root.rstrip("/")
+
+    frontiers = _capture_frontiers(spark, root)
+    again = _capture_frontiers(spark, root)
+    if again != frontiers:
+        moved = sorted(k for k in frontiers if frontiers[k] != again[k])
+        raise RuntimeError(
+            f"store frontiers moved while recording an epoch ({moved}): "
+            "a wave is landing concurrently and the epoch would straddle "
+            "it; record from a quiescent point (run_platform records "
+            "after its wave completes)"
+        )
+
+    prior = _epoch_dirs(spark, platform_root)
+    n = (prior[-1][0] + 1) if prior else 0
+    rec = {"epoch": n, **frontiers}
+    dedup_epoch = rec["dedup_epoch"]
+    landing_batch = rec["landing_batch"]
     spark.createDataFrame(
         [
             (
@@ -302,19 +329,15 @@ class PlatformEpoch:
         rewritten compaction entry lists rows from newer waves too)."""
         if self.landing_batch < 0:
             raise FileNotFoundError(f"epoch {self.epoch} recorded no landing batches")
-        spark = self.spark
-        from http_feeds_spark.stores import hadoop_fs
+        from http_feeds_spark.stores import read_pinned_files
 
-        for p in self.landing_files:
-            fs, jp = hadoop_fs(spark, p)
-            if not fs.exists(jp):
-                raise ValueError(
-                    f"landing file {p} of the pinned epoch is gone "
-                    "(maintenance rewrite or retention); pin a newer epoch"
-                )
-        if not self.landing_files:
-            return spark.read.parquet(f"{self.root}/landing/raw").limit(0)
-        return spark.read.parquet(*self.landing_files)
+        # read_pinned_files carries the whole fail-stop contract: the
+        # driver-side existence probe AND ignoreMissingFiles=false on
+        # the read itself (a file deleted between probe and execution
+        # must raise, even under a cluster-wide ignoreMissingFiles=true)
+        return read_pinned_files(
+            self.spark, f"{self.root}/landing/raw", self.landing_files, "landing"
+        )
 
 
 def pin(

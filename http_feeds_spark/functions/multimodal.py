@@ -11,10 +11,12 @@ Codec tiers, honestly separated:
 - **REAL decoders for the formats the container can decode** with the
   stdlib + numpy alone: WAV (PCM 8/16/32-bit via ``wave`` —
   ``wav_features``), binary PPM (P6 — ``decode_rgb``), uncompressed
-  24-bit BMP (``decode_rgb``), 8-bit RGB/RGBA PNG — the dominant
-  lossless web format — via stdlib ``zlib`` inflate + numpy per-row
-  unfiltering (None/Sub/Up/Average/Paeth), with ``encode_png`` as the
-  export twin, and (r9) baseline JPEG — the dominant LOSSY web format —
+  24-bit BMP (``decode_rgb``), PNG — the dominant lossless web
+  format — via stdlib ``zlib`` inflate + numpy per-row unfiltering
+  (None/Sub/Up/Average/Paeth), covering truecolor/RGBA, paletted
+  (PLTE, depths 1/2/4/8 — r11) and grayscale(+alpha) color types
+  (16-bit and Adam7 stay skips), with ``encode_png`` as the export
+  twin, and (r9) baseline JPEG — the dominant LOSSY web format —
   via functions/jpeg.py (marker parse, canonical Huffman entropy
   decode with restart markers, dequantization, batched float IDCT,
   4:2:0/4:2:2 chroma upsampling, YCbCr→RGB; ``encode_jpeg`` as the
@@ -174,15 +176,17 @@ def _png_chunks(payload: bytes):
             break
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     """Reverse the per-row PNG filters (spec §9: None/Sub/Up/Average/
-    Paeth) into an (h, w*ch) uint8 array. Up is vectorized; Sub/Average/
-    Paeth carry a left-neighbor dependency and walk the row — rows are
+    Paeth) into an (h, stride) uint8 array of raw scanline bytes.
+    ``stride`` is the scanline byte length, ``bpp`` the filter's
+    left-neighbor byte distance (max(1, bits-per-pixel // 8) per spec —
+    1 for every sub-8-bit format). Up is vectorized; Sub/Average/Paeth
+    carry a left-neighbor dependency and walk the row — rows are
     image-width-sized, and the whole decode runs inside an Arrow-batched
     worker, so the loop never touches the engine's hot path."""
     import numpy as np
 
-    stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     pos = 0
@@ -193,19 +197,19 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
         if f == 0:
             pass
         elif f == 1:  # Sub: left neighbor
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
         elif f == 2:  # Up: row above, vectorized
             cur = (cur + prev) & 0xFF
         elif f == 3:  # Average of left and above, floor division
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
+                left = cur[i - bpp] if i >= bpp else 0
                 cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth predictor
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -220,34 +224,84 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
 def _decode_png(payload: bytes):
     """REAL PNG decode with ZERO new dependencies: stdlib ``zlib``
     inflates the IDAT stream and numpy reverses the per-row filters.
-    Supports the formats that dominate lossless web images — 8-bit
-    truecolor (type 2) and truecolor+alpha (type 6), non-interlaced;
-    RGBA's alpha is dropped so every decode_rgb format returns the same
-    (H, W, 3) shape. Other color types / depths / Adam7 raise
+    Covers every 8-bit-or-narrower color type — truecolor (2),
+    truecolor+alpha (6), PALETTE (3, all legal depths 1/2/4/8 — icons,
+    screenshots and charts, a large share of real web-crawl PNGs, ship
+    paletted; r11 closes the skip), grayscale (0, depths 1/2/4/8,
+    replicated to RGB) and gray+alpha (4). Palette indices resolve
+    through the PLTE lookup table as a single numpy fancy-index on top
+    of the shared inflate/unfilter path; a tRNS chunk is tolerated and
+    dropped, exactly as RGBA's alpha channel is, so every decode_rgb
+    format returns the same (H, W, 3) uint8 shape. The HONEST remaining
+    skips are 16-bit channels and Adam7 interlacing, which raise
     ValueError (skip-don't-crash at the operator layer)."""
     import struct
     import zlib
 
+    import numpy as np
+
     ihdr = None
     idat = []
+    plte = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        nch is None
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or depth == 16
+        or depth not in (1, 2, 4, 8)
+        or (depth != 8 and color not in (0, 3))
+    ):
         raise ValueError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "unsupported (want 8-bit RGB/RGBA, non-interlaced)"
+            "unsupported (16-bit channels and Adam7 interlace are the "
+            "remaining skips)"
         )
-    ch = 3 if color == 2 else 4
+    stride = (w * nch * depth + 7) // 8  # scanline bytes, spec §7.2
+    bpp = max(1, (nch * depth) // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + w * ch):
+    if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
-    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    rows = _png_unfilter(raw, h, stride, bpp)
+    if depth < 8:
+        # unpack big-endian-within-byte sample bits (spec §7.2), drop
+        # the byte-boundary padding past w samples
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+        vals = bits.reshape(h, w, depth).astype(np.int32) @ weights
+    else:
+        vals = rows.reshape(h, w * nch)[:, : w * nch]
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3 != 0:
+            raise ValueError("PLTE length is not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = vals.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        return pal[idx].copy()
+    if color == 0:
+        if depth < 8:  # scale to full 8-bit range (15 -> 255 at depth 4)
+            g = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        else:
+            g = vals.reshape(h, w).astype(np.uint8)
+        return np.repeat(g.reshape(h, w, 1), 3, axis=2)
+    img = vals.reshape(h, w, nch).astype(np.uint8)
+    if color == 4:  # gray+alpha: replicate the gray channel, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
     return img[:, :, :3].copy()
 
 
@@ -315,8 +369,10 @@ def encode_png(img, filter_type: int = 0) -> bytes:
 
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
-    (P6), uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (stdlib zlib
-    inflate + numpy per-row unfiltering), and baseline JPEG (r9:
+    (P6), uncompressed 24-bit BMP, PNG in every 8-bit-or-narrower color
+    type — truecolor/RGBA, paletted, grayscale(+alpha) (stdlib zlib
+    inflate + numpy per-row unfiltering; 16-bit/Adam7 raise), and
+    baseline JPEG (r9:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
     IDCT, chroma upsampling, YCbCr→RGB; progressive/arithmetic variants
     raise like 16-bit PNG does) — no external codec anywhere. Returns an

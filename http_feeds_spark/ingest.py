@@ -540,6 +540,7 @@ def run_platform(
     text_field: str = "text",
     vec_field: str = "embedding",
     timeout_ms: int | None = None,
+    verify: bool = False,
 ) -> dict:
     """The whole document platform in one idempotent catch-up call:
 
@@ -585,7 +586,11 @@ def run_platform(
     disables. ``retire_below_seq`` runs :func:`retire_landing_history`
     after the landing catch-up (the spec's retention story from the
     one-call API — pass the minimum cursor across consumers that still
-    bootstrap from raw). Returns the per-component summaries (+ the
+    bootstrap from raw). ``verify=True`` (r11) runs the one-call
+    :func:`operators.fsck.fsck_platform` audit after everything: the
+    report rides the summary under ``"fsck"``, and a MUST-BE-ZERO
+    violation (corruption) raises — the audit surface now matches the
+    one-call ingest surface. Returns the per-component summaries (+ the
     epoch record)."""
     root = platform_root.rstrip("/")
     out: dict = {"platform_root": platform_root}
@@ -655,6 +660,21 @@ def run_platform(
         from http_feeds_spark import epochs
 
         out["epoch"] = epochs.record_epoch(spark, platform_root)
+    if verify:
+        # one-call audit LAST (r11): the full fsck_platform report rides
+        # the summary, and a hard violation — store corruption no retry
+        # heals — fails the wave loudly rather than letting a corrupt
+        # platform keep serving. Warnings (heal-pending states of the
+        # crash-resumable protocols) pass; they are in the report.
+        from http_feeds_spark.operators import fsck
+
+        out["fsck"] = fsck.fsck_platform(spark, platform_root)
+        if not out["fsck"]["clean"]:
+            raise RuntimeError(
+                "platform fsck found invariant violations after the wave: "
+                f"{out['fsck']['violations']} (full report in the raised "
+                "wave's logs; audit with operators/fsck.fsck_platform)"
+            )
     return out
 
 
@@ -941,17 +961,14 @@ def _rewrite_landing(
     if entries is None:
         return {"files_before": 0, "files_after": 0, "rows": 0}
     B = max(entries)
-    interval = int(
-        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
-    )
-    for i, (name, _) in entries.items():
-        if name.endswith(".compact") and (i + 1) % interval != 0:
-            raise ValueError(
-                f"sink log compaction entry {name} does not match the "
-                f"configured compact interval {interval}; refusing to "
-                "rewrite a log whose layout I cannot reproduce"
-            )
-    C = ((B + 1) // interval) * interval - 1  # latest boundary <= B, or -1
+    # the boundary is the latest OBSERVED .compact entry — the log is
+    # self-describing (Spark's own sink reader derives its interval from
+    # the compact filenames), so a log written under a different
+    # compactInterval than the live config still resolves to exactly the
+    # view the sink's reader serves; the rewrite below targets the
+    # boundary entry by its existing NAME, so the layout is preserved
+    compact_ids = [i for i, (name, _) in entries.items() if name.endswith(".compact")]
+    C = max(compact_ids) if compact_ids else -1  # latest boundary <= B, or -1
     view_ids = ([C] if C >= 0 else [0]) + list(range((C if C >= 0 else 0) + 1, B + 1))
     missing = [i for i in view_ids if i not in entries]
     if missing:

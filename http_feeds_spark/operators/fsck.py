@@ -341,10 +341,11 @@ def fsck_landing(spark: SparkSession, landing_root: str) -> dict:
     if entries is None:
         return out
     B = max(entries)
-    interval = int(
-        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
-    )
-    C = ((B + 1) // interval) * interval - 1
+    # boundary from the OBSERVED .compact entries (r11, matching the
+    # readers): the log is self-describing, so fsck must not report a
+    # config-interval mismatch as missing entries
+    compact_ids = [i for i, (name, _) in entries.items() if name.endswith(".compact")]
+    C = max(compact_ids) if compact_ids else -1
     view_ids = ([C] if C >= 0 else [0]) + list(
         range((C if C >= 0 else 0) + 1, B + 1)
     )
@@ -473,4 +474,118 @@ def fsck_epochs(spark: SparkSession, platform_root: str) -> dict:
             stale.append("pq_index")
         out["reports"].append({"epoch": n, "stale": stale, "absent": absent})
     out["fully_servable"] = [r["epoch"] for r in out["reports"] if not r["stale"]]
+    return out
+
+
+def fsck_platform(spark: SparkSession, platform_root: str) -> dict:
+    """ONE-CALL audit of a ``run_platform`` root (the r10 verdict's
+    missing #4): the seven per-store reports, keyed by component, under
+    the layout run_platform itself lays down — callers no longer need
+    to know which store lives where to audit a platform. Read-only like
+    every fsck; a component whose directory is absent reports
+    ``{"present": False}`` instead of raising (a platform configured
+    without vector indexes is not corrupt).
+
+    On top of the raw reports, the per-family signals are folded into
+    two triage lists so one glance answers "is this platform healthy":
+
+    - ``violations``: MUST-BE-ZERO invariants that aren't — store
+      corruption no retry heals (posting doc overlap, duplicate vector
+      ids, quantizer assignment mismatches, PQ code-shape breaks, sink
+      log entries/files the readers need but cannot find, a retention
+      horizon whose compacted copy is GONE = data loss, a legacy dedup
+      layout folds refuse);
+    - ``warnings``: heal-pending or backlog states the platform's own
+      protocols converge (torn-fold orphans an at-least-once redelivery
+      refolds, stage/maintenance leftovers the next pass resumes or
+      sweeps, vacuum backlogs, stale derived meta the next upsert
+      repairs, erasure ledgers awaiting purge, a latest epoch no longer
+      fully servable);
+
+    and ``clean`` = no violations (warnings allowed — they are the
+    normal in-between states of crash-resumable protocols)."""
+    root = platform_root.rstrip("/")
+    fs, _ = hadoop_fs(spark, root)
+
+    def _present(sub: str) -> bool:
+        _, jp = hadoop_fs(spark, f"{root}/{sub}")
+        return bool(fs.exists(jp))
+
+    checks = {
+        "text_index": fsck_text_index,
+        "monitor": fsck_monitor,
+        "dedup_index": fsck_dedup_index,
+        "ann_index": fsck_ann_index,
+        "pq_index": fsck_pq_index,
+        "landing": fsck_landing,
+    }
+    out: dict = {"components": {}}
+    for name, check in checks.items():
+        if not _present(name):
+            out["components"][name] = {"present": False}
+            continue
+        out["components"][name] = {"present": True, **check(spark, f"{root}/{name}")}
+    out["components"]["epochs"] = {
+        "present": _present("epochs"),
+        **fsck_epochs(spark, platform_root),
+    }
+
+    violations: list[str] = []
+    warnings: list[str] = []
+
+    def _flag(into: list[str], comp: str, key: str, value=None) -> None:
+        rep = out["components"][comp]
+        v = rep.get(key) if value is None else value
+        if v:
+            into.append(f"{comp}.{key}={v}")
+
+    c = out["components"]
+    if c["text_index"].get("present"):
+        _flag(violations, "text_index", "doc_overlap_violations")
+        _flag(warnings, "text_index", "inert_manifests")
+        _flag(warnings, "text_index", "vacuum_backlog")
+        _flag(warnings, "text_index", "erase_ledger_ids")
+        if not c["text_index"].get("meta_fresh", True):
+            warnings.append("text_index.meta_fresh=False")
+    if c["monitor"].get("present"):
+        _flag(warnings, "monitor", "torn_merges")
+        _flag(warnings, "monitor", "vacuum_backlog")
+    if c["dedup_index"].get("present"):
+        if c["dedup_index"].get("legacy_layout"):
+            violations.append("dedup_index.legacy_layout=True")
+        _flag(warnings, "dedup_index", "band_orphans")
+        _flag(warnings, "dedup_index", "assignment_orphans")
+        _flag(warnings, "dedup_index", "stage_leftovers")
+        _flag(warnings, "dedup_index", "erase_ledger_ids")
+    for vec in ("ann_index", "pq_index"):
+        if not c[vec].get("present"):
+            continue
+        _flag(violations, vec, "duplicate_ids")
+        if vec == "ann_index":
+            _flag(violations, vec, "assignment_violations")
+        else:
+            _flag(violations, vec, "code_shape_violations")
+        _flag(warnings, vec, "stage_leftover")
+        _flag(warnings, vec, "rewrite_stage_leftover")
+        _flag(warnings, vec, "erase_ledger_ids")
+    if c["landing"].get("present") and c["landing"].get("log_present"):
+        _flag(violations, "landing", "visible_entries_missing")
+        _flag(violations, "landing", "files_missing")
+        if (
+            c["landing"].get("retention_horizon") is not None
+            and not c["landing"].get("compacted_present")
+        ):
+            violations.append("landing.compacted_missing=True (retired rows lost)")
+        _flag(warnings, "landing", "maint_orphans")
+        _flag(warnings, "landing", "rewrite_stage_leftover")
+        _flag(warnings, "landing", "unretired_rows")
+    ep = c["epochs"]
+    if ep.get("epochs"):
+        latest = ep["epochs"][-1]
+        if latest not in ep.get("fully_servable", []):
+            warnings.append(f"epochs.latest_not_fully_servable={latest}")
+
+    out["violations"] = violations
+    out["warnings"] = warnings
+    out["clean"] = not violations
     return out

@@ -16,6 +16,19 @@ part), one map-only assignment join, one (cluster, term) count
 aggregate — map-side combined, shuffle bounded by k × vocabulary, never
 by corpus rows — and a per-cluster rank window over that bounded count
 frame. No UDF anywhere under the default analyzer.
+
+BATCH-ONLY by design (a documented boundary, not an oversight): every
+other curation-family component is feed-composable via run_platform
+because its store folds incrementally, but a topic profile is a
+statement about the WHOLE corpus at a moment — its centroids move with
+every wave, and a profile folded across drifting centroids labels
+nothing coherent. The intended live-feed workflow is: run the platform,
+take a quiescent epoch, profile the corpus AS OF that epoch (the
+embeddings the ANN store serves), and reuse the centroids via
+``centroids=`` across the profile / sample / SemDeDup trio. A profile
+is a report someone reads, not a serving index — recomputing it
+per-review-cadence (daily, per mixture rebuild) is the published
+practice and costs one training pass with the shared-centroid path.
 """
 
 from __future__ import annotations
@@ -40,6 +53,7 @@ def topic_profile(
     vec_col: str = "embedding",
     analyzer: str = "standard",
     drop_stopwords: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(cluster, n_docs, rank, term, term_count) — one row per
     (cluster, top term), rank 1..top_terms by in-cluster frequency
@@ -50,8 +64,15 @@ def topic_profile(
     cluster is labeled "the/and/of" and the profile says nothing; the
     ``standard_porter`` analyzer already drops them in tokenization.
     Documents without an embedding row are outside the profile (inner
-    join — the profile describes the CLUSTERED corpus)."""
-    cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
+    join — the profile describes the CLUSTERED corpus).
+
+    ``centroids`` reuses an already-trained model (kmeans_centroids /
+    ann_index.load_centroids) so a profile→sample→SemDeDup workflow over
+    the same embeddings pays ONE training pass — at scale training is
+    the expensive step (``k`` and ``iters`` are ignored when passed)."""
+    cents = centroids
+    if cents is None:
+        cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
     assigned = km.assign_clusters(emb, cents, vec_col).select(
         F.col(vec_id_col).alias(id_col), "cluster"
     )
@@ -90,6 +111,7 @@ def cluster_stratified_sample(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """EXACTLY min(per_cluster, cluster size) documents per topical
     cluster — the profile's actionable sibling: where
@@ -106,10 +128,16 @@ def cluster_stratified_sample(
     One map-only assignment join + one window shuffle on the cluster
     key; the skew caveat of stratified_sample_exact applies to a
     mega-cluster (pre-filter first — or fix the imbalance this sample
-    exists to reveal)."""
+    exists to reveal).
+
+    ``centroids`` reuses a trained model (see :func:`topic_profile`) —
+    profile-then-sample over the same embeddings then costs one Lloyd
+    training instead of two, with byte-identical output."""
     from http_feeds_spark.functions.sampling import stratified_sample_exact
 
-    cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
+    cents = centroids
+    if cents is None:
+        cents = km.kmeans_centroids(emb, vec_id_col, vec_col, k=k, iters=iters)
     assigned = km.assign_clusters(emb, cents, vec_col).select(
         F.col(vec_id_col).alias(id_col), "cluster"
     )

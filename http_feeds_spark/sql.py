@@ -69,10 +69,11 @@ def register_pipeline_views(
     SQL-vs-operator result equality is pinned in
     tests/test_sql_surface.py. Assumes/refreshes the ``documents`` view
     (register_views also creates it). ``analyzer`` threads through to
-    BOTH analyzed views (``bm25_scores``, ``positional_postings``) —
-    pass the SAME value to :func:`register_search_functions`, which
-    validates the name up front, so the query and corpus sides can
-    never silently tokenize differently."""
+    BOTH analyzed views (``bm25_scores``, ``positional_postings``) and
+    is RECORDED in the session (:data:`PIPELINE_ANALYZER_CONF`);
+    :func:`register_search_functions` verifies it matches and refuses
+    loudly on mismatch, so the query and corpus sides can never
+    silently tokenize differently."""
     from pyspark.sql import functions as F
 
     from http_feeds_spark.functions import text as tx
@@ -94,7 +95,17 @@ def register_pipeline_views(
         F.col("doc_id"),
         F.posexplode(tx.analyze("text", analyzer)).alias("pos", "term"),
     ).createOrReplaceTempView("positional_postings")
+    # record the views' analyzer in the session so
+    # register_search_functions can VERIFY it matches (the index-meta
+    # conformance pattern) — a docstring alone let mismatched analyzers
+    # silently tokenize the query side differently from the corpus views
+    spark.conf.set(PIPELINE_ANALYZER_CONF, analyzer)
     return ["documents", "chunks", "data_card", "bm25_scores", "positional_postings"]
+
+
+# session-conf key recording which analyzer register_pipeline_views
+# built its analyzed views with (the conformance handshake below)
+PIPELINE_ANALYZER_CONF = "spark.http_feeds_spark.pipelineViews.analyzer"
 
 
 def _sql_analyze_tokens(terms_expr: str, analyzer: str) -> str:
@@ -176,11 +187,32 @@ def register_search_functions(spark: SparkSession, analyzer: str = "standard") -
     trees, so the r9 winnowing blowup shape cannot recur here.
 
     Requires :func:`register_pipeline_views` (the ``bm25_scores`` and
-    ``positional_postings`` views) registered with the SAME analyzer.
-    A query that analyzes to zero tokens returns zero rows (the
-    operator raises — SQL functions prefer empty over error)."""
+    ``positional_postings`` views) registered with the SAME analyzer —
+    ENFORCED, not advisory: registration refuses when the views are
+    absent or were registered under a different analyzer (the
+    index-meta conformance pattern; a silent mismatch would tokenize
+    the query side differently from the corpus and return wrong search
+    results with no error). A query that analyzes to zero tokens
+    returns zero rows (the operator raises — SQL functions prefer
+    empty over error)."""
+    # analyzer validation first (unknown / non-SQL-expressible raise
+    # their own remedies regardless of registration order) ...
     toks = _sql_analyze_tokens("terms", analyzer)
     phrase_toks = _sql_analyze_tokens("phrase", analyzer)
+    # ... then the conformance handshake with the registered views
+    recorded = spark.conf.get(PIPELINE_ANALYZER_CONF, None)
+    if recorded is None:
+        raise RuntimeError(
+            "register_pipeline_views has not run in this session; the "
+            "search functions query its views — register them first "
+            "(with the same analyzer)"
+        )
+    if recorded != analyzer:
+        raise ValueError(
+            f"SQL search functions requested analyzer '{analyzer}' but "
+            f"the pipeline views were registered with '{recorded}'; "
+            "re-register both surfaces with the same analyzer"
+        )
 
     spark.sql(f"""
       CREATE OR REPLACE TEMPORARY FUNCTION bm25_search(terms ARRAY<STRING>, k INT)

@@ -95,7 +95,16 @@ def read_pinned_files(spark: SparkSession, base_path: str, files: list[str], wha
             )
     if not files:
         return spark.read.parquet(base_path).limit(0)
-    return spark.read.option("basePath", base_path).parquet(*files)
+    # the existence probe above runs once at plan-build time on the
+    # driver; a file deleted between probe and job execution must ALSO
+    # fail stop per-read, so pin ignoreMissingFiles=false at the read —
+    # a cluster-wide spark.sql.files.ignoreMissingFiles=true would
+    # otherwise silently drop the pinned data instead of raising
+    return (
+        spark.read.option("basePath", base_path)
+        .option("ignoreMissingFiles", "false")
+        .parquet(*files)
+    )
 
 
 def require_lossless_cast(incoming, store, what: str) -> None:

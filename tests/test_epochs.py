@@ -332,6 +332,83 @@ def test_record_epoch_refuses_torn_landing_log(spark, tmp_path):
         epochs.record_epoch(spark, root)
 
 
+def test_pinned_read_fails_stop_even_with_ignore_missing_files(spark, tmp_path):
+    """The r10 ADVICE low on stores.read_pinned_files: the existence
+    probe runs once at plan-build time, so a pinned file deleted AFTER
+    the DataFrame is built must still fail the read at execution — even
+    under a cluster-wide spark.sql.files.ignoreMissingFiles=true, which
+    would otherwise silently drop the pinned data."""
+    import os
+
+    root = str(tmp_path / "platform")
+    _land_batch(spark, root)
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+    df = pinned.landing()  # probe passes: every pinned file exists now
+    assert df.count() > 0
+
+    victim = pinned.landing_files[0].replace("file:", "")
+    old = spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        os.remove(victim)
+        with pytest.raises(Exception, match="(?i)does not exist|deleted|FileNotFound"):
+            df.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", old)
+
+
+def test_record_epoch_refuses_concurrent_wave(spark, tmp_path, monkeypatch):
+    """The cross-store barrier (r10 ADVICE): frontiers are captured at
+    different instants, so a wave landing mid-record could straddle the
+    epoch. record_epoch captures twice and must REFUSE when any
+    frontier moved between the passes — and succeed once quiescent."""
+    root = str(tmp_path / "platform")
+    ti.build_text_index(spark, _wave(spark, [1, 2, 3], "waveN"), f"{root}/text_index")
+
+    real = epochs._capture_frontiers
+    state = {"raced": False}
+
+    def racing(sp, r):
+        out = real(sp, r)
+        if not state["raced"]:
+            state["raced"] = True  # a wave lands between the two captures
+            ti.upsert_documents(
+                spark, _wave(spark, [4, 5], "waveN1"), f"{root}/text_index"
+            )
+        return out
+
+    monkeypatch.setattr(epochs, "_capture_frontiers", racing)
+    with pytest.raises(RuntimeError, match="frontiers moved"):
+        epochs.record_epoch(spark, root)
+    # quiescent now (the racing shim no longer mutates): recording works
+    rec = epochs.record_epoch(spark, root)
+    assert len(rec["text_batches"]) == 2  # both waves in the frontier
+
+
+def test_record_epoch_resolves_log_written_under_other_interval(spark, tmp_path):
+    """The r10 ADVICE low: the landing window must derive from the
+    OBSERVED .compact entries, not the live compactInterval config — a
+    legitimate config change (or a log written under a different
+    interval) must keep resolving, with the frontier anchored at the
+    latest observed boundary."""
+    root = str(tmp_path / "platform")
+    _land_batch(spark, root)
+    rec1 = epochs.record_epoch(spark, root)
+    assert rec1["landing_files"]
+
+    # same log read under a DIFFERENT configured interval: recording
+    # still resolves, to the identical frontier (nothing landed since)
+    old = spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", "10")
+    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "3")
+    try:
+        rec2 = epochs.record_epoch(spark, root)
+    finally:
+        spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", old)
+    assert rec2["landing_files"] == rec1["landing_files"]
+    assert rec2["landing_batch"] == rec1["landing_batch"]
+
+
 def test_pinned_landing_fails_stop_after_file_compaction(spark, tmp_path):
     """A landing FILE compaction rewrites the compaction entry the pin's
     batch-id would resolve to, listing rows from newer waves too — so

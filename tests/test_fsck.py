@@ -206,6 +206,83 @@ def test_fsck_rewrite_stage_leftover_flags(spark, sf_dir, tmp_path):
     assert rep["rewrite_stage_leftover"] is True and rep["stage_leftover"] is False
 
 
+def test_fsck_platform_one_call(spark, sf_dir, tmp_path):
+    """The r11 one-call audit: a platform root built from healthy
+    stores reports clean (absent components as present=False, not
+    errors); an injected posting overlap lands in `violations` and
+    flips `clean`; a logical erasure is a warning, not a violation."""
+    from http_feeds_spark.streaming import dedup as sd
+    from http_feeds_spark.streaming import monitor as mon
+
+    root = str(tmp_path / "platform")
+    docs = _docs(spark, sf_dir).limit(40)
+    ti.build_text_index(spark, docs, f"{root}/text_index")
+    mon.fold_batch(spark, docs, f"{root}/monitor", batch_id=0)
+    sd.fold_batch(spark, docs, f"{root}/dedup_index")
+    ai.build_index(spark, _emb(spark, sf_dir).limit(64), f"{root}/ann_index", k=4, iters=2)
+
+    rep = fsck.fsck_platform(spark, root)
+    assert rep["clean"] is True and rep["violations"] == []
+    assert rep["components"]["text_index"]["present"] is True
+    assert rep["components"]["ann_index"]["assignment_violations"] == 0
+    assert rep["components"]["pq_index"] == {"present": False}
+    assert rep["components"]["landing"] == {"present": False}
+    assert rep["components"]["epochs"]["epochs"] == []
+
+    # a warning (erasure ledger pending purge) does NOT flip clean
+    erasure.erase_ids(
+        spark, f"{root}/text_index", spark.createDataFrame([(0,)], "id long")
+    )
+    rep = fsck.fsck_platform(spark, root)
+    assert rep["clean"] is True
+    assert "text_index.erase_ledger_ids=1" in rep["warnings"]
+
+    # an injected violation (duplicate doc batch bypassing the upsert
+    # anti-join) lands in violations and flips clean
+    ti._write_postings_batch(
+        spark, docs.limit(1), f"{root}/text_index/{ti.POSTINGS_DIR}", 9
+    )
+    rep = fsck.fsck_platform(spark, root)
+    assert rep["clean"] is False
+    assert any(v.startswith("text_index.doc_overlap_violations") for v in rep["violations"])
+
+
+def test_run_platform_verify_hook(spark, tmp_path):
+    """run_platform(verify=True): the audit report rides the wave
+    summary; a wave over a corrupted platform raises instead of
+    returning a summary that looks healthy."""
+    import pytest
+
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        for i in range(4):
+            state.append(
+                "org.example.document",
+                str(i),
+                {"doc_id": i, "text": f"window filter merge body{i} tail{i}"},
+            )
+        root = str(tmp_path / "platform")
+        out = ingest.run_platform(spark, url, root, verify=True)
+        assert out["fsck"]["clean"] is True
+        assert out["fsck"]["components"]["text_index"]["present"] is True
+
+        # corrupt the text index; the next verified wave fails loudly
+        ti._write_postings_batch(
+            spark,
+            spark.createDataFrame([(0, "window dup")], "doc_id long, text string"),
+            f"{root}/text_index/{ti.POSTINGS_DIR}",
+            9,
+        )
+        with pytest.raises(RuntimeError, match="doc_overlap_violations"):
+            ingest.run_platform(spark, url, root, verify=True)
+    finally:
+        srv.shutdown()
+
+
 def test_fsck_epochs_servability_matrix(spark, tmp_path):
     """r10, the seventh store family: fsck_epochs reports, per committed
     epoch, which recorded frontiers still serve a pin — fully servable

@@ -247,11 +247,103 @@ def test_real_png_decode_all_filters_pixel_exact(spark):
     np.testing.assert_array_equal(mm.decode_rgb(rgba), want)
 
 
+def test_png_palette_and_grayscale_tiers(spark):
+    """r11 (r10 verdict missing #2): paletted PNGs (PLTE — icons,
+    screenshots, charts: a large share of real web-crawl images) decode
+    pixel-identical to the PPM twin of the same image, at depth 8 AND a
+    sub-8-bit depth (4); a tRNS chunk is tolerated and dropped like
+    RGBA's alpha; grayscale (depths 8 and 1) and gray+alpha replicate
+    to the same (H, W, 3) shape; a palette PNG MISSING its PLTE refuses
+    with the remedy; an out-of-range palette index refuses."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, rows, extra=b""):
+        return (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+            + extra
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+
+    h, w = 5, 7  # odd width exercises sub-8-bit byte padding
+    pal = np.array(
+        [[250, 10, 30], [0, 200, 100], [5, 5, 5], [123, 231, 12],
+         [90, 80, 70], [200, 200, 0]], np.uint8,
+    )
+    idx = np.fromfunction(lambda r, c: (r * 3 + c) % 6, (h, w)).astype(np.uint8)
+    want = pal[idx]
+    ppm = _ppm_bytes([[tuple(want[r, c]) for c in range(w)] for r in range(h)])
+    np.testing.assert_array_equal(mm.decode_rgb(ppm), want)
+
+    # depth-8 palette (+ tRNS, tolerated and dropped)
+    rows8 = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    p8 = png(w, h, 8, 3, rows8, extra=chunk(b"PLTE", pal.tobytes()) + chunk(b"tRNS", b"\x80"))
+    np.testing.assert_array_equal(mm.decode_rgb(p8), want)
+
+    # depth-4 palette: two indices per byte, high nibble first, padded
+    def pack4(row):
+        out = bytearray()
+        for i in range(0, len(row), 2):
+            lo = int(row[i + 1]) if i + 1 < len(row) else 0
+            out.append((int(row[i]) << 4) | lo)
+        return bytes(out)
+
+    rows4 = b"".join(b"\x00" + pack4(idx[r]) for r in range(h))
+    p4 = png(w, h, 4, 3, rows4, extra=chunk(b"PLTE", pal.tobytes()))
+    np.testing.assert_array_equal(mm.decode_rgb(p4), want)
+
+    # the same paletted image with a NON-ZERO filter exercises the
+    # bpp=1 unfilter path (Up over index bytes)
+    rows_up = b"\x00" + idx[0].tobytes() + b"".join(
+        b"\x02" + ((idx[r].astype(np.int32) - idx[r - 1]) & 0xFF).astype(np.uint8).tobytes()
+        for r in range(1, h)
+    )
+    p_up = png(w, h, 8, 3, rows_up, extra=chunk(b"PLTE", pal.tobytes()))
+    np.testing.assert_array_equal(mm.decode_rgb(p_up), want)
+
+    # refusals: missing PLTE; index past the palette
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_rgb(png(w, h, 8, 3, rows8))
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 6  # palette has 6 entries: 0..5
+    rows_bad = b"".join(b"\x00" + bad_idx[r].tobytes() for r in range(h))
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_rgb(png(w, h, 8, 3, rows_bad, extra=chunk(b"PLTE", pal.tobytes())))
+
+    # grayscale depth 8 / depth 1 / gray+alpha all replicate to RGB
+    g = (idx * 40).astype(np.uint8)
+    want_g = np.repeat(g.reshape(h, w, 1), 3, axis=2)
+    rows_g = b"".join(b"\x00" + g[r].tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 8, 0, rows_g)), want_g)
+
+    bits = (idx % 2).astype(np.uint8)
+    want_b = np.repeat((bits * 255).reshape(h, w, 1), 3, axis=2)
+    rows_b = b"".join(b"\x00" + np.packbits(bits[r]).tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 1, 0, rows_b)), want_b)
+
+    ga = np.stack([g, np.full((h, w), 77, np.uint8)], axis=2)
+    rows_ga = b"".join(b"\x00" + ga[r].tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 8, 4, rows_ga)), want_g)
+
+
 def test_png_unsupported_variants_skip_not_crash(spark):
-    """16-bit / interlaced / palette PNGs raise ValueError in decode_rgb
-    and emit the width=-1 skip row through image_stats — never fail the
-    batch; a PNG payload flows through the distributed operator with
-    stats identical to its PPM twin."""
+    """16-bit / interlaced PNGs (the r11-narrowed skip set) raise
+    ValueError in decode_rgb and emit the width=-1 skip row through
+    image_stats — never fail the batch; a PNG payload flows through the
+    distributed operator with stats identical to its PPM twin."""
     import struct
     import zlib
 
@@ -278,7 +370,7 @@ def test_png_unsupported_variants_skip_not_crash(spark):
             + chunk(b"IEND", b"")
         )
 
-    for bad in (variant(depth=16), variant(color=3), variant(interlace=1)):
+    for bad in (variant(depth=16), variant(interlace=1)):
         with pytest.raises(ValueError, match="unsupported"):
             mm.decode_rgb(bad)
 

@@ -293,3 +293,28 @@ def test_pipeline_views_thread_the_analyzer(spark, sf_dir, tmp_path):
     # restore the default-analyzer views for any later test in the session
     esql.register_pipeline_views(spark, sf_dir)
     esql.register_search_functions(spark)
+
+
+def test_search_functions_refuse_analyzer_mismatch(spark, sf_dir):
+    """r11 (r10 ADVICE): the views' analyzer is recorded at registration
+    and register_search_functions VERIFIES it — a mismatch silently
+    tokenized the query side differently from the corpus views and
+    returned wrong results with no error; now it refuses loudly. An
+    unregistered session refuses too (there are no views to query)."""
+    import pytest
+
+    esql.register_pipeline_views(spark, sf_dir, analyzer="whitespace_lower")
+    with pytest.raises(ValueError, match="registered with 'whitespace_lower'"):
+        esql.register_search_functions(spark, analyzer="standard")
+    # matching analyzer registers fine
+    esql.register_search_functions(spark, analyzer="whitespace_lower")
+
+    # a session that never registered the views has nothing to verify
+    # against — refuse with the ordering remedy
+    spark.conf.unset(esql.PIPELINE_ANALYZER_CONF)
+    with pytest.raises(RuntimeError, match="register_pipeline_views"):
+        esql.register_search_functions(spark)
+
+    # restore the default-analyzer surfaces for any later test
+    esql.register_pipeline_views(spark, sf_dir)
+    esql.register_search_functions(spark)

@@ -89,3 +89,44 @@ def test_cluster_stratified_sample_exact_quota(spark):
     # quota above the cluster size: the whole cluster, nothing invented
     s4 = topics.cluster_stratified_sample(docs, emb, per_cluster=99, k=2, iters=3)
     assert s4.count() == 20
+
+
+def test_shared_centroids_one_training_pass(spark, monkeypatch):
+    """A profile→sample→SemDeDup workflow over the same embeddings must
+    pay exactly ONE Lloyd training when centroids are shared, and every
+    output must be byte-identical to the retrain-per-call form (the
+    r10 verdict's double-training finding)."""
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.operators import semdedup as sd
+
+    docs, emb = _corpus(spark)
+
+    # ground truth: each operator retraining for itself
+    prof_solo = sorted(map(tuple, topics.topic_profile(docs, emb, k=2, iters=3).collect()))
+    samp_solo = sorted(map(tuple, topics.cluster_stratified_sample(
+        docs, emb, per_cluster=3, k=2, iters=3).collect()))
+    dedup_solo = sorted(map(tuple, sd.semantic_dedup(
+        emb, k=2, iters=3, threshold=0.9).collect()))
+
+    calls = {"n": 0}
+    real = km.kmeans_centroids
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(km, "kmeans_centroids", counted)
+    monkeypatch.setattr(topics.km, "kmeans_centroids", counted)
+
+    cents = km.kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=3)
+    prof = sorted(map(tuple, topics.topic_profile(
+        docs, emb, centroids=cents).collect()))
+    samp = sorted(map(tuple, topics.cluster_stratified_sample(
+        docs, emb, per_cluster=3, centroids=cents).collect()))
+    dedup = sorted(map(tuple, sd.semantic_dedup(
+        emb, centroids=cents, threshold=0.9).collect()))
+
+    assert calls["n"] == 1  # the one explicit training; no hidden retrain
+    assert prof == prof_solo
+    assert samp == samp_solo
+    assert dedup == dedup_solo
