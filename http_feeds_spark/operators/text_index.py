@@ -284,6 +284,35 @@ def build_text_index(
     _write_derived(spark, index_root, 1, analyzer)
 
 
+def _exploded_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, dl, pos, term) — one row per token occurrence, dl
+    computed ONCE per document in a Project BELOW the Generate (two
+    selects, like retrieval.py's posting shape). Putting
+    ``size(analyze(...))`` in the SAME select as
+    ``posexplode(analyze(...))`` hoists the size() ABOVE the Generate,
+    where Catalyst re-evaluates the WHOLE tokenization once per
+    EXPLODED row — ~dl× per document, and under ``standard_porter`` a
+    second ArrowEvalPython node re-running the stemmer per exploded
+    row. Measured on the 50K×3KB bench corpus that shape was ~8× the
+    whole build (232s → 30s standard) and made the porter build
+    effectively unbuildable (tens of minutes → 20s). The residual
+    duplication is Spark's InferFiltersFromGenerate (one extra
+    analyze() per DOCUMENT in the pushed-down size>0 filter) — per-doc,
+    not per-token, so it stays. Plan shape pinned in tests/test_plans.py."""
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tx.analyze(F.col(text_col), analyzer).alias("__toks"),
+    ).select("doc_id", F.size("__toks").cast("int").alias("dl"), "__toks")
+    return toks_df.select(
+        "doc_id", "dl", F.posexplode("__toks").alias("pos", "term")
+    ).where(F.col("term") != "")
+
+
 def _write_postings_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -298,12 +327,7 @@ def _write_postings_batch(
     # then filtered empties out of the postings — idf/avgdl and dl could
     # disagree on multi-space text); positions are offsets into the
     # ANALYZED token sequence, so phrase adjacency spans punctuation.
-    toks = tx.analyze(F.col(text_col), analyzer)
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("int").alias("dl"),
-        F.posexplode(toks).alias("pos", "term"),
-    ).where(F.col("term") != "")
+    exploded = _exploded_postings(docs, id_col, text_col, analyzer)
     # positions ride the posting (sorted, 0-based token offsets): a few
     # ints per posting buy exact PHRASE queries with no document reads —
     # the classical positional-index trade (Zobel & Moffat §6)
