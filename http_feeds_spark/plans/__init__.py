@@ -15,3 +15,4 @@ from http_feeds_spark.plans.inspect import (  # noqa: F401
     plan_children,
     subtree_names,
 )
+from http_feeds_spark.plans.lint import assert_clean, lint  # noqa: F401
