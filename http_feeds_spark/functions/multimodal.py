@@ -14,8 +14,8 @@ Codec tiers, honestly separated:
   24-bit BMP (``decode_rgb``), PNG — the dominant lossless web
   format — via stdlib ``zlib`` inflate + numpy per-row unfiltering
   (None/Sub/Up/Average/Paeth), covering truecolor/RGBA, paletted
-  (PLTE, depths 1/2/4/8 — r11) and grayscale(+alpha) color types
-  (16-bit and Adam7 stay skips), with ``encode_png`` as the export
+  (PLTE, depths 1/2/4/8 — r11), grayscale(+alpha) and 16-bit color
+  types (Adam7 stays the one skip), with ``encode_png`` as the export
   twin, and (r9) baseline JPEG — the dominant LOSSY web format —
   via functions/jpeg.py (marker parse, canonical Huffman entropy
   decode with restart markers, dequantization, batched float IDCT,
@@ -224,17 +224,19 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
 def _decode_png(payload: bytes):
     """REAL PNG decode with ZERO new dependencies: stdlib ``zlib``
     inflates the IDAT stream and numpy reverses the per-row filters.
-    Covers every 8-bit-or-narrower color type — truecolor (2),
+    Covers every non-interlaced color type and depth — truecolor (2),
     truecolor+alpha (6), PALETTE (3, all legal depths 1/2/4/8 — icons,
     screenshots and charts, a large share of real web-crawl PNGs, ship
-    paletted; r11 closes the skip), grayscale (0, depths 1/2/4/8,
-    replicated to RGB) and gray+alpha (4). Palette indices resolve
-    through the PLTE lookup table as a single numpy fancy-index on top
-    of the shared inflate/unfilter path; a tRNS chunk is tolerated and
-    dropped, exactly as RGBA's alpha channel is, so every decode_rgb
-    format returns the same (H, W, 3) uint8 shape. The HONEST remaining
-    skips are 16-bit channels and Adam7 interlacing, which raise
-    ValueError (skip-don't-crash at the operator layer)."""
+    paletted; r11 closes the skip), grayscale (0, depths 1/2/4/8/16,
+    replicated to RGB), gray+alpha (4) and 16-bit channels (r11: the
+    8-bit reduction is the network-order high byte, the spec's exact
+    16→8 rescale). Palette indices resolve through the PLTE lookup
+    table as a single numpy fancy-index on top of the shared
+    inflate/unfilter path; a tRNS chunk is tolerated and dropped,
+    exactly as RGBA's alpha channel is, so every decode_rgb format
+    returns the same (H, W, 3) uint8 shape. The HONEST remaining skip
+    is Adam7 interlacing, which raises ValueError (skip-don't-crash at
+    the operator layer)."""
     import struct
     import zlib
 
@@ -259,14 +261,13 @@ def _decode_png(payload: bytes):
         or comp != 0
         or filt != 0
         or interlace != 0
-        or depth == 16
-        or depth not in (1, 2, 4, 8)
-        or (depth != 8 and color not in (0, 3))
+        or depth not in (1, 2, 4, 8, 16)
+        or (depth < 8 and color not in (0, 3))
+        or (depth == 16 and color == 3)  # the spec forbids 16-bit PLTE
     ):
         raise ValueError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "unsupported (16-bit channels and Adam7 interlace are the "
-            "remaining skips)"
+            "unsupported (Adam7 interlace is the remaining skip)"
         )
     stride = (w * nch * depth + 7) // 8  # scanline bytes, spec §7.2
     bpp = max(1, (nch * depth) // 8)
@@ -280,6 +281,10 @@ def _decode_png(payload: bytes):
         bits = np.unpackbits(rows, axis=1)[:, : w * depth]
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
         vals = bits.reshape(h, w, depth).astype(np.int32) @ weights
+    elif depth == 16:
+        # network-order 16-bit samples (r11): the 8-bit reduction is the
+        # high byte (the spec's sample-depth rescale, exact for 16→8)
+        vals = rows.reshape(h, stride)[:, 0::2][:, : w * nch]
     else:
         vals = rows.reshape(h, w * nch)[:, : w * nch]
     if color == 3:
@@ -369,13 +374,13 @@ def encode_png(img, filter_type: int = 0) -> bytes:
 
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
-    (P6), uncompressed 24-bit BMP, PNG in every 8-bit-or-narrower color
-    type — truecolor/RGBA, paletted, grayscale(+alpha) (stdlib zlib
-    inflate + numpy per-row unfiltering; 16-bit/Adam7 raise), and
-    baseline JPEG (r9:
+    (P6), uncompressed 24-bit BMP, PNG in every non-interlaced color
+    type and depth — truecolor/RGBA, paletted, grayscale(+alpha),
+    16-bit (stdlib zlib inflate + numpy per-row unfiltering; Adam7
+    raises), and baseline JPEG (r9:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
     IDCT, chroma upsampling, YCbCr→RGB; progressive/arithmetic variants
-    raise like 16-bit PNG does) — no external codec anywhere. Returns an
+    raise like Adam7 PNG does) — no external codec anywhere. Returns an
     (H, W, 3) uint8 array; raises ValueError for other formats (the one
     remaining compressed codec, MP4, is the ``decode_image``
     import-gated tier)."""

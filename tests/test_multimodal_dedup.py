@@ -339,11 +339,73 @@ def test_png_palette_and_grayscale_tiers(spark):
     np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 8, 4, rows_ga)), want_g)
 
 
+def test_png_16bit_tier(spark):
+    """r11: 16-bit channels decode for every non-palette color type —
+    the 8-bit reduction is the network-order HIGH byte (the spec's
+    exact 16→8 rescale), pinned against a constructed image whose low
+    bytes are deliberate noise; a Sub-filtered 16-bit row exercises the
+    bpp=6 left-neighbor distance."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, rows):
+        return (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+
+    h, w = 4, 5
+    rng = np.random.RandomState(7)
+    hi = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)  # the answer
+    lo = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)  # must be ignored
+    px16 = ((hi.astype(np.uint16) << 8) | lo).astype(">u2")  # network order
+
+    # truecolor 16-bit, filter 0
+    rows = b"".join(b"\x00" + px16[r].tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 16, 2, rows)), hi)
+
+    # truecolor 16-bit with the Sub filter: bpp = 6 bytes
+    raw = np.frombuffer(b"".join(px16[r].tobytes() for r in range(h)), np.uint8)
+    raw = raw.reshape(h, w * 6).astype(np.int32)
+    sub = raw.copy()
+    sub[:, 6:] = (raw[:, 6:] - raw[:, :-6]) & 0xFF
+    rows_sub = b"".join(b"\x01" + sub[r].astype(np.uint8).tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 16, 2, rows_sub)), hi)
+
+    # grayscale 16-bit replicates the high byte to RGB
+    g16 = ((hi[:, :, 0].astype(np.uint16) << 8) | lo[:, :, 0]).astype(">u2")
+    rows_g = b"".join(b"\x00" + g16[r].tobytes() for r in range(h))
+    want_g = np.repeat(hi[:, :, :1], 3, axis=2)
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 16, 0, rows_g)), want_g)
+
+    # RGBA 16-bit drops alpha like RGBA-8 does
+    # concatenate normalizes byte order to native — re-assert network order
+    a16 = np.concatenate(
+        [px16, lo[:, :, :1].astype(np.uint16) << 8], axis=2
+    ).astype(">u2")
+    rows_a = b"".join(b"\x00" + a16[r].tobytes() for r in range(h))
+    np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 16, 6, rows_a)), hi)
+
+
 def test_png_unsupported_variants_skip_not_crash(spark):
     """16-bit / interlaced PNGs (the r11-narrowed skip set) raise
     ValueError in decode_rgb and emit the width=-1 skip row through
     image_stats — never fail the batch; a PNG payload flows through the
-    distributed operator with stats identical to its PPM twin."""
+    distributed operator with stats identical to its PPM twin.
+    r11: 16-bit left the skip set (see the 16-bit tier test); Adam7
+    interlace and the spec-illegal 16-bit palette remain refusals."""
     import struct
     import zlib
 
@@ -370,13 +432,13 @@ def test_png_unsupported_variants_skip_not_crash(spark):
             + chunk(b"IEND", b"")
         )
 
-    for bad in (variant(depth=16), variant(interlace=1)):
+    for bad in (variant(interlace=1), variant(depth=16, color=3)):
         with pytest.raises(ValueError, match="unsupported"):
             mm.decode_rgb(bad)
 
     ppm = _ppm_bytes([[tuple(img[r, c]) for c in range(2)] for r in range(2)])
     df = spark.createDataFrame(
-        [(1, good), (2, variant(depth=16)), (3, ppm)],
+        [(1, good), (2, variant(interlace=1)), (3, ppm)],
         "doc_id long, payload binary",
     )
     stats = {r.doc_id: r for r in mm.image_stats(df).collect()}
