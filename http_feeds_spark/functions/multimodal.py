@@ -14,8 +14,10 @@ Codec tiers, honestly separated:
   24-bit BMP (``decode_rgb``), PNG — the dominant lossless web
   format — via stdlib ``zlib`` inflate + numpy per-row unfiltering
   (None/Sub/Up/Average/Paeth), covering truecolor/RGBA, paletted
-  (PLTE, depths 1/2/4/8 — r11), grayscale(+alpha) and 16-bit color
-  types (Adam7 stays the one skip), with ``encode_png`` as the export
+  (PLTE, depths 1/2/4/8 — r11), grayscale(+alpha), 16-bit color
+  types and Adam7 interlacing (r11 — the format is now COMPLETE:
+  every legal color type × depth × interlace mode decodes; only
+  spec-illegal or torn payloads skip), with ``encode_png`` as the export
   twin, and (r9) baseline JPEG — the dominant LOSSY web format —
   via functions/jpeg.py (marker parse, canonical Huffman entropy
   decode with restart markers, dequantization, batched float IDCT,
@@ -234,9 +236,11 @@ def _decode_png(payload: bytes):
     table as a single numpy fancy-index on top of the shared
     inflate/unfilter path; a tRNS chunk is tolerated and dropped,
     exactly as RGBA's alpha channel is, so every decode_rgb format
-    returns the same (H, W, 3) uint8 shape. The HONEST remaining skip
-    is Adam7 interlacing, which raises ValueError (skip-don't-crash at
-    the operator layer)."""
+    returns the same (H, W, 3) uint8 shape. Adam7 interlacing (r11)
+    decodes via the seven per-pass filtered sub-images of spec §8.2 —
+    PNG coverage is COMPLETE; only spec-illegal (16-bit palette,
+    unknown color type) or torn payloads raise ValueError
+    (skip-don't-crash at the operator layer)."""
     import struct
     import zlib
 
@@ -260,33 +264,66 @@ def _decode_png(payload: bytes):
         nch is None
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or depth not in (1, 2, 4, 8, 16)
         or (depth < 8 and color not in (0, 3))
         or (depth == 16 and color == 3)  # the spec forbids 16-bit PLTE
     ):
         raise ValueError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "unsupported (Adam7 interlace is the remaining skip)"
+            "unsupported (no remaining format tiers — this is a torn or "
+            "spec-illegal header)"
         )
-    stride = (w * nch * depth + 7) // 8  # scanline bytes, spec §7.2
     bpp = max(1, (nch * depth) // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    rows = _png_unfilter(raw, h, stride, bpp)
-    if depth < 8:
-        # unpack big-endian-within-byte sample bits (spec §7.2), drop
-        # the byte-boundary padding past w samples
-        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
-        vals = bits.reshape(h, w, depth).astype(np.int32) @ weights
-    elif depth == 16:
-        # network-order 16-bit samples (r11): the 8-bit reduction is the
-        # high byte (the spec's sample-depth rescale, exact for 16→8)
-        vals = rows.reshape(h, stride)[:, 0::2][:, : w * nch]
+
+    def samples(rows, ph, pw):
+        """(ph, pw, nch) raw sample values from unfiltered scanline
+        bytes: sub-8-bit samples unpack big-endian-within-byte (spec
+        §7.2, byte-boundary padding dropped past pw); 16-bit reduces to
+        the network-order high byte (the spec's exact 16→8 rescale)."""
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+            v = bits.reshape(ph, pw, depth).astype(np.int32) @ weights
+            return v.reshape(ph, pw, 1)
+        if depth == 16:
+            v = rows[:, 0::2][:, : pw * nch]
+        else:
+            v = rows[:, : pw * nch]
+        return v.reshape(ph, pw, nch).astype(np.int32)
+
+    if interlace == 0:
+        stride = (w * nch * depth + 7) // 8  # scanline bytes, spec §7.2
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG pixel data length mismatch")
+        vals = samples(_png_unfilter(raw, h, stride, bpp), h, w)
     else:
-        vals = rows.reshape(h, w * nch)[:, : w * nch]
+        # Adam7 (r11, the last PNG tier): seven sub-images, each its own
+        # filtered scanline run over the pass's (xo, yo, xs, ys) lattice;
+        # empty passes contribute NO bytes (spec §8.2). Each pass
+        # unfilters independently (prev-row zeros at its start) and
+        # scatters into the full grid with one strided assignment.
+        vals = np.zeros((h, w, nch), dtype=np.int32)
+        pos = 0
+        for xo, yo, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - xo + xs - 1) // xs
+            ph = (h - yo + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * nch * depth + 7) // 8
+            end = pos + ph * (1 + pstride)
+            if end > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            rows = _png_unfilter(raw[pos:end], ph, pstride, bpp)
+            vals[yo::ys, xo::xs] = samples(rows, ph, pw)
+            pos = end
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing its PLTE chunk")
@@ -294,17 +331,17 @@ def _decode_png(payload: bytes):
         if len(pal) % 3 != 0:
             raise ValueError("PLTE length is not a multiple of 3")
         pal = pal.reshape(-1, 3)
-        idx = vals.reshape(h, w)
+        idx = vals[:, :, 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of PLTE range")
         return pal[idx].copy()
     if color == 0:
         if depth < 8:  # scale to full 8-bit range (15 -> 255 at depth 4)
-            g = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            g = (vals[:, :, 0] * (255 // ((1 << depth) - 1))).astype(np.uint8)
         else:
-            g = vals.reshape(h, w).astype(np.uint8)
+            g = vals[:, :, 0].astype(np.uint8)
         return np.repeat(g.reshape(h, w, 1), 3, axis=2)
-    img = vals.reshape(h, w, nch).astype(np.uint8)
+    img = vals.astype(np.uint8)
     if color == 4:  # gray+alpha: replicate the gray channel, drop alpha
         return np.repeat(img[:, :, :1], 3, axis=2).copy()
     return img[:, :, :3].copy()
@@ -374,13 +411,13 @@ def encode_png(img, filter_type: int = 0) -> bytes:
 
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
-    (P6), uncompressed 24-bit BMP, PNG in every non-interlaced color
-    type and depth — truecolor/RGBA, paletted, grayscale(+alpha),
-    16-bit (stdlib zlib inflate + numpy per-row unfiltering; Adam7
-    raises), and baseline JPEG (r9:
+    (P6), uncompressed 24-bit BMP, PNG COMPLETE — every color type,
+    depth and interlace mode: truecolor/RGBA, paletted,
+    grayscale(+alpha), 16-bit, Adam7 (stdlib zlib inflate + numpy
+    per-row unfiltering), and baseline JPEG (r9:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
     IDCT, chroma upsampling, YCbCr→RGB; progressive/arithmetic variants
-    raise like Adam7 PNG does) — no external codec anywhere. Returns an
+    raise with the skip-row contract) — no external codec anywhere. Returns an
     (H, W, 3) uint8 array; raises ValueError for other formats (the one
     remaining compressed codec, MP4, is the ``decode_image``
     import-gated tier)."""

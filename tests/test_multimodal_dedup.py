@@ -399,13 +399,120 @@ def test_png_16bit_tier(spark):
     np.testing.assert_array_equal(mm.decode_rgb(png(w, h, 16, 6, rows_a)), hi)
 
 
+def test_png_adam7_interlace_tier(spark):
+    """r11, the LAST PNG tier: Adam7-interlaced images decode
+    pixel-identical to their non-interlaced twins. Fixtures serialize
+    the spec's seven passes by hand — each pass its own filtered
+    scanline run over the (xo, yo, xs, ys) lattice, empty passes
+    contributing no bytes — for truecolor 8-bit (with a Sub-filtered
+    pass), palette 4-bit (packed sub-byte pass rows), 16-bit gray, and
+    a 1×1 image (six of seven passes empty); a truncated pass stream
+    refuses."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (0 + 1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, rows, extra=b"", interlace=1):
+        return (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+            + extra
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+
+    def pack_bits(row, depth):
+        """Big-endian-within-byte sub-8-bit sample packing (spec 7.2)."""
+        out, acc, nbits = bytearray(), 0, 0
+        for v in row:
+            acc = (acc << depth) | int(v)
+            nbits += depth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out)
+
+    def adam7_stream(samp, depth, sub_filter_pass=None):
+        """Serialize (h, w, nch) samples as the seven passes, filter 0
+        (or Sub on one pass to exercise per-pass unfiltering)."""
+        h, w = samp.shape[:2]
+        out = b""
+        for pno, (xo, yo, xs, ys) in enumerate(ADAM7):
+            sub = samp[yo::ys, xo::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for r in range(ph):
+                if depth < 8:
+                    out += b"\x00" + pack_bits(sub[r, :, 0], depth)
+                elif depth == 16:
+                    out += b"\x00" + sub[r].astype(">u2").tobytes()
+                elif pno == sub_filter_pass:
+                    line = sub[r].astype(np.int32).ravel()
+                    bpp = sub.shape[2]
+                    d = line.copy()
+                    d[bpp:] = (line[bpp:] - line[:-bpp]) & 0xFF
+                    out += b"\x01" + d.astype(np.uint8).tobytes()
+                else:
+                    out += b"\x00" + sub[r].astype(np.uint8).tobytes()
+        return out
+
+    rng = np.random.RandomState(11)
+
+    # truecolor 8-bit, 10x9 (every pass non-empty), one Sub-filtered pass
+    h, w = 10, 9
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    p = png(w, h, 8, 2, adam7_stream(img, 8, sub_filter_pass=6))
+    np.testing.assert_array_equal(mm.decode_rgb(p), img)
+
+    # palette 4-bit interlaced
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (h, w, 1)).astype(np.uint8)
+    p4 = png(w, h, 4, 3, adam7_stream(idx, 4), extra=chunk(b"PLTE", pal.tobytes()))
+    np.testing.assert_array_equal(mm.decode_rgb(p4), pal[idx[:, :, 0]])
+
+    # 16-bit grayscale interlaced: high bytes survive
+    hi = rng.randint(0, 256, (h, w, 1)).astype(np.uint16)
+    g16 = (hi << 8) | rng.randint(0, 256, (h, w, 1))
+    pg = png(w, h, 16, 0, adam7_stream(g16, 16))
+    np.testing.assert_array_equal(
+        mm.decode_rgb(pg), np.repeat(hi.astype(np.uint8), 3, axis=2)
+    )
+
+    # 1x1: six of seven passes are empty and contribute no bytes
+    one = np.array([[[9, 8, 7]]], np.uint8)
+    np.testing.assert_array_equal(mm.decode_rgb(png(1, 1, 8, 2, adam7_stream(one, 8))), one)
+
+    # a truncated pass stream refuses instead of under-decoding
+    full = adam7_stream(img, 8)
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm.decode_rgb(png(w, h, 8, 2, full[:-3]))
+
+
 def test_png_unsupported_variants_skip_not_crash(spark):
     """16-bit / interlaced PNGs (the r11-narrowed skip set) raise
     ValueError in decode_rgb and emit the width=-1 skip row through
     image_stats — never fail the batch; a PNG payload flows through the
     distributed operator with stats identical to its PPM twin.
-    r11: 16-bit left the skip set (see the 16-bit tier test); Adam7
-    interlace and the spec-illegal 16-bit palette remain refusals."""
+    r11: 16-bit AND Adam7 left the skip set (their own tier tests), so
+    the refusals are now only spec-illegal or torn payloads — a 16-bit
+    palette, an unknown color type, an interlaced stream whose byte
+    layout is not Adam7's."""
     import struct
     import zlib
 
@@ -432,9 +539,12 @@ def test_png_unsupported_variants_skip_not_crash(spark):
             + chunk(b"IEND", b"")
         )
 
-    for bad in (variant(interlace=1), variant(depth=16, color=3)):
+    for bad in (variant(color=7), variant(depth=16, color=3)):
         with pytest.raises(ValueError, match="unsupported"):
             mm.decode_rgb(bad)
+    # an interlace flag over a NON-Adam7 byte layout is a torn payload
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm.decode_rgb(variant(interlace=1))
 
     ppm = _ppm_bytes([[tuple(img[r, c]) for c in range(2)] for r in range(2)])
     df = spark.createDataFrame(
