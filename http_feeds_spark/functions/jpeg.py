@@ -1,30 +1,39 @@
-"""Baseline JPEG (ISO/IEC 10918-1) decode with ZERO new dependencies —
-stdlib ``struct`` + numpy, the same posture as the PNG codec in
-functions/multimodal.py.
+"""JPEG (ISO/IEC 10918-1 / ITU T.81) decode with ZERO new
+dependencies — stdlib ``struct`` + numpy, the same posture as the PNG
+codec in functions/multimodal.py.
 
 Scope (the honest tier split the multimodal module documents):
 
-- **decode_jpeg** — REAL baseline sequential DCT decode: marker parse
-  (APPn/COM skipped, DQT 8/16-bit, SOF0/SOF1, DHT canonical tables, DRI),
-  Huffman entropy decode with byte-unstuffing and RST0-7 restart
-  handling, DC prediction, AC run-length/ZRL/EOB, dequantization,
-  de-zigzag, float 2-D IDCT (one batched matmul per component — the
-  numpy hot path), sampling-factor chroma upsampling (4:4:4/4:2:2/4:2:0),
-  and JFIF YCbCr→RGB. Grayscale (1-component) replicates to (H, W, 3) so
-  every decode_rgb format returns the same shape. Progressive (SOF2),
-  arithmetic coding, 12-bit precision, and hierarchical modes raise
-  ValueError — the skip-don't-crash tier at the operator layer, exactly
-  like 16-bit/interlaced PNG.
+- **decode_jpeg** — REAL DCT decode, baseline sequential AND (r11)
+  progressive: marker parse (APPn/COM skipped, DQT 8/16-bit, SOF0/SOF1/
+  SOF2, DHT canonical tables, DRI), Huffman entropy decode with
+  byte-unstuffing and RST0-7 restart handling, DC prediction, AC
+  run-length/ZRL/EOB, dequantization, de-zigzag, float 2-D IDCT (one
+  batched matmul per component — the numpy hot path), sampling-factor
+  chroma upsampling (4:4:4/4:2:2/4:2:0), and JFIF YCbCr→RGB. SOF2
+  implements the full spectral-selection × successive-approximation
+  scan protocol of §G: DC first/refine (interleaved or not), AC first
+  with EOB runs, AC refine with correction bits — coefficients
+  accumulate across scans into per-component grids, then one shared
+  IDCT/color tail. Grayscale (1-component) replicates to (H, W, 3) so
+  every decode_rgb format returns the same shape. Arithmetic coding,
+  12-bit precision, and hierarchical modes raise ValueError — the
+  skip-don't-crash tier at the operator layer.
 - **encode_jpeg** — the minimal export/test twin (NOT required by the
   corpus path, which only reads): 4:4:4 or 4:2:0, IJG quality scaling of
   the Annex-K quantization tables, single-length canonical Huffman
-  tables (12 DC codes at 4 bits, 162 AC codes at 8 bits — valid DHT,
-  slightly larger files, radically simpler tables than Annex K's), and
-  optional restart intervals so the decoder's DRI/RST path is genuinely
-  exercised. Round-trip error is bounded by quantization alone: at
-  quality 100 every table entry is 1 and decode(encode(img)) lands
-  within the classical DCT round-trip tolerance (pinned ≤ 2/255 per
-  sample in tests).
+  tables (12 DC codes at 4 bits, 176 AC codes at 8 bits — the 162
+  (run, size) symbols plus the EOBn symbols progressive needs — valid
+  DHT, slightly larger files, radically simpler tables than Annex K's),
+  optional restart intervals (baseline) so the decoder's DRI/RST path
+  is genuinely exercised, and (r11) ``progressive=True``, which
+  serializes the SAME quantized coefficients under a successive-
+  approximation scan script — giving the tests an EXACT oracle: both
+  wire formats must decode to byte-identical pixels (pinned, plus a
+  seeded fuzz sweep). Round-trip error vs the original is bounded by
+  quantization alone: at quality 100 every table entry is 1 and
+  decode(encode(img)) lands within the classical DCT round-trip
+  tolerance (pinned ≤ 2/255 per sample in tests).
 
 Throughput honesty: the entropy decode walks bits in Python — fine
 inside an Arrow-batched mapInPandas worker for thumbnail-scale corpus
@@ -157,8 +166,13 @@ def _canonical_table(counts: list[int], values: list[int]) -> dict:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
-    Raises ValueError on non-baseline variants — see module docstring."""
+    """JPEG bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
+    Baseline sequential (SOF0/SOF1) AND progressive (SOF2, r11 — the
+    spectral-selection × successive-approximation scan protocol of
+    ITU T.81 §G: DC-first/DC-refine, AC-first with EOB runs, AC-refine
+    with correction bits, per-scan restart intervals). Arithmetic
+    coding, 12-bit precision, and hierarchical modes raise ValueError —
+    see module docstring."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -167,6 +181,8 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     restart_interval = 0
+    progressive = False
+    store: dict[int, "np.ndarray"] = {}  # progressive coef accumulators
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -175,8 +191,13 @@ def decode_jpeg(payload: bytes):
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and store:
+                return _finish_progressive(np, frame, qt, store)
             raise ValueError("EOI before scan data")
+        if 0xD0 <= marker <= 0xD7:  # stray RST between scans: tolerate
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -193,7 +214,7 @@ def decode_jpeg(payload: bytes):
                 nat = np.zeros(64, dtype=np.float64)
                 nat[ZIGZAG] = vals  # de-zigzag into natural order
                 qt[tid] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported (want 8)")
@@ -205,8 +226,9 @@ def decode_jpeg(payload: bytes):
                     raise ValueError(f"sampling {hs}x{vs} unsupported")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-DCT/arithmetic JPEG modes unsupported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(seg):
@@ -223,15 +245,27 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             h, w, comps = frame
-            if ns != len(comps):
-                raise ValueError("non-interleaved multi-scan JPEG unsupported")
-            scan = {}
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("non-interleaved multi-scan JPEG unsupported")
+                scan = {}
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan[cs] = (tt >> 4, tt & 15)
+                return _decode_scan(
+                    np, payload, pos + 2 + seglen, frame, qt, huff, scan,
+                    restart_interval,
+                )
+            scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(
-                np, payload, pos + 2 + seglen, frame, qt, huff, scan, restart_interval
+                scomps.append((cs, tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                np, payload, pos + 2 + seglen, frame, huff, store,
+                scomps, ss, se, a >> 4, a & 15, restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
     raise ValueError("no SOS marker found")
@@ -310,15 +344,243 @@ def _decode_scan(np, payload, pos, frame, qt, huff, scan, restart_interval):
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+# --- progressive mode (ITU T.81 §G, r11) -------------------------------------
+
+
+def _comp_grids(frame):
+    """Per component: the MCU-padded block grid (bh, bw) every scan
+    writes into, and the non-interleaved scan's own grid (nh, nw) —
+    ceil over the COMPONENT dimensions (spec A.2.2), which can be
+    narrower than the padded grid (w=24 4:2:0 luma: 3 block cols
+    non-interleaved vs 4 padded)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    out = {}
+    for cid, hs, vs, _tq in comps:
+        ch = -(-h * vs // vmax)  # component pixel dims
+        cw = -(-w * hs // hmax)
+        out[cid] = (mcus_y * vs, mcus_x * hs, -(-ch // 8), -(-cw // 8))
+    return mcus_x, mcus_y, out
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Byte offset of the next real marker at/after pos (skips stuffed
+    FF00 inside leftover entropy bytes and 0xFF fill bytes)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        if data[pos + 1] == 0x00:
+            pos += 2
+            continue
+        while pos < n - 1 and data[pos + 1] == 0xFF:
+            pos += 1
+        return pos
+    raise ValueError("unterminated JPEG stream")
+
+
+def _decode_progressive_scan(
+    np, payload, pos, frame, huff, store, scomps, ss, se, ah, al, restart_interval
+):
+    """One SOS of a progressive stream, accumulated into ``store``
+    (per-component (bh, bw, 64) int32 arrays of ZIGZAG-order
+    coefficients). Returns the byte offset of the next marker. The four
+    scan kinds of §G.1.2: DC first / DC refine (Ss=0; interleaved
+    allowed), AC first / AC refine (Ss>0; single component only)."""
+    h, w, comps = frame
+    mcus_x, mcus_y, grids = _comp_grids(frame)
+    by_id = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    for cid, *_ in scomps:
+        if cid not in store:
+            bh, bw, _, _ = grids[cid]
+            store[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+
+    bits = _Bits(payload, pos)
+    n_restarts = 0
+    eobrun = 0
+
+    if ss == 0:  # DC scan (refine when ah > 0) — MCU-interleaved if ns > 1
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        pred = {cid: 0 for cid, *_ in scomps}
+        if len(scomps) > 1:
+            units = mcus_x * mcus_y
+        else:
+            _, _, nh, nw = grids[scomps[0][0]]
+            units = nh * nw
+        for ui in range(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                bits.restart(n_restarts)
+                n_restarts += 1
+                pred = {cid: 0 for cid in pred}
+            blocks = []
+            if len(scomps) > 1:
+                my, mx = divmod(ui, mcus_x)
+                for cid, td, _ta in scomps:
+                    hs, vs = by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blocks.append((cid, td, my * vs + by, mx * hs + bx))
+            else:
+                cid, td, _ta = scomps[0]
+                _, _, nh, nw = grids[cid]
+                blocks.append((cid, td, ui // nw, ui % nw))
+            for cid, td, brow, bcol in blocks:
+                coef = store[cid]
+                if ah == 0:  # first DC scan: diff-coded, point transform Al
+                    table = huff.get((0, td))
+                    if table is None:
+                        raise ValueError("scan references undefined Huffman table")
+                    s = _huff_decode(bits, table)
+                    pred[cid] += _extend(bits.receive(s), s) if s else 0
+                    coef[brow, bcol, 0] = pred[cid] << al
+                else:  # DC refinement: one bit per block
+                    if bits.bit():
+                        coef[brow, bcol, 0] |= 1 << al
+        return _next_marker(payload, bits.pos)
+
+    # AC scans: exactly one component, never interleaved (§G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scomps[0]
+    table = huff.get((1, ta))
+    if table is None:
+        raise ValueError("scan references undefined Huffman table")
+    coef = store[cid]
+    _, _, nh, nw = grids[cid]
+
+    for ui in range(nh * nw):
+        if restart_interval and ui and ui % restart_interval == 0:
+            bits.restart(n_restarts)
+            n_restarts += 1
+            eobrun = 0
+        brow, bcol = ui // nw, ui % nw
+        zz = coef[brow, bcol]
+        if ah == 0:  # AC first scan (§G.1.2.2)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(bits, table)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:  # EOBn: ends this block + (run-1) more
+                        eobrun = (1 << r) - 1 + (bits.receive(r) if r else 0)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(bits.receive(s), s) << al
+                k += 1
+        else:  # AC refinement (§G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+
+            def correct(kk):
+                """Correction bit for a coefficient already nonzero."""
+                if bits.bit() and (zz[kk] & p1) == 0:
+                    zz[kk] += p1 if zz[kk] > 0 else m1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(bits, table)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            # INCLUDES this block: its tail correction
+                            # happens in the EOB phase below (EOB0 → 1)
+                            eobrun = (1 << r) + (bits.receive(r) if r else 0)
+                            break
+                        # ZRL: pass 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement size must be 1")
+                        newval = p1 if bits.bit() else m1
+                    # advance over r zero-history coefficients, emitting
+                    # correction bits for nonzero ones passed on the way
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            # EOB run (including the block that started it): only
+            # correction bits for already-nonzero coefficients
+            if eobrun:
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    k += 1
+                eobrun -= 1
+    return _next_marker(payload, bits.pos)
+
+
+def _finish_progressive(np, frame, qt, store):
+    """All scans absorbed: dequantize + IDCT the accumulated coefficient
+    grids and color-convert — the same batched-matmul tail as the
+    baseline path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _dct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if cid not in store:
+            raise ValueError(f"progressive stream has no scan for component {cid}")
+        bh, bw, _ = store[cid].shape
+        zz = store[cid].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8) * qt[tq][None, :, :]
+        spatial = m.T[None] @ blocks @ m[None] + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes[cid] = plane[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(np.rint(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    if len(comps) != 3:
+        raise ValueError(f"{len(comps)}-component JPEG unsupported")
+    y, cb, cr = (planes[cid] for cid, _, _, _ in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 # --- encoder (export/test twin) ---------------------------------------------
 
-# single-length canonical tables: 12 DC categories at 4 bits, 162 AC
-# (run, size) symbols at 8 bits — valid DHT (the all-ones code stays
-# unused in both), trivially invertible, byte-cost paid only by tests
+# single-length canonical tables: 12 DC categories at 4 bits, 176 AC
+# symbols at 8 bits — the 162 (run, size) codes plus the fourteen EOBn
+# symbols (r<<4, r=1..14) progressive EOB runs need (baseline only ever
+# emits EOB0/ZRL) — valid DHT (the all-ones code stays unused in both),
+# trivially invertible, byte-cost paid only by tests
 _DC_VALUES = list(range(12))
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
-_AC_VALUES = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
-_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_AC_VALUES = (
+    [0x00]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(1, 15)]  # EOBn, progressive only
+)
+_AC_COUNTS = [0] * 7 + [len(_AC_VALUES)] + [0] * 8
 _DC_CODE = {v: (4, i) for i, v in enumerate(_DC_VALUES)}
 _AC_CODE = {v: (8, i) for i, v in enumerate(_AC_VALUES)}
 
@@ -360,15 +622,14 @@ def _scaled_tables(quality: int):
     return out  # zigzag order, ready for DQT
 
 
-def encode_jpeg(
-    img, quality: int = 95, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """(H, W, 3) uint8 RGB -> baseline JFIF JPEG bytes. ``subsample``
-    switches 4:4:4 to 4:2:0 (2×2-mean chroma); ``restart_interval``
-    (in MCUs) emits DRI + RSTn markers. See module docstring for why
-    this exists and what it deliberately does not optimize."""
-    import numpy as np
-
+def _quantize_planes(np, img, quality: int, subsample: bool):
+    """(h, w, samp, qzz, coefs): color-convert, optionally 4:2:0
+    subsample, MCU-pad, forward-DCT and quantize EVERY block once —
+    coefs[ci] is an (bh, bw, 64) int array of ZIGZAG-order quantized
+    coefficients over the padded grid. Both serializers (baseline and
+    progressive) read from the same coefficients, which is what makes
+    the two wire formats byte-comparable in tests: identical
+    coefficients must reconstruct identical pixels."""
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg wants (H, W, 3) uint8")
@@ -387,7 +648,6 @@ def encode_jpeg(
 
     if subsample:
         samp = [(2, 2), (1, 1), (1, 1)]
-        # pad to even before the 2x2 mean (edge replicate)
         ph, pw = h + (h & 1), w + (w & 1)
         cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
         crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -401,65 +661,273 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    def padded(plane, hs, vs):
-        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
-        return np.pad(
-            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge"
-        )
-
-    planes = [padded(p, s[0], s[1]) for p, s in zip(planes, samp)]
     m = _dct_matrix()
+    coefs = []
+    for ci, (plane, (hs, vs)) in enumerate(zip(planes, samp)):
+        bh, bw = mcus_y * vs, mcus_x * hs
+        padded = np.pad(
+            plane,
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )  # (bh, bw, 8, 8)
+        coef = m[None, None] @ blocks @ m.T[None, None]
+        qtab = qnat[0] if ci == 0 else qnat[1]
+        q = np.rint(coef / qtab[None, None]).astype(np.int64)
+        coefs.append(q.reshape(bh, bw, 64)[:, :, ZIGZAG])
+    return h, w, samp, qzz, coefs
 
-    def quantized_block(plane, prow, pcol, qtab):
-        blk = plane[prow * 8 : prow * 8 + 8, pcol * 8 : pcol * 8 + 8] - 128.0
-        coef = m @ blk @ m.T
-        return np.rint(coef / qtab).astype(np.int64)
 
-    bw = _BitWriter()
+class _ScanWriter(_BitWriter):
+    """_BitWriter + the shared symbol/extra-bits emitters."""
+
+    def sym(self, code_table, symbol):
+        ln, code = code_table[symbol]
+        self.write(code, ln)
+
+    def amplitude(self, v: int, s: int):
+        self.write(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def _trunc(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO
+    (T.81 G.1.1.2.2 — sign-preserving, unlike the DC arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _serialize_baseline(np, samp, coefs, restart_interval: int) -> bytes:
+    bh0 = coefs[0].shape[0] // samp[0][1]
+    bw0 = coefs[0].shape[1] // samp[0][0]
+    mcus_y, mcus_x = bh0, bw0
+    bw_ = _ScanWriter()
     pred = [0, 0, 0]
     n_restarts = 0
     for mi in range(mcus_x * mcus_y):
         if restart_interval and mi and mi % restart_interval == 0:
-            bw.pad()
-            bw.out += bytes([0xFF, 0xD0 + (n_restarts & 7)])
+            bw_.pad()
+            bw_.out += bytes([0xFF, 0xD0 + (n_restarts & 7)])
             n_restarts += 1
             pred = [0, 0, 0]
         my, mx = divmod(mi, mcus_x)
-        for ci, (plane, (hs, vs)) in enumerate(zip(planes, samp)):
-            qtab = qnat[0] if ci == 0 else qnat[1]
+        for ci, (hs, vs) in enumerate(samp):
+            dc_code, ac_code = _DC_CODE, _AC_CODE
             for by in range(vs):
                 for bx in range(hs):
-                    q = quantized_block(plane, my * vs + by, mx * hs + bx, qtab)
-                    zz = q.reshape(64)[ZIGZAG]
+                    zz = coefs[ci][my * vs + by, mx * hs + bx]
                     diff = int(zz[0]) - pred[ci]
                     pred[ci] = int(zz[0])
                     s = _category(diff)
-                    ln, code = _DC_CODE[s]
-                    bw.write(code, ln)
+                    bw_.sym(dc_code, s)
                     if s:
-                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                        bw_.amplitude(diff, s)
                     run = 0
-                    last_nz = max(
-                        (k for k in range(1, 64) if zz[k]), default=0
-                    )
+                    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
                     for k in range(1, last_nz + 1):
                         v = int(zz[k])
                         if v == 0:
                             run += 1
                             continue
                         while run > 15:
-                            ln, code = _AC_CODE[0xF0]
-                            bw.write(code, ln)
+                            bw_.sym(ac_code, 0xF0)
                             run -= 16
                         s = _category(v)
-                        ln, code = _AC_CODE[(run << 4) | s]
-                        bw.write(code, ln)
-                        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                        bw_.sym(ac_code, (run << 4) | s)
+                        bw_.amplitude(v, s)
                         run = 0
                     if last_nz < 63:
-                        ln, code = _AC_CODE[0x00]
-                        bw.write(code, ln)
-    bw.pad()
+                        bw_.sym(ac_code, 0x00)
+    bw_.pad()
+    return bytes(bw_.out)
+
+
+# the default progressive scan script (successive approximation on every
+# band, libjpeg-style): exercises all four scan kinds of §G.1.2 —
+# (comps, Ss, Se, Ah, Al); comps is a list of component INDICES
+_PROGRESSIVE_SCRIPT = (
+    ([0, 1, 2], 0, 0, 0, 1),  # DC first, point transform 1
+    ([0], 1, 5, 0, 2),        # luma low band, first
+    ([2], 1, 63, 0, 1),       # chroma full band, first
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),       # luma high band, first
+    ([0], 1, 63, 2, 1),       # luma refine 2 -> 1
+    ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+    ([0], 1, 63, 1, 0),       # final AC refines to full precision
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+)
+
+
+def _serialize_progressive_scan(coef_zz, nh, nw, ss, se, ah, al) -> bytes:
+    """Entropy bytes of ONE single-component AC scan (first when Ah=0,
+    refinement otherwise) over the (nh, nw) block grid — §G.1.2.2/3,
+    with EOB-run folding and (refinement) the correction-bit buffer that
+    flushes behind the next emitted symbol."""
+    w = _ScanWriter()
+    eobrun = 0
+    corr: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.sym(_AC_CODE, r << 4)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in corr:
+            w.write(b, 1)
+        corr.clear()
+
+    for ui in range(nh * nw):
+        zz = coef_zz[ui // nw, ui % nw]
+        if ah == 0:  # first scan at this precision
+            t = [_trunc(int(zz[k]), al) for k in range(ss, se + 1)]
+            last = max((i for i, v in enumerate(t) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in t[: last + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.sym(_AC_CODE, 0xF0)
+                    run -= 16
+                s = _category(v)
+                w.sym(_AC_CODE, (run << 4) | s)
+                w.amplitude(v, s)
+                run = 0
+            if last < se - ss:
+                eobrun = 1
+        else:  # refinement scan: Ah = Al + 1
+            absv = [abs(_trunc(int(zz[k]), al)) for k in range(ss, se + 1)]
+            signs = [1 if zz[k] >= 0 else 0 for k in range(ss, se + 1)]
+            eob = max((i for i, v in enumerate(absv) if v == 1), default=-1)
+            run = 0
+            block_corr: list[int] = []
+            for i, v in enumerate(absv):
+                if v == 0:
+                    run += 1
+                    continue
+                # pending ZRLs flush at EVERY nonzero coefficient (not
+                # only newly-significant ones): a correction bit appended
+                # while run > 15 would land beyond the decoder's 16-zero
+                # advance window and shear the whole bit alignment. Zeros
+                # past the last newly-significant coefficient (i > eob)
+                # fold into the EOB run instead.
+                while run > 15 and i <= eob:
+                    flush_eob()
+                    w.sym(_AC_CODE, 0xF0)
+                    run -= 16
+                    for b in block_corr:
+                        w.write(b, 1)
+                    block_corr.clear()
+                if v > 1:  # already nonzero at Ah: one correction bit
+                    block_corr.append(v & 1)
+                    continue
+                # newly significant (|v| == 1)
+                flush_eob()
+                w.sym(_AC_CODE, (run << 4) | 1)
+                w.write(signs[i], 1)
+                for b in block_corr:
+                    w.write(b, 1)
+                block_corr.clear()
+                run = 0
+            if run > 0 or block_corr:
+                eobrun += 1
+                corr.extend(block_corr)
+                if eobrun == 0x7FFF or len(corr) > 900:
+                    flush_eob()
+    flush_eob()
+    w.pad()
+    return bytes(w.out)
+
+
+def _serialize_progressive(np, h, w, samp, coefs) -> bytes:
+    """SOF2 scan sequence for _PROGRESSIVE_SCRIPT: SOS headers + entropy
+    bytes for each scan. DC scans interleave all components in MCU
+    order; AC scans cover one component's own block grid."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray()
+    for comps_i, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        sos = bytes([len(comps_i)])
+        for ci in comps_i:
+            # DC huff table 0, AC huff table 0 (single shared pair)
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        if ss == 0 and ah == 0:  # DC first: interleaved, diff-coded
+            wtr = _ScanWriter()
+            pred = [0] * len(samp)
+            for mi in range(mcus_x * mcus_y):
+                my, mx = divmod(mi, mcus_x)
+                for ci in comps_i:
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = _category(diff)
+                            wtr.sym(_DC_CODE, s)
+                            if s:
+                                wtr.amplitude(diff, s)
+            wtr.pad()
+            out += wtr.out
+        elif ss == 0:  # DC refine: one bit per block, MCU order
+            wtr = _ScanWriter()
+            for mi in range(mcus_x * mcus_y):
+                my, mx = divmod(mi, mcus_x)
+                for ci in comps_i:
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                            wtr.write((v >> al) & 1, 1)
+            wtr.pad()
+            out += wtr.out
+        else:  # AC scan over the component's own (non-padded) grid
+            (ci,) = comps_i
+            hs, vs = samp[ci]
+            nh = -(-(-(-h * vs // vmax)) // 8)
+            nw = -(-(-(-w * hs // hmax)) // 8)
+            out += _serialize_progressive_scan(coefs[ci], nh, nw, ss, se, ah, al)
+    return bytes(out)
+
+
+def encode_jpeg(
+    img,
+    quality: int = 95,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> JFIF JPEG bytes. ``subsample`` switches
+    4:4:4 to 4:2:0 (2×2-mean chroma); ``restart_interval`` (in MCUs,
+    baseline only) emits DRI + RSTn markers; ``progressive`` (r11)
+    emits SOF2 with the module's successive-approximation scan script —
+    the SAME quantized coefficients as the baseline serialization, so
+    both wire formats decode to byte-identical pixels (the exact twin
+    test progressive decoding is pinned by). See module docstring for
+    why this encoder exists and what it deliberately does not optimize."""
+    import numpy as np
+
+    h, w, samp, qzz, coefs = _quantize_planes(np, img, quality, subsample)
+    if progressive and restart_interval:
+        raise ValueError("restart intervals are a baseline-only option here")
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -471,21 +939,22 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
     for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
         counts, values = (
             (_DC_COUNTS, _DC_VALUES) if tc == 0 else (_AC_COUNTS, _AC_VALUES)
         )
-        out += seg(
-            0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(values)
-        )
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([3])
-    for ci in range(3):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw.out
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(values))
+    if progressive:
+        out += _serialize_progressive(np, h, w, samp, coefs)
+    else:
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        sos = bytes([3])
+        for ci in range(3):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += _serialize_baseline(np, samp, coefs, restart_interval)
     out += b"\xff\xd9"
     return bytes(out)

@@ -628,9 +628,12 @@ def test_jpeg_grayscale_and_quality_degradation(spark):
 
 
 def test_jpeg_unsupported_variants_skip_not_crash(spark):
-    """Progressive (SOF2) and truncated payloads raise ValueError in
-    decode, and image_stats turns that into the width=-1 skip row --
-    same contract as the PNG variants test."""
+    """Arithmetic-coded (SOF9-family), malformed and truncated payloads
+    raise ValueError in decode, and image_stats turns that into the
+    width=-1 skip row -- same contract as the PNG variants test. (SOF2
+    progressive left this list in r11 — its own tier test below; a
+    baseline stream re-tagged SOF2 is now a MALFORMED progressive file,
+    whose baseline-shaped scan header still refuses.)"""
     import pytest
 
     from http_feeds_spark.functions import jpeg as J
@@ -638,22 +641,88 @@ def test_jpeg_unsupported_variants_skip_not_crash(spark):
 
     img = _gradient_img(8, 8)
     good = J.encode_jpeg(img, quality=100)
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive, unsupported
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
-        J.decode_jpeg(bytes(prog))
+    # flip SOF0 (0xC0) to SOF9 (0xC9): arithmetic coding, unsupported
+    arith = bytearray(good)
+    i = arith.find(b"\xff\xc0")
+    arith[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        J.decode_jpeg(bytes(arith))
+    # re-tagged SOF2 over a baseline scan: an interleaved full-band scan
+    # is illegal in progressive mode — refuse, don't mis-decode
+    fake_prog = bytearray(good)
+    fake_prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        J.decode_jpeg(bytes(fake_prog))
     with pytest.raises(ValueError):
         J.decode_jpeg(good[:40])  # truncated before SOS
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"garbage")
 
     df = spark.createDataFrame(
-        [(1, good), (2, bytes(prog))], "doc_id long, payload binary"
+        [(1, good), (2, bytes(arith))], "doc_id long, payload binary"
     )
     stats = {r.doc_id: r for r in mm.image_stats(df).collect()}
     assert stats[1].width == 8 and stats[2].width == -1
+
+
+def test_jpeg_progressive_tier(spark):
+    """r11: progressive JPEG (SOF2) decodes — and the twin test is
+    EXACT, not tolerance-based: the encoder serializes the SAME
+    quantized coefficients as baseline and as the successive-
+    approximation scan script (DC first/refine, AC first with EOB runs
+    and ZRL, AC refine with correction bits), so the two wire formats
+    MUST reconstruct byte-identical pixels. Shapes chosen to force the
+    protocol's corners: flat (whole-scan EOB runs), noise (dense
+    refinement + the ZRL-inside-refinement window), a width where the
+    non-interleaved component grid is narrower than the MCU-padded one,
+    1x1, odd sizes; plus a seeded fuzz sweep and the distributed
+    image_stats contract."""
+    import numpy as np
+
+    from http_feeds_spark.functions import jpeg as J
+    from http_feeds_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    cases = [
+        np.full((40, 40, 3), 130, np.uint8),
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),
+        rng.randint(0, 256, (8, 24, 3)).astype(np.uint8),  # w24 4:2:0 grid edge
+        np.array([[[200, 3, 90]]], np.uint8),
+        _gradient_img(21, 13),
+    ]
+    for img in cases:
+        for q in (100, 75, 25):
+            for sub in (False, True):
+                base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub))
+                prog = J.decode_jpeg(
+                    J.encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+                )
+                np.testing.assert_array_equal(base, prog)
+
+    for seed in range(40):  # seeded fuzz: random shapes x quality x sampling
+        r2 = np.random.RandomState(2000 + seed)
+        img = r2.randint(0, 256, (r2.randint(1, 40), r2.randint(1, 40), 3)).astype(
+            np.uint8
+        )
+        q = int(r2.choice([100, 90, 75, 50, 25]))
+        sub = bool(r2.randint(2))
+        np.testing.assert_array_equal(
+            J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub)),
+            J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub, progressive=True)),
+        )
+
+    # the distributed skip-don't-crash contract sees progressive as good
+    img = _gradient_img(16, 16)
+    df = spark.createDataFrame(
+        [(1, J.encode_jpeg(img, quality=90, progressive=True)),
+         (2, J.encode_jpeg(img, quality=90))],
+        "doc_id long, payload binary",
+    )
+    stats = {r.doc_id: r for r in mm.image_stats(df).collect()}
+    assert stats[1].width == 16 and stats[2].width == 16
+    assert (stats[1].mean_r, stats[1].mean_g, stats[1].mean_b) == (
+        stats[2].mean_r, stats[2].mean_g, stats[2].mean_b,
+    )
 
 
 def test_q_mm_image_real_mix_includes_jpeg(spark, sf_dir):
