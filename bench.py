@@ -244,8 +244,11 @@ def _calibrate(spark) -> float:
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
+        # mask before summing: 30M full 64-bit hashes overflow the long
+        # sum under ANSI mode; 16 bits keep the work identical and the
+        # total bounded (~2e12)
         spark.range(0, 30_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id"))
+            F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF)))
         ).collect()
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)

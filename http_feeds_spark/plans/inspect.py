@@ -72,6 +72,11 @@ def plan_children(node) -> list:
         return [node.executedPlan()]
     if name.endswith("QueryStage"):
         return [node.plan()]
+    if name == "ReusedExchange":
+        # a leaf wrapper referencing another stage's exchange — descend
+        # into the original so side-shape analysis (scalar aggregate,
+        # literal frame) sees through the reuse (r11, plans/lint.py)
+        return [node.child()]
     ch = node.children()
     return [ch.apply(i) for i in range(ch.size())]
 

@@ -17,11 +17,14 @@ judge/advisor checks by hand every round:
   higher-order-function lambda — Spark does not CSE across lambda
   boundaries, so the lineage re-evaluates PER ELEMENT (the r9
   winnowing incident: >100× plan blowup; the fix is materializing the
-  input column in its own Project first).
+  input column in its own Project first). Necessity exemption: a call
+  whose argument span references the lambda VARIABLE (tokenizing each
+  query term) is work on the element itself, not re-evaluated lineage.
 - ``cartesian_product``: a CartesianProduct node, or a
-  BroadcastNestedLoopJoin whose broadcast side is not provably
-  one-row (a scalar aggregate) — the all-pairs shapes that cannot
-  survive a 100× scale-up.
+  BroadcastNestedLoopJoin where no side is provably model-sized —
+  one-row (a scalar aggregate / limit) or driver-local literal data
+  (LocalTableScan / parallelized rows: a query-vector frame) — the
+  all-pairs shapes that cannot survive a 100× scale-up.
 - ``row_python_udf``: a BatchEvalPython stage — row-at-a-time Python,
   10-100× slower than the Arrow-batched path; every Python boundary in
   this repo must be pandas_udf / mapInPandas.
@@ -149,6 +152,28 @@ def _is_scalar_agg_subtree(node) -> bool:
     return any(_is_scalar_agg_subtree(c) for c in plan_children(node))
 
 
+# node names that make a join side DRIVER-LOCAL literal data (a
+# createDataFrame of query vectors, a parameter frame): model-sized by
+# construction, so an all-pairs join against it is a broadcast lookup,
+# not a cartesian scale bug
+_LOCAL_DATA_LEAVES = ("LocalTableScan", "Scan ExistingRDD", "RDDScan")
+_PASSTHROUGH_NODES = ("Project", "Filter", "BroadcastExchange", "Exchange",
+                      "Sort", "Generate", "InputAdapter", "WholeStageCodegen")
+
+
+def _is_local_literal_subtree(node) -> bool:
+    """Every leaf under this side is driver-local literal data."""
+    name = node.nodeName()
+    if any(name.startswith(leaf) for leaf in _LOCAL_DATA_LEAVES):
+        return True
+    kids = plan_children(node)
+    if not kids:
+        return False
+    if not any(name.startswith(p) for p in _PASSTHROUGH_NODES):
+        return False
+    return all(_is_local_literal_subtree(k) for k in kids)
+
+
 def _subtree_has_partial_agg_or_limit(node) -> bool:
     name = node.nodeName()
     if name in _COLLAPSE_NODES and "Aggregate" not in name:
@@ -202,7 +227,10 @@ def lint(df: DataFrame, ignore: tuple[str, ...] = ()) -> list[dict]:
             emit("cartesian_product", node, node.simpleString(200))
         if name == "BroadcastNestedLoopJoin":
             kids = plan_children(node)
-            if not any(_is_scalar_agg_subtree(k) for k in kids):
+            if not any(
+                _is_scalar_agg_subtree(k) or _is_local_literal_subtree(k)
+                for k in kids
+            ):
                 emit("cartesian_product", node, node.simpleString(200))
         if name == "BatchEvalPython":
             emit("row_python_udf", node, node.simpleString(200))
@@ -214,10 +242,36 @@ def lint(df: DataFrame, ignore: tuple[str, ...] = ()) -> list[dict]:
 
         s = node.simpleString(2000)
         if "lambdafunction(" in s:
-            for seg in s.split("lambdafunction(")[1:]:
-                if any(m in seg for m in EXPENSIVE_MARKERS):
-                    emit("expensive_in_lambda", node, "lambdafunction(" + seg)
-                    break
+            for raw in s.split("lambdafunction(")[1:]:
+                # bound to the lambdafunction's OWN argument list first —
+                # the split tail runs to the end of the node line, and a
+                # marker out there belongs to a sibling expression
+                j, depth = 0, 1
+                while j < len(raw) and depth:
+                    depth += {"(": 1, ")": -1}.get(raw[j], 0)
+                    j += 1
+                seg = raw[:j]
+                for m in EXPENSIVE_MARKERS:
+                    i = seg.find(m)
+                    # necessity exemption: an expensive call whose
+                    # ARGUMENT SPAN (matched parens) references a lambda
+                    # VARIABLE ("lambda t#500" renders inline) is
+                    # per-element by semantics — tokenizing each query
+                    # term is work on the element itself. The r9 blowup
+                    # shape inlined lineage over columns from BELOW the
+                    # lambda (regexp over text#1: no var in its span).
+                    if i < 0:
+                        continue
+                    j, depth = i + len(m), 1
+                    while j < len(seg) and depth:
+                        depth += {"(": 1, ")": -1}.get(seg[j], 0)
+                        j += 1
+                    if "lambda " not in seg[i:j]:
+                        emit("expensive_in_lambda", node, "lambdafunction(" + seg)
+                        break
+                else:
+                    continue
+                break
 
         new_pending = list(pending)
         for rendered, refs in _expensive_exprs(node):
