@@ -18,11 +18,14 @@ Codec tiers, honestly separated:
   types and Adam7 interlacing (r11 — the format is now COMPLETE:
   every legal color type × depth × interlace mode decodes; only
   spec-illegal or torn payloads skip), with ``encode_png`` as the export
-  twin, and (r9) baseline JPEG — the dominant LOSSY web format —
-  via functions/jpeg.py (marker parse, canonical Huffman entropy
-  decode with restart markers, dequantization, batched float IDCT,
-  4:2:0/4:2:2 chroma upsampling, YCbCr→RGB; ``encode_jpeg`` as the
-  test/export twin); ``image_stats`` and ``resize_rgb`` run on
+  twin, and JPEG — the dominant LOSSY web format — via
+  functions/jpeg.py: baseline sequential (r9) AND progressive/SOF2
+  (r11 — the successive-approximation scan protocol; the encoder twin
+  serializes the same coefficients both ways, so the test oracle is
+  byte-exact), canonical Huffman entropy decode with restart markers,
+  dequantization, batched float IDCT, 4:2:0/4:2:2 chroma upsampling,
+  YCbCr→RGB, ``encode_jpeg`` as the test/export twin;
+  ``image_stats`` and ``resize_rgb`` run on
   genuinely decoded pixel arrays (pinned against hand-constructed
   files in tests/test_multimodal_dedup.py; JPEG within the classical
   DCT round-trip tolerance at quality 100).
@@ -409,6 +412,82 @@ def encode_png(img, filter_type: int = 0) -> bytes:
     )
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_palette(img) -> bytes:
+    """Export twin of the r11 PLTE tier: (H, W, 3) uint8 with ≤256
+    distinct colors becomes a depth-8 color-type-3 PNG — PLTE of the
+    unique colors + one index byte per pixel (the icon/screenshot/chart
+    encoding). Raises when the image has more colors than a palette
+    holds (use encode_png). Pixel-identity with decode_rgb pinned."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("encode_png_palette wants (H, W, 3) uint8")
+    colors, idx = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors exceed a palette")
+    idx = idx.astype(np.uint8).reshape(h, w)
+    rows = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", colors.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# the Adam7 pass lattice (x_origin, y_origin, x_step, y_step), spec §8.2
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_adam7(img) -> bytes:
+    """Export twin of the r11 Adam7 tier: (H, W, 3) uint8 as an
+    interlaced truecolor PNG — each of the seven passes serializes its
+    sub-image as its own filter-0 scanline run (empty passes contribute
+    no bytes, per spec §8.2). Pixel-identity with decode_rgb pinned."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("encode_png_adam7 wants (H, W, 3) uint8")
+    out = b""
+    for xo, yo, xs, ys in ADAM7_PASSES:
+        sub = a[yo::ys, xo::xs]
+        for r in range(sub.shape[0]):
+            if sub.shape[1]:
+                out += b"\x00" + sub[r].tobytes()
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
     (P6), uncompressed 24-bit BMP, PNG COMPLETE — every color type,
@@ -416,7 +495,8 @@ def decode_rgb(payload: bytes):
     grayscale(+alpha), 16-bit, Adam7 (stdlib zlib inflate + numpy
     per-row unfiltering), and baseline JPEG (r9:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
-    IDCT, chroma upsampling, YCbCr→RGB; progressive/arithmetic variants
+    IDCT, chroma upsampling, YCbCr→RGB, baseline AND progressive
+    (r11); arithmetic-coded variants
     raise with the skip-row contract) — no external codec anywhere. Returns an
     (H, W, 3) uint8 array; raises ValueError for other formats (the one
     remaining compressed codec, MP4, is the ``decode_image``

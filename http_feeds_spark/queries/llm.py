@@ -1945,16 +1945,20 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
     patterns are synthesized per document (gradients derived from
-    doc_id) and shipped as a MIX of containers — P6 PPM (rank mod 3 = 0),
-    8-bit RGB PNG (stdlib zlib deflate, r8) with a rotating filter type
-    (rank mod 3 = 1), and baseline JPEG at quality 100 (functions/
-    jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the chroma-upsample path
-    runs too; rank mod 3 = 2) — all decoded by the genuinely-real path:
-    functions/multimodal.decode_rgb parses the container and
+    doc_id) and shipped as a MIX of containers, rank mod 6 —
+    0: P6 PPM; 1: 8-bit RGB PNG (stdlib zlib deflate, r8) with a
+    rotating filter type; 2: baseline JPEG at quality 100
+    (functions/jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the
+    chroma-upsample path runs too); 3: PROGRESSIVE JPEG (r11 — the SOF2
+    successive-approximation scan protocol, alternating sampling);
+    4: PALETTED PNG (r11 — PLTE lookup tier); 5: Adam7-INTERLACED PNG
+    (r11 — the seven-pass protocol) — all decoded by the genuinely-real
+    path: functions/multimodal.decode_rgb parses the container and
     image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP ≡ PNG
-    (all five filters) pixel identity, exact channel means, exact
-    nearest-neighbor resize, and the JPEG round-trip tolerance are
-    pinned in tests/test_multimodal_dedup.py. Rows-only."""
+    (all five filters, palette, Adam7) pixel identity, exact channel
+    means, exact nearest-neighbor resize, the JPEG round-trip
+    tolerance, and baseline ≡ progressive byte-identity are pinned in
+    tests/test_multimodal_dedup.py. Rows-only."""
     import numpy as np
 
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
@@ -1975,10 +1979,19 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         from http_feeds_spark.functions.jpeg import encode_jpeg
 
         img = pixels_for(doc_id)
-        if rank % 3 == 1:
+        m = rank % 6
+        if m == 1:
             return mm.encode_png(img, filter_type=rank % 5)
-        if rank % 3 == 2:
+        if m == 2:
             return encode_jpeg(img, quality=100, subsample=bool(rank % 2))
+        if m == 3:
+            return encode_jpeg(
+                img, quality=100, subsample=bool(rank % 2), progressive=True
+            )
+        if m == 4:
+            return mm.encode_png_palette(img)
+        if m == 5:
+            return mm.encode_png_adam7(img)
         h, w, _ = img.shape
         return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 

@@ -725,11 +725,33 @@ def test_jpeg_progressive_tier(spark):
     )
 
 
-def test_q_mm_image_real_mix_includes_jpeg(spark, sf_dir):
-    """The registered real-decode query ships PPM + PNG + JPEG payloads;
-    every row must decode (width != -1) with the synthesized 8x8 shape."""
+def test_q_mm_image_real_mix_covers_all_tiers(spark, sf_dir):
+    """The registered real-decode query ships a rank-mod-6 container
+    mix — PPM, filtered PNG, baseline JPEG, progressive JPEG (r11),
+    paletted PNG (r11), Adam7 PNG (r11); every row must decode (width
+    != -1) with the synthesized 8x8 shape, so a decoder regression in
+    ANY tier fails the registered query, not just a unit test."""
     from http_feeds_spark.queries.llm import q_mm_image_real
 
     rows = q_mm_image_real(spark, sf_dir).collect()
     assert len(rows) == 32
     assert all(r.width == 8 and r.height == 8 for r in rows)
+
+
+def test_png_encoder_twins_palette_adam7(spark):
+    """encode_png_palette / encode_png_adam7 are exact export twins:
+    decode_rgb(encode(img)) ≡ img; the palette writer refuses >256
+    colors with the encode_png remedy."""
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = _gradient_img(13, 9)
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_png_palette(img)), img)
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_png_adam7(img)), img)
+
+    many = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    many[:, :, 0] = np.arange(32)[:, None]  # > 256 distinct colors
+    with pytest.raises(ValueError, match="palette"):
+        mm.encode_png_palette(many)
