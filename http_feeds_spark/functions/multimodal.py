@@ -960,3 +960,244 @@ def probe_video_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
+# --- audio triage (r11): MP3 / FLAC / WAV header metadata, NO decode --------
+
+# MPEG audio bitrate tables, kbps (index 0 = free, 15 = bad) — ISO 11172-3
+# table rows keyed by (version_group, layer): v1 = MPEG1, v2 = MPEG2/2.5
+_MP3_BITRATES = {
+    ("v1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("v1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("v1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("v2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("v2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("v2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse the 4-byte MPEG audio frame header at ``pos`` → (frame_len,
+    meta dict) or None when the bytes are not a valid header (the
+    false-sync filter)."""
+    if pos + 4 > len(payload):
+        return None
+    b1, b2, b3, b4 = payload[pos : pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    vbits = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    lbits = (b2 >> 1) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if vbits == 1 or lbits == 0:
+        return None
+    layer = {3: 1, 2: 2, 1: 3}[lbits]
+    vgroup = "v1" if vbits == 3 else "v2"
+    bi, ri = (b3 >> 4) & 15, (b3 >> 2) & 3
+    if bi in (0, 15) or ri == 3:
+        return None
+    bitrate = _MP3_BITRATES[(vgroup, layer)][bi]
+    rate = _MP3_RATES[vbits][ri]
+    padding = (b3 >> 1) & 1
+    mode = (b4 >> 6) & 3
+    if layer == 1:
+        spf = 384
+        flen = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 576 if (layer == 3 and vgroup == "v2") else 1152
+        flen = spf // 8 * bitrate * 1000 // rate + padding
+    return flen, {
+        "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[vbits],
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": 1 if mode == 3 else 2,
+        "bitrate_kbps": bitrate,
+        "spf": spf,
+        "mpeg1": vgroup == "v1",
+    }
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """MPEG audio (MP3) metadata triage — header walk, NO decode: skips
+    a leading ID3v2 tag (syncsafe size), validates the sync by requiring
+    the SECOND frame to parse at the first frame's computed length (the
+    classic false-sync filter), reads the Xing/Info VBR header when
+    present (frame count → exact duration; 'Xing' = VBR, 'Info' = CBR),
+    else walks every frame header counting frames — duration =
+    frames × samples-per-frame / sample-rate either way. Torn streams
+    (no two consecutive valid frames) raise ValueError; the Spark
+    surface maps that to the skip row."""
+    import struct
+
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
+    first = _mp3_frame(payload, pos)
+    if first is None:
+        raise ValueError("no MPEG audio frame sync")
+    flen, m = first
+    end1 = pos + flen
+    if end1 > len(payload):
+        raise ValueError("first MPEG frame truncated")
+    if end1 + 4 <= len(payload) and _mp3_frame(payload, end1) is None:
+        raise ValueError("second frame does not sync (false sync or torn)")
+
+    # Xing/Info header: after the Layer III side info of the first frame
+    n_frames = None
+    vbr = False
+    if m["layer"] == 3:
+        side = (32 if m["channels"] == 2 else 17) if m["mpeg1"] else (17 if m["channels"] == 2 else 9)
+        tag_at = pos + 4 + side
+        tag = payload[tag_at : tag_at + 4]
+        if tag in (b"Xing", b"Info"):
+            vbr = tag == b"Xing"
+            (flags,) = struct.unpack_from(">I", payload, tag_at + 4)
+            if flags & 1:
+                (n_frames,) = struct.unpack_from(">I", payload, tag_at + 8)
+    if n_frames is None:
+        # walk the frame headers (bounded by the payload)
+        n_frames, p, rates = 0, pos, set()
+        while True:
+            f = _mp3_frame(payload, p)
+            if f is None or p + f[0] > len(payload):
+                break
+            n_frames += 1
+            rates.add(f[1]["bitrate_kbps"])
+            p += f[0]
+        vbr = len(rates) > 1
+    duration = (n_frames * m["spf"] / m["sample_rate"]) if n_frames else None
+    return {
+        "codec": f"mp3/{m['version']}-L{m['layer']}",
+        "sample_rate": m["sample_rate"],
+        "channels": m["channels"],
+        "bits_per_sample": 0,  # lossy: no fixed sample width
+        "bitrate_kbps": m["bitrate_kbps"],
+        "duration_s": duration,
+        "vbr": vbr,
+        "n_frames": int(n_frames or 0),
+    }
+
+
+def parse_flac_meta(payload: bytes) -> dict:
+    """FLAC metadata triage — the mandatory STREAMINFO block (the spec
+    requires it first): 20-bit sample rate, 3-bit channels−1, 5-bit
+    bits-per-sample−1, 36-bit total samples → EXACT duration, no frame
+    walk needed. Mean bitrate derives from payload size over duration.
+    Torn/non-FLAC payloads raise ValueError."""
+    import struct
+
+    if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 34:
+        raise ValueError("not a FLAC payload")
+    btype = payload[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if btype != 0 or blen != 34:
+        raise ValueError("FLAC stream does not lead with STREAMINFO")
+    s = payload[8:42]
+    bits = int.from_bytes(s[10:18], "big")  # sr(20) ch(3) bps(5) total(36)
+    sr = bits >> 44
+    ch = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & ((1 << 36) - 1)
+    if sr == 0:
+        raise ValueError("FLAC STREAMINFO has zero sample rate")
+    duration = total / sr if total else None
+    return {
+        "codec": "flac",
+        "sample_rate": sr,
+        "channels": ch,
+        "bits_per_sample": bps,
+        "bitrate_kbps": int(len(payload) * 8 / duration / 1000) if duration else 0,
+        "duration_s": duration,
+        "vbr": True,  # FLAC frames are variable-size by construction
+        "n_frames": 0,  # unknown without a frame walk; STREAMINFO suffices
+    }
+
+
+def parse_wav_meta(payload: bytes) -> dict:
+    """RIFF/WAVE metadata triage — fmt/data chunk walk, header bytes
+    only (no sample read, unlike wav_features): codec = 'pcm' for
+    format 1, 'wave_fmt_N' otherwise; exact duration from data size
+    over byte rate."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAVE payload has no fmt chunk")
+    audio_fmt, ch, sr, byte_rate, _align, bps = fmt
+    duration = (data_size / byte_rate) if (data_size and byte_rate) else None
+    return {
+        "codec": "pcm" if audio_fmt == 1 else f"wave_fmt_{audio_fmt}",
+        "sample_rate": sr,
+        "channels": ch,
+        "bits_per_sample": bps,
+        "bitrate_kbps": byte_rate * 8 // 1000 if byte_rate else 0,
+        "duration_s": duration,
+        "vbr": False,
+        "n_frames": 0,
+    }
+
+
+def parse_audio_meta(payload: bytes) -> dict:
+    """Dispatch by container magic: FLAC / RIFF-WAVE / MPEG-audio (bare
+    sync or ID3v2-prefixed). Anything else raises ValueError — the
+    probe_audio_meta surface maps that to a skip row."""
+    if payload[:4] == b"fLaC":
+        return parse_flac_meta(payload)
+    if payload[:4] == b"RIFF":
+        return parse_wav_meta(payload)
+    return parse_mp3_meta(payload)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, codec string, sample_rate int, channels int, "
+    "bits_per_sample int, bitrate_kbps int, duration_s double, "
+    "vbr boolean, n_frames int"
+)
+
+
+def probe_audio_meta(df: DataFrame) -> DataFrame:
+    """Corpus-wide audio triage (r11, the audio sibling of
+    :func:`probe_video_meta`): one metadata row per payload via
+    :func:`parse_audio_meta` — codec, sample rate, channels, bit depth,
+    bitrate, duration, VBR flag — with NO sample decode anywhere.
+    Non-audio / torn payloads emit ``sample_rate = -1``
+    (skip-don't-crash). Map-only, Arrow-batched, no shuffle — the
+    decide-before-you-decode pass a 100 TB audio corpus runs first."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "codec", "sample_rate", "channels",
+            "bits_per_sample", "bitrate_kbps", "duration_s", "vbr", "n_frames",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = parse_audio_meta(bytes(payload))
+                    for k in cols[1:]:
+                        out[k].append(m[k])
+                except Exception:
+                    out["codec"].append(None)
+                    out["sample_rate"].append(-1)
+                    out["channels"].append(0)
+                    out["bits_per_sample"].append(0)
+                    out["bitrate_kbps"].append(0)
+                    out["duration_s"].append(None)
+                    out["vbr"].append(None)
+                    out["n_frames"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_META_SCHEMA)

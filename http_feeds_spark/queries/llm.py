@@ -1941,6 +1941,64 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.probe_video_meta(d).orderBy("doc_id")
 
 
+@register("q_mm_audio_meta", oracle=None, group="D")
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4j (r11) — audio metadata TRIAGE, the audio sibling of
+    q_mm_video_meta: deterministic minimal containers are synthesized
+    per document — MPEG1 Layer III frames (header fields packed per the
+    ISO 11172-3 tables, frame count varying with doc_id), FLAC
+    STREAMINFO (the 20/3/5/36-bit field pack), and RIFF/WAVE — with
+    every fourth payload deliberately torn; triaged by
+    functions/multimodal.probe_audio_meta, the header-only walk
+    extracting codec, sample rate, channels, bit depth, bitrate,
+    duration, and the VBR flag with NO sample decode anywhere. Torn
+    payloads surface as sample_rate = -1 (skip-don't-crash). This is
+    the decide-before-you-decode pass a 100 TB audio corpus runs FIRST;
+    spec-layout fixtures pinned in tests/test_audio_meta.py. Rows-only:
+    engine-synthesized binaries."""
+    import io
+    import wave
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+
+    def mp3_for(doc_id: int) -> bytes:
+        # MPEG1 Layer III 44.1 kHz 128 kbps stereo: header FF FB 90 00,
+        # frame length 144*128000/44100 = 417 (pad 0)
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+        return frame * (2 + doc_id % 5)
+
+    def flac_for(doc_id: int) -> bytes:
+        sr, total = 44100, 44100 * (1 + doc_id % 7)
+        bits = (sr << 44) | (1 << 41) | (15 << 36) | total
+        si = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+    def wav_for(doc_id: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00" * (800 * (1 + doc_id % 4)))
+        return buf.getvalue()
+
+    def payload_for(rank: int, doc_id: int) -> bytes:
+        m = rank % 4
+        if m == 0:
+            return mp3_for(doc_id)
+        if m == 1:
+            return flac_for(doc_id)
+        if m == 2:
+            return wav_for(doc_id)
+        return mp3_for(doc_id)[:60]  # torn mid-frame: the skip row
+
+    d = spark.createDataFrame(
+        [(i, payload_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.probe_audio_meta(d).orderBy("doc_id")
+
+
 @register("q_mm_image_real", oracle=None, group="D")
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel

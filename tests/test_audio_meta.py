@@ -1,0 +1,157 @@
+"""Audio metadata triage (functions/multimodal.py r11): MP3 frame-header
+walk, FLAC STREAMINFO bit unpack, RIFF/WAVE fmt-chunk walk — each pinned
+against hand-packed spec-layout fixtures (the PPM-twin pattern: the test
+constructs the container byte-for-byte from the published layout, so the
+parser is pinned against the SPEC, not itself), plus the
+skip-don't-crash Spark surface and the registered query contract."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from http_feeds_spark.functions import multimodal as mm
+
+
+def mp3_frame(
+    bitrate_idx: int = 9,  # MPEG1 L3 index 9 = 128 kbps
+    rate_idx: int = 0,     # 44100
+    pad: int = 0,
+    mono: bool = False,
+    version_bits: int = 3,  # MPEG1
+) -> bytes:
+    """One MPEG audio Layer III frame, header packed per ISO 11172-3."""
+    b2 = 0xE0 | (version_bits << 3) | (1 << 1) | 1  # sync tail+ver+LayerIII+no-crc
+    b3 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
+    b4 = 0xC0 if mono else 0x00
+    hdr = bytes([0xFF, b2, b3, b4])
+    table = mm._MP3_BITRATES[("v1" if version_bits == 3 else "v2", 3)]
+    rate = mm._MP3_RATES[version_bits][rate_idx]
+    spf = 1152 if version_bits == 3 else 576
+    flen = spf // 8 * table[bitrate_idx] * 1000 // rate + pad
+    return hdr + b"\x00" * (flen - 4)
+
+
+def flac_bytes(sr=44100, ch=2, bps=16, total=441000) -> bytes:
+    bits = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+
+
+def wav_bytes(rate=8000, seconds=1.0, nch=1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * int(rate * seconds) * nch)
+    return buf.getvalue()
+
+
+def test_mp3_cbr_frame_walk_exact():
+    """Five identical CBR frames: fields from the header tables, frame
+    count from the walk, duration = frames x 1152 / 44100 exactly."""
+    m = mm.parse_mp3_meta(mp3_frame() * 5)
+    assert m["codec"] == "mp3/MPEG1-L3"
+    assert (m["sample_rate"], m["channels"], m["bitrate_kbps"]) == (44100, 2, 128)
+    assert m["n_frames"] == 5 and not m["vbr"]
+    assert abs(m["duration_s"] - 5 * 1152 / 44100) < 1e-12
+    # padded frames are one byte longer — the walk must still land on
+    # every sync
+    padded = b"".join(mp3_frame(pad=i % 2) for i in range(4))
+    assert mm.parse_mp3_meta(padded)["n_frames"] == 4
+
+
+def test_mp3_id3v2_skip_and_xing():
+    """A syncsafe-sized ID3v2 tag is skipped; a Xing header's frame
+    count wins over the walk and flags VBR ('Info' means CBR)."""
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"x" * 10
+    assert mm.parse_mp3_meta(id3 + mp3_frame() * 3)["n_frames"] == 3
+
+    for tag, want_vbr in ((b"Xing", True), (b"Info", False)):
+        f0 = bytearray(mp3_frame())
+        off = 4 + 32  # MPEG1 stereo side-info length
+        f0[off : off + 4] = tag
+        f0[off + 4 : off + 8] = struct.pack(">I", 1)  # flags: FRAMES
+        f0[off + 8 : off + 12] = struct.pack(">I", 999)
+        m = mm.parse_mp3_meta(bytes(f0) + mp3_frame())
+        assert m["n_frames"] == 999 and m["vbr"] is want_vbr
+        assert abs(m["duration_s"] - 999 * 1152 / 44100) < 1e-9
+
+
+def test_mp3_mpeg25_mono_and_vbr_walk():
+    """MPEG2.5 low-rate mono: 576 samples/frame, the v2 bitrate table;
+    frames with differing bitrate fields flag VBR from the walk."""
+    m = mm.parse_mp3_meta(mp3_frame(bitrate_idx=2, rate_idx=2, mono=True, version_bits=0) * 3)
+    assert m["codec"] == "mp3/MPEG2.5-L3"
+    assert (m["sample_rate"], m["channels"], m["bitrate_kbps"]) == (8000, 1, 16)
+    assert abs(m["duration_s"] - 3 * 576 / 8000) < 1e-12
+
+    mixed = mp3_frame(bitrate_idx=9) + mp3_frame(bitrate_idx=11) + mp3_frame(bitrate_idx=9)
+    assert mm.parse_mp3_meta(mixed)["vbr"] is True
+
+
+def test_mp3_false_sync_refuses():
+    """A sync whose second frame does not parse is torn/false; a
+    truncated first frame refuses too; a single COMPLETE frame is a
+    legal (tiny) stream."""
+    one = mp3_frame()
+    with pytest.raises(ValueError, match="second frame"):
+        mm.parse_mp3_meta(one + b"Z" * 40)
+    with pytest.raises(ValueError, match="first MPEG frame truncated"):
+        mm.parse_mp3_meta(one[: len(one) // 2])
+    with pytest.raises(ValueError, match="no MPEG audio frame sync"):
+        mm.parse_mp3_meta(b"plain text payload")
+    assert mm.parse_mp3_meta(one)["n_frames"] == 1
+
+
+def test_flac_streaminfo_bit_exact():
+    f = mm.parse_flac_meta(flac_bytes(sr=96000, ch=6, bps=24, total=960000))
+    assert (f["sample_rate"], f["channels"], f["bits_per_sample"]) == (96000, 6, 24)
+    assert abs(f["duration_s"] - 10.0) < 1e-12 and f["vbr"] is True
+    # a stream not leading with STREAMINFO refuses (spec: it must)
+    bad = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + bytes(34)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        mm.parse_flac_meta(bad)
+
+
+def test_wav_fmt_chunk_header_only():
+    w = mm.parse_wav_meta(wav_bytes(rate=16000, seconds=2.5, nch=2))
+    assert (w["codec"], w["sample_rate"], w["channels"]) == ("pcm", 16000, 2)
+    assert abs(w["duration_s"] - 2.5) < 1e-9 and w["bits_per_sample"] == 16
+
+
+def test_probe_audio_meta_distributed_skip_rows(spark):
+    """The Spark surface: one metadata row per payload across all three
+    containers; torn/non-audio payloads emit sample_rate = -1."""
+    rows = [
+        (1, mp3_frame() * 4),
+        (2, flac_bytes()),
+        (3, wav_bytes()),
+        (4, b"not audio at all"),
+        (5, mp3_frame()[:100]),  # torn mid-frame
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.probe_audio_meta(d).collect()}
+    assert got[1].codec == "mp3/MPEG1-L3" and got[1].n_frames == 4
+    assert got[2].codec == "flac" and got[2].sample_rate == 44100
+    assert got[3].codec == "pcm"
+    assert got[4].sample_rate == -1 and got[5].sample_rate == -1
+
+
+def test_registered_query_contract(spark, sf_dir):
+    """q_mm_audio_meta: deterministic per-doc container mix, every
+    fourth payload deliberately torn, result stable across calls."""
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_audio_meta"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 32
+    codecs = {r.codec for r in rows}
+    assert any(c and c.startswith("mp3") for c in codecs)
+    assert "flac" in codecs and "pcm" in codecs
+    assert sum(1 for r in rows if r.sample_rate == -1) == 8  # the torn quarter
+    assert rows == fn(spark, sf_dir).collect()
