@@ -1149,14 +1149,79 @@ def parse_wav_meta(payload: bytes) -> dict:
     }
 
 
+def parse_ogg_meta(payload: bytes) -> dict:
+    """Ogg (Opus / Vorbis) metadata triage — page-header walk, NO
+    decode: the FIRST page carries the codec id header ('OpusHead':
+    channel count, pre-skip, input rate — the granule clock is always
+    48 kHz; '\\x01vorbis': channels + rate little-endian), and the LAST
+    page's granule position is the total sample count, so duration =
+    granule / clock exactly (minus Opus pre-skip, per RFC 7845)."""
+    import struct
+
+    if payload[:4] != b"OggS" or len(payload) < 28:
+        raise ValueError("not an Ogg payload")
+    nseg = payload[26]
+    body = 27 + nseg + 0
+    seg_table = payload[27 : 27 + nseg]
+    first = payload[27 + nseg : 27 + nseg + sum(seg_table)]
+    if first[:8] == b"OpusHead":
+        ch = first[9]
+        pre_skip = struct.unpack_from("<H", first, 10)[0]
+        clock, codec, sr = 48000, "opus", 48000
+    elif first[:7] == b"\x01vorbis":
+        ch = first[11]
+        sr = struct.unpack_from("<I", first, 12)[0]
+        clock, codec, pre_skip = sr, "vorbis", 0
+        if sr == 0:
+            raise ValueError("vorbis id header has zero sample rate")
+    else:
+        raise ValueError("Ogg stream is neither Opus nor Vorbis")
+    # the last page's granule position = total samples at the clock rate
+    last = payload.rfind(b"OggS")
+    (granule,) = struct.unpack_from("<q", payload, last + 6)
+    duration = max(granule - pre_skip, 0) / clock if granule >= 0 else None
+    return {
+        "codec": codec,
+        "sample_rate": sr,
+        "channels": ch,
+        "bits_per_sample": 0,  # lossy
+        "bitrate_kbps": int(len(payload) * 8 / duration / 1000) if duration else 0,
+        "duration_s": duration,
+        "vbr": True,  # both codecs are VBR by construction
+        "n_frames": 0,
+    }
+
+
 def parse_audio_meta(payload: bytes) -> dict:
-    """Dispatch by container magic: FLAC / RIFF-WAVE / MPEG-audio (bare
-    sync or ID3v2-prefixed). Anything else raises ValueError — the
+    """Dispatch by container magic: FLAC / RIFF-WAVE / Ogg(Opus,Vorbis) /
+    M4A (ISO-BMFF with an audio track — routed through the r10 box walk
+    and mapped onto the audio schema) / MPEG-audio (bare sync or
+    ID3v2-prefixed). Anything else raises ValueError — the
     probe_audio_meta surface maps that to a skip row."""
     if payload[:4] == b"fLaC":
         return parse_flac_meta(payload)
     if payload[:4] == b"RIFF":
         return parse_wav_meta(payload)
+    if payload[:4] == b"OggS":
+        return parse_ogg_meta(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = parse_mp4_meta(payload)
+        if m["audio_codec"] is None:
+            raise ValueError("ISO-BMFF payload has no audio track")
+        return {
+            "codec": m["audio_codec"],
+            "sample_rate": m["timescale"],  # audio-brand files clock at the rate
+            "channels": 0,  # not in the box headers we walk
+            "bits_per_sample": 0,
+            "bitrate_kbps": (
+                int(len(payload) * 8 / m["duration_s"] / 1000)
+                if m["duration_s"]
+                else 0
+            ),
+            "duration_s": m["duration_s"],
+            "vbr": True,
+            "n_frames": 0,
+        }
     return parse_mp3_meta(payload)
 
 

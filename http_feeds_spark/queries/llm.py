@@ -1947,8 +1947,10 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mm_video_meta: deterministic minimal containers are synthesized
     per document — MPEG1 Layer III frames (header fields packed per the
     ISO 11172-3 tables, frame count varying with doc_id), FLAC
-    STREAMINFO (the 20/3/5/36-bit field pack), and RIFF/WAVE — with
-    every fourth payload deliberately torn; triaged by
+    STREAMINFO (the 20/3/5/36-bit field pack), RIFF/WAVE, Ogg/Opus
+    (RFC 7845 id header + last-page granule), and M4A (ISO-BMFF routed
+    through the r10 box walk) — with every sixth payload deliberately
+    torn; triaged by
     functions/multimodal.probe_audio_meta, the header-only walk
     extracting codec, sample rate, channels, bit depth, bitrate,
     duration, and the VBR flag with NO sample decode anywhere. Torn
@@ -1982,14 +1984,47 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.writeframes(b"\x00\x00" * (800 * (1 + doc_id % 4)))
         return buf.getvalue()
 
+    def opus_for(doc_id: int) -> bytes:
+        import struct as st
+
+        def page(body: bytes, granule: int, htype: int, seq: int) -> bytes:
+            return (
+                b"OggS" + bytes([0, htype]) + st.pack("<q", granule)
+                + st.pack("<III", 1, seq, 0) + bytes([1, len(body)]) + body
+            )
+
+        head = (
+            b"OpusHead" + bytes([1, 2]) + st.pack("<H", 312)
+            + st.pack("<I", 48000) + b"\x00\x00\x00"
+        )
+        samples = 48000 * (1 + doc_id % 5) + 312
+        return page(head, 0, 2, 0) + page(b"\x00" * 40, samples, 4, 1)
+
+    def m4a_for(doc_id: int) -> bytes:
+        import struct as st
+
+        def _b(t: bytes, p: bytes) -> bytes:
+            return st.pack(">I", 8 + len(p)) + t + p
+
+        ts, dur = 44100, 44100 * (1 + doc_id % 6)
+        mvhd = _b(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
+        stsd = _b(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
+        hdlr = _b(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13)
+        trak = _b(b"trak", _b(b"mdia", hdlr + _b(b"minf", _b(b"stbl", stsd))))
+        return _b(b"ftyp", b"M4A " + st.pack(">I", 0) + b"M4A mp42") + _b(b"moov", mvhd + trak)
+
     def payload_for(rank: int, doc_id: int) -> bytes:
-        m = rank % 4
+        m = rank % 6
         if m == 0:
             return mp3_for(doc_id)
         if m == 1:
             return flac_for(doc_id)
         if m == 2:
             return wav_for(doc_id)
+        if m == 3:
+            return opus_for(doc_id)
+        if m == 4:
+            return m4a_for(doc_id)
         return mp3_for(doc_id)[:60]  # torn mid-frame: the skip row
 
     d = spark.createDataFrame(

@@ -143,8 +143,9 @@ def test_probe_audio_meta_distributed_skip_rows(spark):
 
 
 def test_registered_query_contract(spark, sf_dir):
-    """q_mm_audio_meta: deterministic per-doc container mix, every
-    fourth payload deliberately torn, result stable across calls."""
+    """q_mm_audio_meta: deterministic per-doc mix over all five
+    containers, every sixth payload deliberately torn, result stable
+    across calls."""
     from http_feeds_spark.queries import registry
 
     fn = registry()["q_mm_audio_meta"].fn
@@ -152,6 +153,65 @@ def test_registered_query_contract(spark, sf_dir):
     assert len(rows) == 32
     codecs = {r.codec for r in rows}
     assert any(c and c.startswith("mp3") for c in codecs)
-    assert "flac" in codecs and "pcm" in codecs
-    assert sum(1 for r in rows if r.sample_rate == -1) == 8  # the torn quarter
+    assert {"flac", "pcm", "opus", "mp4a"} <= codecs
+    assert sum(1 for r in rows if r.sample_rate == -1) == 5  # the torn sixth
     assert rows == fn(spark, sf_dir).collect()
+
+
+def ogg_page(body: bytes, granule: int, htype=0, seq=0) -> bytes:
+    segs, n = [], len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (
+        b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+        + struct.pack("<III", 1, seq, 0) + bytes([len(segs)]) + bytes(segs) + body
+    )
+
+
+def test_ogg_opus_and_vorbis():
+    """Opus: 48 kHz granule clock, pre-skip subtracted per RFC 7845;
+    Vorbis: rate from the id header, granule at that rate; a stream
+    that is neither refuses."""
+    opushead = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    p = ogg_page(opushead, 0, htype=2) + ogg_page(b"\x00" * 64, 48000 * 3 + 312, htype=4, seq=1)
+    m = mm.parse_ogg_meta(p)
+    assert (m["codec"], m["channels"]) == ("opus", 2)
+    assert abs(m["duration_s"] - 3.0) < 1e-12
+
+    vorbid = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 44100) + b"\x00" * 16
+    )
+    p = ogg_page(vorbid, 0, htype=2) + ogg_page(b"\x00" * 64, 44100 * 2, htype=4, seq=1)
+    m = mm.parse_ogg_meta(p)
+    assert (m["codec"], m["sample_rate"]) == ("vorbis", 44100)
+    assert abs(m["duration_s"] - 2.0) < 1e-12
+
+    with pytest.raises(ValueError, match="neither Opus nor Vorbis"):
+        mm.parse_ogg_meta(ogg_page(b"\x00" * 16, 0))
+
+
+def test_m4a_dispatch_through_box_walk():
+    """An ISO-BMFF payload with a soun track routes through the r10 box
+    walk onto the audio schema; one with only video refuses."""
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 44100, 44100 * 4) + b"\x00" * 80)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + struct.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
+    hdlr = box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13)
+    trak = box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+    m4a = box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"M4A mp42") + box(b"moov", mvhd + trak)
+    m = mm.parse_audio_meta(m4a)
+    assert m["codec"] == "mp4a" and abs(m["duration_s"] - 4.0) < 1e-12
+
+    hdlr_v = box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    trak_v = box(b"trak", box(b"mdia", hdlr_v + box(b"minf", box(b"stbl", stsd))))
+    vid = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + box(b"moov", mvhd + trak_v)
+    with pytest.raises(ValueError, match="no audio track"):
+        mm.parse_audio_meta(vid)
