@@ -1266,3 +1266,154 @@ def probe_audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+# --- image triage (r11): header-only format/dimensions, NO decode ----------
+
+
+def parse_image_meta(payload: bytes) -> dict:
+    """Header-only image metadata — format, dimensions, bit depth,
+    color/progressive flags — with NO pixel decode: PNG (IHDR fields
+    incl. the interlace flag), JPEG (marker walk to the first SOFn —
+    progressive = SOF2, components, precision), GIF (logical screen
+    descriptor; 87a/89a), BMP (BITMAPINFOHEADER), binary PPM (ASCII
+    header), and WebP (VP8 key-frame dims / VP8L 14-bit packed dims /
+    VP8X canvas-minus-one — formats decode_rgb cannot decode but a
+    corpus router still needs to SIZE and route). Torn or unrecognized
+    payloads raise ValueError; probe_image_meta maps that to the skip
+    row. The decide-before-you-decode pass for a 100 TB image corpus:
+    resolution/format filters run on this, and only survivors pay a
+    real decoder."""
+    import struct
+
+    if payload[:8] == PNG_MAGIC and len(payload) >= 33:
+        w, h, depth, color, _c, _f, interlace = struct.unpack_from(">IIBBBBB", payload, 16)
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color, 0)
+        return {
+            "format": "png", "width": w, "height": h,
+            "bit_depth": depth, "n_channels": nch,
+            "progressive": bool(interlace),  # Adam7 is PNG's progressive
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk to the first SOF marker
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                prec, h, w, nc = struct.unpack_from(">BHHB", payload, pos + 4)
+                return {
+                    "format": "jpeg", "width": w, "height": h,
+                    "bit_depth": prec, "n_channels": nc,
+                    "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                }
+            pos += 2 + seglen
+        raise ValueError("JPEG payload has no SOF marker")
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
+        w, h = struct.unpack_from("<HH", payload, 6)
+        gct = payload[10]
+        return {
+            "format": "gif", "width": w, "height": h,
+            "bit_depth": ((gct >> 4) & 7) + 1, "n_channels": 1,  # palette
+            "progressive": False,  # per-frame interlace lives deeper
+        }
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0] if len(payload) >= 30 else 0
+        return {
+            "format": "bmp", "width": abs(w), "height": abs(h),
+            "bit_depth": bpp, "n_channels": 3, "progressive": False,
+        }
+    if payload[:2] == b"P6":
+        # ASCII header: magic, width, height, maxval (comments allowed)
+        toks, i, cur = [], 2, b""
+        while i < len(payload) and len(toks) < 3:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                if cur:
+                    toks.append(cur)
+                    cur = b""
+            else:
+                cur += c
+            i += 1
+        if len(toks) < 3:
+            raise ValueError("torn PPM header")
+        w, h, maxval = (int(t) for t in toks)
+        return {
+            "format": "ppm", "width": w, "height": h,
+            "bit_depth": 16 if maxval > 255 else 8, "n_channels": 3,
+            "progressive": False,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 25:
+        fourcc = payload[12:16]
+        if fourcc == b"VP8 ":  # lossy: key-frame dims at the start tag
+            if len(payload) < 30 or payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("WebP VP8 key-frame start code missing")
+            w, h = struct.unpack_from("<HH", payload, 26)
+            return {"format": "webp", "width": w & 0x3FFF, "height": h & 0x3FFF,
+                    "bit_depth": 8, "n_channels": 3, "progressive": False}
+        if fourcc == b"VP8L":  # lossless: 14-bit minus-one packed dims
+            if payload[20] != 0x2F:
+                raise ValueError("WebP VP8L signature byte missing")
+            bits = int.from_bytes(payload[21:25], "little")
+            return {"format": "webp", "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "bit_depth": 8, "n_channels": 4 if (bits >> 28) & 1 else 3,
+                    "progressive": False}
+        if fourcc == b"VP8X":  # extended: 24-bit canvas-minus-one
+            if len(payload) < 30:
+                raise ValueError("torn WebP VP8X header")
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return {"format": "webp", "width": w, "height": h,
+                    "bit_depth": 8,
+                    "n_channels": 4 if payload[20] & 0x10 else 3,
+                    "progressive": False}
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    raise ValueError("unrecognized image container")
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "bit_depth int, n_channels int, progressive boolean"
+)
+
+
+def probe_image_meta(df: DataFrame) -> DataFrame:
+    """Corpus-wide image triage (r11 — completing the image/audio/video
+    trio): one header-only metadata row per payload via
+    :func:`parse_image_meta`. Covers MORE formats than decode_rgb (GIF
+    and WebP size-and-route here even though no decoder exists in this
+    container). Torn/unrecognized payloads emit ``width = -1``.
+    Map-only, Arrow-batched, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "format", "width", "height",
+            "bit_depth", "n_channels", "progressive",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = parse_image_meta(bytes(payload))
+                    for k in cols[1:]:
+                        out[k].append(m[k])
+                except Exception:
+                    out["format"].append(None)
+                    out["width"].append(-1)
+                    out["height"].append(0)
+                    out["bit_depth"].append(0)
+                    out["n_channels"].append(0)
+                    out["progressive"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_META_SCHEMA)

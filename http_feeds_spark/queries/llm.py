@@ -1941,6 +1941,71 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.probe_video_meta(d).orderBy("doc_id")
 
 
+@register("q_mm_image_meta", oracle=None, group="D")
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4k (r11) — image metadata TRIAGE completing the
+    image/audio/video trio: the same deterministic per-doc pixel
+    patterns as q_mm_image_real ship under the rank-mod-6 container mix
+    (PPM / filtered PNG / baseline JPEG / progressive JPEG / paletted
+    PNG / Adam7 PNG) plus a GIF and a WebP (VP8 lossy, VP8L lossless,
+    VP8X extended) header every few ranks — formats decode_rgb cannot
+    decode but a corpus router still needs to SIZE and route — and
+    every eleventh payload deliberately torn. probe_image_meta reads
+    ONLY headers: format, dimensions, bit depth, channels, progressive
+    flag; resolution/format filters run on this and only survivors pay
+    a decoder. Fixtures pinned in tests/test_multimodal_dedup.py.
+    Rows-only: engine-synthesized binaries."""
+    import struct as st
+
+    import numpy as np
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+
+    def pixels_for(doc_id: int):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        for r in range(8):
+            for c in range(8):
+                img[r, c] = (
+                    (r * 32 + doc_id) % 256,
+                    (c * 32 + doc_id * 3) % 256,
+                    (r * c + doc_id * 7) % 256,
+                )
+        return img
+
+    def payload_for(rank: int, doc_id: int) -> bytes:
+        from http_feeds_spark.functions.jpeg import encode_jpeg
+
+        img = pixels_for(doc_id)
+        if rank % 11 == 10:
+            return mm.encode_png(img)[:20]  # torn: the skip row
+        if rank % 9 == 7:
+            return b"GIF89a" + st.pack("<HH", 64 + doc_id % 8, 32) + bytes([0xF7, 0, 0])
+        if rank % 9 == 8:
+            return (
+                b"RIFF" + st.pack("<I", 30) + b"WEBP" + b"VP8 "
+                + st.pack("<I", 14) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + st.pack("<HH", 128 + doc_id % 16, 96) + b"\x00\x00"
+            )
+        m = rank % 6
+        if m == 1:
+            return mm.encode_png(img, filter_type=rank % 5)
+        if m == 2:
+            return encode_jpeg(img, quality=100)
+        if m == 3:
+            return encode_jpeg(img, quality=100, progressive=True)
+        if m == 4:
+            return mm.encode_png_palette(img)
+        if m == 5:
+            return mm.encode_png_adam7(img)
+        return b"P6\n8 8\n255\n" + img.tobytes()
+
+    d = spark.createDataFrame(
+        [(i, payload_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.probe_image_meta(d).orderBy("doc_id")
+
+
 @register("q_mm_audio_meta", oracle=None, group="D")
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4j (r11) — audio metadata TRIAGE, the audio sibling of

@@ -755,3 +755,68 @@ def test_png_encoder_twins_palette_adam7(spark):
     many[:, :, 0] = np.arange(32)[:, None]  # > 256 distinct colors
     with pytest.raises(ValueError, match="palette"):
         mm.encode_png_palette(many)
+
+
+def test_image_meta_triage(spark):
+    """r11 header-only image triage: format/dimensions/depth/progressive
+    from the container header with NO pixel decode — including GIF and
+    WebP (VP8 lossy, VP8L lossless, VP8X extended), formats decode_rgb
+    cannot decode but a corpus router still sizes; torn payloads skip
+    through the distributed surface."""
+    import struct
+
+    import numpy as np
+
+    from http_feeds_spark.functions import jpeg as J
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = np.random.RandomState(0).randint(0, 256, (12, 17, 3)).astype(np.uint8)
+
+    cases = {
+        "png-plain": (mm.encode_png(img), ("png", 17, 12, False)),
+        "png-adam7": (mm.encode_png_adam7(img), ("png", 17, 12, True)),
+        "jpeg-base": (J.encode_jpeg(img), ("jpeg", 17, 12, False)),
+        "jpeg-prog": (J.encode_jpeg(img, progressive=True), ("jpeg", 17, 12, True)),
+        "gif": (
+            b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0]),
+            ("gif", 320, 200, False),
+        ),
+        "ppm-comment": (
+            b"P6\n# c\n17 12\n255\n" + img.tobytes(),
+            ("ppm", 17, 12, False),
+        ),
+        "webp-vp8": (
+            b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 "
+            + struct.pack("<I", 14) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", 640, 480) + b"\x00\x00",
+            ("webp", 640, 480, False),
+        ),
+        "webp-vp8l": (
+            b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L"
+            + struct.pack("<I", 5) + bytes([0x2F])
+            + ((99) | (49 << 14) | (1 << 28)).to_bytes(4, "little") + b"\x00",
+            ("webp", 100, 50, False),
+        ),
+        "webp-vp8x": (
+            b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
+            + struct.pack("<I", 10) + bytes([0x10]) + b"\x00\x00\x00"
+            + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"),
+            ("webp", 1920, 1080, False),
+        ),
+    }
+    for name, (payload, (fmt, w, h, prog)) in cases.items():
+        m = mm.parse_image_meta(payload)
+        assert (m["format"], m["width"], m["height"], m["progressive"]) == (
+            fmt, w, h, prog,
+        ), (name, m)
+
+    # the alpha flags surface as channel counts
+    assert mm.parse_image_meta(cases["webp-vp8l"][0])["n_channels"] == 4
+    assert mm.parse_image_meta(cases["webp-vp8x"][0])["n_channels"] == 4
+
+    rows = [(i, p) for i, (p, _) in enumerate(cases.values())]
+    rows.append((99, b"not an image"))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.probe_image_meta(d).collect()}
+    assert got[99].width == -1 and got[99].format is None
+    assert sum(1 for r in got.values() if r.width > 0) == len(cases)
