@@ -1417,3 +1417,108 @@ def probe_image_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+# --- unified media router (r11): one scan, all modalities -------------------
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, modality string, format string, width int, height int, "
+    "duration_s double, sample_rate int, channels int, bit_depth int, "
+    "decodable boolean"
+)
+
+# formats functions in THIS container can fully decode (decode_rgb /
+# decode_wav); everything else routes to an external decoder downstream
+_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg"}
+_DECODABLE_AUDIO = {"pcm"}
+
+
+def parse_media_meta(payload: bytes) -> dict:
+    """ONE dispatch across all three modalities: image containers
+    (:func:`parse_image_meta`), audio containers
+    (:func:`parse_audio_meta`), and ISO-BMFF video
+    (:func:`parse_mp4_meta`, tried after audio so M4A — BMFF with only
+    a ``soun`` track — lands as audio) — normalized onto one router
+    row: modality, format, dimensions, duration, sample rate, channels,
+    bit depth, and whether THIS container can fully decode it
+    (decode_rgb / decode_wav) or it must route to an external decoder.
+    Raises ValueError when no parser claims the payload."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF resolves by its TRACKS, not by magic alone: a vide
+        # track makes it video even when audio rides along; soun-only
+        # is M4A-style audio
+        m = parse_mp4_meta(payload)
+        if m["video_codec"] is not None:
+            return {
+                "modality": "video",
+                "format": m["video_codec"],
+                "width": m["width"], "height": m["height"],
+                "duration_s": m["duration_s"], "sample_rate": 0,
+                "channels": 0, "bit_depth": 0,
+                "decodable": False,  # video decode is the documented boundary
+            }
+        if m["audio_codec"] is not None:
+            return {
+                "modality": "audio", "format": m["audio_codec"],
+                "width": 0, "height": 0,
+                "duration_s": m["duration_s"], "sample_rate": m["timescale"],
+                "channels": 0, "bit_depth": 0, "decodable": False,
+            }
+        raise ValueError("ISO-BMFF payload has no audio or video track")
+    try:
+        m = parse_image_meta(payload)
+        return {
+            "modality": "image", "format": m["format"],
+            "width": m["width"], "height": m["height"],
+            "duration_s": None, "sample_rate": 0,
+            "channels": m["n_channels"], "bit_depth": m["bit_depth"],
+            "decodable": m["format"] in _DECODABLE_IMAGE,
+        }
+    except ValueError:
+        pass
+    m = parse_audio_meta(payload)  # raises for everything unrecognized
+    return {
+        "modality": "audio", "format": m["codec"],
+        "width": 0, "height": 0,
+        "duration_s": m["duration_s"], "sample_rate": m["sample_rate"],
+        "channels": m["channels"], "bit_depth": m["bits_per_sample"],
+        "decodable": m["codec"] in _DECODABLE_AUDIO,
+    }
+
+
+def probe_media_meta(df: DataFrame) -> DataFrame:
+    """The mixed-corpus ROUTER (r11 capstone of the triage trio): one
+    Arrow-batched map-only pass over ``(doc_id, payload)`` answering,
+    for EVERY payload at once — what is it, how big/long is it, and can
+    this engine decode it locally — so a 100 TB mixed-media corpus
+    partitions into per-modality pipelines with ONE metadata-only scan
+    instead of three. Unclaimed payloads emit modality=NULL rows
+    (skip-don't-crash); the per-modality probes remain for deep fields
+    the unified schema drops (codec fourccs, VBR, progressive)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "modality", "format", "width", "height",
+            "duration_s", "sample_rate", "channels", "bit_depth", "decodable",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = parse_media_meta(bytes(payload))
+                    for k in cols[1:]:
+                        out[k].append(m[k])
+                except Exception:
+                    out["modality"].append(None)
+                    out["format"].append(None)
+                    out["width"].append(-1)
+                    out["height"].append(0)
+                    out["duration_s"].append(None)
+                    out["sample_rate"].append(-1)
+                    out["channels"].append(0)
+                    out["bit_depth"].append(0)
+                    out["decodable"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=MEDIA_META_SCHEMA)

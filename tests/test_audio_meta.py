@@ -215,3 +215,50 @@ def test_m4a_dispatch_through_box_walk():
     vid = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + box(b"moov", mvhd + trak_v)
     with pytest.raises(ValueError, match="no audio track"):
         mm.parse_audio_meta(vid)
+
+
+def test_media_router_one_scan_all_modalities(spark):
+    """r11 capstone: probe_media_meta routes a MIXED payload column in
+    one pass — image (decodable locally vs WebP/GIF routed out), audio
+    (PCM decodable, MP3/FLAC routed), BMFF by its TRACKS (vide wins
+    even with audio riding along; soun-only is M4A audio) — with
+    unclaimed payloads as modality-NULL skip rows."""
+    import numpy as np
+
+    from http_feeds_spark.functions import jpeg as J
+
+    img = np.random.RandomState(3).randint(0, 256, (8, 8, 3)).astype(np.uint8)
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    def bmff(handlers):
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 600, 1200) + b"\x00" * 80)
+        traks = b""
+        for h, codec in handlers:
+            stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + struct.pack(">I", 16) + codec + b"\x00" * 8)
+            hdlr = box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + h + b"\x00" * 13)
+            tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, 0) + b"\x00" * 52 + struct.pack(">II", 320 << 16, 240 << 16))
+            traks += box(b"trak", tkhd + box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+        return box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + box(b"moov", mvhd + traks)
+
+    rows = [
+        (1, J.encode_jpeg(img, progressive=True)),          # image, decodable
+        (2, b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 " + struct.pack("<I", 14)
+            + b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48) + b"\x00\x00"),
+        (3, mp3_frame() * 2),                                # audio, not decodable
+        (4, wav_bytes()),                                    # audio, decodable
+        (5, bmff([(b"vide", b"avc1"), (b"soun", b"mp4a")])),  # video wins
+        (6, bmff([(b"soun", b"mp4a")])),                     # audio-only BMFF
+        (7, b"just text"),                                   # unclaimed
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.probe_media_meta(d).collect()}
+    assert (got[1].modality, got[1].format, got[1].decodable) == ("image", "jpeg", True)
+    assert (got[2].modality, got[2].format, got[2].decodable) == ("image", "webp", False)
+    assert (got[2].width, got[2].height) == (64, 48)
+    assert (got[3].modality, got[3].decodable) == ("audio", False)
+    assert (got[4].modality, got[4].format, got[4].decodable) == ("audio", "pcm", True)
+    assert (got[5].modality, got[5].format) == ("video", "avc1")
+    assert (got[6].modality, got[6].format) == ("audio", "mp4a")
+    assert got[7].modality is None and got[7].width == -1
