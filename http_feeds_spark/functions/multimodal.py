@@ -879,6 +879,12 @@ def parse_mp4_meta(payload: bytes) -> dict:
         "height": 0,
         "video_codec": None,
         "audio_codec": None,
+        # the first audio track's mdhd (media-header) timescale — for
+        # audio this IS the sample rate; the mvhd movie timescale is
+        # only the presentation clock and may be 600/1000 regardless of
+        # the audio rate, so parse_audio_meta must never report it as
+        # sample_rate. 0 = no audio track / mdhd absent (unknown).
+        "audio_timescale": 0,
     }
 
     def walk(start: int, end: int, trak: dict | None = None) -> None:
@@ -904,6 +910,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
                     meta["height"] = t.get("height", 0)
                 elif t.get("handler") == b"soun" and meta["audio_codec"] is None:
                     meta["audio_codec"] = t.get("codec")
+                    meta["audio_timescale"] = t.get("timescale", 0)
+            elif btype == b"mdhd" and trak is not None:
+                version = payload[s]
+                # v0: ver/flags(4) ctime(4) mtime(4) timescale(4);
+                # v1: ver/flags(4) ctime(8) mtime(8) timescale(4)
+                at = s + (20 if version == 1 else 12)
+                (trak["timescale"],) = struct.unpack_from(">I", payload, at)
             elif btype == b"tkhd" and trak is not None:
                 version = payload[s]
                 base = s + 4 + (32 if version == 1 else 20)  # past ids/durations
@@ -1155,15 +1168,50 @@ def parse_ogg_meta(payload: bytes) -> dict:
     channel count, pre-skip, input rate — the granule clock is always
     48 kHz; '\\x01vorbis': channels + rate little-endian), and the LAST
     page's granule position is the total sample count, so duration =
-    granule / clock exactly (minus Opus pre-skip, per RFC 7845)."""
+    granule / clock exactly (minus Opus pre-skip, per RFC 7845).
+
+    The last page is found by walking pages FORWARD from offset 0 via
+    each page's segment table — never by scanning backwards for the
+    capture pattern, which is not escaped inside packet bytes, so a
+    false 'OggS' match in compressed Opus/Vorbis data would yield a
+    garbage granule (or a struct.error near the payload tail). A
+    stream whose tail page is torn still reports the duration as of
+    the last COMPLETE page. All malformed-stream failures raise
+    ValueError (the documented skip-don't-crash contract)."""
     import struct
 
     if payload[:4] != b"OggS" or len(payload) < 28:
         raise ValueError("not an Ogg payload")
-    nseg = payload[26]
-    body = 27 + nseg + 0
-    seg_table = payload[27 : 27 + nseg]
-    first = payload[27 + nseg : 27 + nseg + sum(seg_table)]
+
+    # Forward page walk: RFC 3533 page = 27-byte header + nseg lacing
+    # values + body of sum(lacing) bytes. Collect the granule position
+    # of every complete page; -1 granules (no packet ends on the page)
+    # do not advance the clock.
+    pos, granule, first = 0, -1, b""
+    try:
+        while pos + 27 <= len(payload):
+            if payload[pos : pos + 4] != b"OggS" or payload[pos + 4] != 0:
+                raise ValueError(f"bad Ogg page header at offset {pos}")
+            nseg = payload[pos + 26]
+            body_at = pos + 27 + nseg
+            if body_at > len(payload):
+                break  # torn final page: keep the last complete granule
+            body_len = sum(payload[pos + 27 : body_at])
+            if body_at + body_len > len(payload):
+                break
+            (g,) = struct.unpack_from("<q", payload, pos + 6)
+            if g >= 0:
+                granule = g
+            if pos == 0:
+                first = payload[body_at : body_at + body_len]
+            pos = body_at + body_len
+        if pos == 0:
+            raise ValueError("first Ogg page is torn")
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error etc. → the documented contract
+        raise ValueError(f"malformed Ogg stream: {exc}") from exc
+
     if first[:8] == b"OpusHead":
         ch = first[9]
         pre_skip = struct.unpack_from("<H", first, 10)[0]
@@ -1176,9 +1224,6 @@ def parse_ogg_meta(payload: bytes) -> dict:
             raise ValueError("vorbis id header has zero sample rate")
     else:
         raise ValueError("Ogg stream is neither Opus nor Vorbis")
-    # the last page's granule position = total samples at the clock rate
-    last = payload.rfind(b"OggS")
-    (granule,) = struct.unpack_from("<q", payload, last + 6)
     duration = max(granule - pre_skip, 0) / clock if granule >= 0 else None
     return {
         "codec": codec,
@@ -1210,7 +1255,11 @@ def parse_audio_meta(payload: bytes) -> dict:
             raise ValueError("ISO-BMFF payload has no audio track")
         return {
             "codec": m["audio_codec"],
-            "sample_rate": m["timescale"],  # audio-brand files clock at the rate
+            # the audio track's mdhd timescale IS the sample rate; the
+            # mvhd movie timescale is only the presentation clock (often
+            # 600/1000) and must never be reported here — 0 = unknown,
+            # like channels/bits_per_sample.
+            "sample_rate": m["audio_timescale"],
             "channels": 0,  # not in the box headers we walk
             "bits_per_sample": 0,
             "bitrate_kbps": (

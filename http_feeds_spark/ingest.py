@@ -670,12 +670,27 @@ def run_platform(
 
         out["fsck"] = fsck.fsck_platform(spark, platform_root)
         if not out["fsck"]["clean"]:
-            raise RuntimeError(
-                "platform fsck found invariant violations after the wave: "
-                f"{out['fsck']['violations']} (full report in the raised "
-                "wave's logs; audit with operators/fsck.fsck_platform)"
-            )
+            raise PlatformVerifyError(out)
     return out
+
+
+class PlatformVerifyError(RuntimeError):
+    """run_platform(verify=True) found fsck invariant violations after
+    the wave. Carries the FULL wave summary (``.summary``) and the
+    complete fsck_platform report (``.report``) so operators get the
+    whole audit — per-store families, warnings, clean list — not just
+    the violations line, even though the wave raised instead of
+    returning. A RuntimeError subclass: pre-r12 callers that caught
+    RuntimeError keep working."""
+
+    def __init__(self, summary: dict):
+        self.summary = summary
+        self.report = summary["fsck"]
+        super().__init__(
+            "platform fsck found invariant violations after the wave: "
+            f"{self.report['violations']} (full report on this "
+            "exception's .report; wave summary on .summary)"
+        )
 
 
 def run_maintenance(

@@ -196,6 +196,71 @@ def test_ogg_opus_and_vorbis():
         mm.parse_ogg_meta(ogg_page(b"\x00" * 16, 0))
 
 
+def test_ogg_false_capture_pattern_in_packet_data():
+    """'OggS' is NOT escaped inside packet bytes (RFC 3533 has no byte
+    stuffing), so a backwards rfind for the capture pattern can land
+    inside compressed Opus/Vorbis data — including <14 bytes from the
+    payload end, where unpacking a granule would raise struct.error.
+    The forward segment-table walk must ignore both plants and report
+    the true final-page granule."""
+    opushead = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    # a mid-stream body carrying a full fake page header (granule would
+    # read as a huge number), and a final body whose 'OggS' sits 6 bytes
+    # from the payload end (rfind there would struct.error)
+    fake_hdr = b"OggS" + bytes([0, 0]) + struct.pack("<q", 1 << 60) + b"\x00" * 13
+    p = (
+        ogg_page(opushead, 0, htype=2)
+        + ogg_page(fake_hdr + b"\x00" * 8, 48000, seq=1)
+        + ogg_page(b"\x00" * 10 + b"OggS\x00\x00", 48000 * 2, htype=4, seq=2)
+    )
+    m = mm.parse_ogg_meta(p)
+    assert abs(m["duration_s"] - 2.0) < 1e-12
+
+
+def test_ogg_torn_tail_and_dataless_pages():
+    """A torn final page keeps the duration as of the last COMPLETE
+    page; -1 granules (no packet ends on the page) do not advance the
+    clock; a first page that is itself torn refuses with ValueError."""
+    opushead = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    good = ogg_page(opushead, 0, htype=2) + ogg_page(b"\x00" * 32, 48000, seq=1)
+    cont = ogg_page(b"\x00" * 16, -1, htype=1, seq=2)  # continuation, no granule
+    torn = ogg_page(b"\x00" * 64, 48000 * 9, seq=3)[:40]
+    m = mm.parse_ogg_meta(good + cont + torn)
+    assert abs(m["duration_s"] - 1.0) < 1e-12
+
+    with pytest.raises(ValueError, match="torn"):
+        mm.parse_ogg_meta(ogg_page(opushead, 0, htype=2)[:30])
+
+
+def test_m4a_mdhd_timescale_is_the_sample_rate():
+    """The audio track's mdhd timescale IS the sample rate; the mvhd
+    movie timescale is only the presentation clock (600 here) and must
+    never be reported as sample_rate. Without an mdhd box the rate is
+    0 = unknown, like channels/bits_per_sample."""
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 600, 2400) + b"\x00" * 80)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + struct.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
+    hdlr = box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13)
+    mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, 44100, 44100 * 4) + b"\x00" * 4)
+    ftyp = box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"M4A mp42")
+
+    trak = box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd))))
+    m = mm.parse_audio_meta(ftyp + box(b"moov", mvhd + trak))
+    assert m["sample_rate"] == 44100 and abs(m["duration_s"] - 4.0) < 1e-12
+
+    trak_no = box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+    m = mm.parse_audio_meta(ftyp + box(b"moov", mvhd + trak_no))
+    assert m["sample_rate"] == 0  # unknown — never the movie clock
+
+
 def test_m4a_dispatch_through_box_walk():
     """An ISO-BMFF payload with a soun track routes through the r10 box
     walk onto the audio schema; one with only video refuses."""

@@ -277,8 +277,15 @@ def test_run_platform_verify_hook(spark, tmp_path):
             f"{root}/text_index/{ti.POSTINGS_DIR}",
             9,
         )
-        with pytest.raises(RuntimeError, match="doc_overlap_violations"):
+        with pytest.raises(RuntimeError, match="doc_overlap_violations") as ei:
             ingest.run_platform(spark, url, root, verify=True)
+        # r12: the raise carries the FULL audit, not just the message —
+        # the complete fsck report and the wave summary it rode in on
+        assert isinstance(ei.value, ingest.PlatformVerifyError)
+        assert ei.value.report["clean"] is False
+        assert any("doc_overlap" in v for v in ei.value.report["violations"])
+        assert ei.value.summary["fsck"] is ei.value.report
+        assert "text_index" in ei.value.summary  # the wave ran before the audit
     finally:
         srv.shutdown()
 
