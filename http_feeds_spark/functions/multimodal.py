@@ -1510,7 +1510,9 @@ def parse_media_meta(payload: bytes) -> dict:
             return {
                 "modality": "audio", "format": m["audio_codec"],
                 "width": 0, "height": 0,
-                "duration_s": m["duration_s"], "sample_rate": m["timescale"],
+                # mdhd media timescale = the audio clock; never the mvhd
+                # movie timescale (presentation clock). 0 = unknown.
+                "duration_s": m["duration_s"], "sample_rate": m["audio_timescale"],
                 "channels": 0, "bit_depth": 0, "decodable": False,
             }
         raise ValueError("ISO-BMFF payload has no audio or video track")

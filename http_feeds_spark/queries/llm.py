@@ -1894,6 +1894,153 @@ def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- shared media-triage fixture builders ---------------------------------
+# Deterministic minimal containers synthesized per (rank, doc_id), shared
+# by q_mm_video_meta / q_mm_image_meta / q_mm_audio_meta and the r12
+# mixed-corpus router query q_mm_media_route, so the router sees the
+# EXACT payload population the per-modality probes see.
+
+
+def _mm_video_payload(doc_id: int) -> bytes:
+    """Minimal ISO-BMFF with one vide track (box tree hand-packed from
+    the MPEG-4 Part 12 layout); every third payload torn."""
+    import struct as st
+
+    def _box(t: bytes, p: bytes) -> bytes:
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    ts, dur = 600, 600 * (1 + doc_id % 9)
+    w, h = 320 + 16 * (doc_id % 4), 240 + 16 * (doc_id % 3)
+    codec = [b"avc1", b"hev1", b"av01"][doc_id % 3]
+    mvhd = _box(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
+    tkhd = _box(
+        b"tkhd",
+        st.pack(">B3xIIIII", 0, 0, 0, 1, 0, 0)
+        + b"\x00" * 52
+        + st.pack(">II", w << 16, h << 16),
+    )
+    stsd = _box(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + codec + b"\x00" * 8)
+    hdlr = _box(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    trak = _box(b"trak", tkhd + _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd))))
+    full = (
+        _box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomavc1")
+        + _box(b"moov", mvhd + trak)
+        + _box(b"mdat", b"\xab" * 32)
+    )
+    return full[:-9] if doc_id % 3 == 2 else full  # every third: torn
+
+
+def _mm_image_payload(rank: int, doc_id: int) -> bytes:
+    """Deterministic 8x8 gradient under the rank-mod-6 container mix
+    (PPM / filtered PNG / baseline JPEG / progressive JPEG / paletted
+    PNG / Adam7 PNG) plus GIF and WebP headers every few ranks; every
+    eleventh payload torn."""
+    import struct as st
+
+    import numpy as np
+
+    from http_feeds_spark.functions.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for r in range(8):
+        for c in range(8):
+            img[r, c] = (
+                (r * 32 + doc_id) % 256,
+                (c * 32 + doc_id * 3) % 256,
+                (r * c + doc_id * 7) % 256,
+            )
+    if rank % 11 == 10:
+        return mm.encode_png(img)[:20]  # torn: the skip row
+    if rank % 9 == 7:
+        return b"GIF89a" + st.pack("<HH", 64 + doc_id % 8, 32) + bytes([0xF7, 0, 0])
+    if rank % 9 == 8:
+        return (
+            b"RIFF" + st.pack("<I", 30) + b"WEBP" + b"VP8 "
+            + st.pack("<I", 14) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + st.pack("<HH", 128 + doc_id % 16, 96) + b"\x00\x00"
+        )
+    m = rank % 6
+    if m == 1:
+        return mm.encode_png(img, filter_type=rank % 5)
+    if m == 2:
+        return encode_jpeg(img, quality=100)
+    if m == 3:
+        return encode_jpeg(img, quality=100, progressive=True)
+    if m == 4:
+        return mm.encode_png_palette(img)
+    if m == 5:
+        return mm.encode_png_adam7(img)
+    return b"P6\n8 8\n255\n" + img.tobytes()
+
+
+def _mm_audio_payload(rank: int, doc_id: int) -> bytes:
+    """Rank-mod-6 audio container mix — MPEG1-L3 CBR frames, FLAC
+    STREAMINFO, RIFF/WAVE, Ogg/Opus, M4A — with every sixth payload
+    torn mid-frame."""
+    import io
+    import struct as st
+    import wave
+
+    def mp3_for() -> bytes:
+        # MPEG1 Layer III 44.1 kHz 128 kbps stereo: header FF FB 90 00,
+        # frame length 144*128000/44100 = 417 (pad 0)
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+        return frame * (2 + doc_id % 5)
+
+    def flac_for() -> bytes:
+        sr, total = 44100, 44100 * (1 + doc_id % 7)
+        bits = (sr << 44) | (1 << 41) | (15 << 36) | total
+        si = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+    def wav_for() -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00" * (800 * (1 + doc_id % 4)))
+        return buf.getvalue()
+
+    def opus_for() -> bytes:
+        def page(body: bytes, granule: int, htype: int, seq: int) -> bytes:
+            return (
+                b"OggS" + bytes([0, htype]) + st.pack("<q", granule)
+                + st.pack("<III", 1, seq, 0) + bytes([1, len(body)]) + body
+            )
+
+        head = (
+            b"OpusHead" + bytes([1, 2]) + st.pack("<H", 312)
+            + st.pack("<I", 48000) + b"\x00\x00\x00"
+        )
+        samples = 48000 * (1 + doc_id % 5) + 312
+        return page(head, 0, 2, 0) + page(b"\x00" * 40, samples, 4, 1)
+
+    def m4a_for() -> bytes:
+        def _b(t: bytes, p: bytes) -> bytes:
+            return st.pack(">I", 8 + len(p)) + t + p
+
+        ts, dur = 44100, 44100 * (1 + doc_id % 6)
+        mvhd = _b(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
+        stsd = _b(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
+        hdlr = _b(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13)
+        trak = _b(b"trak", _b(b"mdia", hdlr + _b(b"minf", _b(b"stbl", stsd))))
+        return _b(b"ftyp", b"M4A " + st.pack(">I", 0) + b"M4A mp42") + _b(b"moov", mvhd + trak)
+
+    m = rank % 6
+    if m == 0:
+        return mp3_for()
+    if m == 1:
+        return flac_for()
+    if m == 2:
+        return wav_for()
+    if m == 3:
+        return opus_for()
+    if m == 4:
+        return m4a_for()
+    return mp3_for()[:60]  # torn mid-frame: the skip row
+
+
 @register("q_mm_video_meta", oracle=None, group="D")
 def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4i (r10) — MP4/ISO-BMFF metadata TRIAGE: deterministic minimal
@@ -1907,36 +2054,9 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the documented import-gated boundary; this is the triage a
     100 TB pipeline runs FIRST. Spec-layout fixtures pinned in
     tests/test_video_meta.py. Rows-only: engine-synthesized binaries."""
-    import struct as st
-
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
-
-    def _box(t: bytes, p: bytes) -> bytes:
-        return st.pack(">I", 8 + len(p)) + t + p
-
-    def mp4_for(doc_id: int) -> bytes:
-        ts, dur = 600, 600 * (1 + doc_id % 9)
-        w, h = 320 + 16 * (doc_id % 4), 240 + 16 * (doc_id % 3)
-        codec = [b"avc1", b"hev1", b"av01"][doc_id % 3]
-        mvhd = _box(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
-        tkhd = _box(
-            b"tkhd",
-            st.pack(">B3xIIIII", 0, 0, 0, 1, 0, 0)
-            + b"\x00" * 52
-            + st.pack(">II", w << 16, h << 16),
-        )
-        stsd = _box(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + codec + b"\x00" * 8)
-        hdlr = _box(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
-        trak = _box(b"trak", tkhd + _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd))))
-        full = (
-            _box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomavc1")
-            + _box(b"moov", mvhd + trak)
-            + _box(b"mdat", b"\xab" * 32)
-        )
-        return full[:-9] if doc_id % 3 == 2 else full  # every third: torn
-
     d = spark.createDataFrame(
-        [(i, mp4_for(i)) for i in ids], "doc_id long, payload binary"
+        [(i, _mm_video_payload(i)) for i in ids], "doc_id long, payload binary"
     )
     return mm.probe_video_meta(d).orderBy("doc_id")
 
@@ -1955,52 +2075,9 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag; resolution/format filters run on this and only survivors pay
     a decoder. Fixtures pinned in tests/test_multimodal_dedup.py.
     Rows-only: engine-synthesized binaries."""
-    import struct as st
-
-    import numpy as np
-
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
-
-    def pixels_for(doc_id: int):
-        img = np.zeros((8, 8, 3), dtype=np.uint8)
-        for r in range(8):
-            for c in range(8):
-                img[r, c] = (
-                    (r * 32 + doc_id) % 256,
-                    (c * 32 + doc_id * 3) % 256,
-                    (r * c + doc_id * 7) % 256,
-                )
-        return img
-
-    def payload_for(rank: int, doc_id: int) -> bytes:
-        from http_feeds_spark.functions.jpeg import encode_jpeg
-
-        img = pixels_for(doc_id)
-        if rank % 11 == 10:
-            return mm.encode_png(img)[:20]  # torn: the skip row
-        if rank % 9 == 7:
-            return b"GIF89a" + st.pack("<HH", 64 + doc_id % 8, 32) + bytes([0xF7, 0, 0])
-        if rank % 9 == 8:
-            return (
-                b"RIFF" + st.pack("<I", 30) + b"WEBP" + b"VP8 "
-                + st.pack("<I", 14) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
-                + st.pack("<HH", 128 + doc_id % 16, 96) + b"\x00\x00"
-            )
-        m = rank % 6
-        if m == 1:
-            return mm.encode_png(img, filter_type=rank % 5)
-        if m == 2:
-            return encode_jpeg(img, quality=100)
-        if m == 3:
-            return encode_jpeg(img, quality=100, progressive=True)
-        if m == 4:
-            return mm.encode_png_palette(img)
-        if m == 5:
-            return mm.encode_png_adam7(img)
-        return b"P6\n8 8\n255\n" + img.tobytes()
-
     d = spark.createDataFrame(
-        [(i, payload_for(rank, i)) for rank, i in enumerate(ids)],
+        [(i, _mm_image_payload(rank, i)) for rank, i in enumerate(ids)],
         "doc_id long, payload binary",
     )
     return mm.probe_image_meta(d).orderBy("doc_id")
@@ -2023,80 +2100,51 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decide-before-you-decode pass a 100 TB audio corpus runs FIRST;
     spec-layout fixtures pinned in tests/test_audio_meta.py. Rows-only:
     engine-synthesized binaries."""
-    import io
-    import wave
-
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
+    d = spark.createDataFrame(
+        [(i, _mm_audio_payload(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.probe_audio_meta(d).orderBy("doc_id")
 
-    def mp3_for(doc_id: int) -> bytes:
-        # MPEG1 Layer III 44.1 kHz 128 kbps stereo: header FF FB 90 00,
-        # frame length 144*128000/44100 = 417 (pad 0)
-        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
-        return frame * (2 + doc_id % 5)
 
-    def flac_for(doc_id: int) -> bytes:
-        sr, total = 44100, 44100 * (1 + doc_id % 7)
-        bits = (sr << 44) | (1 << 41) | (15 << 36) | total
-        si = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
-        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
-
-    def wav_for(doc_id: int) -> bytes:
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            w.writeframes(b"\x00\x00" * (800 * (1 + doc_id % 4)))
-        return buf.getvalue()
-
-    def opus_for(doc_id: int) -> bytes:
-        import struct as st
-
-        def page(body: bytes, granule: int, htype: int, seq: int) -> bytes:
-            return (
-                b"OggS" + bytes([0, htype]) + st.pack("<q", granule)
-                + st.pack("<III", 1, seq, 0) + bytes([1, len(body)]) + body
-            )
-
-        head = (
-            b"OpusHead" + bytes([1, 2]) + st.pack("<H", 312)
-            + st.pack("<I", 48000) + b"\x00\x00\x00"
-        )
-        samples = 48000 * (1 + doc_id % 5) + 312
-        return page(head, 0, 2, 0) + page(b"\x00" * 40, samples, 4, 1)
-
-    def m4a_for(doc_id: int) -> bytes:
-        import struct as st
-
-        def _b(t: bytes, p: bytes) -> bytes:
-            return st.pack(">I", 8 + len(p)) + t + p
-
-        ts, dur = 44100, 44100 * (1 + doc_id % 6)
-        mvhd = _b(b"mvhd", st.pack(">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
-        stsd = _b(b"stsd", st.pack(">B3xI", 0, 1) + st.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
-        hdlr = _b(b"hdlr", st.pack(">B3x", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13)
-        trak = _b(b"trak", _b(b"mdia", hdlr + _b(b"minf", _b(b"stbl", stsd))))
-        return _b(b"ftyp", b"M4A " + st.pack(">I", 0) + b"M4A mp42") + _b(b"moov", mvhd + trak)
+@register("q_mm_media_route", oracle=None, group="D")
+def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D51 capstone (r12) — the unified media ROUTER over a MIXED
+    corpus: the rank-mod-4 interleave of the three per-modality fixture
+    populations (images via _mm_image_payload, audio via
+    _mm_audio_payload, ISO-BMFF video via _mm_video_payload) plus a
+    plain-text unclaimed payload every fourth rank, all routed by
+    functions/multimodal.probe_media_meta in ONE Arrow-batched
+    metadata-only pass — modality, format, dimensions, duration, and
+    the local-decodability verdict per payload, ISO-BMFF resolved by
+    its TRACKS. This is the decide-before-you-decode scan a 100 TB
+    mixed-media corpus runs FIRST to partition itself into
+    per-modality pipelines; the torn payloads embedded in each fixture
+    family surface as modality-NULL skip rows. Deterministic
+    modality/format counts pinned in tests/test_audio_meta.py.
+    Rows-only: engine-synthesized binaries."""
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(48).collect()]
 
     def payload_for(rank: int, doc_id: int) -> bytes:
-        m = rank % 6
+        # rank % 4 picks the arm; rank // 4 is the WITHIN-arm rank, so
+        # each arm cycles its full container mix (a raw rank would pin
+        # each arm to the rank%6 residues its stride happens to hit —
+        # e.g. the audio arm would never see its decodable WAV slot)
+        m, sub = rank % 4, rank // 4
         if m == 0:
-            return mp3_for(doc_id)
+            return _mm_image_payload(sub, doc_id)
         if m == 1:
-            return flac_for(doc_id)
+            return _mm_audio_payload(sub, doc_id)
         if m == 2:
-            return wav_for(doc_id)
-        if m == 3:
-            return opus_for(doc_id)
-        if m == 4:
-            return m4a_for(doc_id)
-        return mp3_for(doc_id)[:60]  # torn mid-frame: the skip row
+            return _mm_video_payload(doc_id)
+        return b"plain text payload %d" % doc_id  # unclaimed: skip row
 
     d = spark.createDataFrame(
         [(i, payload_for(rank, i)) for rank, i in enumerate(ids)],
         "doc_id long, payload binary",
     )
-    return mm.probe_audio_meta(d).orderBy("doc_id")
+    return mm.probe_media_meta(d).orderBy("doc_id")
 
 
 @register("q_mm_image_real", oracle=None, group="D")

@@ -158,6 +158,35 @@ def test_registered_query_contract(spark, sf_dir):
     assert rows == fn(spark, sf_dir).collect()
 
 
+def test_registered_router_query_contract(spark, sf_dir):
+    """q_mm_media_route (r12): the mixed rank-mod-4 interleave of the
+    three per-modality fixture populations plus unclaimed text, routed
+    by probe_media_meta in one pass — deterministic modality counts,
+    torn payloads as modality-NULL skip rows, stable across calls."""
+    from collections import Counter
+
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_media_route"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 48
+    by_mod = Counter(r.modality for r in rows)
+    # 12 within-arm ranks per arm. Torn fixtures surface as
+    # modality-NULL: image sub-rank 10 (sub%11==10), audio sub-ranks
+    # 5/11 (sub%6==5), video wherever doc_id%3==2 (~1/3,
+    # data-dependent), plus the 12 unclaimed-text ranks.
+    assert by_mod["image"] == 11 and by_mod["audio"] == 10
+    assert 4 <= by_mod["video"] <= 12
+    assert by_mod[None] >= 12  # at least the unclaimed-text arm
+    formats = {r.format for r in rows if r.modality == "image"}
+    assert formats & {"png", "jpeg", "ppm"}
+    assert any(r.modality == "audio" and r.decodable for r in rows)  # pcm
+    assert all(not r.decodable for r in rows if r.modality == "video")
+    torn = [r for r in rows if r.modality is None]
+    assert all(r.width == -1 for r in torn)
+    assert rows == fn(spark, sf_dir).collect()
+
+
 def ogg_page(body: bytes, granule: int, htype=0, seq=0) -> bytes:
     segs, n = [], len(body)
     while n >= 255:
