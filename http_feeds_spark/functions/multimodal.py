@@ -488,19 +488,265 @@ def encode_png_adam7(img) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW decode (spec appendix F): variable code width
+    starting at mcs+1 bits, codes packed LSB-first, CLEAR = 2^mcs
+    resets the table, END = CLEAR+1 stops, table capped at 12-bit
+    codes. Returns the decoded palette-index bytes."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    entries: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    out: list = []
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without an END code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            entries = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return b"".join(out)
+        if prev is None:
+            if code >= len(entries):
+                raise ValueError("GIF LZW first code out of table range")
+            entry = entries[code]
+        else:
+            if code < len(entries):
+                entry = entries[code]
+            elif code == len(entries):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW code out of table range")
+            if len(entries) < 4096:  # table full: wait for CLEAR
+                entries.append(prev + entry[:1])
+                if len(entries) == (1 << width) and width < 12:
+                    width += 1
+        out.append(entry)
+        prev = entry
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW encode — the byte-exact twin of
+    :func:`_gif_lzw_decode` (same width-growth rule: a code's bit
+    width grows when the code count the DECODER would hold reaches
+    2^width), emitting CLEAR first, re-CLEARing at the 12-bit table
+    cap, END last, all packed LSB-first."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the encoder runs one table-add AHEAD of the decoder (it
+            # adds on the code it emits; the decoder adds on the code
+            # AFTER), so the growth conditions differ by one slot:
+            # encoder grows after assigning code 2^width, decoder after
+            # its entry count reaches 2^width — both then handle the
+            # next code at width+1. Trace: mcs=2, run of zeros — codes
+            # 0,6,7 at 3 bits, entry 8 assigned at the third emit →
+            # both sides read/write the fourth code at 4 bits.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset, as real encoders do
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = end + 1, mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # spec §23: 4 passes
+
+
+def _decode_gif(payload: bytes):
+    """REAL GIF decode (r12, closing the last practically-decodable
+    web format): stdlib-only LZW (appendix F) + the palette fancy-index
+    path the r11 PNG work established. Decodes the FIRST image frame of
+    a GIF87a/89a stream — the still-image tier; later animation frames
+    are ignored — composed onto the logical screen initialized with the
+    global-palette background color. Interlaced frames scatter through
+    the four-pass row order of spec §23 with strided assignments, the
+    Adam7 pattern. Extension blocks (GCE/comment/application) skip by
+    their sub-block lengths; a GCE transparent index is dropped exactly
+    as PNG tRNS/RGBA alpha is, so every decode_rgb format returns the
+    same (H, W, 3) uint8 shape. Torn payloads raise ValueError
+    (skip-don't-crash at the operator layer)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        parts = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-block chain truncated")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(parts), p
+            parts.append(payload[p : p + n])
+            if len(parts[-1]) != n:
+                raise ValueError("GIF sub-block truncated")
+            p += n
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image frame
+            break
+        if block == 0x21:  # extension: label byte + sub-block chain
+            _, pos = sub_blocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        fpacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if fpacked & 0x80:  # local color table wins for this frame
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            if len(pal) != 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = payload[pos]
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
+        data, pos = sub_blocks(pos + 1)
+        idx = np.frombuffer(_gif_lzw_decode(data, mcs), np.uint8)
+        if len(idx) != fw * fh:
+            raise ValueError("GIF frame pixel count mismatch")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of table range")
+        frame = pal[idx.reshape(fh, fw)]
+        if fpacked & 0x40:  # interlaced: 4-pass row order, spec §23
+            rows = np.empty((fh, fw, 3), dtype=np.uint8)
+            r = 0
+            for yo, ys in _GIF_INTERLACE_PASSES:
+                n = len(range(yo, fh, ys))
+                rows[yo::ys] = frame[r : r + n]
+                r += n
+            frame = rows
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        if gct is not None and bg < len(gct):
+            canvas[:, :] = gct[bg]
+        canvas[top : top + fh, left : left + fw] = frame
+        return canvas
+    raise ValueError("GIF stream has no image frame")
+
+
+def encode_gif(img, *, interlace: bool = False, left: int = 0, top: int = 0,
+               screen: tuple | None = None) -> bytes:
+    """Minimal GIF89a writer for (H, W, 3) uint8 arrays — the lossless
+    export twin of :func:`_decode_gif` (GIF is palette + LZW, both
+    exact, so encode→decode pins pixel identity). Builds the global
+    color table from the image's unique colors (>256 raises — that
+    image belongs in PNG/JPEG); ``interlace`` writes the four-pass row
+    order; ``left``/``top``/``screen`` place the frame on a larger
+    logical screen for the composition path."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    sw, sh = screen if screen is not None else (left + w, top + h)
+    flat = img.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF palette overflow: {len(pal)} unique colors")
+    nbits = max(1, int(len(pal) - 1).bit_length())
+    table = np.zeros((2 << (nbits - 1), 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    mcs = max(2, nbits)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(yo, h, ys) for yo, ys in _GIF_INTERLACE_PASSES]
+        )
+        indices = idx.reshape(h, w)[order].reshape(-1)
+    else:
+        indices = idx
+    lzw = _gif_lzw_encode(bytes(indices.astype(np.uint8)), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (nbits - 1), 0, 0])  # GCT flag+size, bg 0, aspect
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+    out += bytes([0x40 if interlace else 0, mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
     (P6), uncompressed 24-bit BMP, PNG COMPLETE — every color type,
     depth and interlace mode: truecolor/RGBA, paletted,
     grayscale(+alpha), 16-bit, Adam7 (stdlib zlib inflate + numpy
-    per-row unfiltering), and baseline JPEG (r9:
+    per-row unfiltering), GIF (r12: stdlib LZW + the palette path,
+    first frame, interlace included), and JPEG (r9/r11:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
-    IDCT, chroma upsampling, YCbCr→RGB, baseline AND progressive
-    (r11); arithmetic-coded variants
+    IDCT, chroma upsampling, YCbCr→RGB, baseline AND progressive;
+    arithmetic-coded variants
     raise with the skip-row contract) — no external codec anywhere. Returns an
-    (H, W, 3) uint8 array; raises ValueError for other formats (the one
-    remaining compressed codec, MP4, is the ``decode_image``
-    import-gated tier)."""
+    (H, W, 3) uint8 array; raises ValueError for other formats (WebP's
+    VP8 entropy decode stays the documented boundary; full video is the
+    ``decode_image`` import-gated tier)."""
     import struct
 
     import numpy as np
@@ -511,6 +757,8 @@ def decode_rgb(payload: bytes):
         from http_feeds_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -1438,9 +1686,10 @@ IMAGE_META_SCHEMA = (
 def probe_image_meta(df: DataFrame) -> DataFrame:
     """Corpus-wide image triage (r11 — completing the image/audio/video
     trio): one header-only metadata row per payload via
-    :func:`parse_image_meta`. Covers MORE formats than decode_rgb (GIF
-    and WebP size-and-route here even though no decoder exists in this
-    container). Torn/unrecognized payloads emit ``width = -1``.
+    :func:`parse_image_meta`. Covers MORE formats than decode_rgb (WebP
+    sizes-and-routes here even though no VP8 decoder exists in this
+    container; GIF graduated to the decodable tier in r12).
+    Torn/unrecognized payloads emit ``width = -1``.
     Map-only, Arrow-batched, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1478,7 +1727,7 @@ MEDIA_META_SCHEMA = (
 
 # formats functions in THIS container can fully decode (decode_rgb /
 # decode_wav); everything else routes to an external decoder downstream
-_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg"}
+_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif"}
 _DECODABLE_AUDIO = {"pcm"}
 
 

@@ -2068,8 +2068,9 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns as q_mm_image_real ship under the rank-mod-6 container mix
     (PPM / filtered PNG / baseline JPEG / progressive JPEG / paletted
     PNG / Adam7 PNG) plus a GIF and a WebP (VP8 lossy, VP8L lossless,
-    VP8X extended) header every few ranks — formats decode_rgb cannot
-    decode but a corpus router still needs to SIZE and route — and
+    VP8X extended) header every few ranks — bare headers with no pixel
+    data, which the triage must still SIZE and route (and WebP stays
+    undecodable; GIF with real pixel data graduated in r12) — and
     every eleventh payload deliberately torn. probe_image_meta reads
     ONLY headers: format, dimensions, bit depth, channels, progressive
     flag; resolution/format filters run on this and only survivors pay
@@ -2151,20 +2152,22 @@ def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
     patterns are synthesized per document (gradients derived from
-    doc_id) and shipped as a MIX of containers, rank mod 6 —
+    doc_id) and shipped as a MIX of containers, rank mod 7 —
     0: P6 PPM; 1: 8-bit RGB PNG (stdlib zlib deflate, r8) with a
     rotating filter type; 2: baseline JPEG at quality 100
     (functions/jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the
     chroma-upsample path runs too); 3: PROGRESSIVE JPEG (r11 — the SOF2
     successive-approximation scan protocol, alternating sampling);
     4: PALETTED PNG (r11 — PLTE lookup tier); 5: Adam7-INTERLACED PNG
-    (r11 — the seven-pass protocol) — all decoded by the genuinely-real
-    path: functions/multimodal.decode_rgb parses the container and
-    image_stats/resize_rgb run on actual pixel arrays. PPM ≡ BMP ≡ PNG
-    (all five filters, palette, Adam7) pixel identity, exact channel
-    means, exact nearest-neighbor resize, the JPEG round-trip
-    tolerance, and baseline ≡ progressive byte-identity are pinned in
-    tests/test_multimodal_dedup.py. Rows-only."""
+    (r11 — the seven-pass protocol); 6: GIF (r12 — stdlib LZW +
+    palette, alternating interlaced/sequential) — all decoded by the
+    genuinely-real path: functions/multimodal.decode_rgb parses the
+    container and image_stats/resize_rgb run on actual pixel arrays.
+    PPM ≡ BMP ≡ PNG (all five filters, palette, Adam7) ≡ GIF pixel
+    identity, exact channel means, exact nearest-neighbor resize, the
+    JPEG round-trip tolerance, and baseline ≡ progressive
+    byte-identity are pinned in tests/test_multimodal_dedup.py.
+    Rows-only."""
     import numpy as np
 
     ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(32).collect()]
@@ -2185,7 +2188,7 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         from http_feeds_spark.functions.jpeg import encode_jpeg
 
         img = pixels_for(doc_id)
-        m = rank % 6
+        m = rank % 7
         if m == 1:
             return mm.encode_png(img, filter_type=rank % 5)
         if m == 2:
@@ -2198,6 +2201,8 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             return mm.encode_png_palette(img)
         if m == 5:
             return mm.encode_png_adam7(img)
+        if m == 6:
+            return mm.encode_gif(img, interlace=bool(rank % 2))
         h, w, _ = img.shape
         return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 

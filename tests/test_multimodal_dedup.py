@@ -726,11 +726,12 @@ def test_jpeg_progressive_tier(spark):
 
 
 def test_q_mm_image_real_mix_covers_all_tiers(spark, sf_dir):
-    """The registered real-decode query ships a rank-mod-6 container
+    """The registered real-decode query ships a rank-mod-7 container
     mix — PPM, filtered PNG, baseline JPEG, progressive JPEG (r11),
-    paletted PNG (r11), Adam7 PNG (r11); every row must decode (width
-    != -1) with the synthesized 8x8 shape, so a decoder regression in
-    ANY tier fails the registered query, not just a unit test."""
+    paletted PNG (r11), Adam7 PNG (r11), GIF (r12); every row must
+    decode (width != -1) with the synthesized 8x8 shape, so a decoder
+    regression in ANY tier fails the registered query, not just a
+    unit test."""
     from http_feeds_spark.queries.llm import q_mm_image_real
 
     rows = q_mm_image_real(spark, sf_dir).collect()
@@ -755,6 +756,123 @@ def test_png_encoder_twins_palette_adam7(spark):
     many[:, :, 0] = np.arange(32)[:, None]  # > 256 distinct colors
     with pytest.raises(ValueError, match="palette"):
         mm.encode_png_palette(many)
+
+
+def test_gif_decode_lossless_twin(spark):
+    """r12 GIF tier: GIF is palette + LZW, both exact, so
+    decode_rgb(encode_gif(img)) ≡ img bit-for-bit — sequential AND
+    interlaced (the four-pass row order of spec §23) — and ≡ the PPM
+    twin of the same pixels; parse_media_meta now routes GIF as
+    locally decodable."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = _gradient_img(13, 9)
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_gif(img)), img)
+    np.testing.assert_array_equal(
+        mm.decode_rgb(mm.encode_gif(img, interlace=True)), img
+    )
+    ppm = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode() + img.tobytes()
+    np.testing.assert_array_equal(
+        mm.decode_rgb(mm.encode_gif(img)), mm.decode_rgb(ppm)
+    )
+    m = mm.parse_media_meta(mm.encode_gif(img))
+    assert (m["modality"], m["format"], m["decodable"]) == ("image", "gif", True)
+    assert (m["width"], m["height"]) == (9, 13)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """The LZW pair at its boundaries: a 128x128 indexed-noise image
+    (16K pixels over a 256-color palette) drives the code width
+    through every growth step to 12 bits and across the 4096-entry
+    table reset; decode(encode(x)) ≡ x pins both directions through
+    the full state machine. A second run at mcs=2 (tiny palette)
+    covers the minimum-width end."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(12)
+    idx = rng.randint(0, 256, 128 * 128).astype(np.uint8).tobytes()
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(idx, 8), 8) == idx
+
+    small = rng.randint(0, 4, 4096).astype(np.uint8).tobytes()
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(small, 2), 2) == small
+
+    # and through the container: a 64x64 random image quantized to a
+    # 252-color palette survives the encode→decode round trip exactly
+    pal = rng.randint(0, 256, (252, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 252, (64, 64))]
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_gif(img)), img)
+
+
+def test_gif_hand_packed_spec_oracle():
+    """A NON-twin oracle: a complete 2x2 GIF hand-packed byte by byte,
+    its LZW codes computed by hand on paper — clear(4),0,0,1 at 3 bits,
+    then 1 and end(5) at 4 bits after entry 8 fills the 3-bit space,
+    LSB-first => data bytes 04 12 05 — so the decoder is pinned against
+    the published wire format, not against its own encoder."""
+    import struct
+
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+        + bytes([255, 0, 0, 0, 0, 255])          # GCT: red, blue
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0])
+        + bytes([2])                               # LZW min code size
+        + bytes([3, 0x04, 0x12, 0x05, 0])          # one sub-block + term
+        + b"\x3b"
+    )
+    out = mm.decode_rgb(gif)
+    want = np.array(
+        [[[255, 0, 0], [255, 0, 0]], [[0, 0, 255], [0, 0, 255]]], np.uint8
+    )
+    np.testing.assert_array_equal(out, want)
+    # and the twin encoder reproduces the exact same code stream
+    assert mm._gif_lzw_encode(bytes([0, 0, 1, 1]), 2) == bytes([0x04, 0x12, 0x05])
+
+
+def test_gif_frame_placement_extensions_and_refusals():
+    """A frame at (left, top) on a larger logical screen composes onto
+    the background color; GCE/comment extension blocks skip by their
+    sub-block lengths; >256-color encodes, torn streams, and
+    frame-exceeds-screen payloads refuse with ValueError."""
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = _gradient_img(6, 5)
+    gif = mm.encode_gif(img, left=3, top=2, screen=(12, 10))
+    out = mm.decode_rgb(gif)
+    assert out.shape == (10, 12, 3)
+    np.testing.assert_array_equal(out[2:8, 3:8], img)
+    # background = palette entry 0 everywhere outside the frame
+    pal0 = out[0, 0]
+    assert np.all(out[:2] == pal0) and np.all(out[:, :3] == pal0)
+
+    # splice a GCE and a comment extension ahead of the image block
+    plain = mm.encode_gif(img)
+    lsd_end = 13 + 3 * (2 << (plain[10] & 0x07))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = plain[:lsd_end] + gce + comment + plain[lsd_end:]
+    np.testing.assert_array_equal(mm.decode_rgb(spliced), img)
+
+    many = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    many[:, :, 0] = np.arange(32)[:, None]  # > 256 distinct colors
+    with pytest.raises(ValueError, match="palette"):
+        mm.encode_gif(many)
+    with pytest.raises(ValueError):
+        mm.decode_rgb(plain[: len(plain) // 2])  # torn mid-stream
+    bad = bytearray(mm.encode_gif(img, left=3, top=2, screen=(12, 10)))
+    bad[6:8] = (4).to_bytes(2, "little")  # shrink the screen under the frame
+    with pytest.raises(ValueError, match="exceeds"):
+        mm.decode_rgb(bytes(bad))
 
 
 def test_image_meta_triage(spark):
