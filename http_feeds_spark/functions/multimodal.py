@@ -1238,6 +1238,18 @@ _MP3_BITRATES = {
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
 
 
+def _skip_id3v2(payload: bytes) -> int:
+    """Offset past a leading ID3v2 tag (syncsafe size + optional
+    footer), or 0 when there is none — shared by the MPEG-audio and
+    ADTS walks; both wire formats ship ID3-prefixed in the wild."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    return 10 + size + (10 if payload[5] & 0x10 else 0)
+
+
 def _mp3_frame(payload: bytes, pos: int):
     """Parse the 4-byte MPEG audio frame header at ``pos`` → (frame_len,
     meta dict) or None when the bytes are not a valid header (the
@@ -1289,12 +1301,7 @@ def parse_mp3_meta(payload: bytes) -> dict:
     surface maps that to the skip row."""
     import struct
 
-    pos = 0
-    if payload[:3] == b"ID3" and len(payload) >= 10:
-        size = 0
-        for b in payload[6:10]:
-            size = (size << 7) | (b & 0x7F)
-        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
+    pos = _skip_id3v2(payload)
     first = _mp3_frame(payload, pos)
     if first is None:
         raise ValueError("no MPEG audio frame sync")
@@ -1485,11 +1492,90 @@ def parse_ogg_meta(payload: bytes) -> dict:
     }
 
 
+# ADTS sampling-frequency index table (ISO 14496-3 §1.6.3.4); indices
+# 13/14 are reserved and 15 is the escape value — all three refuse.
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+_ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def _adts_frame(payload: bytes, pos: int):
+    """Parse the 7/9-byte ADTS frame header at ``pos`` → (frame_len,
+    meta dict) or None when the bytes are not a valid header (the
+    false-sync filter, exactly the MP3 discipline). Layer bits must be
+    00 — which is also what keeps ADTS and MPEG-audio syncs disjoint:
+    an MP3 header has nonzero layer bits at the same offset."""
+    if pos + 7 > len(payload):
+        return None
+    b0, b1, b2, b3, b4, b5, b6 = payload[pos : pos + 7]
+    if b0 != 0xFF or (b1 & 0xF6) != 0xF0:  # sync 0xFFF + layer 00
+        return None
+    sfi = (b2 >> 2) & 0xF
+    if sfi >= len(_ADTS_RATES):
+        return None
+    flen = ((b3 & 0x3) << 11) | (b4 << 3) | (b5 >> 5)
+    crc_absent = b1 & 1
+    if flen < (7 if crc_absent else 9):
+        return None
+    return flen, {
+        "version": "MPEG2" if (b1 >> 3) & 1 else "MPEG4",
+        "profile": _ADTS_PROFILES[(b2 >> 6) & 3],
+        "sample_rate": _ADTS_RATES[sfi],
+        "channels": ((b2 & 1) << 2) | (b3 >> 6),  # config 0 = in-band PCE
+        "blocks": (b6 & 3) + 1,  # AAC frames in this ADTS frame, 1024 samples each
+    }
+
+
+def parse_adts_meta(payload: bytes) -> dict:
+    """Raw AAC-in-ADTS metadata triage (r12) — the 7-byte frame-header
+    walk beside the MP3 one: syncword + layer-00 filter, MPEG-2/4
+    version bit, profile, the sampling-frequency-index table, channel
+    configuration, and the 13-bit frame length that chains the walk.
+    Duration = sum of per-frame AAC block counts x 1024 / sample rate;
+    mean bitrate from payload size over duration; VBR when frame
+    lengths differ. Torn streams (no two consecutive valid frames)
+    raise ValueError — the probe surface maps that to the skip row."""
+    pos = _skip_id3v2(payload)
+    first = _adts_frame(payload, pos)
+    if first is None:
+        raise ValueError("no ADTS frame sync")
+    flen, m = first
+    end1 = pos + flen
+    if end1 > len(payload):
+        raise ValueError("first ADTS frame truncated")
+    if end1 + 7 <= len(payload) and _adts_frame(payload, end1) is None:
+        raise ValueError("second ADTS frame does not sync (false sync or torn)")
+
+    n_frames, blocks, p, lengths = 0, 0, pos, set()
+    while True:
+        f = _adts_frame(payload, p)
+        if f is None or p + f[0] > len(payload):
+            break
+        n_frames += 1
+        blocks += f[1]["blocks"]
+        lengths.add(f[0])
+        p += f[0]
+    duration = blocks * 1024 / m["sample_rate"] if blocks else None
+    return {
+        "codec": f"aac/{m['version']}-{m['profile']}",
+        "sample_rate": m["sample_rate"],
+        "channels": m["channels"],
+        "bits_per_sample": 0,  # lossy
+        "bitrate_kbps": int(len(payload) * 8 / duration / 1000) if duration else 0,
+        "duration_s": duration,
+        "vbr": len(lengths) > 1,
+        "n_frames": n_frames,
+    }
+
+
 def parse_audio_meta(payload: bytes) -> dict:
     """Dispatch by container magic: FLAC / RIFF-WAVE / Ogg(Opus,Vorbis) /
     M4A (ISO-BMFF with an audio track — routed through the r10 box walk
-    and mapped onto the audio schema) / MPEG-audio (bare sync or
-    ID3v2-prefixed). Anything else raises ValueError — the
+    and mapped onto the audio schema) / raw AAC-in-ADTS (layer bits 00
+    at the sync, r12) / MPEG-audio (bare sync or ID3v2-prefixed; layer
+    bits nonzero). Anything else raises ValueError — the
     probe_audio_meta surface maps that to a skip row."""
     if payload[:4] == b"fLaC":
         return parse_flac_meta(payload)
@@ -1519,6 +1605,11 @@ def parse_audio_meta(payload: bytes) -> dict:
             "vbr": True,
             "n_frames": 0,
         }
+    # the two bare-sync wire formats are disjoint at the layer bits:
+    # ADTS carries 00 where MPEG-audio carries a nonzero layer
+    p = _skip_id3v2(payload)
+    if p + 2 <= len(payload) and payload[p] == 0xFF and (payload[p + 1] & 0xF6) == 0xF0:
+        return parse_adts_meta(payload)
     return parse_mp3_meta(payload)
 
 

@@ -1974,9 +1974,9 @@ def _mm_image_payload(rank: int, doc_id: int) -> bytes:
 
 
 def _mm_audio_payload(rank: int, doc_id: int) -> bytes:
-    """Rank-mod-6 audio container mix — MPEG1-L3 CBR frames, FLAC
-    STREAMINFO, RIFF/WAVE, Ogg/Opus, M4A — with every sixth payload
-    torn mid-frame."""
+    """Rank-mod-7 audio container mix — MPEG1-L3 CBR frames, FLAC
+    STREAMINFO, RIFF/WAVE, Ogg/Opus, M4A, AAC-in-ADTS (r12) — with
+    every seventh payload torn mid-frame."""
     import io
     import struct as st
     import wave
@@ -2027,7 +2027,18 @@ def _mm_audio_payload(rank: int, doc_id: int) -> bytes:
         trak = _b(b"trak", _b(b"mdia", hdlr + _b(b"minf", _b(b"stbl", stsd))))
         return _b(b"ftyp", b"M4A " + st.pack(">I", 0) + b"M4A mp42") + _b(b"moov", mvhd + trak)
 
-    m = rank % 6
+    def adts_for() -> bytes:
+        # MPEG-4 AAC-LC 44.1 kHz stereo: profile 1, sfi 4, channel
+        # config 2, one 1024-sample block per frame
+        body = 13 + doc_id % 9
+        flen = 7 + body
+        hdr = bytes([
+            0xFF, 0xF1, (1 << 6) | (4 << 2), (2 << 6) | ((flen >> 11) & 3),
+            (flen >> 3) & 0xFF, ((flen & 7) << 5) | 0x1F, 0xFC,
+        ])
+        return (hdr + bytes(body)) * (2 + doc_id % 4)
+
+    m = rank % 7
     if m == 0:
         return mp3_for()
     if m == 1:
@@ -2038,6 +2049,8 @@ def _mm_audio_payload(rank: int, doc_id: int) -> bytes:
         return opus_for()
     if m == 4:
         return m4a_for()
+    if m == 5:
+        return adts_for()
     return mp3_for()[:60]  # torn mid-frame: the skip row
 
 
@@ -2091,8 +2104,9 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document — MPEG1 Layer III frames (header fields packed per the
     ISO 11172-3 tables, frame count varying with doc_id), FLAC
     STREAMINFO (the 20/3/5/36-bit field pack), RIFF/WAVE, Ogg/Opus
-    (RFC 7845 id header + last-page granule), and M4A (ISO-BMFF routed
-    through the r10 box walk) — with every sixth payload deliberately
+    (RFC 7845 id header + last-page granule), M4A (ISO-BMFF routed
+    through the r10 box walk), and raw AAC-in-ADTS (r12 — the 7-byte
+    frame-header walk) — with every seventh payload deliberately
     torn; triaged by
     functions/multimodal.probe_audio_meta, the header-only walk
     extracting codec, sample rate, channels, bit depth, bitrate,

@@ -143,8 +143,8 @@ def test_probe_audio_meta_distributed_skip_rows(spark):
 
 
 def test_registered_query_contract(spark, sf_dir):
-    """q_mm_audio_meta: deterministic per-doc mix over all five
-    containers, every sixth payload deliberately torn, result stable
+    """q_mm_audio_meta: deterministic per-doc mix over all six
+    containers, every seventh payload deliberately torn, result stable
     across calls."""
     from http_feeds_spark.queries import registry
 
@@ -153,8 +153,9 @@ def test_registered_query_contract(spark, sf_dir):
     assert len(rows) == 32
     codecs = {r.codec for r in rows}
     assert any(c and c.startswith("mp3") for c in codecs)
+    assert any(c and c.startswith("aac") for c in codecs)  # ADTS, r12
     assert {"flac", "pcm", "opus", "mp4a"} <= codecs
-    assert sum(1 for r in rows if r.sample_rate == -1) == 5  # the torn sixth
+    assert sum(1 for r in rows if r.sample_rate == -1) == 4  # the torn seventh
     assert rows == fn(spark, sf_dir).collect()
 
 
@@ -172,10 +173,10 @@ def test_registered_router_query_contract(spark, sf_dir):
     assert len(rows) == 48
     by_mod = Counter(r.modality for r in rows)
     # 12 within-arm ranks per arm. Torn fixtures surface as
-    # modality-NULL: image sub-rank 10 (sub%11==10), audio sub-ranks
-    # 5/11 (sub%6==5), video wherever doc_id%3==2 (~1/3,
-    # data-dependent), plus the 12 unclaimed-text ranks.
-    assert by_mod["image"] == 11 and by_mod["audio"] == 10
+    # modality-NULL: image sub-rank 10 (sub%11==10), audio sub-rank 6
+    # (sub%7==6), video wherever doc_id%3==2 (~1/3, data-dependent),
+    # plus the 12 unclaimed-text ranks.
+    assert by_mod["image"] == 11 and by_mod["audio"] == 11
     assert 4 <= by_mod["video"] <= 12
     assert by_mod[None] >= 12  # at least the unclaimed-text arm
     formats = {r.format for r in rows if r.modality == "image"}
@@ -223,6 +224,86 @@ def test_ogg_opus_and_vorbis():
 
     with pytest.raises(ValueError, match="neither Opus nor Vorbis"):
         mm.parse_ogg_meta(ogg_page(b"\x00" * 16, 0))
+
+
+def adts_frame(
+    profile: int = 1,   # LC
+    sfi: int = 4,       # 44100
+    ch: int = 2,
+    nblocks: int = 1,
+    body: int = 20,
+    mpeg2: bool = False,
+    crc: bool = False,
+) -> bytes:
+    """One ADTS frame, 7/9-byte header packed per ISO 14496-3
+    §1.6.3.4 (syncword, version, layer 00, protection, profile, sfi,
+    channel config, 13-bit frame length, blocks-1)."""
+    hdr_len = 9 if crc else 7
+    flen = hdr_len + body
+    b1 = 0xF0 | (0x08 if mpeg2 else 0) | (0 if crc else 1)
+    b2 = (profile << 6) | (sfi << 2) | ((ch >> 2) & 1)
+    b3 = ((ch & 3) << 6) | ((flen >> 11) & 3)
+    b4 = (flen >> 3) & 0xFF
+    b5 = ((flen & 7) << 5) | 0x1F
+    b6 = 0xFC | (nblocks - 1)
+    return bytes([0xFF, b1, b2, b3, b4, b5, b6]) + bytes(flen - 7)
+
+
+def test_adts_cbr_walk_exact():
+    """Five identical LC frames: fields from the header, duration =
+    5 x 1024 / 44100 exactly; a multi-block frame counts every
+    1024-sample block; differing frame lengths flag VBR."""
+    m = mm.parse_adts_meta(adts_frame() * 5)
+    assert m["codec"] == "aac/MPEG4-LC"
+    assert (m["sample_rate"], m["channels"], m["n_frames"]) == (44100, 2, 5)
+    assert abs(m["duration_s"] - 5 * 1024 / 44100) < 1e-12
+    assert m["vbr"] is False
+
+    two = mm.parse_adts_meta(adts_frame(nblocks=2) * 3)
+    assert abs(two["duration_s"] - 6 * 1024 / 44100) < 1e-12
+
+    vbr = mm.parse_adts_meta(adts_frame(body=20) + adts_frame(body=40) + adts_frame(body=20))
+    assert vbr["vbr"] is True
+
+
+def test_adts_profiles_rates_and_id3():
+    """MPEG-2 Main mono at 16 kHz reads from the version bit, profile
+    bits and the sampling-frequency-index table; a CRC-protected frame
+    (9-byte header) still walks; an ID3v2-prefixed stream skips the
+    tag, sharing the MP3 walk's helper."""
+    m = mm.parse_adts_meta(adts_frame(profile=0, sfi=8, ch=1, mpeg2=True) * 2)
+    assert m["codec"] == "aac/MPEG2-Main"
+    assert (m["sample_rate"], m["channels"]) == (16000, 1)
+
+    c = mm.parse_adts_meta(adts_frame(crc=True) * 2)
+    assert c["n_frames"] == 2
+
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"x" * 10
+    assert mm.parse_adts_meta(id3 + adts_frame() * 3)["n_frames"] == 3
+
+
+def test_adts_refusals_and_mp3_disambiguation():
+    """Torn/false-sync streams refuse; a reserved sampling-frequency
+    index never syncs; and the layer bits keep the two bare-sync wire
+    formats disjoint — parse_audio_meta routes ADTS to the AAC walk
+    and MPEG-audio to the MP3 walk off the same 0xFF sync byte."""
+    one = adts_frame()
+    with pytest.raises(ValueError, match="first ADTS frame truncated"):
+        mm.parse_adts_meta(one[:10])
+    with pytest.raises(ValueError, match="second ADTS frame"):
+        mm.parse_adts_meta(one + b"Z" * 40)
+    with pytest.raises(ValueError, match="no ADTS frame sync"):
+        mm.parse_adts_meta(b"plain text payload")
+    bad_sfi = bytearray(adts_frame())
+    bad_sfi[2] = (1 << 6) | (13 << 2)  # reserved index 13
+    with pytest.raises(ValueError, match="no ADTS frame sync"):
+        mm.parse_adts_meta(bytes(bad_sfi))
+
+    assert mm.parse_audio_meta(adts_frame() * 2)["codec"] == "aac/MPEG4-LC"
+    assert mm.parse_audio_meta(mp3_frame() * 2)["codec"].startswith("mp3/")
+    # and through the router: ADTS lands as audio, not decodable
+    r = mm.parse_media_meta(adts_frame() * 2)
+    assert (r["modality"], r["format"], r["decodable"]) == ("audio", "aac/MPEG4-LC", False)
 
 
 def test_ogg_false_capture_pattern_in_packet_data():
