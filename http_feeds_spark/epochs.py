@@ -311,6 +311,50 @@ class PlatformEpoch:
             snapshot=self.pq_files, **kw,
         )
 
+    def embeddings(self) -> DataFrame:
+        """The ANN corpus vectors (vec_id, embedding, cluster) as of
+        the pinned wave: EXACTLY the recorded corpus files, with the
+        fail-stop contract of every pinned read (a file a later
+        rewrite/compaction deleted raises, never re-resolves)."""
+        if not self.ann_files["corpus"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no ANN index")
+        from http_feeds_spark.operators import ann_index as ai
+        from http_feeds_spark.stores import read_pinned_files
+
+        return read_pinned_files(
+            self.spark,
+            f"{self.root}/ann_index/{ai.CORPUS_DIR}",
+            self.ann_files["corpus"],
+            "ANN corpus",
+        )
+
+    def topic_profile(self, docs: DataFrame, **kw) -> DataFrame:
+        """Topic profile AS OF the pinned wave — the workflow the
+        topics module documents (operators/topics.py: profile a
+        quiescent epoch, never a moving corpus) as ONE call: the
+        pinned ANN corpus supplies the embeddings, and the pinned
+        coarse-quantizer centroids ARE the trained k-means, reused via
+        ``centroids=`` — so the profile costs ZERO Lloyd trainings and
+        labels exactly the clusters the epoch's ANN index serves,
+        byte-stable while wave N+1 lands. ``docs`` is the (doc_id,
+        text) frame to label with (inner-joined — the profile
+        describes the clustered corpus); ``**kw`` passes through to
+        :func:`operators.topics.topic_profile` (top_terms, analyzer,
+        ...; ``k``/``iters`` are ignored with centroids supplied)."""
+        from http_feeds_spark.operators import ann_index as ai
+        from http_feeds_spark.operators import topics
+
+        if not self.ann_files["centroids"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no ANN index")
+        cents = ai.load_centroids(
+            self.spark,
+            f"{self.root}/ann_index",
+            files=self.ann_files["centroids"],
+        )
+        return topics.topic_profile(
+            docs, self.embeddings(), centroids=cents, **kw
+        )
+
     def dedup_assignment(self) -> DataFrame:
         from http_feeds_spark.streaming import dedup as sd
 

@@ -29,6 +29,9 @@ embeddings the ANN store serves), and reuse the centroids via
 is a report someone reads, not a serving index — recomputing it
 per-review-cadence (daily, per mixture rebuild) is the published
 practice and costs one training pass with the shared-centroid path.
+r12: that workflow is ONE call — ``epochs.PlatformEpoch.topic_profile``
+pins the ANN corpus files as the embeddings and reuses the pinned
+coarse-quantizer centroids as the trained model (zero Lloyd passes).
 """
 
 from __future__ import annotations

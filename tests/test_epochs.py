@@ -251,6 +251,68 @@ def test_pinned_vector_reads_see_wave_n_while_n1_lands(spark, tmp_path):
     assert {r.vec_id for r in p2.ann_search(q, k=4).collect()} & {100, 101, 102}
 
 
+def test_pinned_topic_profile_while_wave_n1_lands(spark, tmp_path, monkeypatch):
+    """r12: PlatformEpoch.topic_profile is the topics-module workflow
+    (profile a QUIESCENT epoch, never a moving corpus) as one call —
+    the pinned ANN corpus supplies the embeddings and the pinned
+    coarse-quantizer centroids are the trained model, so the profile
+    (a) costs ZERO Lloyd trainings and (b) stays byte-identical while
+    wave N+1 vectors land; an epoch with no ANN frontier refuses."""
+    from http_feeds_spark.functions import kmeans as km
+    from http_feeds_spark.operators import ann_index as ai
+    from http_feeds_spark.operators import topics
+
+    root = str(tmp_path / "platform")
+    _build_vector_wave_n(spark, root)
+    rec = epochs.record_epoch(spark, root)
+    pinned = epochs.pin(spark, root, rec["epoch"])
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta topic{i % 2} term{i % 2} word{i % 2}") for i in range(8)]
+        + [(100 + i, "never clustered drift drift drift") for i in range(3)],
+        "doc_id long, text string",
+    )
+
+    def no_training(*a, **kw):
+        raise AssertionError("pinned profile must not train k-means")
+
+    monkeypatch.setattr(topics.km, "kmeans_centroids", no_training)
+    want = sorted(map(tuple, pinned.topic_profile(docs, top_terms=3).collect()))
+    monkeypatch.undo()
+    assert want
+    clusters = {t[0] for t in want}
+    assert len(clusters) <= 2  # the pinned quantizer's k
+    # docs without a pinned embedding row are OUTSIDE the profile
+    assert not any("drift" == t[3] for t in want)
+
+    # wave N+1: vectors + docs engineered to relabel every cluster
+    new = _vecs(spark, range(200, 212), 2)
+    assert ai.upsert_vectors(spark, new, f"{root}/ann_index") == 12
+    docs_n1 = docs.union(
+        spark.createDataFrame(
+            [(i, "drift drift drift drift") for i in range(200, 212)],
+            "doc_id long, text string",
+        )
+    )
+    live = topics.topic_profile(
+        docs_n1,
+        spark.read.parquet(f"{root}/ann_index/{ai.CORPUS_DIR}"),  # live read
+        centroids=ai.load_centroids(spark, f"{root}/ann_index"),
+        top_terms=3,
+    )
+    assert any(r.term == "drift" for r in live.collect())  # N+1 leaks into live
+    got = sorted(map(tuple, pinned.topic_profile(docs_n1, top_terms=3).collect()))
+    assert got == want  # ... but never into the pin
+
+    # an epoch recorded before any ANN index refuses, like ann_search
+    root2 = str(tmp_path / "p2")
+    ti.build_text_index(spark, _wave(spark, [1], "w"), f"{root2}/text_index")
+    rec2 = epochs.record_epoch(spark, root2)
+    p2 = epochs.pin(spark, root2, rec2["epoch"])
+    with pytest.raises(FileNotFoundError, match="no ANN index"):
+        p2.topic_profile(docs)
+
+
 def test_pinned_vector_read_fails_stop_after_rewrite(spark, tmp_path):
     """Maintenance rewrites (corpus compaction; full index rebuild)
     delete pinned files: the pinned read must raise with the remedy,
