@@ -25,8 +25,9 @@ Scope (the honest tier split the multimodal module documents):
   tables (12 DC codes at 4 bits, 176 AC codes at 8 bits — the 162
   (run, size) symbols plus the EOBn symbols progressive needs — valid
   DHT, slightly larger files, radically simpler tables than Annex K's),
-  optional restart intervals (baseline) so the decoder's DRI/RST path
-  is genuinely exercised, and (r11) ``progressive=True``, which
+  optional restart intervals (baseline AND, r12, progressive — every
+  scan kind emits RSTn at its restart unit) so the decoder's DRI/RST
+  paths are genuinely exercised, and (r11) ``progressive=True``, which
   serializes the SAME quantized coefficients under a successive-
   approximation scan script — giving the tests an EXACT oracle: both
   wire formats must decode to byte-identical pixels (pinned, plus a
@@ -759,13 +760,20 @@ _PROGRESSIVE_SCRIPT = (
 )
 
 
-def _serialize_progressive_scan(coef_zz, nh, nw, ss, se, ah, al) -> bytes:
+def _serialize_progressive_scan(
+    coef_zz, nh, nw, ss, se, ah, al, restart_interval: int = 0
+) -> bytes:
     """Entropy bytes of ONE single-component AC scan (first when Ah=0,
     refinement otherwise) over the (nh, nw) block grid — §G.1.2.2/3,
     with EOB-run folding and (refinement) the correction-bit buffer that
-    flushes behind the next emitted symbol."""
+    flushes behind the next emitted symbol. ``restart_interval`` (in
+    blocks — the restart unit of a non-interleaved scan) byte-aligns
+    and emits RSTn at each boundary; an EOB run and its buffered
+    correction bits can never cross a restart, so they flush first
+    (the decoder resets eobrun at the marker)."""
     w = _ScanWriter()
     eobrun = 0
+    n_restarts = 0
     corr: list[int] = []
 
     def flush_eob():
@@ -781,6 +789,11 @@ def _serialize_progressive_scan(coef_zz, nh, nw, ss, se, ah, al) -> bytes:
         corr.clear()
 
     for ui in range(nh * nw):
+        if restart_interval and ui and ui % restart_interval == 0:
+            flush_eob()
+            w.pad()
+            w.out += bytes([0xFF, 0xD0 + (n_restarts & 7)])
+            n_restarts += 1
         zz = coef_zz[ui // nw, ui % nw]
         if ah == 0:  # first scan at this precision
             t = [_trunc(int(zz[k]), al) for k in range(ss, se + 1)]
@@ -849,10 +862,14 @@ def _serialize_progressive_scan(coef_zz, nh, nw, ss, se, ah, al) -> bytes:
     return bytes(w.out)
 
 
-def _serialize_progressive(np, h, w, samp, coefs) -> bytes:
+def _serialize_progressive(np, h, w, samp, coefs, restart_interval: int = 0) -> bytes:
     """SOF2 scan sequence for _PROGRESSIVE_SCRIPT: SOS headers + entropy
     bytes for each scan. DC scans interleave all components in MCU
-    order; AC scans cover one component's own block grid."""
+    order; AC scans cover one component's own block grid.
+    ``restart_interval`` (r12) emits RSTn in EVERY scan at its restart
+    unit — MCUs for the interleaved DC scans (prediction resets), blocks
+    for the AC scans (EOB runs flush) — matching the decoder's
+    per-scan-kind restart handling in _decode_progressive_scan."""
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
@@ -872,7 +889,13 @@ def _serialize_progressive(np, h, w, samp, coefs) -> bytes:
         if ss == 0 and ah == 0:  # DC first: interleaved, diff-coded
             wtr = _ScanWriter()
             pred = [0] * len(samp)
+            n_rst = 0
             for mi in range(mcus_x * mcus_y):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    wtr.pad()
+                    wtr.out += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                    n_rst += 1
+                    pred = [0] * len(samp)
                 my, mx = divmod(mi, mcus_x)
                 for ci in comps_i:
                     hs, vs = samp[ci]
@@ -889,7 +912,12 @@ def _serialize_progressive(np, h, w, samp, coefs) -> bytes:
             out += wtr.out
         elif ss == 0:  # DC refine: one bit per block, MCU order
             wtr = _ScanWriter()
+            n_rst = 0
             for mi in range(mcus_x * mcus_y):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    wtr.pad()
+                    wtr.out += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                    n_rst += 1
                 my, mx = divmod(mi, mcus_x)
                 for ci in comps_i:
                     hs, vs = samp[ci]
@@ -904,7 +932,9 @@ def _serialize_progressive(np, h, w, samp, coefs) -> bytes:
             hs, vs = samp[ci]
             nh = -(-(-(-h * vs // vmax)) // 8)
             nw = -(-(-(-w * hs // hmax)) // 8)
-            out += _serialize_progressive_scan(coefs[ci], nh, nw, ss, se, ah, al)
+            out += _serialize_progressive_scan(
+                coefs[ci], nh, nw, ss, se, ah, al, restart_interval
+            )
     return bytes(out)
 
 
@@ -916,18 +946,19 @@ def encode_jpeg(
     progressive: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB -> JFIF JPEG bytes. ``subsample`` switches
-    4:4:4 to 4:2:0 (2×2-mean chroma); ``restart_interval`` (in MCUs,
-    baseline only) emits DRI + RSTn markers; ``progressive`` (r11)
-    emits SOF2 with the module's successive-approximation scan script —
-    the SAME quantized coefficients as the baseline serialization, so
-    both wire formats decode to byte-identical pixels (the exact twin
-    test progressive decoding is pinned by). See module docstring for
-    why this encoder exists and what it deliberately does not optimize."""
+    4:4:4 to 4:2:0 (2×2-mean chroma); ``restart_interval`` (in restart
+    units: MCUs for interleaved scans, blocks for progressive AC scans)
+    emits DRI + RSTn markers in baseline AND (r12) progressive streams;
+    ``progressive`` (r11) emits SOF2 with the module's
+    successive-approximation scan script — the SAME quantized
+    coefficients as the baseline serialization, so all four wire
+    combinations decode to byte-identical pixels (the exact twin test
+    progressive and DRI decoding are pinned by). See module docstring
+    for why this encoder exists and what it deliberately does not
+    optimize."""
     import numpy as np
 
     h, w, samp, qzz, coefs = _quantize_planes(np, img, quality, subsample)
-    if progressive and restart_interval:
-        raise ValueError("restart intervals are a baseline-only option here")
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -945,11 +976,11 @@ def encode_jpeg(
             (_DC_COUNTS, _DC_VALUES) if tc == 0 else (_AC_COUNTS, _AC_VALUES)
         )
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     if progressive:
-        out += _serialize_progressive(np, h, w, samp, coefs)
+        out += _serialize_progressive(np, h, w, samp, coefs, restart_interval)
     else:
-        if restart_interval:
-            out += seg(0xDD, struct.pack(">H", restart_interval))
         sos = bytes([3])
         for ci in range(3):
             sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

@@ -725,6 +725,60 @@ def test_jpeg_progressive_tier(spark):
     )
 
 
+def test_jpeg_progressive_restart_intervals(spark):
+    """r12 (closing the r11 advice gap): the progressive decoder's
+    DRI/RSTn path — bits.restart + the eobrun reset in every scan kind
+    — is now reachable by the byte-exact twin: the serializer emits
+    RSTn in DC first/refine scans (MCU units, prediction resets) and
+    AC first/refine scans (block units, EOB runs flushed at the
+    boundary), so progressive+DRI must reconstruct byte-identical
+    pixels to baseline, at several intervals including ones that land
+    mid-EOB-run (flat image) and mid-refinement (noise)."""
+    import numpy as np
+
+    from http_feeds_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.full((48, 48, 3), 130, np.uint8),       # whole-scan EOB runs split by RSTs
+        rng.randint(0, 256, (33, 47, 3)).astype(np.uint8),
+        _gradient_img(24, 40),
+    ]
+    for img in cases:
+        for sub in (False, True):
+            want = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsample=sub))
+            for ri in (1, 2, 3, 7):
+                got = J.decode_jpeg(
+                    J.encode_jpeg(
+                        img, quality=75, subsample=sub,
+                        progressive=True, restart_interval=ri,
+                    )
+                )
+                np.testing.assert_array_equal(want, got)
+    # the emitted stream really contains DRI + restart markers
+    payload = J.encode_jpeg(cases[0], quality=75, progressive=True, restart_interval=2)
+    assert b"\xff\xdd" in payload and any(
+        bytes([0xFF, 0xD0 + i]) in payload for i in range(8)
+    )
+
+    for seed in range(25):  # seeded fuzz across shape x interval x sampling
+        r2 = np.random.RandomState(4000 + seed)
+        img = r2.randint(0, 256, (r2.randint(1, 40), r2.randint(1, 40), 3)).astype(
+            np.uint8
+        )
+        ri = int(r2.choice([1, 2, 4, 8]))
+        sub = bool(r2.randint(2))
+        np.testing.assert_array_equal(
+            J.decode_jpeg(J.encode_jpeg(img, quality=75, subsample=sub)),
+            J.decode_jpeg(
+                J.encode_jpeg(
+                    img, quality=75, subsample=sub,
+                    progressive=True, restart_interval=ri,
+                )
+            ),
+        )
+
+
 def test_q_mm_image_real_mix_covers_all_tiers(spark, sf_dir):
     """The registered real-decode query ships a rank-mod-7 container
     mix — PPM, filtered PNG, baseline JPEG, progressive JPEG (r11),
