@@ -1570,17 +1570,74 @@ def parse_adts_meta(payload: bytes) -> dict:
     }
 
 
+def parse_aiff_meta(payload: bytes) -> dict:
+    """AIFF / AIFF-C metadata triage (r12) — the big-endian IFF twin of
+    the RIFF/WAVE walk: FORM container, COMM chunk (channels, sample
+    frames, bit depth, and the sample rate as an 80-bit IEEE 754
+    extended float — sign + 15-bit exponent biased 16383 + explicit
+    64-bit mantissa), duration = frames / rate exactly. AIFF-C reports
+    the compression fourcc as the codec ('NONE'/'sowt' = PCM); torn or
+    COMM-less payloads raise ValueError."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    aifc = payload[8:12] == b"AIFC"
+    pos, comm = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from(">I", payload, pos + 4)
+        if cid == b"COMM":
+            comm = payload[pos + 8 : pos + 8 + clen]
+            if len(comm) < 18:
+                raise ValueError("AIFF COMM chunk truncated")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None:
+        raise ValueError("AIFF payload has no COMM chunk")
+    ch, frames, bps = struct.unpack_from(">HIH", comm, 0)
+    # 80-bit extended float: value = mantissa * 2^(exp - 16383 - 63)
+    (se,) = struct.unpack_from(">H", comm, 8)
+    mant = int.from_bytes(comm[10:18], "big")
+    exp = se & 0x7FFF
+    if mant == 0 or exp == 0:
+        sr = 0.0
+    elif exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is NaN/Inf")
+    else:
+        sr = mant * 2.0 ** (exp - 16383 - 63)
+    if se & 0x8000 or sr <= 0 or sr != sr:
+        raise ValueError("AIFF sample rate out of range")
+    codec = "pcm"
+    if aifc and len(comm) >= 22:
+        four = comm[18:22].decode("ascii", "replace")
+        codec = "pcm" if four in ("NONE", "sowt") else four
+    duration = frames / sr if frames else None
+    return {
+        "codec": codec,
+        "sample_rate": int(round(sr)),
+        "channels": ch,
+        "bits_per_sample": bps,
+        "bitrate_kbps": int(len(payload) * 8 / duration / 1000) if duration else 0,
+        "duration_s": duration,
+        "vbr": False,
+        "n_frames": 0,
+    }
+
+
 def parse_audio_meta(payload: bytes) -> dict:
-    """Dispatch by container magic: FLAC / RIFF-WAVE / Ogg(Opus,Vorbis) /
-    M4A (ISO-BMFF with an audio track — routed through the r10 box walk
-    and mapped onto the audio schema) / raw AAC-in-ADTS (layer bits 00
-    at the sync, r12) / MPEG-audio (bare sync or ID3v2-prefixed; layer
-    bits nonzero). Anything else raises ValueError — the
-    probe_audio_meta surface maps that to a skip row."""
+    """Dispatch by container magic: FLAC / RIFF-WAVE / AIFF(-C) (r12) /
+    Ogg(Opus,Vorbis) / M4A (ISO-BMFF with an audio track — routed
+    through the r10 box walk and mapped onto the audio schema) / raw
+    AAC-in-ADTS (layer bits 00 at the sync, r12) / MPEG-audio (bare
+    sync or ID3v2-prefixed; layer bits nonzero). Anything else raises
+    ValueError — the probe_audio_meta surface maps that to a skip
+    row."""
     if payload[:4] == b"fLaC":
         return parse_flac_meta(payload)
     if payload[:4] == b"RIFF":
         return parse_wav_meta(payload)
+    if payload[:4] == b"FORM":
+        return parse_aiff_meta(payload)
     if payload[:4] == b"OggS":
         return parse_ogg_meta(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":

@@ -306,6 +306,56 @@ def test_adts_refusals_and_mp3_disambiguation():
     assert (r["modality"], r["format"], r["decodable"]) == ("audio", "aac/MPEG4-LC", False)
 
 
+def aiff_bytes(sr=44100.0, ch=2, bps=16, frames=44100, aifc=False, comp=b"NONE") -> bytes:
+    """Hand-packed AIFF/AIFF-C: FORM + COMM with the sample rate as an
+    80-bit IEEE extended float (sign + 15-bit exponent biased 16383 +
+    explicit-integer-bit 64-bit mantissa)."""
+    import math
+
+    if sr > 0:
+        exp = math.floor(math.log2(sr))
+        mant = int(sr * 2.0 ** (63 - exp))
+        ext = struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+    else:
+        ext = bytes(10)
+    body = struct.pack(">HIH", ch, frames, bps) + ext
+    if aifc:
+        body += comp + bytes([len(comp)]) + comp  # pascal-ish name, unread
+    comm = b"COMM" + struct.pack(">I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    ssnd = b"SSND" + struct.pack(">I", 8) + bytes(8)
+    form_type = b"AIFC" if aifc else b"AIFF"
+    payload = form_type + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(payload)) + payload
+
+
+def test_aiff_comm_walk_and_extended_float():
+    """AIFF: fields from the COMM chunk, the 80-bit extended sample
+    rate decoded exactly (44100 and the non-power-of-two 22050.5);
+    AIFF-C reports its compression fourcc ('NONE'/'sowt' = pcm);
+    refusals for COMM-less and non-IFF payloads."""
+    m = mm.parse_aiff_meta(aiff_bytes())
+    assert (m["codec"], m["sample_rate"], m["channels"], m["bits_per_sample"]) == (
+        "pcm", 44100, 2, 16
+    )
+    assert abs(m["duration_s"] - 1.0) < 1e-12
+
+    odd = mm.parse_aiff_meta(aiff_bytes(sr=22050.5, frames=44101))
+    # int rate column rounds half-to-even; duration uses the exact rate
+    assert odd["sample_rate"] == 22050 and abs(odd["duration_s"] - 44101 / 22050.5) < 1e-9
+
+    assert mm.parse_aiff_meta(aiff_bytes(aifc=True, comp=b"sowt"))["codec"] == "pcm"
+    assert mm.parse_aiff_meta(aiff_bytes(aifc=True, comp=b"ima4"))["codec"] == "ima4"
+
+    with pytest.raises(ValueError, match="no COMM"):
+        mm.parse_aiff_meta(b"FORM" + struct.pack(">I", 4) + b"AIFF")
+    with pytest.raises(ValueError, match="not an AIFF"):
+        mm.parse_aiff_meta(b"FORMxxxxWAVE")
+    # and through the dispatcher + router
+    assert mm.parse_audio_meta(aiff_bytes())["codec"] == "pcm"
+    r = mm.parse_media_meta(aiff_bytes())
+    assert (r["modality"], r["sample_rate"]) == ("audio", 44100)
+
+
 def test_ogg_false_capture_pattern_in_packet_data():
     """'OggS' is NOT escaped inside packet bytes (RFC 3533 has no byte
     stuffing), so a backwards rfind for the capture pattern can land
