@@ -739,14 +739,16 @@ def decode_rgb(payload: bytes):
     depth and interlace mode: truecolor/RGBA, paletted,
     grayscale(+alpha), 16-bit, Adam7 (stdlib zlib inflate + numpy
     per-row unfiltering), GIF (r12: stdlib LZW + the palette path,
-    first frame, interlace included), and JPEG (r9/r11:
+    first frame, interlace included), LOSSLESS WebP (r12:
+    functions/vp8l.py — canonical prefix codes, LZ77, color cache,
+    all four transforms), and JPEG (r9/r11:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
     IDCT, chroma upsampling, YCbCr→RGB, baseline AND progressive;
     arithmetic-coded variants
     raise with the skip-row contract) — no external codec anywhere. Returns an
-    (H, W, 3) uint8 array; raises ValueError for other formats (WebP's
-    VP8 entropy decode stays the documented boundary; full video is the
-    ``decode_image`` import-gated tier)."""
+    (H, W, 3) uint8 array; raises ValueError for other formats (lossy WebP's
+    VP8 arithmetic coder stays the documented boundary; full video is
+    the ``decode_image`` import-gated tier)."""
     import struct
 
     import numpy as np
@@ -759,6 +761,10 @@ def decode_rgb(payload: bytes):
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from http_feeds_spark.functions.vp8l import decode_webp
+
+        return decode_webp(payload)  # VP8L lossless; lossy VP8 raises
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -1808,7 +1814,10 @@ def parse_image_meta(payload: bytes) -> dict:
             if payload[20] != 0x2F:
                 raise ValueError("WebP VP8L signature byte missing")
             bits = int.from_bytes(payload[21:25], "little")
-            return {"format": "webp", "width": (bits & 0x3FFF) + 1,
+            # distinguished from lossy 'webp': the lossless variant is
+            # locally DECODABLE (functions/vp8l.py, r12), so the router
+            # must route the two differently
+            return {"format": "webp_lossless", "width": (bits & 0x3FFF) + 1,
                     "height": ((bits >> 14) & 0x3FFF) + 1,
                     "bit_depth": 8, "n_channels": 4 if (bits >> 28) & 1 else 3,
                     "progressive": False}
@@ -1875,7 +1884,7 @@ MEDIA_META_SCHEMA = (
 
 # formats functions in THIS container can fully decode (decode_rgb /
 # decode_wav); everything else routes to an external decoder downstream
-_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif"}
+_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless"}
 _DECODABLE_AUDIO = {"pcm"}
 
 

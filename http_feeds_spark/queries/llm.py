@@ -2166,7 +2166,7 @@ def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
     patterns are synthesized per document (gradients derived from
-    doc_id) and shipped as a MIX of containers, rank mod 7 —
+    doc_id) and shipped as a MIX of containers, rank mod 8 —
     0: P6 PPM; 1: 8-bit RGB PNG (stdlib zlib deflate, r8) with a
     rotating filter type; 2: baseline JPEG at quality 100
     (functions/jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the
@@ -2174,7 +2174,9 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     successive-approximation scan protocol, alternating sampling);
     4: PALETTED PNG (r11 — PLTE lookup tier); 5: Adam7-INTERLACED PNG
     (r11 — the seven-pass protocol); 6: GIF (r12 — stdlib LZW +
-    palette, alternating interlaced/sequential) — all decoded by the
+    palette, alternating interlaced/sequential); 7: LOSSLESS WebP
+    (r12 — VP8L canonical prefix codes, alternating plain /
+    subtract-green+LZ77+cache) — all decoded by the
     genuinely-real path: functions/multimodal.decode_rgb parses the
     container and image_stats/resize_rgb run on actual pixel arrays.
     PPM ≡ BMP ≡ PNG (all five filters, palette, Adam7) ≡ GIF pixel
@@ -2202,7 +2204,7 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         from http_feeds_spark.functions.jpeg import encode_jpeg
 
         img = pixels_for(doc_id)
-        m = rank % 7
+        m = rank % 8
         if m == 1:
             return mm.encode_png(img, filter_type=rank % 5)
         if m == 2:
@@ -2217,6 +2219,14 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             return mm.encode_png_adam7(img)
         if m == 6:
             return mm.encode_gif(img, interlace=bool(rank % 2))
+        if m == 7:
+            from http_feeds_spark.functions.vp8l import encode_vp8l
+
+            if rank % 2:
+                return encode_vp8l(
+                    img, subtract_green=True, use_lz77=True, cache_bits=4
+                )
+            return encode_vp8l(img)
         h, w, _ = img.shape
         return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 

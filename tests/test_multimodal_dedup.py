@@ -780,12 +780,12 @@ def test_jpeg_progressive_restart_intervals(spark):
 
 
 def test_q_mm_image_real_mix_covers_all_tiers(spark, sf_dir):
-    """The registered real-decode query ships a rank-mod-7 container
+    """The registered real-decode query ships a rank-mod-8 container
     mix — PPM, filtered PNG, baseline JPEG, progressive JPEG (r11),
-    paletted PNG (r11), Adam7 PNG (r11), GIF (r12); every row must
-    decode (width != -1) with the synthesized 8x8 shape, so a decoder
-    regression in ANY tier fails the registered query, not just a
-    unit test."""
+    paletted PNG (r11), Adam7 PNG (r11), GIF (r12), lossless WebP
+    (r12); every row must decode (width != -1) with the synthesized
+    8x8 shape, so a decoder regression in ANY tier fails the
+    registered query, not just a unit test."""
     from http_feeds_spark.queries.llm import q_mm_image_real
 
     rows = q_mm_image_real(spark, sf_dir).collect()
@@ -932,9 +932,10 @@ def test_gif_frame_placement_extensions_and_refusals():
 def test_image_meta_triage(spark):
     """r11 header-only image triage: format/dimensions/depth/progressive
     from the container header with NO pixel decode — including GIF and
-    WebP (VP8 lossy, VP8L lossless, VP8X extended), formats decode_rgb
-    cannot decode but a corpus router still sizes; torn payloads skip
-    through the distributed surface."""
+    WebP (VP8 lossy, VP8L lossless, VP8X extended); torn payloads skip
+    through the distributed surface. r12: VP8L triages as its own
+    'webp_lossless' format because it is now locally decodable, while
+    lossy/extended stay 'webp' and route out."""
     import struct
 
     import numpy as np
@@ -967,7 +968,7 @@ def test_image_meta_triage(spark):
             b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L"
             + struct.pack("<I", 5) + bytes([0x2F])
             + ((99) | (49 << 14) | (1 << 28)).to_bytes(4, "little") + b"\x00",
-            ("webp", 100, 50, False),
+            ("webp_lossless", 100, 50, False),  # r12: locally decodable
         ),
         "webp-vp8x": (
             b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
