@@ -688,6 +688,240 @@ def _decode_gif(payload: bytes):
     raise ValueError("GIF stream has no image frame")
 
 
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """REAL animated-GIF decode (r12, the animation tier above
+    :func:`_decode_gif`'s still tier): every frame composed onto the
+    logical screen per the GIF89a animation protocol — the Graphic
+    Control Extension's transparency index (transparent pixels show
+    the canvas through) and disposal method (0/1 keep, 2 restore the
+    background color over the frame rect, 3 restore the canvas as it
+    was before the frame). Returns a list of (H, W, 3) uint8 arrays,
+    one per composed frame — REAL frame sampling for the one animated
+    container this engine decodes natively (``sample_frames`` remains
+    the byte-slicing stand-in for true video). ``max_frames`` bounds
+    the walk for triage-style use. Torn payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        parts = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-block chain truncated")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(parts), p
+            parts.append(payload[p : p + n])
+            if len(parts[-1]) != n:
+                raise ValueError("GIF sub-block truncated")
+            p += n
+
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames: list = []
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            body, pos = sub_blocks(pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
+                disposal = (body[0] >> 2) & 0x7
+                transparent = body[3] if body[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        fpacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            if len(pal) != 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = payload[pos]
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
+        data, pos = sub_blocks(pos + 1)
+        idx = np.frombuffer(_gif_lzw_decode(data, mcs), np.uint8)
+        if len(idx) != fw * fh:
+            raise ValueError("GIF frame pixel count mismatch")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of table range")
+        idx = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced, spec §23
+            rows = np.empty((fh, fw), dtype=np.uint8)
+            r = 0
+            for yo, ys in _GIF_INTERLACE_PASSES:
+                n = len(range(yo, fh, ys))
+                rows[yo::ys] = idx[r : r + n]
+                r += n
+            idx = rows
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = pal[idx][mask]
+        else:
+            region[:, :] = pal[idx]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background over the frame rect
+            canvas[top : top + fh, left : left + fw] = (
+                gct[bg] if (gct is not None and bg < len(gct)) else 0
+            )
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal, transparent = 0, None
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+    if not frames:
+        raise ValueError("GIF stream has no image frame")
+    return frames
+
+
+def encode_gif_frames(
+    frames,
+    *,
+    disposals=None,
+    masks=None,
+    positions=None,
+    screen: tuple | None = None,
+    delay_cs: int = 4,
+) -> bytes:
+    """Animated-GIF writer — the twin of :func:`decode_gif_frames`.
+    ``frames`` are (h, w, 3) uint8 arrays (possibly sub-rects);
+    ``positions`` their (left, top) on the logical screen;
+    ``disposals`` the per-frame GCE disposal methods; ``masks``
+    optional boolean arrays marking TRANSPARENT pixels per frame (a
+    reserved palette slot carries them). One shared global color table
+    from the union of opaque colors (>255 raises — one slot is
+    reserved for transparency)."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n_f = len(frames)
+    disposals = disposals or [0] * n_f
+    masks = masks if masks is not None else [None] * n_f
+    positions = positions or [(0, 0)] * n_f
+    sw, sh = screen if screen is not None else (
+        max(p[0] + f.shape[1] for p, f in zip(positions, frames)),
+        max(p[1] + f.shape[0] for p, f in zip(positions, frames)),
+    )
+    opaque = [
+        f.reshape(-1, 3) if m is None else f[~m]
+        for f, m in zip(frames, masks)
+    ]
+    pal = np.unique(np.concatenate(opaque, axis=0), axis=0)
+    if len(pal) > 255:
+        raise ValueError(f"GIF palette overflow: {len(pal)} colors + transparency")
+    trans_idx = len(pal)  # the reserved transparent slot
+    nbits = max(1, int(trans_idx).bit_length())
+    table = np.zeros((2 << (nbits - 1), 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    lut = {tuple(c): i for i, c in enumerate(pal.tolist())}
+    mcs = max(2, nbits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (nbits - 1), 0, 0])
+    out += table.tobytes()
+    for f, m, d, (left, top) in zip(frames, masks, disposals, positions):
+        h, w = f.shape[:2]
+        gce = bytes([(d & 0x7) << 2 | (1 if m is not None else 0)])
+        gce += struct.pack("<H", delay_cs)
+        gce += bytes([trans_idx if m is not None else 0])
+        out += b"\x21\xf9" + bytes([len(gce)]) + gce + b"\x00"
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3).tolist()], dtype=np.uint8
+        ).reshape(h, w)
+        if m is not None:
+            idx[m] = trans_idx
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + bytes([0, mcs])
+        lzw = _gif_lzw_encode(bytes(idx.reshape(-1)), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_frame_stats(df: DataFrame, max_frames: int = 16) -> DataFrame:
+    """REAL animated-frame sampling (r12): one row per COMPOSED frame
+    of each GIF payload via :func:`decode_gif_frames` — the genuine
+    decode-and-measure pass ``sample_frames`` only stands in for on
+    true video. ``max_frames`` bounds the per-payload walk (a corpus
+    GIF can hold thousands of frames; triage decides who pays more).
+    Non-GIF / torn payloads emit one ``n_frames = -1`` skip row.
+    Map-only, Arrow-batched, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "frame_idx", "n_frames", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = decode_gif_frames(bytes(payload), max_frames=max_frames)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(-1)
+                    out["n_frames"].append(-1)
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                for i, fr in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["mean_r"].append(float(fr[:, :, 0].mean()))
+                    out["mean_g"].append(float(fr[:, :, 1].mean()))
+                    out["mean_b"].append(float(fr[:, :, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
+
+
 def encode_gif(img, *, interlace: bool = False, left: int = 0, top: int = 0,
                screen: tuple | None = None) -> bytes:
     """Minimal GIF89a writer for (H, W, 3) uint8 arrays — the lossless
@@ -741,7 +975,9 @@ def decode_rgb(payload: bytes):
     per-row unfiltering), GIF (r12: stdlib LZW + the palette path,
     first frame, interlace included), LOSSLESS WebP (r12:
     functions/vp8l.py — canonical prefix codes, LZ77, color cache,
-    all four transforms), and JPEG (r9/r11:
+    all four transforms), baseline TIFF (r12: functions/tiff.py —
+    strips under none/LZW/Deflate/PackBits + predictor 2, both byte
+    orders), and JPEG (r9/r11:
     functions/jpeg.py — Huffman entropy decode, dequant, batched float
     IDCT, chroma upsampling, YCbCr→RGB, baseline AND progressive;
     arithmetic-coded variants
@@ -765,6 +1001,10 @@ def decode_rgb(payload: bytes):
         from http_feeds_spark.functions.vp8l import decode_webp
 
         return decode_webp(payload)  # VP8L lossless; lossy VP8 raises
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from http_feeds_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(payload)  # baseline strips; exotic tiers raise
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -1728,9 +1968,11 @@ def parse_image_meta(payload: bytes) -> dict:
     incl. the interlace flag), JPEG (marker walk to the first SOFn —
     progressive = SOF2, components, precision), GIF (logical screen
     descriptor; 87a/89a), BMP (BITMAPINFOHEADER), binary PPM (ASCII
-    header), and WebP (VP8 key-frame dims / VP8L 14-bit packed dims /
-    VP8X canvas-minus-one — formats decode_rgb cannot decode but a
-    corpus router still needs to SIZE and route). Torn or unrecognized
+    header), WebP (VP8 key-frame dims / VP8L 14-bit packed dims —
+    triaged as the decodable ``webp_lossless`` since r12 — / VP8X
+    canvas-minus-one), TIFF (r12: either byte order, first-IFD tag
+    walk for dims / bits-per-sample / samples-per-pixel), and ICO
+    (r12: directory header, 0 encoding 256). Torn or unrecognized
     payloads raise ValueError; probe_image_meta maps that to the skip
     row. The decide-before-you-decode pass for a 100 TB image corpus:
     resolution/format filters run on this, and only survivors pay a
@@ -1831,6 +2073,46 @@ def parse_image_meta(payload: bytes) -> dict:
                     "n_channels": 4 if payload[20] & 0x10 else 3,
                     "progressive": False}
         raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF, either byte order
+        endian = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+        if ifd_off + 2 > len(payload):
+            raise ValueError("torn TIFF IFD offset")
+        (n_entries,) = struct.unpack_from(endian + "H", payload, ifd_off)
+        tags: dict = {}
+        for i in range(n_entries):
+            at = ifd_off + 2 + 12 * i
+            if at + 12 > len(payload):
+                raise ValueError("torn TIFF IFD entry")
+            tag, typ, count = struct.unpack_from(endian + "HHI", payload, at)
+            # inline value when it fits 4 bytes: SHORT(3)=2B, LONG(4)=4B
+            if typ == 3:
+                (val,) = struct.unpack_from(endian + "H", payload, at + 8)
+            elif typ == 4:
+                (val,) = struct.unpack_from(endian + "I", payload, at + 8)
+            else:
+                continue
+            if tag == 258 and count > 1:
+                # BitsPerSample with count>1 stores an OFFSET to the
+                # per-sample shorts; read the first
+                (off,) = struct.unpack_from(endian + "I", payload, at + 8)
+                if off + 2 <= len(payload):
+                    (val,) = struct.unpack_from(endian + "H", payload, off)
+            tags[tag] = val
+        if 256 not in tags or 257 not in tags:
+            raise ValueError("TIFF IFD lacks image dimensions")
+        return {"format": "tiff", "width": int(tags[256]), "height": int(tags[257]),
+                "bit_depth": int(tags.get(258, 1)),
+                "n_channels": int(tags.get(277, 1)),
+                "progressive": False}
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:  # ICO
+        (n_images,) = struct.unpack_from("<H", payload, 4)
+        if n_images == 0:
+            raise ValueError("ICO directory is empty")
+        w, h = payload[6], payload[7]  # 0 encodes 256
+        return {"format": "ico", "width": w or 256, "height": h or 256,
+                "bit_depth": payload[12] or 8, "n_channels": 4,
+                "progressive": False}
     raise ValueError("unrecognized image container")
 
 
@@ -1884,7 +2166,7 @@ MEDIA_META_SCHEMA = (
 
 # formats functions in THIS container can fully decode (decode_rgb /
 # decode_wav); everything else routes to an external decoder downstream
-_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless"}
+_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff"}
 _DECODABLE_AUDIO = {"pcm"}
 
 

@@ -2162,11 +2162,51 @@ def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.probe_media_meta(d).orderBy("doc_id")
 
 
+@register("q_mm_gif_frames", oracle=None, group="D")
+def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28 animation tier (r12) — REAL animated-GIF frame sampling:
+    deterministic 3-frame animations are synthesized per document
+    (gradient base frame, a transparent-masked sub-rect delta, a full
+    replacement; disposal method rotating with doc_id through
+    keep / restore-background / restore-previous) and decoded by
+    functions/multimodal.gif_frame_stats — every frame COMPOSED per
+    the GIF89a protocol (GCE transparency + disposal), one stats row
+    per frame. Every fifth payload is torn (an n_frames = -1 skip
+    row). This is genuine multi-frame decode, not the byte-slicing
+    sample_frames stand-in. Composition semantics pinned in
+    tests/test_multimodal_dedup.py. Rows-only: engine-synthesized
+    binaries."""
+    import numpy as np
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(24).collect()]
+
+    def gif_for(rank: int, doc_id: int) -> bytes:
+        rng = np.random.RandomState(doc_id % 97)
+        pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+        f0 = pal[rng.randint(0, 8, (10, 10))]
+        f1 = pal[rng.randint(0, 8, (4, 4))]
+        mask = rng.rand(4, 4) < 0.5
+        f2 = pal[rng.randint(0, 8, (10, 10))]
+        g = mm.encode_gif_frames(
+            [f0, f1, f2],
+            disposals=[1, [1, 2, 3][doc_id % 3], 0],
+            masks=[None, mask, None],
+            positions=[(0, 0), (3, 3), (0, 0)],
+        )
+        return g[:40] if rank % 5 == 4 else g  # every fifth: torn
+
+    d = spark.createDataFrame(
+        [(i, gif_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.gif_frame_stats(d).orderBy("doc_id", "frame_idx")
+
+
 @register("q_mm_image_real", oracle=None, group="D")
 def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4h — REAL image decoding (no stand-in): deterministic pixel
     patterns are synthesized per document (gradients derived from
-    doc_id) and shipped as a MIX of containers, rank mod 8 —
+    doc_id) and shipped as a MIX of containers, rank mod 9 —
     0: P6 PPM; 1: 8-bit RGB PNG (stdlib zlib deflate, r8) with a
     rotating filter type; 2: baseline JPEG at quality 100
     (functions/jpeg.py, r9 — alternating 4:4:4 / 4:2:0 so the
@@ -2176,7 +2216,8 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r11 — the seven-pass protocol); 6: GIF (r12 — stdlib LZW +
     palette, alternating interlaced/sequential); 7: LOSSLESS WebP
     (r12 — VP8L canonical prefix codes, alternating plain /
-    subtract-green+LZ77+cache) — all decoded by the
+    subtract-green+LZ77+cache); 8: baseline TIFF (r12 — alternating
+    LZW+predictor / Deflate, both byte orders) — all decoded by the
     genuinely-real path: functions/multimodal.decode_rgb parses the
     container and image_stats/resize_rgb run on actual pixel arrays.
     PPM ≡ BMP ≡ PNG (all five filters, palette, Adam7) ≡ GIF pixel
@@ -2204,7 +2245,7 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         from http_feeds_spark.functions.jpeg import encode_jpeg
 
         img = pixels_for(doc_id)
-        m = rank % 8
+        m = rank % 9
         if m == 1:
             return mm.encode_png(img, filter_type=rank % 5)
         if m == 2:
@@ -2227,6 +2268,12 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     img, subtract_green=True, use_lz77=True, cache_bits=4
                 )
             return encode_vp8l(img)
+        if m == 8:
+            from http_feeds_spark.functions.tiff import encode_tiff
+
+            if rank % 2:
+                return encode_tiff(img, compression=5, predictor=2)
+            return encode_tiff(img, compression=8, big_endian=True)
         h, w, _ = img.shape
         return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 

@@ -725,6 +725,107 @@ def test_jpeg_progressive_tier(spark):
     )
 
 
+def test_gif_animation_frames_disposal_and_transparency():
+    """r12 animation tier: decode_gif_frames composes every frame per
+    the GIF89a protocol — GCE transparency (transparent pixels show
+    the canvas through), disposal 1 (keep), 2 (restore the background
+    color over the frame rect), 3 (restore the pre-frame canvas) —
+    pinned against compositions computed independently in numpy via
+    the encode_gif_frames twin. REAL frame sampling for the one
+    animated container with a native decoder."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(6)
+    pal = rng.randint(0, 256, (9, 3)).astype(np.uint8)
+    f0 = pal[rng.randint(0, 9, (10, 12))]
+    f1 = pal[rng.randint(0, 9, (4, 5))]
+    m1 = rng.rand(4, 5) < 0.4
+    f2 = pal[rng.randint(0, 9, (10, 12))]
+
+    g = mm.encode_gif_frames(
+        [f0, f1, f2], disposals=[1, 1, 1],
+        masks=[None, m1, None], positions=[(0, 0), (3, 2), (0, 0)],
+    )
+    frames = mm.decode_gif_frames(g)
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[0], f0)
+    want1 = f0.copy()
+    want1[2:6, 3:8][~m1] = f1[~m1]  # transparent pixels show f0 through
+    np.testing.assert_array_equal(frames[1], want1)
+    np.testing.assert_array_equal(frames[2], f2)
+    assert len(mm.decode_gif_frames(g, max_frames=2)) == 2
+
+    # disposal 2: after the middle frame, its rect restores to the
+    # background color (global table entry 0 = lowest unique color)
+    g2 = mm.encode_gif_frames(
+        [f0, f1, f2[:4, :5]], disposals=[1, 2, 0],
+        positions=[(0, 0), (3, 2), (6, 5)],
+    )
+    fr2 = mm.decode_gif_frames(g2)
+    want_mid = f0.copy()
+    want_mid[2:6, 3:8] = f1
+    np.testing.assert_array_equal(fr2[1], want_mid)
+    bg = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in (f0, f1, f2[:4, :5])]), axis=0
+    )[0]
+    want_last = f0.copy()
+    want_last[2:6, 3:8] = bg
+    want_last[5:9, 6:11] = f2[:4, :5]  # positions are (left, top)
+    np.testing.assert_array_equal(fr2[2], want_last)
+
+    # disposal 3: the canvas rewinds to its pre-frame state
+    g3 = mm.encode_gif_frames(
+        [f0, f1, f2[:1, :1]], disposals=[0, 3, 0],
+        positions=[(0, 0), (3, 2), (0, 0)],
+    )
+    fr3 = mm.decode_gif_frames(g3)
+    want_mid = f0.copy()
+    want_mid[2:6, 3:8] = f1
+    np.testing.assert_array_equal(fr3[1], want_mid)
+    want_last = f0.copy()
+    want_last[0, 0] = f2[0, 0]
+    np.testing.assert_array_equal(fr3[2], want_last)
+
+    # the still tier reads frame 1 of an animation identically
+    np.testing.assert_array_equal(mm.decode_rgb(g)[: f0.shape[0]], frames[0])
+
+
+def test_gif_frame_stats_distributed_and_registered(spark, sf_dir):
+    """gif_frame_stats: one row per composed frame through the Arrow
+    surface, max_frames bounding, torn payloads as n_frames = -1 skip
+    rows; and the registered q_mm_gif_frames contract (3 rows per
+    good doc, one skip row per torn fifth, stable across calls)."""
+    import numpy as np
+
+    from http_feeds_spark.functions import multimodal as mm
+    from http_feeds_spark.queries import registry
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (6, 3)).astype(np.uint8)
+    f0, f1 = pal[rng.randint(0, 6, (8, 9))], pal[rng.randint(0, 6, (8, 9))]
+    anim = mm.encode_gif_frames([f0, f1], disposals=[1, 0])
+    d = spark.createDataFrame(
+        [(1, anim), (2, b"not a gif")], "doc_id long, payload binary"
+    )
+    got = mm.gif_frame_stats(d).orderBy("doc_id", "frame_idx").collect()
+    assert [(r.doc_id, r.frame_idx, r.n_frames) for r in got] == [
+        (1, 0, 2), (1, 1, 2), (2, -1, -1),
+    ]
+    assert got[0].mean_r == float(f0[:, :, 0].mean())
+    assert got[1].mean_g == float(f1[:, :, 1].mean())
+    assert mm.gif_frame_stats(d, max_frames=1).where("doc_id = 1").count() == 1
+
+    fn = registry()["q_mm_gif_frames"].fn
+    rows = fn(spark, sf_dir).collect()
+    torn = [r for r in rows if r.n_frames == -1]
+    good = [r for r in rows if r.n_frames == 3]
+    assert len(torn) == 4 and len(good) == 3 * 20  # 24 docs, every 5th torn
+    assert len(torn) + len(good) == len(rows)
+    assert rows == fn(spark, sf_dir).collect()
+
+
 def test_jpeg_progressive_restart_intervals(spark):
     """r12 (closing the r11 advice gap): the progressive decoder's
     DRI/RSTn path — bits.restart + the eobrun reset in every scan kind
@@ -780,10 +881,10 @@ def test_jpeg_progressive_restart_intervals(spark):
 
 
 def test_q_mm_image_real_mix_covers_all_tiers(spark, sf_dir):
-    """The registered real-decode query ships a rank-mod-8 container
+    """The registered real-decode query ships a rank-mod-9 container
     mix — PPM, filtered PNG, baseline JPEG, progressive JPEG (r11),
     paletted PNG (r11), Adam7 PNG (r11), GIF (r12), lossless WebP
-    (r12); every row must decode (width != -1) with the synthesized
+    (r12), TIFF (r12); every row must decode (width != -1) with the synthesized
     8x8 shape, so a decoder regression in ANY tier fails the
     registered query, not just a unit test."""
     from http_feeds_spark.queries.llm import q_mm_image_real
@@ -976,6 +1077,30 @@ def test_image_meta_triage(spark):
             + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"),
             ("webp", 1920, 1080, False),
         ),
+        # r12: TIFF first-IFD walk, both byte orders; BitsPerSample
+        # count 3 stored via offset; and the ICO directory header
+        "tiff-le": (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 4)
+            + struct.pack("<HHIHxx", 256, 3, 1, 800)
+            + struct.pack("<HHIHxx", 257, 3, 1, 600)
+            + struct.pack("<HHII", 258, 3, 3, 8 + 2 + 4 * 12 + 4)
+            + struct.pack("<HHIHxx", 277, 3, 1, 3)
+            + struct.pack("<I", 0)
+            + struct.pack("<HHH", 8, 8, 8),
+            ("tiff", 800, 600, False),
+        ),
+        "tiff-be": (
+            b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+            + struct.pack(">HHIHxx", 256, 3, 1, 64)   # SHORT left-justified
+            + struct.pack(">HHII", 257, 4, 1, 48),    # LONG inline
+            ("tiff", 64, 48, False),
+        ),
+        "ico": (
+            b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+            + bytes([0, 0, 0, 0]) + struct.pack("<HH", 1, 32)
+            + struct.pack("<II", 100, 22),
+            ("ico", 256, 256, False),
+        ),
     }
     for name, (payload, (fmt, w, h, prog)) in cases.items():
         m = mm.parse_image_meta(payload)
@@ -986,6 +1111,11 @@ def test_image_meta_triage(spark):
     # the alpha flags surface as channel counts
     assert mm.parse_image_meta(cases["webp-vp8l"][0])["n_channels"] == 4
     assert mm.parse_image_meta(cases["webp-vp8x"][0])["n_channels"] == 4
+    # TIFF BitsPerSample count 3 resolves through its offset; channels
+    # from SamplesPerPixel; ICO bitcount from the directory entry
+    t = mm.parse_image_meta(cases["tiff-le"][0])
+    assert (t["bit_depth"], t["n_channels"]) == (8, 3)
+    assert mm.parse_image_meta(cases["ico"][0])["bit_depth"] == 32
 
     rows = [(i, p) for i, (p, _) in enumerate(cases.values())]
     rows.append((99, b"not an image"))
