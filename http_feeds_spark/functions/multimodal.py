@@ -119,6 +119,52 @@ WAV_SCHEMA = (
 )
 
 
+def flac_features(df: DataFrame) -> DataFrame:
+    """REAL audio features from FLAC payloads (r12 — the lossless twin
+    of :func:`wav_features`, backed by the native functions/flac.py
+    decoder: Rice residuals, fixed/LPC predictors, stereo
+    decorrelation, CRC-verified frames): per doc (sample_rate,
+    n_channels, n_samples, duration_s, rms, peak) over the genuinely
+    decoded samples, mono-downmixed and scaled to [-1, 1] exactly as
+    the WAV path reports them. Non-FLAC/torn payloads produce a
+    n_samples = -1 skip row. Map-only, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from http_feeds_spark.functions.flac import decode_flac
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "peak",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    pcm, rate = decode_flac(bytes(payload))
+                    x = pcm.mean(axis=1) / 32768.0
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(pcm.shape[1])
+                    out["n_samples"].append(len(x))
+                    out["duration_s"].append(len(x) / rate if rate else 0.0)
+                    out["rms"].append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+                    out["peak"].append(float(np.max(np.abs(x))) if len(x) else 0.0)
+                except Exception:
+                    out["sample_rate"].append(0)
+                    out["n_channels"].append(0)
+                    out["n_samples"].append(-1)
+                    out["duration_s"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_SCHEMA)
+
+
 def wav_features(df: DataFrame) -> DataFrame:
     """REAL audio features from WAV payloads (stdlib decode, no external
     codec): per doc (sample_rate, n_channels, n_samples, duration_s,
@@ -2167,7 +2213,7 @@ MEDIA_META_SCHEMA = (
 # formats functions in THIS container can fully decode (decode_rgb /
 # decode_wav); everything else routes to an external decoder downstream
 _DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff"}
-_DECODABLE_AUDIO = {"pcm"}
+_DECODABLE_AUDIO = {"pcm", "flac"}  # r12: native FLAC decode (functions/flac.py)
 
 
 def parse_media_meta(payload: bytes) -> dict:

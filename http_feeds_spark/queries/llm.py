@@ -1848,6 +1848,56 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_mm_flac_real", oracle=None, group="D")
+def q_mm_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4g FLAC tier (r12) — REAL lossless-audio decoding: deterministic
+    16-bit sines are synthesized per document and encoded as FLAC with
+    the subframe type rotating by doc_id through
+    constant/verbatim/fixed/LPC and stereo docs cycling the
+    left-side/right-side/mid-side decorrelation modes; every sixth
+    payload is torn mid-frame. functions/multimodal.flac_features runs
+    the NATIVE decoder (functions/flac.py — Rice residuals, predictors,
+    CRC-verified frames) and reports sample-exact RMS/peak/duration.
+    Sample exactness vs the source PCM is pinned in
+    tests/test_flac.py. Rows-only: engine-synthesized binaries."""
+    import math
+
+    import numpy as np
+
+    from http_feeds_spark.functions import flac as fl
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(24).collect()]
+
+    def flac_for(rank: int, doc_id: int) -> bytes:
+        rate, n = 8000, 1600
+        amp = 0.1 + (doc_id % 8) / 10.0
+        freq = 200.0 + (doc_id % 16) * 50.0
+        t = np.arange(n)
+        mono = (amp * 32767 * np.sin(2 * math.pi * freq * t / rate)).astype(np.int64)
+        sub = ["fixed2", "verbatim", "lpc", "fixed4", "fixed1"][doc_id % 5]
+        if doc_id % 2:
+            pcm = np.column_stack([mono, (mono * 0.5).astype(np.int64)])
+            st = ["left_side", "right_side", "mid_side"][doc_id % 3]
+        else:
+            pcm, st = mono, "independent"
+        p = fl.encode_flac(pcm, rate, blocksize=512, subframe=sub, stereo=st)
+        return p[: len(p) * 2 // 3] if rank % 6 == 5 else p  # torn sixth
+
+    d = spark.createDataFrame(
+        [(i, flac_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.flac_features(d).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    ).orderBy("doc_id")
+
+
 @register("q_mm_wav_real", oracle=None, group="D")
 def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4g — REAL audio decoding (no stand-in): deterministic 16-bit PCM
