@@ -1013,6 +1013,92 @@ def encode_gif(img, *, interlace: bool = False, left: int = 0, top: int = 0,
     return bytes(out)
 
 
+def _decode_ico(payload: bytes):
+    """ICO decode (r12): picks the LARGEST directory entry and decodes
+    its image — either an embedded PNG (the modern form, routed through
+    the complete PNG tier) or a headerless 32/24-bit BITMAPINFOHEADER
+    DIB (height doubled for the AND mask, rows bottom-up, BGR(A)
+    order; the AND mask is dropped like every alpha channel here).
+    Paletted/16-bit DIB entries raise ValueError (skip row)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 22:
+        raise ValueError("not an ICO payload")
+    (n_images,) = struct.unpack_from("<H", payload, 4)
+    if n_images == 0:
+        raise ValueError("ICO directory is empty")
+    best = None
+    for i in range(n_images):
+        at = 6 + 16 * i
+        if at + 16 > len(payload):
+            raise ValueError("torn ICO directory")
+        w, h = payload[at] or 256, payload[at + 1] or 256
+        size, off = struct.unpack_from("<II", payload, at + 8)
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, size, off)
+    w, h, size, off = best
+    img = payload[off : off + size]
+    if len(img) != size:
+        raise ValueError("ICO image data truncated")
+    if img[:8] == PNG_MAGIC:
+        return _decode_png(img)
+    # headerless DIB: BITMAPINFOHEADER with doubled height
+    if len(img) < 40:
+        raise ValueError("torn ICO DIB header")
+    hdr_size, biw, bih = struct.unpack_from("<Iii", img, 0)
+    planes, bpp = struct.unpack_from("<HH", img, 12)
+    (comp,) = struct.unpack_from("<I", img, 16)
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"ICO DIB bpp={bpp} compression={comp} unsupported")
+    bih //= 2  # XOR image + AND mask
+    nch = bpp // 8
+    stride = (biw * nch + 3) & ~3
+    out = np.zeros((bih, biw, 3), dtype=np.uint8)
+    for r in range(bih):
+        row = np.frombuffer(img, np.uint8, biw * nch, hdr_size + r * stride)
+        out[bih - 1 - r] = row.reshape(biw, nch)[:, 2::-1][:, :3]  # BGR(A)->RGB
+    return out
+
+
+def encode_ico(img, *, png: bool = True) -> bytes:
+    """ICO writer — the twin of :func:`_decode_ico`: one entry wrapping
+    either an embedded PNG (``png=True``, the modern form) or a 32-bit
+    BGRA DIB with its doubled-height header and empty AND mask."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if h > 256 or w > 256:
+        raise ValueError("ICO entries are at most 256x256")
+    if png:
+        data = encode_png(img)
+    else:
+        stride = (w * 4 + 3) & ~3
+        body = bytearray()
+        for r in range(h - 1, -1, -1):
+            row = np.zeros((w, 4), dtype=np.uint8)
+            row[:, 0] = img[r, :, 2]
+            row[:, 1] = img[r, :, 1]
+            row[:, 2] = img[r, :, 0]
+            row[:, 3] = 255
+            line = row.tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        mask_stride = ((w + 31) // 32) * 4
+        body += b"\x00" * (mask_stride * h)  # empty AND mask
+        data = (
+            struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, len(body), 0, 0, 0, 0)
+            + bytes(body)
+        )
+    entry = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+        "<HHII", 1, 32, len(data), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + data
+
+
 def decode_rgb(payload: bytes):
     """REAL image decode for the container-decodable formats: binary PPM
     (P6), uncompressed 24-bit BMP, PNG COMPLETE — every color type,
@@ -1051,6 +1137,8 @@ def decode_rgb(payload: bytes):
         from http_feeds_spark.functions.tiff import decode_tiff
 
         return decode_tiff(payload)  # baseline strips; exotic tiers raise
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return _decode_ico(payload)  # embedded PNG or 32/24-bit DIB
     if payload[:2] == b"P6":
         # header: magic, whitespace/comments, width height maxval, ONE
         # whitespace byte, then raw RGB
@@ -2212,7 +2300,7 @@ MEDIA_META_SCHEMA = (
 
 # formats functions in THIS container can fully decode (decode_rgb /
 # decode_wav); everything else routes to an external decoder downstream
-_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff"}
+_DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff", "ico"}
 _DECODABLE_AUDIO = {"pcm", "flac"}  # r12: native FLAC decode (functions/flac.py)
 
 

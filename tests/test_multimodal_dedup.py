@@ -725,6 +725,46 @@ def test_jpeg_progressive_tier(spark):
     )
 
 
+def test_ico_decode_png_and_dib_forms():
+    """r12 ICO tier: the largest directory entry decodes — embedded
+    PNG through the complete PNG path, or a headerless 32-bit DIB
+    (doubled-height header, bottom-up BGRA rows, AND mask dropped) —
+    both pixel-exact via the encode_ico twin; multi-entry files pick
+    the largest; refusals for empty directories and paletted DIBs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = _gradient_img(16, 16)
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_ico(img, png=True)), img)
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_ico(img, png=False)), img)
+    odd = _gradient_img(11, 13)  # stride padding path
+    np.testing.assert_array_equal(mm.decode_rgb(mm.encode_ico(odd, png=False)), odd)
+
+    # two entries: the larger one (a PNG) wins
+    small = mm.encode_png(_gradient_img(4, 4))
+    big = mm.encode_png(img)
+    off0 = 6 + 32
+    ico = (
+        b"\x00\x00\x01\x00\x02\x00"
+        + bytes([4, 4, 0, 0]) + struct.pack("<HHII", 1, 32, len(small), off0)
+        + bytes([16, 16, 0, 0]) + struct.pack("<HHII", 1, 32, len(big), off0 + len(small))
+        + small + big
+    )
+    np.testing.assert_array_equal(mm.decode_rgb(ico), img)
+
+    with pytest.raises(ValueError, match="empty"):
+        mm._decode_ico(b"\x00\x00\x01\x00\x00\x00" + bytes(16))
+    pal_dib = mm.encode_ico(img, png=False)
+    bad = bytearray(pal_dib)
+    struct.pack_into("<H", bad, 22 + 14, 8)  # claim 8-bit paletted DIB
+    with pytest.raises(ValueError, match="unsupported"):
+        mm._decode_ico(bytes(bad))
+
+
 def test_gif_animation_frames_disposal_and_transparency():
     """r12 animation tier: decode_gif_frames composes every frame per
     the GIF89a protocol — GCE transparency (transparent pixels show
