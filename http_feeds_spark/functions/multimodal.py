@@ -113,6 +113,50 @@ def decode_wav(payload: bytes) -> tuple[int, int, "object"]:
     return rate, nch, x
 
 
+def decode_aiff(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL AIFF/AIFF-C PCM decode (r12 — making the router's
+    decodable verdict for AIFF true): the COMM walk of parse_aiff_meta
+    for the geometry, then the SSND chunk's sample frames — big-endian
+    signed PCM for plain AIFF / AIFC 'NONE', little-endian for the
+    'sowt' byte-swapped form — returned as (sample_rate, n_channels,
+    float64 mono in [-1, 1]), decode_wav's exact contract. Compressed
+    AIFC codecs raise ValueError (skip row)."""
+    import struct
+
+    import numpy as np
+
+    meta = parse_aiff_meta(payload)
+    if meta["codec"] != "pcm":
+        raise ValueError(f"AIFF-C codec {meta['codec']} has no local decoder")
+    bps = meta["bits_per_sample"]
+    if bps not in (8, 16, 32):
+        raise ValueError(f"unsupported AIFF sample width {bps}")
+    # find the SSND chunk: 8-byte header + offset(4) + blocksize(4)
+    swapped = meta["aiff_compression"] == "sowt"
+    pos, raw = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from(">I", payload, pos + 4)
+        if cid == b"SSND":
+            (data_off,) = struct.unpack_from(">I", payload, pos + 8)
+            raw = payload[pos + 16 + data_off : pos + 8 + clen]
+            break
+        pos += 8 + clen + (clen & 1)
+    if raw is None:
+        raise ValueError("AIFF payload has no SSND chunk")
+    order = "<" if swapped else ">"
+    if bps == 8:  # AIFF 8-bit is SIGNED, unlike WAV
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    else:
+        dt = f"{order}i{bps // 8}"
+        x = np.frombuffer(raw[: len(raw) // (bps // 8) * (bps // 8)], dtype=dt)
+        x = x.astype(np.float64) / float(1 << (bps - 1))
+    nch = meta["channels"] or 1
+    if nch > 1:
+        x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return meta["sample_rate"], nch, x
+
+
 WAV_SCHEMA = (
     "doc_id long, sample_rate int, n_channels int, n_samples long, "
     "duration_s double, rms double, peak double"
@@ -168,7 +212,9 @@ def flac_features(df: DataFrame) -> DataFrame:
 def wav_features(df: DataFrame) -> DataFrame:
     """REAL audio features from WAV payloads (stdlib decode, no external
     codec): per doc (sample_rate, n_channels, n_samples, duration_s,
-    rms, peak) over the genuinely decoded mono samples. Non-WAV
+    rms, peak) over the genuinely decoded mono samples (r12: AIFF and
+    AIFF-C 'sowt' PCM decode through the same surface via decode_aiff —
+    big-endian and byte-swapped sample orders, signed 8-bit). Non-audio
     payloads produce a null-stats row (n_samples = -1) rather than
     failing the batch — the skip-don't-crash rule of ingest. Map-only,
     Arrow-batched."""
@@ -188,9 +234,12 @@ def wav_features(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 out["doc_id"].append(doc_id)
                 try:
-                    if b[:4] != b"RIFF":
-                        raise ValueError("not a WAV payload")
-                    rate, nch, x = decode_wav(b)
+                    if b[:4] == b"FORM":  # r12: AIFF rides the same surface
+                        rate, nch, x = decode_aiff(b)
+                    elif b[:4] == b"RIFF":
+                        rate, nch, x = decode_wav(b)
+                    else:
+                        raise ValueError("not a WAV/AIFF payload")
                     out["sample_rate"].append(rate)
                     out["n_channels"].append(nch)
                     out["n_samples"].append(len(x))
@@ -1987,7 +2036,7 @@ def parse_aiff_meta(payload: bytes) -> dict:
         sr = mant * 2.0 ** (exp - 16383 - 63)
     if se & 0x8000 or sr <= 0 or sr != sr:
         raise ValueError("AIFF sample rate out of range")
-    codec = "pcm"
+    codec, four = "pcm", "NONE"
     if aifc and len(comm) >= 22:
         four = comm[18:22].decode("ascii", "replace")
         codec = "pcm" if four in ("NONE", "sowt") else four
@@ -2001,6 +2050,10 @@ def parse_aiff_meta(payload: bytes) -> dict:
         "duration_s": duration,
         "vbr": False,
         "n_frames": 0,
+        # the raw AIFC compression fourcc ('NONE' for plain AIFF) —
+        # decode_aiff needs the 'sowt' byte-order distinction the
+        # shared codec string folds away
+        "aiff_compression": four,
     }
 
 

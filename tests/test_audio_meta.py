@@ -356,6 +356,70 @@ def test_aiff_comm_walk_and_extended_float():
     assert (r["modality"], r["sample_rate"]) == ("audio", 44100)
 
 
+def aiff_with_samples(sr, x, swapped=False) -> bytes:
+    """AIFF/AIFF-C with REAL 16-bit sample frames (big-endian, or
+    little-endian under the AIFC 'sowt' form)."""
+    import math
+
+    import numpy as np
+
+    exp = math.floor(math.log2(sr))
+    mant = int(sr * 2.0 ** (63 - exp))
+    ext = struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+    body = struct.pack(">HIH", 1, len(x), 16) + ext
+    form_type = b"AIFF"
+    if swapped:
+        body += b"sowt" + bytes([4]) + b"sowt" + b"\x00"
+        form_type = b"AIFC"
+    comm = b"COMM" + struct.pack(">I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    data = np.asarray(x).astype("<i2" if swapped else ">i2").tobytes()
+    ssnd = b"SSND" + struct.pack(">I", 8 + len(data)) + bytes(8) + data
+    payload = form_type + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(payload)) + payload
+
+
+def test_aiff_real_sample_decode():
+    """r12: decode_aiff returns sample-exact PCM for plain (big-endian)
+    AIFF and the AIFC 'sowt' byte-swapped form — RMS = amp/sqrt(2) for
+    a sine, decode_wav's exact contract — and AIFF payloads ride the
+    wav_features surface; compressed AIFC codecs refuse."""
+    import math
+
+    import numpy as np
+
+    amp = 0.5
+    x = (amp * 32767 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000)).astype(np.int64)
+    for swapped in (False, True):
+        rate, nch, out = mm.decode_aiff(aiff_with_samples(8000, x, swapped))
+        assert (rate, nch, len(out)) == (8000, 1, 4000)
+        assert abs(float(np.sqrt((out**2).mean())) - amp / math.sqrt(2)) < 1e-3
+    with pytest.raises(ValueError, match="no local decoder"):
+        mm.decode_aiff(aiff_bytes(aifc=True, comp=b"ima4"))
+    # the triage fixture's SSND is empty: a legal zero-sample decode
+    assert len(mm.decode_aiff(aiff_bytes())[2]) == 0
+    # FORM(12) + COMM(8+18) = the first 38 bytes: a COMM-only stream
+    with pytest.raises(ValueError, match="no SSND"):
+        mm.decode_aiff(aiff_bytes()[:38])
+
+
+
+def test_aiff_through_wav_features_surface(spark):
+    """wav_features accepts FORM payloads: one row with the same stats
+    contract as WAV, torn payloads skip."""
+    import numpy as np
+
+    x = (0.25 * 32767 * np.sin(2 * np.pi * 300 * np.arange(2000) / 8000)).astype(np.int64)
+    d = spark.createDataFrame(
+        [(1, aiff_with_samples(8000, x)), (2, aiff_with_samples(8000, x, True)),
+         (3, b"FORMxxxxAIFF")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in mm.wav_features(d).collect()}
+    assert got[1].n_samples == 2000 and got[1].sample_rate == 8000
+    assert abs(got[1].rms - got[2].rms) < 1e-9  # byte orders agree exactly
+    assert got[3].n_samples == -1
+
+
 def test_ogg_false_capture_pattern_in_packet_data():
     """'OggS' is NOT escaped inside packet bytes (RFC 3533 has no byte
     stuffing), so a backwards rfind for the capture pattern can land
@@ -467,6 +531,11 @@ def test_media_router_one_scan_all_modalities(spark):
             traks += box(b"trak", tkhd + box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
         return box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + box(b"moov", mvhd + traks)
 
+    from http_feeds_spark.functions import flac as fl
+    from http_feeds_spark.functions import tiff as tf
+    from http_feeds_spark.functions import vp8l
+
+    pcm = (1000 * np.sin(np.arange(800) / 20)).astype(np.int64)
     rows = [
         (1, J.encode_jpeg(img, progressive=True)),          # image, decodable
         (2, b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 " + struct.pack("<I", 14)
@@ -476,6 +545,13 @@ def test_media_router_one_scan_all_modalities(spark):
         (5, bmff([(b"vide", b"avc1"), (b"soun", b"mp4a")])),  # video wins
         (6, bmff([(b"soun", b"mp4a")])),                     # audio-only BMFF
         (7, b"just text"),                                   # unclaimed
+        # the r12 tiers route too, each with its decodability verdict
+        (8, tf.encode_tiff(img, compression=5, predictor=2)),
+        (9, vp8l.encode_vp8l(img)),
+        (10, mm.encode_ico(img[:8, :8])),
+        (11, fl.encode_flac(pcm, 8000)),
+        (12, aiff_bytes()),
+        (13, adts_frame() * 2),
     ]
     d = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in mm.probe_media_meta(d).collect()}
@@ -487,3 +563,11 @@ def test_media_router_one_scan_all_modalities(spark):
     assert (got[5].modality, got[5].format) == ("video", "avc1")
     assert (got[6].modality, got[6].format) == ("audio", "mp4a")
     assert got[7].modality is None and got[7].width == -1
+    assert (got[8].modality, got[8].format, got[8].decodable) == ("image", "tiff", True)
+    assert (got[9].modality, got[9].format, got[9].decodable) == (
+        "image", "webp_lossless", True
+    )
+    assert (got[10].modality, got[10].format, got[10].decodable) == ("image", "ico", True)
+    assert (got[11].modality, got[11].format, got[11].decodable) == ("audio", "flac", True)
+    assert (got[12].modality, got[12].format, got[12].decodable) == ("audio", "pcm", True)
+    assert (got[13].modality, got[13].decodable) == ("audio", False)  # aac
