@@ -2358,6 +2358,64 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(thumbs, "doc_id").orderBy("doc_id")
 
 
+@register("q_mm_audio_dedup", oracle=None, group="D")
+def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29-audio (r12) — CROSS-CONTAINER audio near-dup over natively
+    decoded PCM: per-document rich-spectrum signals ship as 16-bit
+    WAV, and the first five docs are planted again (doc_id + 10^6) as
+    FLAC re-encodes of the SAME master — the dominant audio-dup mode
+    in mixed crawls (identical recording, different container).
+    functions/audiofp.py frames the decoded mono signal, takes
+    per-band spectral peaks, hashes 16-frame runs into band-chunk
+    keys, and pairs documents through an ids-only equi-join on
+    (band, chunk, key) with a matched-fraction verify — the banded
+    discipline of the MinHash/phash tiers, no all-pairs stage; the
+    lossless decode guarantees the planted pairs match at similarity
+    1.0 exactly. Constellation robustness and the offset boundary are
+    pinned in tests/test_audiofp.py. Rows-only: engine-synthesized
+    binaries."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from http_feeds_spark.functions import audiofp
+    from http_feeds_spark.functions import flac as fl
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(24).collect()]
+
+    def master(doc_id: int):
+        # one strong partial per fingerprint band, every frequency
+        # drawn from the doc's seed, so distinct docs share no bands
+        rng = np.random.RandomState(doc_id % 211)
+        t = np.arange(20000)
+        edges = (1, 4, 16, 48, 128, 288, 513)
+        sig = 0.0
+        for i in range(6):
+            b = rng.randint(edges[i], edges[i + 1])
+            sig = sig + (9000 - 900 * i) * np.sin(
+                2 * np.pi * (b * 8000 / 1024) * t / 8000 + i
+            )
+        return (sig / (np.abs(sig).max() / 18000) + rng.randn(len(t)) * 40).astype(np.int64)
+
+    def wav_of(x) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rows = [(i, wav_of(master(i))) for i in ids]
+    rows += [
+        (i + 1_000_000, fl.encode_flac(master(i), 8000, subframe="fixed2"))
+        for i in ids[:5]
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return audiofp.audio_near_dup(d, min_match=0.8).orderBy("a", "b")
+
+
 @register("q_mm_phash_dedup", oracle=None, group="D")
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4f — image near-dup by perceptual hash (dHash): 64-bit
