@@ -1188,9 +1188,14 @@ def decode_rgb(payload: bytes):
         return decode_tiff(payload)  # baseline strips; exotic tiers raise
     if payload[:4] == b"\x00\x00\x01\x00":
         return _decode_ico(payload)  # embedded PNG or 32/24-bit DIB
-    if payload[:2] == b"P6":
-        # header: magic, whitespace/comments, width height maxval, ONE
-        # whitespace byte, then raw RGB
+    if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
+        # Netpbm family (r12 widens P6-only): binary RGB (P6) and
+        # grayscale (P5) share the header grammar — magic, whitespace/
+        # comments, width height maxval, ONE whitespace byte, raw
+        # samples; the ASCII forms (P3 RGB, P2 gray) carry
+        # whitespace-separated decimal samples instead
+        magic = payload[:2]
+        nch = 3 if magic in (b"P6", b"P3") else 1
         pos, fields = 2, []
         while len(fields) < 3:
             while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -1207,8 +1212,19 @@ def decode_rgb(payload: bytes):
         w, h, maxval = fields
         if maxval != 255:
             raise ValueError(f"PPM maxval {maxval} unsupported (want 255)")
-        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-        return data.reshape(h, w, 3).copy()
+        if magic in (b"P6", b"P5"):
+            data = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+        else:  # ASCII samples, whitespace-separated (comments legal too)
+            toks = [
+                t for t in payload[pos:].split() if not t.startswith(b"#")
+            ][: w * h * nch]
+            if len(toks) < w * h * nch:
+                raise ValueError("ASCII PNM sample count short of dimensions")
+            data = np.array([int(t) for t in toks], dtype=np.uint8)
+        img = data.reshape(h, w, nch)
+        if nch == 1:
+            return np.repeat(img, 3, axis=2).copy()
+        return img.copy()
     if payload[:2] == b"BM":
         off, = struct.unpack_from("<I", payload, 10)
         hdr_size, = struct.unpack_from("<I", payload, 14)
@@ -2208,8 +2224,10 @@ def parse_image_meta(payload: bytes) -> dict:
             "format": "bmp", "width": abs(w), "height": abs(h),
             "bit_depth": bpp, "n_channels": 3, "progressive": False,
         }
-    if payload[:2] == b"P6":
-        # ASCII header: magic, width, height, maxval (comments allowed)
+    if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
+        # Netpbm ASCII header: magic, width, height, maxval (comments
+        # allowed); r12 widens the P6-only triage to the gray (P5/P2)
+        # and ASCII (P3/P2) forms decode_rgb now reads
         toks, i, cur = [], 2, b""
         while i < len(payload) and len(toks) < 3:
             c = payload[i : i + 1]
@@ -2228,7 +2246,8 @@ def parse_image_meta(payload: bytes) -> dict:
         w, h, maxval = (int(t) for t in toks)
         return {
             "format": "ppm", "width": w, "height": h,
-            "bit_depth": 16 if maxval > 255 else 8, "n_channels": 3,
+            "bit_depth": 16 if maxval > 255 else 8,
+            "n_channels": 3 if payload[:2] in (b"P6", b"P3") else 1,
             "progressive": False,
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 25:

@@ -725,6 +725,37 @@ def test_jpeg_progressive_tier(spark):
     )
 
 
+def test_pnm_family_variants():
+    """r12: the PPM branch widens to the whole practical Netpbm family
+    — P5 binary grayscale (replicated to RGB), P3 ASCII RGB and P2
+    ASCII grayscale decode pixel-identically to their P6/PGM twins;
+    ASCII streams short of their dimensions refuse."""
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+
+    img = _gradient_img(5, 7)
+    p6 = f"P6\n7 5\n255\n".encode() + img.tobytes()
+    p3 = b"P3\n7 5\n255\n" + " ".join(
+        str(v) for v in img.reshape(-1)
+    ).encode()
+    np.testing.assert_array_equal(mm.decode_rgb(p3), mm.decode_rgb(p6))
+
+    gray = img[:, :, 0]
+    p5 = b"P5\n7 5\n255\n" + gray.tobytes()
+    p2 = b"P2\n7 5\n255\n" + " ".join(str(v) for v in gray.reshape(-1)).encode()
+    want = np.repeat(gray[:, :, None], 3, axis=2)
+    np.testing.assert_array_equal(mm.decode_rgb(p5), want)
+    np.testing.assert_array_equal(mm.decode_rgb(p2), want)
+
+    m = mm.parse_image_meta(p5)
+    assert (m["format"], m["width"], m["height"], m["n_channels"]) == ("ppm", 7, 5, 1)
+    assert mm.parse_image_meta(p3)["n_channels"] == 3
+    with pytest.raises(ValueError, match="short of dimensions"):
+        mm.decode_rgb(b"P3\n7 5\n255\n1 2 3")
+
+
 def test_ico_decode_png_and_dib_forms():
     """r12 ICO tier: the largest directory entry decodes — embedded
     PNG through the complete PNG path, or a headerless 32-bit DIB
