@@ -1215,9 +1215,16 @@ def decode_rgb(payload: bytes):
         if magic in (b"P6", b"P5"):
             data = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
         else:  # ASCII samples, whitespace-separated (comments legal too)
-            toks = [
-                t for t in payload[pos:].split() if not t.startswith(b"#")
-            ][: w * h * nch]
+            # comments run to end-of-line, so strip them LINE-wise before
+            # tokenizing — '# made by foo' must drop ALL its words, not
+            # just the token that starts with '#'
+            toks = []
+            for ln in payload[pos:].split(b"\n"):
+                cut = ln.find(b"#")
+                toks.extend((ln if cut < 0 else ln[:cut]).split())
+                if len(toks) >= w * h * nch:
+                    break
+            toks = toks[: w * h * nch]
             if len(toks) < w * h * nch:
                 raise ValueError("ASCII PNM sample count short of dimensions")
             data = np.array([int(t) for t in toks], dtype=np.uint8)
@@ -1345,22 +1352,86 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(fake_image_features, schema=FEATURES_SCHEMA)
 
 
-PHASH_SCHEMA = "doc_id long, phash long"
+PHASH_SCHEMA = "doc_id long, phash long, decoded boolean"
+
+
+def _pack_dhash_bits(bits) -> int:
+    """MSB-first bit pack into a signed 64-bit long (two's complement) —
+    shared by the pixel and byte-fallback tiers so Hamming math and the
+    banded block layout are identical across tiers."""
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def _dhash_pixels(img, rows: int, cols: int) -> int:
+    """Pixel-domain dHash: Rec.601 integer luma, area-mean downsample to
+    a rows×(cols+1) grid (nearest-neighbor upsample first when the
+    source is smaller than the grid), bit = cell brighter than its left
+    neighbour. Area means (not single-pixel sampling) absorb the
+    per-pixel wiggle of a JPEG re-encode; lossless containers of the
+    same pixels hash IDENTICALLY because decode_rgb hands back the same
+    (H, W, 3) array regardless of container."""
+    import numpy as np
+
+    a = img.astype(np.uint32)
+    gray = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]  # luma ×1000
+    gr, gc = rows, cols + 1
+    sh, sw = gray.shape
+    if sh < gr:
+        gray = gray[(np.arange(gr) * sh) // gr]
+        sh = gr
+    if sw < gc:
+        gray = gray[:, (np.arange(gc) * sw) // gc]
+        sw = gc
+    r_edges = (np.arange(gr) * sh) // gr
+    c_edges = (np.arange(gc) * sw) // gc
+    sums = np.add.reduceat(
+        np.add.reduceat(gray.astype(np.float64), r_edges, axis=0), c_edges, axis=1
+    )
+    r_sizes = np.diff(np.append(r_edges, sh))
+    c_sizes = np.diff(np.append(c_edges, sw))
+    means = sums / (r_sizes[:, None] * c_sizes[None, :])
+    return _pack_dhash_bits((means[:, 1:] > means[:, :-1]).flatten())
+
+
+def synth_image(seed: int, height: int = 48, width: int = 64):
+    """Deterministic structured test image — 8×8 color blocks whose
+    palette is pure arithmetic in ``seed`` (no RNG: reproducible across
+    executors and sessions, and ≤256 distinct colors so GIF/paletted
+    containers round-trip losslessly). Shared by the phash/composition
+    queries and their tests to plant the SAME pixels in many
+    containers."""
+    import numpy as np
+
+    img = np.zeros((height, width, 3), np.uint8)
+    for r in range(0, height, 8):
+        for c in range(0, width, 8):
+            # multiplicative mix so the BRIGHTNESS ORDERING of adjacent
+            # blocks (what dHash compares) differs per seed, not just
+            # the absolute colors
+            m = ((r // 8) * (width // 8) + (c // 8) + 1) * (seed * 40503 + 12347)
+            img[r : r + 8, c : c + 8] = [m % 251, (m >> 3) % 241, (m >> 7) % 239]
+    return img
 
 
 def perceptual_hash(df: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
     """64-bit difference-hash (dHash) per image payload — the standard
-    perceptual fingerprint for image near-dup (bit r·cols+c = pixel
+    perceptual fingerprint for image near-dup (bit r·cols+c = cell
     brighter than its left neighbour on a (rows)×(cols+1) grayscale
     grid; robust to re-encode/resize, unlike a byte hash).
 
-    The real path decodes with PIL, converts to grayscale, and resizes
-    to (cols+1)×rows; codecs are absent in this container, so the
-    stand-in samples the payload into the same byte grid
-    `resize_images` uses — identical schema, batching, and bit-packing
-    as the real operator, and the hash is still STABLE under the small
-    byte perturbations the tests plant. Map-only (Arrow-batched
-    mapInPandas); pairs come later from Hamming pigeonhole banding
+    REAL pixel path (r13): payloads :func:`decode_rgb` can decode —
+    PNG/JPEG/GIF/BMP/PPM/VP8L/TIFF/ICO — are hashed from their PIXELS
+    (:func:`_dhash_pixels`), so the SAME image shipped in different
+    lossless containers hashes identically (Hamming 0) and a JPEG
+    re-encode lands within a small Hamming budget — the dominant
+    cross-container image-dup mode. Undecodable payloads keep the
+    byte-grid fallback (skip-don't-crash; `decoded = false` marks the
+    tier) — same sampling rule as before so byte-tier hashes are stable
+    across releases. Map-only (Arrow-batched mapInPandas); pairs come
+    later from Hamming pigeonhole banding
     (functions/minhash.simhash_candidates) — never an all-pairs scan."""
     n = rows * (cols + 1)
 
@@ -1368,22 +1439,25 @@ def perceptual_hash(df: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            hashes = []
+            hashes, decoded = [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) or b"\x00"
+                try:
+                    img = decode_rgb(b)
+                    hashes.append(_dhash_pixels(img, rows, cols))
+                    decoded.append(True)
+                    continue
+                except Exception:
+                    pass
                 step = max(1, len(b) // n)
                 grid = np.array(
                     [b[i * step % len(b)] for i in range(n)], dtype=np.int16
                 ).reshape(rows, cols + 1)
-                bits = (grid[:, 1:] > grid[:, :-1]).flatten()
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
-                # two's-complement into a signed 64-bit long
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+                hashes.append(_pack_dhash_bits((grid[:, 1:] > grid[:, :-1]).flatten()))
+                decoded.append(False)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": hashes, "decoded": decoded}
+            )
 
     return df.select("doc_id", "payload").mapInPandas(do_hash, schema=PHASH_SCHEMA)
 
@@ -2307,18 +2381,50 @@ def parse_image_meta(payload: bytes) -> dict:
             tags[tag] = val
         if 256 not in tags or 257 not in tags:
             raise ValueError("TIFF IFD lacks image dimensions")
+        # sub-tier decodability from the tags already walked: mirror
+        # decode_tiff's envelope (8-bit, chunky planar, strip-organized,
+        # none/LZW/Deflate/PackBits, predictor ≤2) so the router's
+        # verdict matches what decode will actually accept
+        sub_ok = (
+            tags.get(258, 8) == 8
+            and tags.get(284, 1) == 1
+            and 322 not in tags and 323 not in tags
+            and tags.get(259, 1) in (1, 5, 8, 32946, 32773)
+            and tags.get(262, 1) in (0, 1, 2)
+            and tags.get(317, 1) in (1, 2)
+        )
         return {"format": "tiff", "width": int(tags[256]), "height": int(tags[257]),
                 "bit_depth": int(tags.get(258, 1)),
                 "n_channels": int(tags.get(277, 1)),
-                "progressive": False}
+                "progressive": False, "sub_decodable": sub_ok}
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:  # ICO
         (n_images,) = struct.unpack_from("<H", payload, 4)
         if n_images == 0:
             raise ValueError("ICO directory is empty")
         w, h = payload[6], payload[7]  # 0 encodes 256
+        # sub-tier decodability: mirror _decode_ico's largest-entry pick
+        # and its PNG-or-24/32-bit-DIB envelope
+        best = None
+        for i in range(n_images):
+            at = 6 + 16 * i
+            if at + 16 > len(payload):
+                break
+            ew, eh = payload[at] or 256, payload[at + 1] or 256
+            size, off = struct.unpack_from("<II", payload, at + 8)
+            if best is None or ew * eh > best[0] * best[1]:
+                best = (ew, eh, size, off)
+        sub_ok = False
+        if best is not None and best[3] + best[2] <= len(payload):
+            img = payload[best[3] : best[3] + best[2]]
+            if img[:8] == PNG_MAGIC:
+                sub_ok = True
+            elif len(img) >= 40:
+                (bpp,) = struct.unpack_from("<H", img, 14)
+                (comp,) = struct.unpack_from("<I", img, 16)
+                sub_ok = comp == 0 and bpp in (24, 32)
         return {"format": "ico", "width": w or 256, "height": h or 256,
                 "bit_depth": payload[12] or 8, "n_channels": 4,
-                "progressive": False}
+                "progressive": False, "sub_decodable": sub_ok}
     raise ValueError("unrecognized image container")
 
 
@@ -2371,7 +2477,13 @@ MEDIA_META_SCHEMA = (
 )
 
 # formats functions in THIS container can fully decode (decode_rgb /
-# decode_wav); everything else routes to an external decoder downstream
+# decode_wav); everything else routes to an external decoder downstream.
+# The verdict is FORMAT-level (the jpeg-arithmetic precedent: rare
+# sub-tiers may still raise and degrade to skip rows), EXCEPT where the
+# triage already extracts enough to refine it: TIFF (bit depth / layout
+# / compression tags → decode_tiff's exact envelope) and ICO (the
+# largest entry's PNG-or-24/32-bit-DIB check) carry a per-payload
+# ``sub_decodable`` hint that parse_media_meta folds in.
 _DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff", "ico"}
 _DECODABLE_AUDIO = {"pcm", "flac"}  # r12: native FLAC decode (functions/flac.py)
 
@@ -2417,7 +2529,8 @@ def parse_media_meta(payload: bytes) -> dict:
             "width": m["width"], "height": m["height"],
             "duration_s": None, "sample_rate": 0,
             "channels": m["n_channels"], "bit_depth": m["bit_depth"],
-            "decodable": m["format"] in _DECODABLE_IMAGE,
+            "decodable": m["format"] in _DECODABLE_IMAGE
+            and m.get("sub_decodable", True),
         }
     except ValueError:
         pass

@@ -2419,17 +2419,25 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_mm_phash_dedup", oracle=None, group="D")
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4f — image near-dup by perceptual hash (dHash): 64-bit
-    difference-hash per payload (mapInPandas stand-in for the PIL
-    grayscale-resize path), then Hamming pigeonhole banding — the SAME
-    block equi-join machinery as text SimHash, reused byte-for-byte
+    difference-hash per payload — r13: hashed from DECODED PIXELS for
+    every decode_rgb-able payload, byte-grid fallback for the rest —
+    then Hamming pigeonhole banding, the SAME block equi-join machinery
+    as text SimHash, reused byte-for-byte
     (functions/multimodal.phash_near_dup).
 
-    The corpus payloads are word-soup with no natural visual twins, so 5
-    clones are planted (doc_id + PLANT_BASE, a few same-width character
-    swaps — the re-encode-noise analogue) and each must pair with its
-    source within the Hamming radius; pinned plus a Python dHash parity
-    check in tests/test_multimodal_dedup.py. Rows-only (hash-seeded
-    values per SURVEY §2's rows-only rationale)."""
+    Two plant tiers: (1) byte tier — the word-soup corpus payloads are
+    undecodable, so 5 text clones (doc_id + PLANT_BASE, same-width char
+    swaps) must pair within the Hamming radius; (2) pixel tier (r13) —
+    three synthetic images each shipped as PNG, GIF, TIFF, PPM, and a
+    quality-90 JPEG re-encode (doc_id ≥ 2·PLANT_BASE): the lossless
+    containers of one image MUST pair at Hamming 0 — the dominant
+    cross-container image-dup mode the byte tier could never see.
+    Pinned plus a Python dHash parity check in
+    tests/test_multimodal_dedup.py. Rows-only (hash-seeded values per
+    SURVEY §2's rows-only rationale)."""
+    from http_feeds_spark.functions.jpeg import encode_jpeg
+    from http_feeds_spark.functions.tiff import encode_tiff
+
     base = _docs(spark, sf_dir).select("doc_id", "text")
     clones = base.filter(F.col("doc_id") < 5).select(
         (F.col("doc_id") + PLANT_BASE).alias("doc_id"),
@@ -2438,13 +2446,31 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the re-encode-noise analogue for the byte-grid stand-in
         F.overlay("text", F.lit("zzz"), 10).alias("text"),
     )
-    d = mm.with_binary_payload(base.unionByName(clones))
+    img_base = 2 * PLANT_BASE
+    img_rows = []
+    for k in range(3):
+        img = mm.synth_image(seed=k)
+        containers = (
+            mm.encode_png(img),
+            mm.encode_gif(img),
+            encode_tiff(img),
+            b"P6 %d %d 255\n" % (img.shape[1], img.shape[0]) + img.tobytes(),
+            encode_jpeg(img, quality=90),
+        )
+        img_rows += [(img_base + k * 10 + j, p) for j, p in enumerate(containers)]
+    imgs = spark.createDataFrame(img_rows, "doc_id long, payload binary")
+    d = (
+        mm.with_binary_payload(base.unionByName(clones))
+        .select("doc_id", "payload")
+        .unionByName(imgs)
+    )
     pairs = mm.phash_near_dup(d, max_hamming=10)
     return pairs.select(
         "a",
         "b",
         "hamming",
         ((F.col("a") >= PLANT_BASE) | (F.col("b") >= PLANT_BASE)).alias("planted"),
+        (F.col("a") >= img_base).alias("pixel_tier"),
     ).orderBy("a", "b")
 
 

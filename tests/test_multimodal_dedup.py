@@ -80,8 +80,9 @@ def test_phash_near_dup_finds_planted_pairs(spark, sf_dir):
 
 
 def test_registered_query_contract(spark, sf_dir):
-    """q_mm_phash_dedup: all 5 planted pairs present and flagged, and the
-    result is deterministic across invocations."""
+    """q_mm_phash_dedup: all 5 byte-tier planted pairs present and
+    flagged, every lossless-container pair of each planted image lands
+    at Hamming 0 (r13 pixel tier), and the result is deterministic."""
     from http_feeds_spark.queries import registry
 
     reg = registry()
@@ -89,7 +90,90 @@ def test_registered_query_contract(spark, sf_dir):
     first = rows()
     planted = [r for r in first if r[3]]
     assert len([r for r in planted if r[0] < 5 and r[1] == r[0] + 1_000_000]) == 5
+    # pixel tier: per image k, ids 2e6+10k..+3 are lossless containers of
+    # ONE image — all 6 pairs at Hamming 0; the JPEG re-encode (+4)
+    # pairs with all of them within the radius
+    pix = {(r[0], r[1]): r[2] for r in first if r[4]}
+    for k in range(3):
+        ids = [2_000_000 + k * 10 + j for j in range(5)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in pix, f"missing pixel pair {(a, b)}"
+                if b - ids[0] < 4:  # both lossless
+                    assert pix[(a, b)] == 0
     assert first == rows()
+
+
+def test_phash_pixel_tier_cross_container_identity(spark):
+    """The SAME image shipped as PNG/GIF/TIFF/PPM/ICO/WebP hashes
+    IDENTICALLY (Hamming 0) — the r13 pixel path hashes decoded pixels,
+    not container bytes; a quality-90 JPEG re-encode stays within a
+    small Hamming budget; `decoded` marks the tier."""
+    from http_feeds_spark.functions.jpeg import encode_jpeg
+    from http_feeds_spark.functions.tiff import encode_tiff
+    from http_feeds_spark.functions.vp8l import encode_vp8l
+
+    img = mm.synth_image(seed=3)
+    payloads = [
+        (0, mm.encode_png(img)),
+        (1, mm.encode_gif(img)),
+        (2, encode_tiff(img)),
+        (3, b"P6 %d %d 255\n" % (img.shape[1], img.shape[0]) + img.tobytes()),
+        (4, mm.encode_ico(img)),
+        (5, encode_vp8l(img)),
+        (6, encode_jpeg(img, quality=90)),
+        (7, b"not an image at all " * 9),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in mm.perceptual_hash(df).collect()}
+    assert len({rows[i].phash for i in range(6)}) == 1
+    assert all(rows[i].decoded for i in range(7))
+    assert not rows[7].decoded
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(rows[6].phash, rows[0].phash) <= 6
+
+
+def test_phash_pixel_tier_fixes_byte_tier_blindspot(spark):
+    """The retired byte-domain stand-in could NOT pair PNG and GIF of one
+    image (container bytes are unrelated); pin that the pixel tier fixes
+    exactly that: the byte dHashes of the two containers are far apart
+    while the shipped hashes are equal."""
+    img = mm.synth_image(seed=5)
+    png, gif = mm.encode_png(img), mm.encode_gif(img)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(_py_dhash(png), _py_dhash(gif)) > 10  # byte tier: unrelated
+    df = spark.createDataFrame([(0, png), (1, gif)], "doc_id long, payload binary")
+    h = {r.doc_id: r.phash for r in mm.perceptual_hash(df).collect()}
+    assert h[0] == h[1]
+
+
+def test_phash_near_dup_pairs_images_across_containers(spark):
+    """Planted multi-container images flow through the banded candidate
+    join: every same-image container pair lands at Hamming 0, different
+    images never pair, and byte-tier filler stays out of the way."""
+    from http_feeds_spark.functions.tiff import encode_tiff
+
+    rows = []
+    for k in (0, 1):
+        img = mm.synth_image(seed=k)
+        rows += [
+            (k * 100, mm.encode_png(img)),
+            (k * 100 + 1, mm.encode_gif(img)),
+            (k * 100 + 2, encode_tiff(img)),
+        ]
+    rows += [(500 + i, (b"filler words %d " % i) * 20) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r.a, r.b): r.hamming for r in mm.phash_near_dup(d, max_hamming=10).collect()}
+    for k in (0, 1):
+        for a, b in [(k * 100, k * 100 + 1), (k * 100, k * 100 + 2), (k * 100 + 1, k * 100 + 2)]:
+            assert got.get((a, b)) == 0
+    assert not any(a < 100 <= b < 500 for a, b in got), "different images paired"
 
 
 def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5, nch=1):
