@@ -2416,6 +2416,104 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audiofp.audio_near_dup(d, min_match=0.8).orderBy("a", "b")
 
 
+@register("q_mm_media_dedup", oracle=None, group="D")
+def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29c (r13) — the end-to-end mixed-corpus media dedup story in ONE
+    call: a corpus carrying text, images and audio in one binary column
+    is routed BY CONTENT via probe_media_meta (one metadata-only scan),
+    image payloads dispatch to the pixel perceptual-hash tier
+    (phash_near_dup — Hamming pigeonhole banding over decoded pixels),
+    audio payloads to the spectral-constellation tier
+    (audiofp.audio_near_dup — banded (band, chunk, key) equi-join over
+    decoded PCM), and the UNION of the two pair sets folds into one
+    connected-components assignment (operators/components.py) —
+    "dedup a 100 TB crawl's media" as a single composition, every
+    exchange ids-only, no all-pairs stage in any tier.
+
+    Plants: two synthetic images each shipped as PNG+GIF+TIFF (pixel
+    identity ⇒ Hamming 0) and two audio masters each shipped as
+    WAV+FLAC (lossless PCM identity ⇒ similarity 1.0); word-soup text
+    filler routes to modality NULL and enters no media tier. Each
+    planted container cluster must land as one component keyed by its
+    min doc_id — cross-container image AND audio dups in one assignment
+    table. Rows-only: engine-synthesized binaries."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from http_feeds_spark.functions import audiofp
+    from http_feeds_spark.functions import flac as fl
+    from http_feeds_spark.functions.tiff import encode_tiff
+    from http_feeds_spark.operators.components import connected_components
+
+    filler = (
+        mm.with_binary_payload(
+            _docs(spark, sf_dir).select("doc_id", "text").orderBy("doc_id").limit(40)
+        ).select("doc_id", "payload")
+    )
+    rows = []
+    for k in (0, 1):
+        img = mm.synth_image(seed=k + 11)
+        rows += [
+            (1000 + k * 10, mm.encode_png(img)),
+            (1000 + k * 10 + 1, mm.encode_gif(img)),
+            (1000 + k * 10 + 2, encode_tiff(img)),
+        ]
+
+    def master(seed: int):
+        # one strong partial per fingerprint band (the q_mm_audio_dedup
+        # recipe), frequencies drawn from the seed so masters differ
+        rng = np.random.RandomState(seed)
+        t = np.arange(20000)
+        edges = (1, 4, 16, 48, 128, 288, 513)
+        sig = 0.0
+        for i in range(6):
+            b = rng.randint(edges[i], edges[i + 1])
+            sig = sig + (9000 - 900 * i) * np.sin(
+                2 * np.pi * (b * 8000 / 1024) * t / 8000 + i
+            )
+        return (sig / (np.abs(sig).max() / 18000) + rng.randn(len(t)) * 40).astype(
+            np.int64
+        )
+
+    def wav_of(x) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    for k, seed in enumerate((3, 7)):
+        x = master(seed)
+        rows += [
+            (2000 + k * 10, wav_of(x)),
+            (2000 + k * 10 + 1, fl.encode_flac(x, 8000, subframe="fixed2")),
+        ]
+    plants = spark.createDataFrame(rows, "doc_id long, payload binary")
+    corpus = filler.unionByName(plants)
+
+    meta = mm.probe_media_meta(corpus)
+    routed = corpus.join(meta.select("doc_id", "modality", "decodable"), "doc_id")
+    imgs = routed.where((F.col("modality") == "image") & F.col("decodable"))
+    auds = routed.where((F.col("modality") == "audio") & F.col("decodable"))
+    edges = (
+        mm.phash_near_dup(imgs, max_hamming=2)
+        .select("a", "b")
+        .unionByName(audiofp.audio_near_dup(auds, min_match=0.8).select("a", "b"))
+    )
+    assign = connected_components(edges)
+    return (
+        assign.join(
+            meta.select(F.col("doc_id").alias("node"), "modality"), "node"
+        )
+        .select("node", "component", "modality")
+        .orderBy("node")
+    )
+
+
 @register("q_mm_phash_dedup", oracle=None, group="D")
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4f — image near-dup by perceptual hash (dHash): 64-bit

@@ -104,6 +104,31 @@ def test_registered_query_contract(spark, sf_dir):
     assert first == rows()
 
 
+def test_media_dedup_composition(spark, sf_dir):
+    """q_mm_media_dedup (r13): the router dispatches planted images to
+    the pixel phash tier and planted audio to the constellation tier,
+    and BOTH cross-container dup families land in one
+    connected-components assignment keyed by min doc_id; text filler
+    routes to no media tier and contributes no rows."""
+    from http_feeds_spark.queries import registry
+
+    rows = [
+        tuple(r) for r in registry()["q_mm_media_dedup"].fn(spark, sf_dir).collect()
+    ]
+    assert rows == [
+        (1000, 1000, "image"),
+        (1001, 1000, "image"),
+        (1002, 1000, "image"),
+        (1010, 1010, "image"),
+        (1011, 1010, "image"),
+        (1012, 1010, "image"),
+        (2000, 2000, "audio"),
+        (2001, 2000, "audio"),
+        (2010, 2010, "audio"),
+        (2011, 2010, "audio"),
+    ]
+
+
 def test_phash_pixel_tier_cross_container_identity(spark):
     """The SAME image shipped as PNG/GIF/TIFF/PPM/ICO/WebP hashes
     IDENTICALLY (Hamming 0) — the r13 pixel path hashes decoded pixels,
