@@ -93,6 +93,9 @@ def _capture_frontiers(spark: SparkSession, root: str) -> dict:
     dedup_epoch = asg_epochs[-1][0] if asg_epochs else -1
     ann_snap = ai.snapshot_files(spark, f"{root}/ann_index")
     pq_snap = pqi.snapshot_files(spark, f"{root}/pq_index")
+    from http_feeds_spark.streaming import media as smedia
+
+    media_snap = smedia.snapshot_files(spark, f"{root}/media_index")
     _, entries = ingest._sink_log_state(
         spark, f"{root}/landing/raw/_spark_metadata"
     )
@@ -146,6 +149,9 @@ def _capture_frontiers(spark: SparkSession, root: str) -> dict:
         "pq_centroid_files": pq_snap.get("centroids", []),
         "pq_codebook_files": pq_snap.get("codebooks", []),
         "pq_code_files": pq_snap.get("codes", []),
+        "media_meta_files": media_snap.get("meta", []),
+        "media_phash_files": media_snap.get("phash", []),
+        "media_audiofp_files": media_snap.get("audiofp", []),
     }
 
 
@@ -200,13 +206,17 @@ def record_epoch(
                 rec["pq_centroid_files"],
                 rec["pq_codebook_files"],
                 rec["pq_code_files"],
+                rec["media_meta_files"],
+                rec["media_phash_files"],
+                rec["media_audiofp_files"],
             )
         ],
         "epoch int, text_batches array<int>, monitor_units array<int>, "
         "dedup_epoch int, landing_batch int, landing_files array<string>, "
         "ann_centroid_files array<string>, ann_corpus_files array<string>, "
         "pq_centroid_files array<string>, pq_codebook_files array<string>, "
-        "pq_code_files array<string>",
+        "pq_code_files array<string>, media_meta_files array<string>, "
+        "media_phash_files array<string>, media_audiofp_files array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{EPOCHS_DIR}/{n:06d}"
     )
@@ -241,6 +251,15 @@ class PlatformEpoch:
             "centroids": [str(p) for p in (getattr(rec, "pq_centroid_files", None) or [])],
             "codebooks": [str(p) for p in (getattr(rec, "pq_codebook_files", None) or [])],
             "codes": [str(p) for p in (getattr(rec, "pq_code_files", None) or [])],
+        }
+        # pre-r13 epochs lack the media frontier; pinned media reads of
+        # them raise not-recorded, never silently read live
+        self.media_files = {
+            "meta": [str(p) for p in (getattr(rec, "media_meta_files", None) or [])],
+            "phash": [str(p) for p in (getattr(rec, "media_phash_files", None) or [])],
+            "audiofp": [
+                str(p) for p in (getattr(rec, "media_audiofp_files", None) or [])
+            ],
         }
 
     def text_search(self, terms: list[str], k: int = 10) -> DataFrame:
@@ -362,6 +381,37 @@ class PlatformEpoch:
             raise FileNotFoundError(f"epoch {self.epoch} recorded no dedup assignment")
         return sd.read_assignment_epoch(
             self.spark, f"{self.root}/dedup_index", self.dedup_epoch
+        )
+
+    def media_meta(self) -> DataFrame:
+        """The media-metadata table as of the pinned wave: EXACTLY the
+        recorded meta files (streaming/media.read_meta's pinned path —
+        fail stop once maintenance/purge rewrote any of them). Erasure
+        trumps the pin: the ledger is consulted live, so an id erased
+        after the record never surfaces from the pinned read."""
+        from http_feeds_spark.streaming import media as smedia
+
+        if not self.media_files["meta"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no media store")
+        return smedia.read_meta(
+            self.spark, f"{self.root}/media_index", files=self.media_files["meta"]
+        )
+
+    def media_near_dup(self, **kw) -> DataFrame:
+        """Cross-container media near-dup pairs as of the pinned wave:
+        the phash/audiofp stores resolve to exactly the recorded files,
+        so a wave-N+1 fold landing concurrently never adds pairs to the
+        pinned answer. ``**kw`` passes through to
+        streaming/media.near_dup_pairs (max_hamming, min_match)."""
+        from http_feeds_spark.streaming import media as smedia
+
+        if not self.media_files["meta"]:
+            raise FileNotFoundError(f"epoch {self.epoch} recorded no media store")
+        return smedia.near_dup_pairs(
+            self.spark,
+            f"{self.root}/media_index",
+            snapshot=self.media_files,
+            **kw,
         )
 
     def landing(self) -> DataFrame:

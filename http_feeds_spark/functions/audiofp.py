@@ -127,7 +127,17 @@ def audio_near_dup(df: DataFrame, *, min_match: float = 0.8) -> DataFrame:
     one aggregate per pair and a broadcast-sized per-doc key count for
     the denominator. No all-pairs stage, no payloads past the
     fingerprint pass."""
-    fp = audio_fingerprint(df)
+    return near_dup_from_fingerprints(audio_fingerprint(df), min_match=min_match)
+
+
+def near_dup_from_fingerprints(
+    fp: DataFrame, *, min_match: float = 0.8
+) -> DataFrame:
+    """The pairing half of :func:`audio_near_dup`, taking an already-
+    computed (doc_id, band, chunk, key) fingerprint frame — so a
+    PERSISTED fingerprint store (streaming/media.py) pairs without
+    re-decoding any payload. Same plan shape: banded equi-join, one
+    aggregate per pair, broadcast-sized per-doc denominators."""
     counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_keys"))
     a = fp.select(
         F.col("doc_id").alias("a"), "band", "chunk", "key"

@@ -250,6 +250,74 @@ def run_ann_index(
 
 
 
+def run_media_index(
+    spark: SparkSession,
+    url: str,
+    media_root: str,
+    *,
+    checkpoint: str | None = None,
+    doc_id_field: str = "doc_id",
+    payload_field: str = "payload_b64",
+    timeout_ms: int | None = None,
+    await_s: float = 240.0,
+) -> dict:
+    """Feed → persisted media store: the MEDIA sibling of
+    :func:`run_dedup_index` (r13 — the media tier becomes a platform
+    citizen). Each micro-batch's ``data`` payloads are projected to
+    (doc_id, payload) binary documents — the payload rides the feed
+    base64-encoded under ``payload_field`` (CloudEvents ``data`` is
+    JSON; base64 is its binary convention) — and folded into the
+    persistent media store (streaming/media.fold_batch): one router
+    metadata row per payload plus pixel-phash rows for decodable images
+    and constellation rows for decodable audio.
+
+    Crash/redelivery story, same shape as run_dedup_index: the feed
+    cursor lives in the streaming checkpoint; a restart replays
+    at-least-once (README.md:113) and fold_batch's per-doc-id anti-join
+    absorbs every redelivery — the exactly-once store effect without a
+    transactional sink. Events whose payload lacks the fields
+    (tombstones, text documents, other event types) are skipped.
+    Returns {"index_root", "indexed_docs"}."""
+    from pyspark.sql import functions as F
+
+    from http_feeds_spark.stores import parquet_exists
+    from http_feeds_spark.streaming import media as smedia
+
+    http_feed.register(spark)
+    root = media_root.rstrip("/")
+    ckpt = checkpoint or f"{root}/{CHECKPOINT_DIR}"
+    reader = spark.readStream.format("httpfeed").option("url", url)
+    if timeout_ms is not None:
+        reader = reader.option("timeout", str(timeout_ms))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        docs = batch_df.select(
+            F.get_json_object("data", f"$.{doc_id_field}")
+            .cast("long")
+            .alias("doc_id"),
+            F.unbase64(
+                F.get_json_object("data", f"$.{payload_field}")
+            ).alias("payload"),
+        ).where(F.col("doc_id").isNotNull() & F.col("payload").isNotNull())
+        smedia.fold_batch(spark, docs, media_root)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"media-index catch-up did not drain the feed within {await_s}s"
+        )
+    meta = f"{root}/{smedia.META_DIR}"
+    n = spark.read.parquet(meta).count() if parquet_exists(spark, meta) else 0
+    return {"index_root": media_root, "indexed_docs": n}
+
+
 def run_monitor(
     spark: SparkSession,
     url: str,
@@ -460,6 +528,7 @@ def run_erasure(
     ann_index_root: str | None = None,
     pq_index_root: str | None = None,
     dedup_index_root: str | None = None,
+    media_index_root: str | None = None,
     purge: bool = False,
 ) -> dict:
     """Feed DELETE tombstones → erasure across every derived store.
@@ -512,6 +581,7 @@ def run_erasure(
         ann_index_root=ann_index_root,
         pq_index_root=pq_index_root,
         dedup_index_root=dedup_index_root,
+        media_index_root=media_index_root,
         purge=purge,
     )
     out["erase_ids"] = int(ids.count())
@@ -529,6 +599,7 @@ def run_platform(
     monitor: bool = True,
     ann_index: bool = False,
     pq_index: bool = False,
+    media_index: bool = False,
     erasure: bool = True,
     purge: bool = True,
     rebuild_clusters_after_purge: bool = False,
@@ -539,6 +610,7 @@ def run_platform(
     doc_id_field: str = "doc_id",
     text_field: str = "text",
     vec_field: str = "embedding",
+    payload_field: str = "payload_b64",
     timeout_ms: int | None = None,
     verify: bool = False,
 ) -> dict:
@@ -550,6 +622,10 @@ def run_platform(
              → corpus monitor fold    (run_monitor)
              → [ANN / PQ vector index folds, when the feed carries an
                 embedding field — run_ann_index / run_pq_index]
+             → [media store fold, when the feed carries binary payloads
+                (base64 under ``payload_field``) — run_media_index
+                (r13): router metadata + pixel-phash + audio
+                constellation rows per micro-batch]
              → erasure propagation    (run_erasure — DELETE tombstones
                logically erased everywhere, physically purged when
                ``purge``)
@@ -619,6 +695,15 @@ def run_platform(
         out["ann_index"] = run_ann_index(spark, url, f"{root}/ann_index", **vkw)
     if pq_index:
         out["pq_index"] = run_pq_index(spark, url, f"{root}/pq_index", **vkw)
+    if media_index:
+        out["media_index"] = run_media_index(
+            spark,
+            url,
+            f"{root}/media_index",
+            doc_id_field=doc_id_field,
+            payload_field=payload_field,
+            timeout_ms=timeout_ms,
+        )
     if erasure:
         out["erasure"] = run_erasure(
             spark,
@@ -627,6 +712,7 @@ def run_platform(
             dedup_index_root=f"{root}/dedup_index" if dedup_index else None,
             ann_index_root=f"{root}/ann_index" if ann_index else None,
             pq_index_root=f"{root}/pq_index" if pq_index else None,
+            media_index_root=f"{root}/media_index" if media_index else None,
             purge=purge,
         )
         if (
@@ -651,6 +737,7 @@ def run_platform(
             dedup_index=dedup_index,
             ann_index=ann_index,
             pq_index=pq_index,
+            media_index=media_index,
             landing=landing,
             compact_after=compact_after,
         )
@@ -702,6 +789,7 @@ def run_maintenance(
     dedup_index: bool = True,
     ann_index: bool = False,
     pq_index: bool = False,
+    media_index: bool = False,
     landing: bool = True,
     compact_after: int = 16,
     files_per_partition: int = 8,
@@ -813,6 +901,15 @@ def run_maintenance(
             "pq_index",
             f"{pq_root}/{pqi.CODES_DIR}",
             lambda: pqi.compact_store(spark, pq_root),
+        )
+    if media_index:
+        from http_feeds_spark.streaming import media as smedia
+
+        m_root = f"{root}/media_index"
+        _file_compact(
+            "media_index",
+            f"{m_root}/{smedia.META_DIR}",
+            lambda: smedia.compact_store(spark, m_root),
         )
     if landing:
         # the raw landing zone is the streaming SINK — its file bound

@@ -273,6 +273,7 @@ def propagate_erasure(
     ann_index_root: str | None = None,
     pq_index_root: str | None = None,
     dedup_index_root: str | None = None,
+    media_index_root: str | None = None,
     purge: bool = False,
 ) -> dict:
     """One erasure request fanned out to every derived store: commit the
@@ -299,6 +300,10 @@ def propagate_erasure(
         from http_feeds_spark.streaming import dedup as sd
 
         targets.append(("dedup_index", dedup_index_root, sd.purge_erased))
+    if media_index_root is not None:
+        from http_feeds_spark.streaming import media as smedia
+
+        targets.append(("media_index", media_index_root, smedia.purge_erased))
     for name, root, purge_fn in targets:
         out[f"{name}_erased"] = erase_ids(spark, root, ids, id_col=id_col)
         if purge:

@@ -306,6 +306,65 @@ def fsck_dedup_index(spark: SparkSession, index_root: str) -> dict:
     }
 
 
+def fsck_media_index(spark: SparkSession, media_root: str) -> dict:
+    """Invariant report for the media store (the EIGHTH store family,
+    r13 — streaming/media.py):
+
+    - ``fingerprint_orphans``: doc ids with phash/audiofp rows but NO
+      meta row. The fold writes meta LAST (its commit point), so a
+      nonzero count is the torn-middle state an at-least-once
+      redelivery heals — the dedup family's band-orphan story;
+    - ``modality_mismatches``: phash rows whose meta row is not image
+      modality, or audiofp rows whose meta row is not audio — MUST BE
+      ZERO (both tables are written from the same router verdict in one
+      fold; a mismatch is store corruption no redelivery heals);
+    - ``duplicate_meta``: doc ids with >1 meta row (torn-append
+      duplicates — the read paths collapse them and the next
+      maintenance compaction rewrites them away);
+    - ``stage_leftovers``: purge/rewrite stage dirs (each protocol's
+      next run resumes or discards them);
+    - ``erase_ledger_ids``: ids awaiting physical purge."""
+    from http_feeds_spark.stores import parquet_exists
+    from http_feeds_spark.streaming import media as smedia
+
+    meta_path, phash_path, fp_path = smedia._paths(media_root)
+    meta = spark.read.parquet(meta_path)
+    meta_ids = meta.select("doc_id").distinct()
+    orphans = 0
+    mismatches = 0
+    for path, modality in ((phash_path, "image"), (fp_path, "audio")):
+        if not parquet_exists(spark, path):
+            continue
+        fp_ids = spark.read.parquet(path).select("doc_id").distinct()
+        orphans += int(fp_ids.join(meta_ids, "doc_id", "left_anti").count())
+        right_ids = (
+            meta.where(F.col("modality") == modality).select("doc_id").distinct()
+        )
+        mismatches += int(
+            fp_ids.join(meta_ids, "doc_id", "semi")
+            .join(right_ids, "doc_id", "left_anti")
+            .count()
+        )
+    dup_meta = int(
+        meta.groupBy("doc_id").count().where(F.col("count") > 1).count()
+    )
+    fs, _ = hadoop_fs(spark, media_root)
+    leftovers = []
+    for store in (meta_path, phash_path, fp_path):
+        for suffix in ("__purge_stage", "__rewrite_stage"):
+            _, p = hadoop_fs(spark, store.rstrip("/") + suffix)
+            if fs.exists(p):
+                leftovers.append(store.rsplit("/", 1)[-1] + suffix)
+    return {
+        "meta_docs": int(meta_ids.count()),
+        "fingerprint_orphans": orphans,
+        "modality_mismatches": mismatches,
+        "duplicate_meta": dup_meta,
+        "stage_leftovers": leftovers,
+        "erase_ledger_ids": _ledger_count(spark, media_root),
+    }
+
+
 def fsck_landing(spark: SparkSession, landing_root: str) -> dict:
     """Invariant report for the landing zone (the streaming sink plus
     its r9 maintenance/retention machinery — the sixth store family):
@@ -472,6 +531,14 @@ def fsck_epochs(spark: SparkSession, platform_root: str) -> dict:
             pin.pq_files["centroids"] + pin.pq_files["codebooks"] + pin.pq_files["codes"]
         ):
             stale.append("pq_index")
+        if not pin.media_files["meta"]:
+            absent.append("media_index")
+        elif _gone(
+            pin.media_files["meta"]
+            + pin.media_files["phash"]
+            + pin.media_files["audiofp"]
+        ):
+            stale.append("media_index")
         out["reports"].append({"epoch": n, "stale": stale, "absent": absent})
     out["fully_servable"] = [r["epoch"] for r in out["reports"] if not r["stale"]]
     return out
@@ -517,6 +584,7 @@ def fsck_platform(spark: SparkSession, platform_root: str) -> dict:
         "dedup_index": fsck_dedup_index,
         "ann_index": fsck_ann_index,
         "pq_index": fsck_pq_index,
+        "media_index": fsck_media_index,
         "landing": fsck_landing,
     }
     out: dict = {"components": {}}
@@ -557,6 +625,12 @@ def fsck_platform(spark: SparkSession, platform_root: str) -> dict:
         _flag(warnings, "dedup_index", "assignment_orphans")
         _flag(warnings, "dedup_index", "stage_leftovers")
         _flag(warnings, "dedup_index", "erase_ledger_ids")
+    if c["media_index"].get("present"):
+        _flag(violations, "media_index", "modality_mismatches")
+        _flag(warnings, "media_index", "fingerprint_orphans")
+        _flag(warnings, "media_index", "duplicate_meta")
+        _flag(warnings, "media_index", "stage_leftovers")
+        _flag(warnings, "media_index", "erase_ledger_ids")
     for vec in ("ann_index", "pq_index"):
         if not c[vec].get("present"):
             continue

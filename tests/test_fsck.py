@@ -317,7 +317,9 @@ def test_fsck_epochs_servability_matrix(spark, tmp_path):
     assert rep["epochs"] == [rec0["epoch"]]
     r0 = rep["reports"][0]
     assert r0["stale"] == []
-    assert set(r0["absent"]) == {"monitor", "dedup_index", "landing", "pq_index"}
+    assert set(r0["absent"]) == {
+        "monitor", "dedup_index", "landing", "pq_index", "media_index",
+    }
     assert rep["fully_servable"] == [rec0["epoch"]]
 
     # a corpus rewrite stales the ANN frontier of the OLD epoch only
