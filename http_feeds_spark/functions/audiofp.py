@@ -18,14 +18,25 @@ come from an ids-only equi-join on (band, chunk, key) — the exact
 banded-join discipline of the MinHash/simhash/phash tiers, no
 all-pairs stage anywhere — verified by the matched-key fraction.
 
-Honest boundary (documented, like every tier here): peak-bin
-constellations survive amplitude scaling and mild noise, and
-locally-stationary content is even offset-tolerant (magnitudes ignore
-phase) — but for NONSTATIONARY audio a shifted excerpt moves note
-transitions across the fixed chunk grid and the keys diverge, so this
-is a same-master/re-encoded/re-containered dedup tier, not a
-shifted-excerpt search. Offset invariance needs anchor-pair hashing,
-a natural later tier on the same surface.
+Two tiers on the same banded surface:
+
+- **chunk tier** (:func:`audio_near_dup`, r12): per-band peak RUNS
+  hashed on a fixed 16-frame chunk grid — exact, selective, the
+  same-master/re-encoded/re-containered dedup tier. Honest boundary:
+  for NONSTATIONARY audio a shifted excerpt moves note transitions
+  across the fixed grid and the keys diverge (pinned in tests).
+- **anchor tier** (:func:`anchor_near_dup`, r13 — closing that
+  boundary): prominent peaks pair with peaks a few frames ahead,
+  keyed by (band, f1, f2, Δt) only — the published constellation-map
+  shape. No absolute time enters the key, so a shifted excerpt pairs
+  with its master; a prominence gate keeps noise-flat bands from
+  emitting unstable junk anchors. Same ids-only banded equi-join,
+  looser default verify threshold. ITS honest boundary: dropping
+  absolute time makes the match a constellation-SET similarity, so
+  two recordings playing the same sustained notes in different order
+  share their within-note (f, f, Δt) keys and can pair — offset
+  search and content distinctness trade off; run both tiers when both
+  matter (the chunk tier separates exactly that case).
 """
 
 from __future__ import annotations
@@ -63,24 +74,44 @@ def _mono_samples(payload: bytes):
     raise ValueError("no native PCM decoder for this container")
 
 
-def _fingerprint(x) -> list[tuple[int, int, int]]:
-    """(band, chunk, key) rows for one mono signal."""
-    import hashlib
-
+def _band_peaks(x, min_frames: int):
+    """Per-frame per-band spectral peak bins for one mono signal —
+    the shared front half of both fingerprint tiers. Returns
+    (peaks, prominence): two (n_frames, N_BANDS) arrays — the peak bin
+    and its PROMINENCE (peak magnitude over the band's mean magnitude
+    that frame; ~1 for noise-flat bands, large for a real partial) —
+    or None when the signal is shorter than ``min_frames`` frames. The
+    chunk tier ignores prominence (its keys are pinned); the anchor
+    tier gates on it so noise-flat bands emit no junk anchors."""
     import numpy as np
 
     n_frames = (len(x) - FRAME) // HOP + 1
-    if n_frames < CHUNK:
-        return []
+    if n_frames < min_frames:
+        return None
     idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_frames)[:, None]
     frames = np.asarray(x)[idx] * np.hanning(FRAME)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1))
     # 6 log-ish bands over the useful spectrum (skip DC)
     edges = [1, 4, 16, 48, 128, 288, 513]
     peaks = np.empty((n_frames, N_BANDS), dtype=np.int64)
+    prom = np.empty((n_frames, N_BANDS))
     for b in range(N_BANDS):
         lo, hi = edges[b], edges[b + 1]
-        peaks[:, b] = lo + mag[:, lo:hi].argmax(axis=1)
+        sub = mag[:, lo:hi]
+        peaks[:, b] = lo + sub.argmax(axis=1)
+        prom[:, b] = sub.max(axis=1) / (sub.mean(axis=1) + 1e-9)
+    return peaks, prom
+
+
+def _fingerprint(x) -> list[tuple[int, int, int]]:
+    """(band, chunk, key) rows for one mono signal."""
+    import hashlib
+
+    got = _band_peaks(x, CHUNK)
+    if got is None:
+        return []
+    peaks, _ = got
+    n_frames = peaks.shape[0]
     out = []
     for b in range(N_BANDS):
         for c in range(n_frames // CHUNK):
@@ -117,6 +148,85 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
+ANCHOR_DTS = (1, 2, 4, 8)
+ANCHOR_PROMINENCE = 6.0
+ANCHOR_SCHEMA = "doc_id long, band int, key long"
+
+
+def _anchor_keys(x) -> list[tuple[int, int]]:
+    """Distinct (band, key) anchor-pair rows for one mono signal — the
+    OFFSET-INVARIANT tier (r13, closing the r12 documented boundary):
+    each PROMINENT per-band peak (the anchor) pairs with the prominent
+    peak ``dt`` frames ahead for dt in ANCHOR_DTS, keyed by
+    (band, f1, f2, dt) ONLY — the published constellation-map shape. No
+    absolute frame or chunk index enters the key, so a time-shifted
+    excerpt reproduces the keys of the region it shares with the master
+    (frames straddling a shifted transition differ; everything else
+    matches), where the fixed chunk grid of :func:`_fingerprint`
+    diverges. The prominence gate (peak ≥ ANCHOR_PROMINENCE × the
+    band's mean magnitude that frame) keeps noise-flat bands — whose
+    argmax is an unstable random bin — from emitting junk anchors that
+    can never match. Keys are de-duplicated per doc: matching counts
+    distinct constellation events."""
+    import hashlib
+
+    got = _band_peaks(x, max(ANCHOR_DTS) + 1)
+    if got is None:
+        return []
+    peaks, prom = got
+    n_frames = peaks.shape[0]
+    out = set()
+    for b in range(N_BANDS):
+        col = peaks[:, b]
+        strong = prom[:, b] >= ANCHOR_PROMINENCE
+        for dt in ANCHOR_DTS:
+            for t in range(n_frames - dt):
+                if strong[t] and strong[t + dt]:
+                    h = hashlib.blake2b(
+                        b"%d:%d:%d:%d" % (b, col[t], col[t + dt], dt),
+                        digest_size=8,
+                    ).digest()
+                    out.add((b, int.from_bytes(h, "big", signed=True)))
+    return sorted(out)
+
+
+def audio_anchor_fingerprint(df: DataFrame) -> DataFrame:
+    """(doc_id, band, key) anchor-pair rows per decodable payload — the
+    offset-invariant sibling of :func:`audio_fingerprint`, same ids-only
+    posture (samples never leave the Arrow worker), same skip-don't-
+    crash contract. Map-only, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"doc_id": [], "band": [], "key": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = _anchor_keys(_mono_samples(bytes(payload)))
+                except Exception:
+                    continue
+                for b, k in rows:
+                    out["doc_id"].append(doc_id)
+                    out["band"].append(b)
+                    out["key"].append(k)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=ANCHOR_SCHEMA)
+
+
+def anchor_near_dup(df: DataFrame, *, min_match: float = 0.6) -> DataFrame:
+    """Offset-invariant audio near-dup: the banded pairing discipline of
+    :func:`audio_near_dup` over anchor-pair keys — candidates from an
+    ids-only equi-join on (band, key), verified by the matched fraction
+    of the smaller side's DISTINCT keys. A shifted excerpt of a master
+    pairs here (the keys carry no absolute time) where the chunk-grid
+    tier's documented boundary asserts divergence; the default
+    ``min_match`` is looser than the chunk tier's because transition-
+    straddling frames legitimately differ under arbitrary offsets."""
+    return near_dup_from_fingerprints(
+        audio_anchor_fingerprint(df), min_match=min_match, key_cols=("band", "key")
+    )
+
+
 def audio_near_dup(df: DataFrame, *, min_match: float = 0.8) -> DataFrame:
     """(a, b, matched, total, similarity) pairs whose fingerprints
     agree on at least ``min_match`` of the smaller side's keys.
@@ -131,22 +241,24 @@ def audio_near_dup(df: DataFrame, *, min_match: float = 0.8) -> DataFrame:
 
 
 def near_dup_from_fingerprints(
-    fp: DataFrame, *, min_match: float = 0.8
+    fp: DataFrame,
+    *,
+    min_match: float = 0.8,
+    key_cols: tuple[str, ...] = ("band", "chunk", "key"),
 ) -> DataFrame:
     """The pairing half of :func:`audio_near_dup`, taking an already-
-    computed (doc_id, band, chunk, key) fingerprint frame — so a
-    PERSISTED fingerprint store (streaming/media.py) pairs without
-    re-decoding any payload. Same plan shape: banded equi-join, one
-    aggregate per pair, broadcast-sized per-doc denominators."""
+    computed fingerprint frame (doc_id + ``key_cols``) — so a PERSISTED
+    fingerprint store (streaming/media.py) pairs without re-decoding
+    any payload, and the anchor tier (:func:`anchor_near_dup`) reuses
+    the identical plan on its (band, key) rows. Same plan shape: banded
+    equi-join, one aggregate per pair, broadcast-sized per-doc
+    denominators."""
+    keys = list(key_cols)
     counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_keys"))
-    a = fp.select(
-        F.col("doc_id").alias("a"), "band", "chunk", "key"
-    )
-    b = fp.select(
-        F.col("doc_id").alias("b"), "band", "chunk", "key"
-    )
+    a = fp.select(F.col("doc_id").alias("a"), *keys)
+    b = fp.select(F.col("doc_id").alias("b"), *keys)
     matched = (
-        a.join(b, ["band", "chunk", "key"])
+        a.join(b, keys)
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("matched"))

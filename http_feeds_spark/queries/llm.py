@@ -2416,6 +2416,62 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audiofp.audio_near_dup(d, min_match=0.8).orderBy("a", "b")
 
 
+@register("q_mm_audio_anchor", oracle=None, group="D")
+def q_mm_audio_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29-audio anchor tier (r13) — OFFSET-INVARIANT audio near-dup:
+    anchor-pair constellation keys ((band, f1, f2, Δt) — no absolute
+    time, prominence-gated; functions/audiofp._anchor_keys) pair a
+    nonstationary melody with BOTH its FLAC re-encode (similarity 1.0,
+    the container-identity guarantee carried over) and its time-shifted
+    excerpt — the input class where the r12 chunk-grid tier's documented
+    boundary asserts divergence (tests/test_audiofp.py pins both sides).
+    Same banded discipline: ids-only (band, key) equi-join + matched-
+    fraction verify, no all-pairs stage. Rows-only: engine-synthesized
+    binaries."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from http_feeds_spark.functions import audiofp
+    from http_feeds_spark.functions import flac as fl
+
+    def melody(seed: int, n: int = 24000):
+        # DISJOINT note sets per seed (offset by seed*7 bins): anchor
+        # keys carry no absolute time, so two melodies playing the SAME
+        # notes in different order would share their within-note
+        # (f, f, Δt) keys — the tier's documented set-similarity
+        # boundary; distinct masters must differ in the notes themselves
+        rng = np.random.RandomState(seed)
+        notes = np.concatenate(
+            [np.full(3000, 30 + seed * 7 + 40 * (i % 5)) for i in range(8)]
+        )
+        return (
+            15000 * np.sin(2 * np.pi * np.cumsum(notes[:n] * 8000 / 1024) / 8000)
+            + rng.randn(n) * 40
+        ).astype(np.int64)
+
+    def wav_of(x) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rows = []
+    for k, seed in enumerate((4, 8, 9)):
+        x = melody(seed)
+        rows += [
+            (100 + k * 10, wav_of(x)),
+            (100 + k * 10 + 1, wav_of(x[700:])),  # shifted excerpt
+            (100 + k * 10 + 2, fl.encode_flac(x, 8000, subframe="fixed2")),
+        ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return audiofp.anchor_near_dup(d, min_match=0.6).orderBy("a", "b")
+
+
 @register("q_mm_media_dedup", oracle=None, group="D")
 def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D29c (r13) — the end-to-end mixed-corpus media dedup story in ONE

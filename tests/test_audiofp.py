@@ -129,3 +129,82 @@ def test_plan_has_no_all_pairs_stage(spark):
         [(1, _wav(x)), (2, _wav(_rich(seed=5)))], "doc_id long, payload binary"
     )
     assert lint(audiofp.audio_near_dup(d)) == []
+
+
+def _melody(n=24000, seed=11):
+    """Nonstationary content — the input class where the chunk tier's
+    offset boundary bites (its own test above pins the divergence)."""
+    rng = np.random.RandomState(seed)
+    notes = np.concatenate([np.full(3000, 30 + 40 * (i % 5)) for i in range(8)])
+    return (
+        15000 * np.sin(2 * np.pi * np.cumsum(notes[:n] * 8000 / 1024) / 8000)
+        + rng.randn(n) * 40
+    ).astype(np.int64)
+
+
+def test_anchor_tier_is_offset_invariant():
+    """The r13 anchor tier pairs EXACTLY where the chunk tier's
+    documented boundary asserts divergence: a shifted excerpt of a
+    nonstationary melody shares (nearly) all its anchor keys with the
+    master, while unrelated audio shares none and amplitude scaling
+    changes nothing."""
+    melody = _melody()
+    base = set(audiofp._anchor_keys(audiofp._mono_samples(_wav(melody))))
+    assert len(base) >= 10
+    shift = set(audiofp._anchor_keys(audiofp._mono_samples(_wav(melody[700:]))))
+    assert len(base & shift) / min(len(base), len(shift)) >= 0.9
+    # the chunk tier diverges on the SAME input (the boundary this closes)
+    cb = set(audiofp._fingerprint(audiofp._mono_samples(_wav(melody))))
+    cs = set(audiofp._fingerprint(audiofp._mono_samples(_wav(melody[700:]))))
+    assert len(cb & cs) / len(cb) < 0.7
+    scaled = set(
+        audiofp._anchor_keys(
+            audiofp._mono_samples(_wav((melody * 0.9).astype(np.int64)))
+        )
+    )
+    assert scaled == base
+    other = set(audiofp._anchor_keys(audiofp._mono_samples(_wav(_rich(seed=77)))))
+    assert not (base & other)
+
+
+def test_anchor_near_dup_join(spark):
+    """anchor_near_dup pairs a master with its shifted excerpt AND its
+    FLAC re-encode through the (band, key) equi-join; unrelated audio
+    and undecodable payloads stay unpaired; the plan lints clean."""
+    from http_feeds_spark.plans.lint import lint
+
+    melody = _melody()
+    d = spark.createDataFrame(
+        [
+            (1, _wav(melody)),
+            (2, _wav(melody[700:])),                          # shifted excerpt
+            (3, fl.encode_flac(melody, 8000, subframe="fixed2")),  # re-encode
+            (4, _wav(_rich(seed=77))),                        # unrelated
+            (5, b"not audio"),
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = audiofp.anchor_near_dup(d, min_match=0.6)
+    assert lint(pairs) == []
+    got = {(r.a, r.b): r.similarity for r in pairs.collect()}
+    assert got[(1, 3)] == 1.0          # container identity stays exact
+    assert got[(1, 2)] >= 0.9          # the offset pair the chunk tier misses
+    assert got[(2, 3)] >= 0.9
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_registered_anchor_query_contract(spark, sf_dir):
+    """q_mm_audio_anchor: each of the 3 masters pairs with BOTH its
+    shifted excerpt and its FLAC re-encode (the full 3-pair clique per
+    group), no cross-master pairs, deterministic."""
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_audio_anchor"].fn
+    rows = fn(spark, sf_dir).collect()
+    got = {(r.a, r.b): r.similarity for r in rows}
+    for k in range(3):
+        base = 100 + k * 10
+        for a, b in ((base, base + 1), (base, base + 2), (base + 1, base + 2)):
+            assert got[(a, b)] >= 0.85, f"missing/weak pair {(a, b)}"
+    assert all(a // 10 == b // 10 for a, b in got), "cross-master pair"
+    assert rows == fn(spark, sf_dir).collect()
