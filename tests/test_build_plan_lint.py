@@ -126,3 +126,33 @@ def test_monitor_and_dedup_folds_lint_clean(spark, tmp_path, captured_writes):
     )
     assert len(captured_writes) >= 4  # the sweep must really intercept
     assert not _lint_captured(captured_writes), _lint_captured(captured_writes)
+
+
+def test_media_fold_and_purge_lint_clean(spark, tmp_path, captured_writes):
+    """The r13 media store joins the build sweep: two folds (the second
+    partially redelivered) plus the erasure purge rewrite, every
+    intercepted write frame linted."""
+    from http_feeds_spark.functions import multimodal as mm
+    from http_feeds_spark.operators import erasure
+    from http_feeds_spark.streaming import media as smedia
+
+    def png(seed):
+        return mm.encode_png(mm.synth_image(seed=seed, height=16, width=16))
+
+    root = f"{tmp_path}/media"
+    batch = spark.createDataFrame(
+        [(1, png(1)), (2, png(2)), (3, b"just text bytes " * 4)],
+        "doc_id long, payload binary",
+    )
+    smedia.fold_batch(spark, batch, root)
+    smedia.fold_batch(
+        spark,
+        batch.unionByName(
+            spark.createDataFrame([(4, png(4))], "doc_id long, payload binary")
+        ),
+        root,
+    )
+    erasure.erase_ids(spark, root, spark.createDataFrame([(1,)], "id long"))
+    smedia.purge_erased(spark, root)
+    assert len(captured_writes) >= 4  # the sweep must really intercept
+    assert not _lint_captured(captured_writes), _lint_captured(captured_writes)
