@@ -2570,6 +2570,81 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_mm_media_store", oracle=None, group="D")
+def q_mm_media_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D30-media (r13) — the PERSISTED media store driven from the
+    registry: a deterministic mixed corpus (two images × PNG/GIF/TIFF,
+    one audio master × WAV/FLAC, text filler) folds into the warehouse
+    store on first touch (streaming/media.fold_batch — per-doc-id
+    idempotent, so the refold on later runs is a no-op), and the answer
+    comes FROM THE STORE with no payload re-read: read_meta modality/
+    decodable counts left-joined with near_dup_pairs pair counts. The
+    full lifecycle (two-wave platform e2e, erasure + purge, fsck
+    family, epoch pins, crash windows, maintenance) is pinned in
+    tests/test_media_store.py; the fold/purge write frames are linted
+    in tests/test_build_plan_lint.py. Rows-only: engine-synthesized
+    binaries."""
+    import io
+    import os
+    import wave
+
+    import numpy as np
+
+    from http_feeds_spark.functions import flac as fl
+    from http_feeds_spark.functions.tiff import encode_tiff
+    from http_feeds_spark.streaming import media as smedia
+
+    rows = []
+    for k in (0, 1):
+        img = mm.synth_image(seed=k + 41, height=32, width=40)
+        rows += [
+            (1000 + k * 10, mm.encode_png(img)),
+            (1000 + k * 10 + 1, mm.encode_gif(img)),
+            (1000 + k * 10 + 2, encode_tiff(img)),
+        ]
+    rng = np.random.RandomState(6)
+    t = np.arange(12000)
+    edges = (1, 4, 16, 48, 128, 288, 513)
+    sig = 0.0
+    for i in range(6):
+        b = rng.randint(edges[i], edges[i + 1])
+        sig = sig + (9000 - 900 * i) * np.sin(2 * np.pi * (b * 8000 / 1024) * t / 8000 + i)
+    x = (sig / (np.abs(sig).max() / 18000) + rng.randn(12000) * 40).astype(np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(x.astype("<i2").tobytes())
+    rows += [(2000, buf.getvalue()), (2001, fl.encode_flac(x, 8000, subframe="fixed2"))]
+    filler = (
+        mm.with_binary_payload(
+            _docs(spark, sf_dir).select("doc_id", "text").orderBy("doc_id").limit(30)
+        ).select("doc_id", "payload")
+    )
+    corpus = filler.unionByName(
+        spark.createDataFrame(rows, "doc_id long, payload binary")
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/media_store_r13/{os.path.basename(sf_dir.rstrip('/'))}"
+    smedia.fold_batch(spark, corpus, root)
+
+    meta_counts = smedia.read_meta(spark, root).groupBy("modality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("decodable").cast("int")).alias("n_decodable"),
+    )
+    pair_counts = (
+        smedia.near_dup_pairs(spark, root, max_hamming=2)
+        .groupBy("modality")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return (
+        meta_counts.join(pair_counts, "modality", "left")
+        .withColumn("n_pairs", F.coalesce("n_pairs", F.lit(0)))
+        .orderBy(F.col("modality").asc_nulls_first())
+    )
+
+
 @register("q_mm_phash_dedup", oracle=None, group="D")
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4f — image near-dup by perceptual hash (dHash): 64-bit

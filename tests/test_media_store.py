@@ -244,3 +244,19 @@ def test_store_level_erasure(spark, tmp_path):
     assert erasure.erased_ids(spark, root) is None
     # idempotent re-purge
     assert smedia.purge_erased(spark, root) == 0
+
+
+def test_registered_media_store_query(spark, sf_dir):
+    """q_mm_media_store: modality counts and store-derived pair counts
+    are pinned, and the second invocation (idempotent refold against
+    the warehouse store) returns the identical frame."""
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_media_store"].fn
+    rows = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert rows == [
+        (None, 30, 0, 0),     # text filler: routed to no media tier
+        ("audio", 2, 2, 1),   # WAV+FLAC of one master -> one pair
+        ("image", 6, 6, 6),   # 2 images x 3 containers -> 3 pairs each
+    ]
+    assert rows == [tuple(r) for r in fn(spark, sf_dir).collect()]
