@@ -1238,15 +1238,31 @@ def decode_rgb(payload: bytes):
         w, h = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)
         comp, = struct.unpack_from("<I", payload, 30)
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported (want 24/0)")
+        # r13 widens 24-bit-only to the other common uncompressed forms:
+        # 32-bit BGRA (alpha dropped, the convention everywhere here)
+        # and 8-bit paletted (BGRX color table after the info header)
+        if bpp not in (8, 24, 32) or comp != 0:
+            raise ValueError(
+                f"BMP bpp={bpp} compression={comp} unsupported (want 8/24/32, BI_RGB)"
+            )
         flip = h > 0  # positive height = bottom-up row order
         h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
         img = np.zeros((h, w, 3), dtype=np.uint8)
+        if bpp == 8:
+            (clr_used,) = struct.unpack_from("<I", payload, 46)
+            n_colors = clr_used or 256
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+            ).reshape(n_colors, 4)[:, 2::-1]  # BGRX → RGB
+            for r in range(h):
+                idx = np.frombuffer(payload, np.uint8, w, off + r * stride)
+                img[h - 1 - r if flip else r] = pal[idx]
+            return img
         for r in range(h):
-            row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + r * stride)
-            img[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
+            row = np.frombuffer(payload, dtype=np.uint8, count=w * nch, offset=off + r * stride)
+            img[h - 1 - r if flip else r] = row.reshape(w, nch)[:, 2::-1][:, :3]  # BGR(A)→RGB
         return img
     raise ValueError(
         "not a PNG/JPEG/PPM/BMP payload (other compressed formats need decode_image)"
@@ -2294,9 +2310,12 @@ def parse_image_meta(payload: bytes) -> dict:
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0] if len(payload) >= 30 else 0
+        comp = struct.unpack_from("<I", payload, 30)[0] if len(payload) >= 34 else 0
         return {
             "format": "bmp", "width": abs(w), "height": abs(h),
             "bit_depth": bpp, "n_channels": 3, "progressive": False,
+            # mirror decode_rgb's BMP envelope (8/24/32-bit BI_RGB)
+            "sub_decodable": bpp in (8, 24, 32) and comp == 0,
         }
     if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
         # Netpbm ASCII header: magic, width, height, maxval (comments
@@ -2386,7 +2405,8 @@ def parse_image_meta(payload: bytes) -> dict:
         # none/LZW/Deflate/PackBits, predictor ≤2) so the router's
         # verdict matches what decode will actually accept
         sub_ok = (
-            tags.get(258, 8) == 8
+            tags.get(258, 8) in (8, 16)
+            and not (tags.get(258, 8) == 16 and tags.get(317, 1) == 2)
             and tags.get(284, 1) == 1
             and 322 not in tags and 323 not in tags
             and tags.get(259, 1) in (1, 5, 8, 32946, 32773)

@@ -225,8 +225,10 @@ def decode_tiff(payload: bytes):
     w, h = one(256), one(257)
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise ValueError(f"TIFF bits-per-sample {bits} unsupported (want 8)")
+    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
+        raise ValueError(f"TIFF bits-per-sample {bits} unsupported (want 8 or 16)")
+    wide = bits[0] == 16  # r13: 16-bit reduces to the high byte (the
+    # PNG 16->8 precedent); samples are stored in FILE byte order
     comp = one(259, 1)
     photometric = one(262, 1)
     if photometric not in (0, 1, 2):
@@ -259,9 +261,19 @@ def decode_tiff(payload: bytes):
             raw += _packbits_decode(strip)
         else:
             raise ValueError(f"TIFF compression {comp} unsupported")
-    if len(raw) < w * h * spp:
+    bytes_per = 2 if wide else 1
+    if len(raw) < w * h * spp * bytes_per:
         raise ValueError("TIFF pixel data short of width x height x samples")
-    arr = np.frombuffer(bytes(raw[: w * h * spp]), np.uint8).reshape(h, w, spp)
+    if wide:
+        if predictor == 2:
+            # differencing at 16 bits operates on 16-bit values; the
+            # 8-bit cumsum below would corrupt it — refuse (sub-tier)
+            raise ValueError("TIFF 16-bit with predictor 2 unsupported")
+        full = np.frombuffer(bytes(raw[: w * h * spp * 2]), np.uint8)
+        hi = 0 if endian == ">" else 1  # high byte per file byte order
+        arr = full.reshape(h, w, spp, 2)[:, :, :, hi]
+    else:
+        arr = np.frombuffer(bytes(raw[: w * h * spp]), np.uint8).reshape(h, w, spp)
     if predictor == 2:  # horizontal differencing: cumulative sum per row
         arr = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64) & 0xFF
         arr = arr.astype(np.uint8)

@@ -1303,3 +1303,75 @@ def test_image_meta_triage(spark):
     got = {r.doc_id: r for r in mm.probe_image_meta(d).collect()}
     assert got[99].width == -1 and got[99].format is None
     assert sum(1 for r in got.values() if r.width > 0) == len(cases)
+
+
+def _bmp_of(a, bpp, flip=True, clr_used=0):
+    """Independent BMP writer for the r13 widened forms: 32-bit BGRA,
+    8-bit paletted (full or clr_used-sized color table), both row
+    orders."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = a.shape
+    if bpp == 8:
+        colors = {tuple(c): i for i, c in enumerate(np.unique(a.reshape(-1, 3), axis=0))}
+        pal = sorted(colors, key=colors.get)
+        palette = b"".join(bytes([c[2], c[1], c[0], 0]) for c in pal)
+        if clr_used == 0:
+            palette += b"\x00" * 4 * (256 - len(pal))
+        stride = (w + 3) & ~3
+        rows = range(h - 1, -1, -1) if flip else range(h)
+        body = b"".join(
+            bytes(colors[tuple(p)] for p in a[r]) + b"\x00" * (stride - w)
+            for r in rows
+        )
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h if flip else -h, 1, 8, 0, len(body), 0, 0,
+            clr_used and len(palette) // 4, 0,
+        )
+        off = 14 + 40 + len(palette)
+        return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + hdr + palette + body
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = range(h - 1, -1, -1) if flip else range(h)
+
+    def px(p):
+        return bytes([p[2], p[1], p[0]] + ([255] if nch == 4 else []))
+
+    body = b"".join(
+        b"".join(px(p) for p in a[r]) + b"\x00" * (stride - w * nch) for r in rows
+    )
+    hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if flip else -h, 1, bpp, 0, len(body), 0, 0, 0, 0
+    )
+    off = 14 + 40
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + hdr + body
+
+
+def test_bmp_widened_forms_decode_pixel_exact():
+    """r13: 32-bit BGRA (alpha dropped) and 8-bit paletted BMPs decode
+    pixel-exact in both row orders; RLE refuses AND the router's
+    sub-tier verdict flips with it; the pixel phash pairs the new forms
+    with PNG at Hamming 0."""
+    import struct
+
+    import pytest
+
+    img = mm.synth_image(seed=9, height=10, width=7)
+    for payload in (
+        _bmp_of(img, 32),
+        _bmp_of(img, 32, flip=False),
+        _bmp_of(img, 8),
+        _bmp_of(img, 8, clr_used=1),
+    ):
+        assert (mm.decode_rgb(payload) == img).all()
+        assert mm.parse_media_meta(payload)["decodable"]
+    rle = bytearray(_bmp_of(img, 8))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        mm.decode_rgb(bytes(rle))
+    assert not mm.parse_media_meta(bytes(rle))["decodable"]
+    h32 = mm._dhash_pixels(mm.decode_rgb(_bmp_of(img, 32)), 8, 8)
+    hpng = mm._dhash_pixels(mm.decode_rgb(mm.encode_png(img)), 8, 8)
+    assert h32 == hpng

@@ -135,3 +135,69 @@ def test_triage_and_distributed_surface(spark):
     assert (stats[1].width, stats[1].height) == (9, 8)
     assert stats[1].mean_b == float(img[:, :, 2].mean())
     assert stats[2].width == -1
+
+
+def _tiff16(a, endian="<"):
+    """Independent minimal 16-bit RGB TIFF writer (one uncompressed
+    strip, BitsPerSample 16/16/16 via offset) — the package encoder only
+    writes 8-bit, so this fixture is non-twin by construction."""
+    import struct
+
+    h, w, _ = a.shape
+    dt = ">u2" if endian == ">" else "<u2"
+    data = (a.astype(dt) * 257).astype(dt).tobytes()  # hi byte == original
+    e = endian
+    n = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+    bits_off = data_off
+    strip_off = bits_off + 6
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + "I", val)
+
+    def ent_s(tag, val):
+        return struct.pack(e + "HHI", tag, 3, 1) + struct.pack(e + "HH", val, 0)
+
+    entries = ent_s(256, w) + ent_s(257, h)
+    entries += ent(258, 3, 3, bits_off)
+    entries += ent_s(259, 1) + ent_s(262, 2)
+    entries += ent(273, 4, 1, strip_off)
+    entries += ent_s(277, 3) + ent_s(278, h)
+    entries += ent(279, 4, 1, len(data))
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", ifd_off)
+    return (
+        hdr + struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0)
+        + struct.pack(e + "HHH", 16, 16, 16) + data
+    )
+
+
+def test_tiff_16bit_high_byte_reduction():
+    """r13: 16-bit samples reduce to the file-byte-order high byte (the
+    PNG 16->8 precedent), both byte orders, pixel-exact; the router's
+    sub-tier verdict tracks it (16-bit decodable, 16-bit+predictor-2
+    not)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from http_feeds_spark.functions import multimodal as mm
+    from http_feeds_spark.functions.tiff import decode_tiff
+
+    img = mm.synth_image(seed=14, height=9, width=6)
+    for e in ("<", ">"):
+        p = _tiff16(img, e)
+        assert (decode_tiff(p) == img).all()
+        assert mm.parse_media_meta(p)["decodable"]
+    # 16-bit + predictor 2 refuses (the 8-bit cumsum would corrupt it)
+    # and the router verdict flips with it: rewrite the inline
+    # compression entry (tag 259, default 1 when absent) into a
+    # predictor=2 entry (tag 317)
+    q = bytearray(_tiff16(img, "<"))
+    at = 8 + 2 + 3 * 12  # the 4th IFD entry: tag 259
+    struct.pack_into("<HHI", q, at, 317, 3, 1)
+    struct.pack_into("<HH", q, at + 8, 2, 0)
+    with pytest.raises(ValueError, match="predictor 2"):
+        decode_tiff(bytes(q))
+    assert not mm.parse_media_meta(bytes(q))["decodable"]
