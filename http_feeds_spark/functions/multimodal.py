@@ -1065,10 +1065,10 @@ def encode_gif(img, *, interlace: bool = False, left: int = 0, top: int = 0,
 def _decode_ico(payload: bytes):
     """ICO decode (r12): picks the LARGEST directory entry and decodes
     its image — either an embedded PNG (the modern form, routed through
-    the complete PNG tier) or a headerless 32/24-bit BITMAPINFOHEADER
+    the complete PNG tier) or a headerless 32/24-bit or 8-bit-paletted (r13) BITMAPINFOHEADER
     DIB (height doubled for the AND mask, rows bottom-up, BGR(A)
     order; the AND mask is dropped like every alpha channel here).
-    Paletted/16-bit DIB entries raise ValueError (skip row)."""
+    Sub-8-bit/16-bit DIB entries raise ValueError (skip row)."""
     import struct
 
     import numpy as np
@@ -1099,12 +1099,27 @@ def _decode_ico(payload: bytes):
     hdr_size, biw, bih = struct.unpack_from("<Iii", img, 0)
     planes, bpp = struct.unpack_from("<HH", img, 12)
     (comp,) = struct.unpack_from("<I", img, 16)
-    if comp != 0 or bpp not in (24, 32):
+    if comp != 0 or bpp not in (8, 24, 32):
         raise ValueError(f"ICO DIB bpp={bpp} compression={comp} unsupported")
     bih //= 2  # XOR image + AND mask
+    out = np.zeros((bih, biw, 3), dtype=np.uint8)
+    if bpp == 8:
+        # r13: the classic paletted favicon DIB — BGRX color table
+        # right after the header, index rows bottom-up, AND mask
+        # ignored like every alpha here
+        (clr_used,) = struct.unpack_from("<I", img, 32)
+        n_colors = clr_used or 256
+        pal = np.frombuffer(
+            img, np.uint8, n_colors * 4, hdr_size
+        ).reshape(n_colors, 4)[:, 2::-1]
+        px_off = hdr_size + n_colors * 4
+        stride = (biw + 3) & ~3
+        for r in range(bih):
+            idx = np.frombuffer(img, np.uint8, biw, px_off + r * stride)
+            out[bih - 1 - r] = pal[idx]
+        return out
     nch = bpp // 8
     stride = (biw * nch + 3) & ~3
-    out = np.zeros((bih, biw, 3), dtype=np.uint8)
     for r in range(bih):
         row = np.frombuffer(img, np.uint8, biw * nch, hdr_size + r * stride)
         out[bih - 1 - r] = row.reshape(biw, nch)[:, 2::-1][:, :3]  # BGR(A)->RGB
@@ -2441,7 +2456,7 @@ def parse_image_meta(payload: bytes) -> dict:
             elif len(img) >= 40:
                 (bpp,) = struct.unpack_from("<H", img, 14)
                 (comp,) = struct.unpack_from("<I", img, 16)
-                sub_ok = comp == 0 and bpp in (24, 32)
+                sub_ok = comp == 0 and bpp in (8, 24, 32)
         return {"format": "ico", "width": w or 256, "height": h or 256,
                 "bit_depth": payload[12] or 8, "n_channels": 4,
                 "progressive": False, "sub_decodable": sub_ok}

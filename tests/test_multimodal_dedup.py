@@ -900,7 +900,9 @@ def test_ico_decode_png_and_dib_forms():
         mm._decode_ico(b"\x00\x00\x01\x00\x00\x00" + bytes(16))
     pal_dib = mm.encode_ico(img, png=False)
     bad = bytearray(pal_dib)
-    struct.pack_into("<H", bad, 22 + 14, 8)  # claim 8-bit paletted DIB
+    # claim 16-bit DIB — still outside the envelope (8-bit paletted
+    # graduated to the decodable tier in r13)
+    struct.pack_into("<H", bad, 22 + 14, 16)
     with pytest.raises(ValueError, match="unsupported"):
         mm._decode_ico(bytes(bad))
 
@@ -1375,3 +1377,48 @@ def test_bmp_widened_forms_decode_pixel_exact():
     h32 = mm._dhash_pixels(mm.decode_rgb(_bmp_of(img, 32)), 8, 8)
     hpng = mm._dhash_pixels(mm.decode_rgb(mm.encode_png(img)), 8, 8)
     assert h32 == hpng
+
+
+def test_ico_paletted_dib_decodes():
+    """r13: the classic 8-bit paletted favicon DIB decodes pixel-exact
+    (full or clr_used-sized color table) and the router's largest-entry
+    sub-tier verdict tracks it; 16-bit DIB still refuses."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = mm.synth_image(seed=17, height=16, width=16)
+
+    def ico8(a, clr_used=0, bpp=8):
+        h, w, _ = a.shape
+        colors = {tuple(c): i for i, c in enumerate(np.unique(a.reshape(-1, 3), axis=0))}
+        pal = sorted(colors, key=colors.get)
+        palette = b"".join(bytes([c[2], c[1], c[0], 0]) for c in pal)
+        if clr_used == 0:
+            palette += b"\x00" * 4 * (256 - len(pal))
+        stride = (w + 3) & ~3
+        mask_stride = ((w + 31) // 32) * 4
+        body = b"".join(
+            bytes(colors[tuple(p)] for p in a[r]) + b"\x00" * (stride - w)
+            for r in range(h - 1, -1, -1)
+        )
+        body += b"\x00" * (mask_stride * h)
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, bpp, 0, len(body), 0, 0,
+            clr_used and len(palette) // 4, 0,
+        )
+        data = hdr + palette + body
+        entry = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+            "<HHII", 1, bpp, len(data), 22
+        )
+        return b"\x00\x00\x01\x00\x01\x00" + entry + data
+
+    for cu in (0, 1):
+        p = ico8(img, cu)
+        assert (mm.decode_rgb(p) == img).all()
+        assert mm.parse_media_meta(p)["decodable"]
+    p16 = ico8(img, bpp=16)
+    with pytest.raises(ValueError):
+        mm.decode_rgb(p16)
+    assert not mm.parse_media_meta(p16)["decodable"]
