@@ -1225,10 +1225,14 @@ def decode_rgb(payload: bytes):
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"PPM maxval {maxval} unsupported (want 255)")
+        if not 0 < maxval < 65536:
+            raise ValueError(f"PNM maxval {maxval} out of the spec's range")
+        n = w * h * nch
         if magic in (b"P6", b"P5"):
-            data = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+            if maxval > 255:  # two-byte big-endian raw samples per spec
+                data = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+            else:
+                data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
         else:  # ASCII samples, whitespace-separated (comments legal too)
             # comments run to end-of-line, so strip them LINE-wise before
             # tokenizing — '# made by foo' must drop ALL its words, not
@@ -1237,13 +1241,17 @@ def decode_rgb(payload: bytes):
             for ln in payload[pos:].split(b"\n"):
                 cut = ln.find(b"#")
                 toks.extend((ln if cut < 0 else ln[:cut]).split())
-                if len(toks) >= w * h * nch:
+                if len(toks) >= n:
                     break
-            toks = toks[: w * h * nch]
-            if len(toks) < w * h * nch:
+            toks = toks[:n]
+            if len(toks) < n:
                 raise ValueError("ASCII PNM sample count short of dimensions")
-            data = np.array([int(t) for t in toks], dtype=np.uint8)
-        img = data.reshape(h, w, nch)
+            data = np.array([int(t) for t in toks], dtype=np.int64)
+        if maxval != 255:
+            # r13: any spec-legal maxval — scale to full 8-bit range
+            # (rounded, the netpbm convention), instead of refusing
+            data = (data.astype(np.int64) * 255 + maxval // 2) // maxval
+        img = data.astype(np.uint8).reshape(h, w, nch)
         if nch == 1:
             return np.repeat(img, 3, axis=2).copy()
         return img.copy()

@@ -1422,3 +1422,26 @@ def test_ico_paletted_dib_decodes():
     with pytest.raises(ValueError):
         mm.decode_rgb(p16)
     assert not mm.parse_media_meta(p16)["decodable"]
+
+
+def test_pnm_any_maxval_scales():
+    """r13: any spec-legal maxval decodes — two-byte big-endian raw
+    samples at maxval>255 (65535 reduces exactly to the high scale) and
+    arbitrary small maxvals rescale to the 8-bit range (rounded, the
+    netpbm convention); maxval 0 and ≥65536 refuse."""
+    import numpy as np
+    import pytest
+
+    img = mm.synth_image(seed=3, height=4, width=5)
+    p6 = b"P6 5 4 65535\n" + (img.astype(">u2") * 257).astype(">u2").tobytes()
+    assert (mm.decode_rgb(p6) == img).all()
+    g = img[:, :, 0]
+    p5 = b"P5 5 4 65535\n" + (g.astype(">u2") * 257).astype(">u2").tobytes()
+    assert (mm.decode_rgb(p5) == np.repeat(g[:, :, None], 3, axis=2)).all()
+    small = (img.astype(np.int64) * 15 + 127) // 255
+    p3 = b"P3 5 4 15\n" + b" ".join(b"%d" % v for v in small.reshape(-1)) + b"\n"
+    want = ((small * 255 + 7) // 15).astype(np.uint8)
+    assert (mm.decode_rgb(p3) == want).all()
+    for bad in (b"P6 5 4 0\n", b"P6 5 4 65536\n"):
+        with pytest.raises(ValueError):
+            mm.decode_rgb(bad + img.tobytes())
