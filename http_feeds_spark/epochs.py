@@ -152,6 +152,7 @@ def _capture_frontiers(spark: SparkSession, root: str) -> dict:
         "media_meta_files": media_snap.get("meta", []),
         "media_phash_files": media_snap.get("phash", []),
         "media_audiofp_files": media_snap.get("audiofp", []),
+        "media_videofp_files": media_snap.get("videofp", []),
     }
 
 
@@ -209,6 +210,7 @@ def record_epoch(
                 rec["media_meta_files"],
                 rec["media_phash_files"],
                 rec["media_audiofp_files"],
+                rec["media_videofp_files"],
             )
         ],
         "epoch int, text_batches array<int>, monitor_units array<int>, "
@@ -216,7 +218,8 @@ def record_epoch(
         "ann_centroid_files array<string>, ann_corpus_files array<string>, "
         "pq_centroid_files array<string>, pq_codebook_files array<string>, "
         "pq_code_files array<string>, media_meta_files array<string>, "
-        "media_phash_files array<string>, media_audiofp_files array<string>",
+        "media_phash_files array<string>, media_audiofp_files array<string>, "
+        "media_videofp_files array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{EPOCHS_DIR}/{n:06d}"
     )
@@ -259,6 +262,9 @@ class PlatformEpoch:
             "phash": [str(p) for p in (getattr(rec, "media_phash_files", None) or [])],
             "audiofp": [
                 str(p) for p in (getattr(rec, "media_audiofp_files", None) or [])
+            ],
+            "videofp": [
+                str(p) for p in (getattr(rec, "media_videofp_files", None) or [])
             ],
         }
 

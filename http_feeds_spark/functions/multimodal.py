@@ -2565,6 +2565,21 @@ def parse_media_meta(payload: bytes) -> dict:
                 "channels": 0, "bit_depth": 0, "decodable": False,
             }
         raise ValueError("ISO-BMFF payload has no audio or video track")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # r13: RIFF/AVI joins the video branch, and MJPEG streams are
+        # the first video tier this container genuinely DECODES (every
+        # frame chunk is a complete JPEG — functions/video.py); other
+        # fourccs (h264/xvid/...) triage-and-route like ISO-BMFF video
+        from http_feeds_spark.functions.video import parse_avi_meta
+
+        m = parse_avi_meta(payload)
+        return {
+            "modality": "video", "format": m["fourcc"] or "avi",
+            "width": m["width"], "height": m["height"],
+            "duration_s": m["duration_s"], "sample_rate": 0,
+            "channels": 0, "bit_depth": 0,
+            "decodable": m["fourcc"] in ("mjpg", "jpeg"),
+        }
     try:
         m = parse_image_meta(payload)
         return {

@@ -1,0 +1,274 @@
+"""MJPEG-in-AVI video tier (r13) — the third modality gets a GENUINE
+local decode path, completing the image/audio pattern.
+
+Until now video was metadata-only (ISO-BMFF triage, decode refused).
+Motion-JPEG inside the RIFF/AVI container is the one mainstream video
+form fully within reach of this container's public-spec decoders: the
+AVI structure is a plain RIFF chunk walk (the WAVE walk's sibling —
+`RIFF('AVI ' LIST('hdrl' avih strl...) LIST('movi' 00dc...))`) and
+every '00dc' frame chunk is a complete baseline/progressive JPEG that
+functions/jpeg.py already decodes. No new entropy coder, no external
+codec — the honest boundary moves: MJPEG decodes for real; H.264/VP9/AV1
+(arithmetic/transform coders) remain documented refusals.
+
+Surface (mirrors the image/audio tiers):
+
+- :func:`parse_avi_meta` — header-only triage (dims, fps, frame count,
+  stream fourcc), routed by multimodal.parse_media_meta as
+  modality=video with `decodable` = the fourcc is MJPG;
+- :func:`decode_avi_frames` — (frame_idx, (H, W, 3) uint8) per frame;
+- :func:`encode_avi_mjpeg` — the export twin (frames → JPEGs → AVI);
+- :func:`video_frame_phash` — Arrow-batched (doc_id, frame_idx, phash)
+  rows: the pixel dHash of each frame (the image tier's hash, applied
+  per frame), the ids-only fingerprint table video dedup joins on;
+- :func:`video_near_dup` — cross-encode video near-dup: candidates
+  from a (frame_idx, block, block-value) pigeonhole equi-join (a
+  re-encode at a different JPEG quality moves few dHash bits, so some
+  16-bit block survives per the SimHash guarantee), verified by the
+  fraction of aligned frames within the Hamming radius. The banded
+  discipline of every dedup tier here — no all-pairs stage, no payload
+  re-reads past the fingerprint pass.
+
+Scale posture: fingerprinting is map-only Arrow batches (frames never
+leave the worker — only ids and 64-bit hashes); the candidate join keys
+on (frame_idx, block_id, block_val); per-pair verification is one
+aggregate over matched frame rows.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_size) for the
+    chunks of one RIFF level; sizes pad to even per the spec."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > len(payload):
+            raise ValueError("torn AVI chunk")
+        if fourcc in (b"LIST", b"RIFF"):
+            yield fourcc, payload[body : body + 4], body + 4, size - 4
+        else:
+            yield fourcc, None, body, size
+        pos = body + size + (size & 1)
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """Header-only AVI triage: width/height/fps/frame count and the
+    FIRST video stream's compression fourcc — no frame decode. Raises
+    for non-AVI or torn headers."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = total_frames = 0
+    us_per_frame = 0
+    fourcc = None
+    for cc, ltype, start, size in _walk_riff(payload, 12, len(payload)):
+        if cc == b"LIST" and ltype == b"hdrl":
+            for cc2, ltype2, s2, sz2 in _walk_riff(payload, start, start + size):
+                if cc2 == b"avih" and sz2 >= 40:
+                    (us_per_frame, _, _, _, total_frames, _, _, _,
+                     width, height) = struct.unpack_from("<10I", payload, s2)
+                elif cc2 == b"LIST" and ltype2 == b"strl" and fourcc is None:
+                    for cc3, _, s3, sz3 in _walk_riff(payload, s2, s2 + sz2):
+                        if cc3 == b"strh" and sz3 >= 8:
+                            if payload[s3 : s3 + 4] == b"vids":
+                                fourcc = payload[s3 + 4 : s3 + 8]
+                        elif cc3 == b"strf" and sz3 >= 20 and fourcc is not None:
+                            # BITMAPINFOHEADER biCompression refines strh
+                            comp = payload[s3 + 16 : s3 + 20]
+                            if comp.strip(b"\x00"):
+                                fourcc = comp
+            break
+    if not width or not height:
+        raise ValueError("AVI lacks a usable avih header")
+    fps = 1_000_000 / us_per_frame if us_per_frame else 0.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(total_frames),
+        "fps": float(fps),
+        "fourcc": (fourcc or b"").decode("latin-1").strip("\x00 ").lower(),
+        "duration_s": (total_frames * us_per_frame / 1_000_000)
+        if us_per_frame
+        else None,
+    }
+
+
+def decode_avi_frames(payload: bytes):
+    """[(frame_idx, (H, W, 3) uint8)] for an MJPEG AVI — every '##dc'/
+    '##db' movi chunk is a complete JPEG handed to the r9/r11 decoder.
+    Non-MJPEG streams raise (the documented boundary: their frame
+    chunks are not self-contained public-spec payloads here)."""
+    from http_feeds_spark.functions.jpeg import decode_jpeg
+
+    meta = parse_avi_meta(payload)
+    if meta["fourcc"] not in ("mjpg", "jpeg"):
+        raise ValueError(
+            f"AVI stream fourcc {meta['fourcc']!r} unsupported (MJPG only)"
+        )
+    frames = []
+    for cc, ltype, start, size in _walk_riff(payload, 12, len(payload)):
+        if cc == b"LIST" and ltype == b"movi":
+            for cc2, _, s2, sz2 in _walk_riff(payload, start, start + size):
+                if cc2[2:4] in (b"dc", b"db"):
+                    frames.append((len(frames), decode_jpeg(payload[s2 : s2 + sz2])))
+    if not frames:
+        raise ValueError("AVI movi list holds no video frame chunks")
+    return frames
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """The export twin of :func:`decode_avi_frames`: (H, W, 3) uint8
+    frames → per-frame JPEGs (functions/jpeg.encode_jpeg) in a minimal
+    spec-shaped AVI (avih + one 'vids'/MJPG strl, movi '00dc' chunks)."""
+    from http_feeds_spark.functions.jpeg import encode_jpeg
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00dc", encode_jpeg(f, quality=quality)) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_PHASH_SCHEMA = "doc_id long, frame_idx int, phash long"
+
+
+def video_frame_phash(df: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, phash) rows per decodable video payload —
+    each frame hashed with the image tier's pixel dHash
+    (multimodal._dhash_pixels), so a re-encoded copy of the same clip
+    produces near-identical per-frame hashes. Undecodable payloads
+    contribute no rows (skip-don't-crash). Map-only, Arrow-batched;
+    frames never leave the worker."""
+    from http_feeds_spark.functions import multimodal as mm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"doc_id": [], "frame_idx": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = decode_avi_frames(bytes(payload))
+                except Exception:
+                    continue
+                for idx, img in frames:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["phash"].append(mm._dhash_pixels(img, 8, 8))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_near_dup(
+    df: DataFrame, *, max_hamming: int = 6, min_match: float = 0.8
+) -> DataFrame:
+    """(a, b, matched, total, similarity) pairs of videos whose ALIGNED
+    frames agree: candidates from a (frame_idx, block_id, block_val)
+    pigeonhole equi-join on the per-frame dHash 16-bit blocks (frame
+    pairs within Hamming ≤3 are GUARANTEED to share a block — the
+    SimHash pigeonhole bound; wider radii trade recall, as documented
+    in minhash.py), then per-frame exact Hamming verify and a
+    matched-fraction-of-frames gate. Ids + longs through every
+    exchange; no all-pairs stage."""
+    return near_dup_from_frame_phashes(
+        video_frame_phash(df).localCheckpoint(),
+        max_hamming=max_hamming,
+        min_match=min_match,
+    )
+
+
+def near_dup_from_frame_phashes(
+    fp: DataFrame, *, max_hamming: int = 6, min_match: float = 0.8
+) -> DataFrame:
+    """The pairing half of :func:`video_near_dup`, taking an already-
+    computed (doc_id, frame_idx, phash) frame — so the PERSISTED video
+    fingerprint store (streaming/media.py) pairs without re-decoding
+    any payload. Same plan shape: banded equi-join, exact verify, one
+    aggregate per pair."""
+    from http_feeds_spark.functions.minhash import hamming_from_packed
+
+    counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    banded = fp.select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftright(F.col("phash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("int")
+                        .alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "frame_idx", "phash",
+        F.col("bb.block_id").alias("block_id"),
+        F.col("bb.block_val").alias("block_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a"), "frame_idx", F.col("phash").alias("ph_a"),
+        "block_id", "block_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"), "frame_idx", F.col("phash").alias("ph_b"),
+        "block_id", "block_val",
+    )
+    matched = (
+        a.join(b, ["frame_idx", "block_id", "block_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "frame_idx", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", hamming_from_packed(F.col("ph_a"), F.col("ph_b")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("matched"))
+    )
+    na = counts.select(F.col("doc_id").alias("a"), F.col("n_frames").alias("fr_a"))
+    nb = counts.select(F.col("doc_id").alias("b"), F.col("n_frames").alias("fr_b"))
+    return (
+        matched.join(na, "a")
+        .join(nb, "b")
+        .withColumn("total", F.least("fr_a", "fr_b"))
+        .withColumn("similarity", (F.col("matched") / F.col("total")).cast("double"))
+        .where(F.col("similarity") >= min_match)
+        .select(
+            "a", "b", "matched", "total", F.round("similarity", 6).alias("similarity")
+        )
+    )

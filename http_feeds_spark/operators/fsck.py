@@ -327,12 +327,14 @@ def fsck_media_index(spark: SparkSession, media_root: str) -> dict:
     from http_feeds_spark.stores import parquet_exists
     from http_feeds_spark.streaming import media as smedia
 
-    meta_path, phash_path, fp_path = smedia._paths(media_root)
+    meta_path, phash_path, fp_path, vfp_path = smedia._paths(media_root)
     meta = spark.read.parquet(meta_path)
     meta_ids = meta.select("doc_id").distinct()
     orphans = 0
     mismatches = 0
-    for path, modality in ((phash_path, "image"), (fp_path, "audio")):
+    for path, modality in (
+        (phash_path, "image"), (fp_path, "audio"), (vfp_path, "video")
+    ):
         if not parquet_exists(spark, path):
             continue
         fp_ids = spark.read.parquet(path).select("doc_id").distinct()
@@ -350,7 +352,7 @@ def fsck_media_index(spark: SparkSession, media_root: str) -> dict:
     )
     fs, _ = hadoop_fs(spark, media_root)
     leftovers = []
-    for store in (meta_path, phash_path, fp_path):
+    for store in (meta_path, phash_path, fp_path, vfp_path):
         for suffix in ("__purge_stage", "__rewrite_stage"):
             _, p = hadoop_fs(spark, store.rstrip("/") + suffix)
             if fs.exists(p):
@@ -537,6 +539,7 @@ def fsck_epochs(spark: SparkSession, platform_root: str) -> dict:
             pin.media_files["meta"]
             + pin.media_files["phash"]
             + pin.media_files["audiofp"]
+            + pin.media_files.get("videofp", [])
         ):
             stale.append("media_index")
         out["reports"].append({"epoch": n, "stale": stale, "absent": absent})
@@ -546,7 +549,8 @@ def fsck_epochs(spark: SparkSession, platform_root: str) -> dict:
 
 def fsck_platform(spark: SparkSession, platform_root: str) -> dict:
     """ONE-CALL audit of a ``run_platform`` root (the r10 verdict's
-    missing #4): the seven per-store reports, keyed by component, under
+    missing #4): the per-store family reports (eight since the r13
+    media store), keyed by component, under
     the layout run_platform itself lays down — callers no longer need
     to know which store lives where to audit a platform. Read-only like
     every fsck; a component whose directory is absent reports

@@ -2472,6 +2472,36 @@ def q_mm_audio_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audiofp.anchor_near_dup(d, min_match=0.6).orderBy("a", "b")
 
 
+@register("q_mm_video_dedup", oracle=None, group="D")
+def q_mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29-video (r13) — the THIRD modality gets genuine decode + dedup,
+    completing the image/audio pattern: MJPEG-in-AVI clips decode
+    frame-by-frame through the native JPEG tier (functions/video.py —
+    RIFF walk, every '00dc' chunk a complete JPEG), each frame is
+    pixel-dHashed, and near-dup candidates come from a
+    (frame_idx, block_id, block_val) pigeonhole equi-join with an exact
+    per-frame Hamming verify + matched-fraction-of-frames gate — the
+    banded discipline, no all-pairs stage. Two clips each ship at JPEG
+    quality 95 AND quality 75 (the re-encode dup mode); re-encodes of
+    one clip pair at similarity 1.0, different clips never pair, and
+    text filler contributes no fingerprint rows. Rows-only:
+    engine-synthesized binaries."""
+    from http_feeds_spark.functions import video as fvideo
+
+    rows = []
+    for k in (0, 1):
+        frames = [
+            mm.synth_image(seed=k * 31 + j, height=24, width=32) for j in range(4)
+        ]
+        rows += [
+            (300 + k * 10, fvideo.encode_avi_mjpeg(frames, fps=5, quality=95)),
+            (300 + k * 10 + 1, fvideo.encode_avi_mjpeg(frames, fps=5, quality=75)),
+        ]
+    rows += [(500 + i, (b"plain text filler %d " % i) * 8) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return fvideo.video_near_dup(d, min_match=0.8).orderBy("a", "b")
+
+
 @register("q_mm_media_dedup", oracle=None, group="D")
 def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D29c (r13) — the end-to-end mixed-corpus media dedup story in ONE
@@ -2487,11 +2517,13 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange ids-only, no all-pairs stage in any tier.
 
     Plants: two synthetic images each shipped as PNG+GIF+TIFF (pixel
-    identity ⇒ Hamming 0) and two audio masters each shipped as
-    WAV+FLAC (lossless PCM identity ⇒ similarity 1.0); word-soup text
-    filler routes to modality NULL and enters no media tier. Each
-    planted container cluster must land as one component keyed by its
-    min doc_id — cross-container image AND audio dups in one assignment
+    identity ⇒ Hamming 0), two audio masters each shipped as WAV+FLAC
+    (lossless PCM identity ⇒ similarity 1.0), and — r13 late — one
+    MJPEG clip shipped at JPEG quality 95 AND 75 (the re-encode dup
+    mode, paired by the aligned-frame tier); word-soup text filler
+    routes to modality NULL and enters no media tier. Each planted
+    cluster must land as one component keyed by its min doc_id —
+    cross-container image, audio AND video dups in one assignment
     table. Rows-only: engine-synthesized binaries."""
     import io
     import wave
@@ -2500,6 +2532,7 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from http_feeds_spark.functions import audiofp
     from http_feeds_spark.functions import flac as fl
+    from http_feeds_spark.functions import video as fvideo
     from http_feeds_spark.functions.tiff import encode_tiff
     from http_feeds_spark.operators.components import connected_components
 
@@ -2548,6 +2581,11 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2000 + k * 10, wav_of(x)),
             (2000 + k * 10 + 1, fl.encode_flac(x, 8000, subframe="fixed2")),
         ]
+    clip = [mm.synth_image(seed=j + 61, height=24, width=32) for j in range(3)]
+    rows += [
+        (3000, fvideo.encode_avi_mjpeg(clip, fps=5, quality=95)),
+        (3001, fvideo.encode_avi_mjpeg(clip, fps=5, quality=75)),
+    ]
     plants = spark.createDataFrame(rows, "doc_id long, payload binary")
     corpus = filler.unionByName(plants)
 
@@ -2555,10 +2593,12 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = corpus.join(meta.select("doc_id", "modality", "decodable"), "doc_id")
     imgs = routed.where((F.col("modality") == "image") & F.col("decodable"))
     auds = routed.where((F.col("modality") == "audio") & F.col("decodable"))
+    vids = routed.where((F.col("modality") == "video") & F.col("decodable"))
     edges = (
         mm.phash_near_dup(imgs, max_hamming=2)
         .select("a", "b")
         .unionByName(audiofp.audio_near_dup(auds, min_match=0.8).select("a", "b"))
+        .unionByName(fvideo.video_near_dup(vids, min_match=0.8).select("a", "b"))
     )
     assign = connected_components(edges)
     return (
@@ -2574,16 +2614,17 @@ def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_media_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D30-media (r13) — the PERSISTED media store driven from the
     registry: a deterministic mixed corpus (two images × PNG/GIF/TIFF,
-    one audio master × WAV/FLAC, text filler) folds into the warehouse
-    store on first touch (streaming/media.fold_batch — per-doc-id
-    idempotent, so the refold on later runs is a no-op), and the answer
-    comes FROM THE STORE with no payload re-read: read_meta modality/
-    decodable counts left-joined with near_dup_pairs pair counts. The
-    full lifecycle (two-wave platform e2e, erasure + purge, fsck
+    one audio master × WAV/FLAC, one MJPEG clip × two JPEG qualities,
+    text filler) folds into the warehouse store on first touch
+    (streaming/media.fold_batch — per-doc-id idempotent, so the refold
+    on later runs is a no-op), and the answer comes FROM THE STORE with
+    no payload re-read: read_meta modality/decodable counts left-joined
+    with near_dup_pairs pair counts across all THREE fingerprint tiers.
+    The full lifecycle (two-wave platform e2e, erasure + purge, fsck
     family, epoch pins, crash windows, maintenance) is pinned in
-    tests/test_media_store.py; the fold/purge write frames are linted
-    in tests/test_build_plan_lint.py. Rows-only: engine-synthesized
-    binaries."""
+    tests/test_media_store.py and tests/test_video.py; the fold/purge
+    write frames are linted in tests/test_build_plan_lint.py.
+    Rows-only: engine-synthesized binaries."""
     import io
     import os
     import wave
@@ -2617,6 +2658,13 @@ def q_mm_media_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.setframerate(8000)
         w.writeframes(x.astype("<i2").tobytes())
     rows += [(2000, buf.getvalue()), (2001, fl.encode_flac(x, 8000, subframe="fixed2"))]
+    from http_feeds_spark.functions import video as fvideo
+
+    clip = [mm.synth_image(seed=j + 51, height=24, width=32) for j in range(3)]
+    rows += [
+        (3000, fvideo.encode_avi_mjpeg(clip, fps=5, quality=95)),
+        (3001, fvideo.encode_avi_mjpeg(clip, fps=5, quality=75)),
+    ]
     filler = (
         mm.with_binary_payload(
             _docs(spark, sf_dir).select("doc_id", "text").orderBy("doc_id").limit(30)

@@ -25,6 +25,10 @@ buckets holding erased docs, never the whole append-only store):
     audiofp/bucket=N/  (doc_id, band, chunk, key) — spectral-peak
                         constellation rows for decodable audio payloads
                         (functions/audiofp.audio_fingerprint)
+    videofp/bucket=N/  (doc_id, frame_idx, phash) — per-frame pixel
+                        dHash rows for decodable video payloads
+                        (functions/video.video_frame_phash — r13, the
+                        MJPEG-in-AVI tier)
     erased/batch=K/    the standard erasure ledger (operators/erasure)
 
 Fold protocol (the streaming/dedup.py crash story, adapted): already-
@@ -43,8 +47,8 @@ dedup family's band orphans.
 passes are Arrow-batched mapInPandas; payloads never shuffle — only
 ids, hashes and constellation keys leave the worker); near-dup pairing
 from the STORE reuses the banded machinery (Hamming pigeonhole blocks
-for phash, (band, chunk, key) equi-join for audio) with no all-pairs
-stage and no payload re-reads.
+for phash, (band, chunk, key) equi-join for audio, (frame_idx, block)
+pigeonhole for video) with no all-pairs stage and no payload re-reads.
 """
 
 from __future__ import annotations
@@ -54,23 +58,26 @@ from pyspark.sql import functions as F
 
 from http_feeds_spark.functions import audiofp
 from http_feeds_spark.functions import multimodal as mm
+from http_feeds_spark.functions import video as fvideo
 from http_feeds_spark.operators import erasure
 from http_feeds_spark.stores import parquet_exists
 
 META_DIR = "meta"
 PHASH_DIR = "phash"
 AUDIOFP_DIR = "audiofp"
+VIDEOFP_DIR = "videofp"
 # doc-id-hash buckets: the erasure purge's partition locality (the
 # streaming/dedup.py convention and constant)
 N_BUCKETS = 64
 
 
-def _paths(media_root: str) -> tuple[str, str, str]:
+def _paths(media_root: str) -> tuple[str, str, str, str]:
     root = media_root.rstrip("/")
     return (
         f"{root}/{META_DIR}",
         f"{root}/{PHASH_DIR}",
         f"{root}/{AUDIOFP_DIR}",
+        f"{root}/{VIDEOFP_DIR}",
     )
 
 
@@ -80,11 +87,12 @@ def fold_batch(spark: SparkSession, batch: DataFrame, media_root: str) -> None:
     Idempotent per doc id (the anti-join below), so at-least-once
     upstreams need no external dedup; write order is the crash story —
     see the module docstring."""
-    meta_path, phash_path, fp_path = _paths(media_root)
+    meta_path, phash_path, fp_path, vfp_path = _paths(media_root)
     if parquet_exists(spark, meta_path):
         seen = spark.read.parquet(meta_path).select("doc_id")
         batch = batch.join(seen, "doc_id", "left_anti")
-    # payloads feed THREE Arrow passes (router + two fingerprint tiers):
+    # payloads feed up to FOUR Arrow passes (router + three fingerprint
+    # tiers):
     # snapshot the batch once so the upstream (a feed micro-batch) isn't
     # re-read per pass
     batch = batch.select("doc_id", "payload").localCheckpoint()
@@ -113,6 +121,15 @@ def fold_batch(spark: SparkSession, batch: DataFrame, media_root: str) -> None:
         audiofp.audio_fingerprint(auds).withColumn("bucket", bucket).write.mode(
             "append"
         ).partitionBy("bucket").parquet(fp_path)
+    vids = batch.join(
+        meta_new.where((F.col("modality") == "video") & F.col("decodable"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    if vids.limit(1).count():
+        fvideo.video_frame_phash(vids).withColumn("bucket", bucket).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(vfp_path)
     # meta LAST: the commit point — a crash above leaves this batch
     # unfiltered for the redelivery to re-fold
     meta_new.withColumn("bucket", bucket).write.mode("append").partitionBy(
@@ -149,7 +166,7 @@ def read_meta(
     """The queryable media-metadata table: one router row per ingested
     payload, minus erased ids. Raises when no batch has folded yet.
     ``files`` pins the read to an epoch's exact file list."""
-    meta_path, _, _ = _paths(media_root)
+    meta_path = _paths(media_root)[0]
     if files is None and not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no media meta at {meta_path}; fold a batch first")
     return _read_store(spark, media_root, meta_path, ["doc_id"], files, "media meta")
@@ -159,7 +176,7 @@ def read_phash(
     spark: SparkSession, media_root: str, files: list[str] | None = None
 ) -> DataFrame:
     """(doc_id, phash, decoded) image fingerprints, minus erased ids."""
-    _, phash_path, _ = _paths(media_root)
+    phash_path = _paths(media_root)[1]
     if files is None and not parquet_exists(spark, phash_path):
         raise FileNotFoundError(f"no phash store at {phash_path}; fold a batch first")
     return _read_store(
@@ -171,10 +188,20 @@ def read_audiofp(
     spark: SparkSession, media_root: str, files: list[str] | None = None
 ) -> DataFrame:
     """(doc_id, band, chunk, key) audio constellations, minus erased."""
-    _, _, fp_path = _paths(media_root)
+    fp_path = _paths(media_root)[2]
     if files is None and not parquet_exists(spark, fp_path):
         raise FileNotFoundError(f"no audiofp store at {fp_path}; fold a batch first")
     return _read_store(spark, media_root, fp_path, None, files, "media audiofp")
+
+
+def read_videofp(
+    spark: SparkSession, media_root: str, files: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, frame_idx, phash) video frame hashes, minus erased."""
+    vfp_path = _paths(media_root)[3]
+    if files is None and not parquet_exists(spark, vfp_path):
+        raise FileNotFoundError(f"no videofp store at {vfp_path}; fold a batch first")
+    return _read_store(spark, media_root, vfp_path, None, files, "media videofp")
 
 
 def near_dup_pairs(
@@ -189,19 +216,23 @@ def near_dup_pairs(
     re-read, no re-decode: image pairs from the persisted phash rows
     (Hamming pigeonhole block equi-join, functions/minhash.
     simhash_candidates) and audio pairs from the persisted constellation
-    rows (functions/audiofp.near_dup_from_fingerprints), unified as
-    (a, b, modality, score) where score is 1 − hamming/64 for images and
-    the matched-key fraction for audio. Erased ids are already filtered
+    rows (functions/audiofp.near_dup_from_fingerprints), and video pairs
+    from the persisted frame hashes (functions/video.
+    near_dup_from_frame_phashes — r13), unified as (a, b, modality,
+    score) where score is 1 − hamming/64 for images and the
+    matched-fraction for audio/video. Erased ids are already filtered
     by the read paths. ``snapshot`` (a pinned epoch's media file lists —
     epochs.PlatformEpoch.media_near_dup) resolves each store to exactly
     the recorded files instead of the live directory scan."""
     from http_feeds_spark.functions import minhash as mh
 
-    _, phash_path, fp_path = _paths(media_root)
+    _, phash_path, fp_path, vfp_path = _paths(media_root)
     ph_files = snapshot.get("phash") if snapshot is not None else None
     fp_files = snapshot.get("audiofp") if snapshot is not None else None
+    vfp_files = snapshot.get("videofp") if snapshot is not None else None
     has_ph = bool(ph_files) if snapshot is not None else parquet_exists(spark, phash_path)
     has_fp = bool(fp_files) if snapshot is not None else parquet_exists(spark, fp_path)
+    has_vfp = bool(vfp_files) if snapshot is not None else parquet_exists(spark, vfp_path)
     parts = []
     if has_ph:
         sig = read_phash(spark, media_root, files=ph_files).select(
@@ -232,6 +263,17 @@ def near_dup_pairs(
                 F.col("similarity").alias("score"),
             )
         )
+    if has_vfp:
+        parts.append(
+            fvideo.near_dup_from_frame_phashes(
+                read_videofp(spark, media_root, files=vfp_files),
+                max_hamming=max_hamming,
+                min_match=min_match,
+            ).select(
+                "a", "b", F.lit("video").alias("modality"),
+                F.col("similarity").alias("score"),
+            )
+        )
     if not parts:
         raise FileNotFoundError(
             f"no fingerprint stores under {media_root}; fold a batch first"
@@ -243,7 +285,7 @@ def near_dup_pairs(
 
 
 def purge_erased(spark: SparkSession, media_root: str) -> int:
-    """Physically remove the ledger's erased docs from all three stores
+    """Physically remove the ledger's erased docs from every substore
     (erasure.purge_partitioned_store — stage→swap per bucket, only the
     buckets holding erased rows rewrite), then clear exactly the
     processed ledger batches. Readers keep filtering until that last
@@ -283,12 +325,13 @@ def compact_store(spark: SparkSession, media_root: str) -> dict:
 
 def snapshot_files(spark: SparkSession, media_root: str) -> dict[str, list[str]]:
     """The store's EXACT data-file frontier right now — ``{"meta":
-    [...], "phash": [...], "audiofp": [...]}`` — the token a platform
+    [...], "phash": [...], "audiofp": [...], "videofp": [...]}`` — the
+    token a platform
     epoch records (epochs.py). Folds only APPEND files and maintenance/
     purge REPLACE them, so a read over exactly this list serves exactly
     the current wave and fails stop once maintenance has rewritten any
     of it. Metadata-only; {} when the store is absent."""
-    meta_path, phash_path, fp_path = _paths(media_root)
+    meta_path, phash_path, fp_path, vfp_path = _paths(media_root)
     if not parquet_exists(spark, meta_path):
         return {}
     from http_feeds_spark.stores import list_data_files
@@ -297,4 +340,5 @@ def snapshot_files(spark: SparkSession, media_root: str) -> dict[str, list[str]]
         "meta": list_data_files(spark, meta_path),
         "phash": list_data_files(spark, phash_path),
         "audiofp": list_data_files(spark, fp_path),
+        "videofp": list_data_files(spark, vfp_path),
     }

@@ -258,5 +258,6 @@ def test_registered_media_store_query(spark, sf_dir):
         (None, 30, 0, 0),     # text filler: routed to no media tier
         ("audio", 2, 2, 1),   # WAV+FLAC of one master -> one pair
         ("image", 6, 6, 6),   # 2 images x 3 containers -> 3 pairs each
+        ("video", 2, 2, 1),   # one MJPEG clip x 2 qualities -> one pair
     ]
     assert rows == [tuple(r) for r in fn(spark, sf_dir).collect()]

@@ -126,6 +126,8 @@ def test_media_dedup_composition(spark, sf_dir):
         (2001, 2000, "audio"),
         (2010, 2010, "audio"),
         (2011, 2010, "audio"),
+        (3000, 3000, "video"),
+        (3001, 3000, "video"),
     ]
 
 
