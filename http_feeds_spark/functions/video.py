@@ -200,7 +200,14 @@ def video_near_dup(
     SimHash pigeonhole bound; wider radii trade recall, as documented
     in minhash.py), then per-frame exact Hamming verify and a
     matched-fraction-of-frames gate. Ids + longs through every
-    exchange; no all-pairs stage."""
+    exchange; no all-pairs stage.
+
+    Honest boundary (every tier here documents one): joining on
+    ``frame_idx`` makes this a RE-ENCODE/re-container dedup tier — a
+    TRIMMED or frame-offset copy never aligns, exactly like the audio
+    chunk grid before r13's anchor tier. The same remedy applies and is
+    the documented next step: hash (phash_t, phash_t+Δ, Δ) frame
+    anchor pairs with no absolute index."""
     return near_dup_from_frame_phashes(
         video_frame_phash(df).localCheckpoint(),
         max_hamming=max_hamming,

@@ -2191,7 +2191,8 @@ def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D51 capstone (r12) — the unified media ROUTER over a MIXED
     corpus: the rank-mod-4 interleave of the three per-modality fixture
     populations (images via _mm_image_payload, audio via
-    _mm_audio_payload, ISO-BMFF video via _mm_video_payload) plus a
+    _mm_audio_payload, video via _mm_video_payload — ISO-BMFF plus,
+    since r13, an MJPEG-in-AVI rank the router marks DECODABLE) plus a
     plain-text unclaimed payload every fourth rank, all routed by
     functions/multimodal.probe_media_meta in ONE Arrow-batched
     metadata-only pass — modality, format, dimensions, duration, and
@@ -2215,6 +2216,14 @@ def q_mm_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         if m == 1:
             return _mm_audio_payload(sub, doc_id)
         if m == 2:
+            if sub % 4 == 3:
+                # r13: the MJPEG-in-AVI rank — the one video form the
+                # engine genuinely decodes; the router must say so
+                from http_feeds_spark.functions.video import encode_avi_mjpeg
+
+                return encode_avi_mjpeg(
+                    [mm.synth_image(seed=doc_id % 7, height=16, width=16)], fps=5
+                )
             return _mm_video_payload(doc_id)
         return b"plain text payload %d" % doc_id  # unclaimed: skip row
 

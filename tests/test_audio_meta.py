@@ -182,7 +182,11 @@ def test_registered_router_query_contract(spark, sf_dir):
     formats = {r.format for r in rows if r.modality == "image"}
     assert formats & {"png", "jpeg", "ppm"}
     assert any(r.modality == "audio" and r.decodable for r in rows)  # pcm
-    assert all(not r.decodable for r in rows if r.modality == "video")
+    # r13: the MJPEG-in-AVI ranks are the ONE decodable video form;
+    # ISO-BMFF codecs still triage-and-route
+    vids = [r for r in rows if r.modality == "video"]
+    assert any(r.format == "mjpg" and r.decodable for r in vids)
+    assert all(not r.decodable for r in vids if r.format != "mjpg")
     torn = [r for r in rows if r.modality is None]
     assert all(r.width == -1 for r in torn)
     assert rows == fn(spark, sf_dir).collect()

@@ -20,7 +20,9 @@ byte stream whose entropy bits were computed by hand. Concretely:
   CLEAR code (spec-legal; the package encoder only clears at 4096);
 - FLAC: an independent frame writer using the uncommon
   blocksize-from-end-of-header forms (codes 6 and 8-bit / 7 and 16-bit)
-  with verbatim subframes and its own bitwise CRC-8/CRC-16.
+  with verbatim subframes and its own bitwise CRC-8/CRC-16;
+- AVI: a hand-packed RIFF container wrapping the hand-packed JPEG —
+  both layers non-twin for the r13 video tier.
 """
 
 from __future__ import annotations
@@ -313,3 +315,48 @@ def test_flac_uncommon_blocksize_headers():
     assert rate == 8000
     assert pcm.shape == (300, 1)
     assert (pcm[:, 0] == samples).all()
+
+
+# --- AVI: hand-packed container wrapping the hand-packed JPEG ---------------
+
+
+def test_handpacked_avi_mjpeg():
+    """A fully non-twin VIDEO fixture: the RIFF/AVI container packed by
+    hand (struct literals, not encode_avi_mjpeg) around two copies of
+    the hand-packed baseline JPEG above — neither layer shares code
+    with any package encoder."""
+    from http_feeds_spark.functions import video as vid
+
+    jpeg = (
+        _jpeg_headers(b"\xff\xc0", 16, 8)
+        + _jpeg_tables([4, 5], [0x00])
+        + _sos(0, 63, 0, 0)
+        + bytes([0x42, 0x7B])
+        + b"\xff\xd9"
+    )
+
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 2, 0, 1, 0, 16, 8, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 2, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 16, 8)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG", 16 * 8 * 3, 0, 0, 0, 0)
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl" + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jpeg) + chunk(b"00dc", jpeg))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = vid.parse_avi_meta(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 8, 2)
+    frames = vid.decode_avi_frames(avi)
+    assert len(frames) == 2
+    for _, img in frames:
+        assert (img[:, :8] == 129).all() and (img[:, 8:] == 127).all()
