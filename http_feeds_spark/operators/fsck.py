@@ -328,6 +328,25 @@ def fsck_media_index(spark: SparkSession, media_root: str) -> dict:
     from http_feeds_spark.streaming import media as smedia
 
     meta_path, phash_path, fp_path, vfp_path = smedia._paths(media_root)
+    if not parquet_exists(spark, meta_path):
+        # torn very-first fold (fingerprints land before meta — the
+        # fold's documented crash window) or a bare erasure ledger:
+        # every fingerprint row is an orphan the redelivery re-folds;
+        # fsck must report that state, not crash on the missing store
+        orphans = 0
+        for path in (phash_path, fp_path, vfp_path):
+            if parquet_exists(spark, path):
+                orphans += int(
+                    spark.read.parquet(path).select("doc_id").distinct().count()
+                )
+        return {
+            "meta_docs": 0,
+            "fingerprint_orphans": orphans,
+            "modality_mismatches": 0,
+            "duplicate_meta": 0,
+            "stage_leftovers": [],
+            "erase_ledger_ids": _ledger_count(spark, media_root),
+        }
     meta = spark.read.parquet(meta_path)
     meta_ids = meta.select("doc_id").distinct()
     orphans = 0

@@ -261,3 +261,32 @@ def test_registered_media_store_query(spark, sf_dir):
         ("video", 2, 2, 1),   # one MJPEG clip x 2 qualities -> one pair
     ]
     assert rows == [tuple(r) for r in fn(spark, sf_dir).collect()]
+
+
+def test_fsck_media_survives_meta_less_store(spark, tmp_path):
+    """The torn VERY-FIRST fold (fingerprints land, meta never does):
+    fsck_media_index reports every fingerprint doc as an orphan instead
+    of crashing, and fsck_platform stays clean (a warning state the
+    redelivery re-fold heals)."""
+    from http_feeds_spark.operators import fsck
+
+    root = str(tmp_path / "platform")
+    media_root = f"{root}/media_index"
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(smedia.N_BUCKETS)).cast("int")
+    spark.createDataFrame(
+        [(1, 7, True), (2, 9, True)], "doc_id long, phash long, decoded boolean"
+    ).withColumn("bucket", bucket).write.partitionBy("bucket").parquet(
+        f"{media_root}/{smedia.PHASH_DIR}"
+    )
+    rep = fsck.fsck_media_index(spark, media_root)
+    assert rep == {
+        "meta_docs": 0,
+        "fingerprint_orphans": 2,
+        "modality_mismatches": 0,
+        "duplicate_meta": 0,
+        "stage_leftovers": [],
+        "erase_ledger_ids": 0,
+    }
+    plat = fsck.fsck_platform(spark, root)
+    assert plat["clean"]
+    assert any("fingerprint_orphans" in w for w in plat["warnings"])
