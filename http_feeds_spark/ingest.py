@@ -295,8 +295,12 @@ def run_media_index(
             F.get_json_object("data", f"$.{doc_id_field}")
             .cast("long")
             .alias("doc_id"),
-            F.unbase64(
-                F.get_json_object("data", f"$.{payload_field}")
+            # try_to_binary, not unbase64: one malformed base64 payload
+            # must become a skipped NULL row (the media tier's
+            # skip-don't-crash convention), not an ANSI error that
+            # kills the whole fold
+            F.try_to_binary(
+                F.get_json_object("data", f"$.{payload_field}"), F.lit("base64")
             ).alias("payload"),
         ).where(F.col("doc_id").isNotNull() & F.col("payload").isNotNull())
         smedia.fold_batch(spark, docs, media_root)

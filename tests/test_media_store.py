@@ -290,3 +290,26 @@ def test_fsck_media_survives_meta_less_store(spark, tmp_path):
     plat = fsck.fsck_platform(spark, root)
     assert plat["clean"]
     assert any("fingerprint_orphans" in w for w in plat["warnings"])
+
+
+def test_malformed_base64_payload_is_skipped(spark, tmp_path):
+    """A feed event whose payload_b64 is not valid base64 becomes a
+    skipped NULL row (try_to_binary), never an ANSI error that kills
+    the fold; the well-formed events around it still index."""
+    from http_feeds_spark import ingest
+    from tests.feed_server import FeedState, serve
+
+    state = FeedState()
+    srv, url = serve(state)
+    try:
+        _append_media(state, 1, mm.encode_png(mm.synth_image(seed=1)))
+        state.append(
+            "org.example.media", "2", {"doc_id": 2, "payload_b64": "!!!not-base64???"}
+        )
+        _append_media(state, 3, mm.encode_png(mm.synth_image(seed=3)))
+        out = ingest.run_media_index(spark, url, str(tmp_path / "media"))
+        assert out["indexed_docs"] == 2
+        ids = {r.doc_id for r in smedia.read_meta(spark, str(tmp_path / "media")).collect()}
+        assert ids == {1, 3}
+    finally:
+        srv.shutdown()
