@@ -205,9 +205,8 @@ def video_near_dup(
     Honest boundary (every tier here documents one): joining on
     ``frame_idx`` makes this a RE-ENCODE/re-container dedup tier — a
     TRIMMED or frame-offset copy never aligns, exactly like the audio
-    chunk grid before r13's anchor tier. The same remedy applies and is
-    the documented next step: hash (phash_t, phash_t+Δ, Δ) frame
-    anchor pairs with no absolute index."""
+    chunk grid before its anchor tier. :func:`video_anchor_near_dup`
+    is that remedy, on the same surface."""
     return near_dup_from_frame_phashes(
         video_frame_phash(df).localCheckpoint(),
         max_hamming=max_hamming,
@@ -278,4 +277,69 @@ def near_dup_from_frame_phashes(
         .select(
             "a", "b", "matched", "total", F.round("similarity", 6).alias("similarity")
         )
+    )
+
+
+VIDEO_ANCHOR_DTS = (1, 2, 4)
+VIDEO_ANCHOR_SCHEMA = "doc_id long, key long"
+
+
+def video_anchor_fingerprint(df: DataFrame) -> DataFrame:
+    """(doc_id, key) OFFSET-INVARIANT video anchor rows — the video twin
+    of the audio anchor tier: each frame's pixel dHash pairs with the
+    hash Δ frames ahead for Δ in VIDEO_ANCHOR_DTS, keyed by
+    (phash_t, phash_t+Δ, Δ) ONLY. No frame index enters the key, so a
+    TRIMMED copy reproduces the keys of the frame run it shares with
+    the master — exactly where :func:`video_near_dup`'s aligned-frame
+    join sees nothing. Keys are de-duplicated per doc.
+
+    Honest boundary: the anchors match on EXACT per-frame hashes, so
+    this tier pairs trimmed/re-containered copies (and re-encodes whose
+    frames hash identically — the usual case for the quality range the
+    JPEG tier preserves) but a re-encode that moves dHash bits on every
+    frame needs the aligned tier's Hamming tolerance instead; run both
+    when both modes matter (the audio tiers' documented trade, in frame
+    form)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from http_feeds_spark.functions import multimodal as mm
+
+        for pdf in batches:
+            out: dict = {"doc_id": [], "key": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = decode_avi_frames(bytes(payload))
+                except Exception:
+                    continue
+                hashes = [mm._dhash_pixels(img, 8, 8) for _, img in frames]
+                keys = set()
+                for dt in VIDEO_ANCHOR_DTS:
+                    for t in range(len(hashes) - dt):
+                        h = hashlib.blake2b(
+                            b"%d:%d:%d" % (hashes[t], hashes[t + dt], dt),
+                            digest_size=8,
+                        ).digest()
+                        keys.add(int.from_bytes(h, "big", signed=True))
+                for k in sorted(keys):
+                    out["doc_id"].append(doc_id)
+                    out["key"].append(k)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_ANCHOR_SCHEMA
+    )
+
+
+def video_anchor_near_dup(df: DataFrame, *, min_match: float = 0.8) -> DataFrame:
+    """Offset-invariant video near-dup: the banded pairing discipline
+    over anchor keys — an ids-only equi-join on ``key`` with a
+    matched-fraction verify (functions/audiofp.
+    near_dup_from_fingerprints, reused with the single-column key). A
+    trimmed excerpt pairs with its master here; the aligned-frame tier
+    separates re-encodes that move hash bits. No all-pairs stage."""
+    from http_feeds_spark.functions.audiofp import near_dup_from_fingerprints
+
+    return near_dup_from_fingerprints(
+        video_anchor_fingerprint(df), min_match=min_match, key_cols=("key",)
     )

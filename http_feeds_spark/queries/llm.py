@@ -2511,6 +2511,34 @@ def q_mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fvideo.video_near_dup(d, min_match=0.8).orderBy("a", "b")
 
 
+@register("q_mm_video_anchor", oracle=None, group="D")
+def q_mm_video_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29-video anchor tier (r13 late) — OFFSET-INVARIANT video
+    near-dup: (phash_t, phash_t+Δ, Δ) frame-anchor keys carry no frame
+    index (functions/video.video_anchor_fingerprint), so a TRIMMED
+    excerpt of a clip pairs with its master at similarity 1.0 — the
+    input class where the aligned-frame tier's documented boundary
+    asserts divergence (tests/test_video.py pins both sides). Same
+    banded discipline: ids-only equi-join on the anchor key +
+    matched-fraction verify, reusing the audio tier's pairing plan.
+    Two masters, each shipped whole and trimmed by two frames; no
+    cross-master pairs. Rows-only: engine-synthesized binaries."""
+    from http_feeds_spark.functions import video as fvideo
+
+    rows = []
+    for k in (0, 1):
+        frames = [
+            mm.synth_image(seed=k * 53 + j + 7, height=24, width=32)
+            for j in range(6)
+        ]
+        rows += [
+            (400 + k * 10, fvideo.encode_avi_mjpeg(frames, fps=5, quality=95)),
+            (400 + k * 10 + 1, fvideo.encode_avi_mjpeg(frames[2:], fps=5, quality=95)),
+        ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return fvideo.video_anchor_near_dup(d, min_match=0.8).orderBy("a", "b")
+
+
 @register("q_mm_media_dedup", oracle=None, group="D")
 def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D29c (r13) — the end-to-end mixed-corpus media dedup story in ONE

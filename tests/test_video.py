@@ -141,3 +141,33 @@ def test_media_store_folds_video(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_video_anchor_tier_pairs_trimmed_copies(spark):
+    """The r13-late video anchor tier pairs a TRIMMED excerpt with its
+    master — exactly where the aligned-frame tier's documented boundary
+    sees nothing — while unrelated clips and non-video payloads stay
+    unpaired; the aligned tier's divergence on the same input is pinned
+    alongside."""
+    frames = _clip(30, n=6)
+    master = vid.encode_avi_mjpeg(frames, fps=5, quality=95)
+    trimmed = vid.encode_avi_mjpeg(frames[2:], fps=5, quality=95)
+    other = vid.encode_avi_mjpeg(_clip(40, n=6), fps=5, quality=95)
+    d = spark.createDataFrame(
+        [(1, master), (2, trimmed), (3, other), (4, b"not video")],
+        "doc_id long, payload binary",
+    )
+    got = {(r.a, r.b): r.similarity for r in vid.video_anchor_near_dup(d).collect()}
+    assert got == {(1, 2): 1.0}
+    # the aligned tier misses the trimmed pair (its pinned boundary)
+    aligned = {(r.a, r.b) for r in vid.video_near_dup(d, min_match=0.8).collect()}
+    assert (1, 2) not in aligned
+
+
+def test_registered_video_anchor_query_contract(spark, sf_dir):
+    from http_feeds_spark.queries import registry
+
+    fn = registry()["q_mm_video_anchor"].fn
+    rows = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert [(r[0], r[1], r[4]) for r in rows] == [(400, 401, 1.0), (410, 411, 1.0)]
+    assert rows == [tuple(r) for r in fn(spark, sf_dir).collect()]
