@@ -27,14 +27,30 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, None => rows-only check
     group: str = ""
+    # DuckDB SQL for queries rotated OUT of the driver's 50 oracle slots
+    # (slot-rotation protocol, SURVEY.md §8): the parity check stays
+    # enforced on every pytest run (tests/test_rotated_oracle.py), it just
+    # no longer occupies a driver slot. Exactly one of oracle /
+    # pytest_oracle may be set.
+    pytest_oracle: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, group: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    group: str = "",
+    pytest_oracle: str | None = None,
+):
+    if oracle is not None and pytest_oracle is not None:
+        raise ValueError(f"{name}: oracle and pytest_oracle are mutually exclusive")
+
     def deco(fn):
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, group=group)
+        _REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, group=group, pytest_oracle=pytest_oracle
+        )
         return fn
 
     return deco

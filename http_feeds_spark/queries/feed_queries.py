@@ -89,13 +89,18 @@ def q_last_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_batch_page",
-    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR} ORDER BY seq LIMIT {BATCH}",
+    oracle=None,
     group="A",
+    pytest_oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR} ORDER BY seq LIMIT {BATCH}",
 )
 def q_batch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — one bounded batch after the cursor (README.md:11,:79-82).
 
     Plans as TakeOrderedAndProject: per-partition top-k, k-row driver merge.
+    r14 slot rotation: ceded its driver slot to q_tombstone — A3 is the
+    composition of the still-slot-checked A2 range predicate
+    (q_last_event_id) with the q_topk ordered-limit shape; the identical
+    DuckDB parity stays enforced via tests/test_rotated_oracle.py.
     """
     return ops.paginate(_feed(spark, sf_dir), CURSOR, BATCH)
 
@@ -151,18 +156,20 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A6: tombstones ----------------------------------------------------------
 
 
-# q_tombstone's old driver oracle — still enforced verbatim in pytest
-# (tests/test_group_a_oracle.py::test_tombstone_oracle_parity); the DRIVER
-# slot moved to q_hyper_rollup because A6 is a strict sub-expression of
-# q_read_model's still-oracle-checked A7 (same filter, wider projection).
+# Also enforced verbatim in pytest
+# (tests/test_group_a_oracle.py::test_tombstone_oracle_parity).
 TOMBSTONE_ORACLE_SQL = (
     f"SELECT * FROM ({_COMPACT_SQL}) WHERE coalesce(method, 'PUT') <> 'DELETE'"
 )
 
 
-@register("q_tombstone", oracle=None, group="A")
+@register("q_tombstone", oracle=TOMBSTONE_ORACLE_SQL, group="A")
 def q_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — drop subjects whose latest entry is a DELETE (README.md:270-292)."""
+    """A6 — drop subjects whose latest entry is a DELETE (README.md:270-292).
+
+    r14 slot rotation: regained a driver slot (from q_batch_page) — the
+    spec's deletion semantics had been pytest-only since its slot was
+    ceded to q_hyper_rollup in an earlier round."""
     return ops.drop_tombstoned(ops.compact(_feed(spark, sf_dir)))
 
 
@@ -354,7 +361,7 @@ WHERE coalesce(method, 'PUT') <> 'DELETE'
 """
 
 
-@register("q_history_scd2", oracle=None, group="A")
+@register("q_history_scd2", oracle=HISTORY_SCD2_ORACLE_SQL, group="A")
 def q_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7b — temporal read model: the feed's full per-subject history as
     SCD-type-2 validity intervals (operators/feed.history_scd2). Where
@@ -363,8 +370,8 @@ def q_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter reproduces the read model a consumer that stopped replaying
     at T would hold (pinned in tests/test_group_a_oracle.py, along with
     full DuckDB value parity). One window, the same single shuffle as
-    compaction. Rows-only at the driver (slot budget); the pytest oracle
-    is HISTORY_SCD2_ORACLE_SQL."""
+    compaction. r14 slot rotation: driver-oracle-checked (slot from
+    q_cube, whose grouping-sets family q_rollup still covers)."""
     h = ops.history_scd2(_feed(spark, sf_dir))
     return h.select(
         "seq", "id", "type", "time", "subject", "valid_from", "valid_to", "is_current"

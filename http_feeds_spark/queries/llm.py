@@ -942,16 +942,22 @@ BM25_QUERY_TERMS = ["spark", "window", "merge"]
 BM25_K = 20
 
 
-@register("q_llm_bm25", oracle=None, group="D")
+def _bm25_oracle() -> str:
+    from http_feeds_spark.operators import retrieval as rt
+
+    return rt.bm25_oracle_sql(BM25_QUERY_TERMS, k=BM25_K)
+
+
+@register("q_llm_bm25", oracle=_bm25_oracle(), group="D")
 def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3c — BM25 lexical top-k retrieval (operators/retrieval.py): the
     inverted-index shape as DataFrames. Query-term filter BEFORE the
     postings aggregation (shuffle is query-sized, not corpus-sized),
     idf table broadcast (≤|query| rows), per-doc scores summed as
     DECIMAL(38,9) partials (order-independent), top-k via
-    TakeOrderedAndProject with doc_id tie-break. Rows-only in the driver
-    (the 50 oracle slots are taken); the FULL DuckDB parity oracle —
-    identical formula, rounding and tie-break — is pinned in
+    TakeOrderedAndProject with doc_id tie-break. r14 slot rotation:
+    driver-oracle-checked (slot from q_stream_sliding) with the same
+    formula/rounding/tie-break oracle long pinned in
     tests/test_retrieval.py."""
     from http_feeds_spark.operators import retrieval as rt
 
@@ -967,15 +973,31 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILERPLATE_HEADER = "bp0 bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9"
 
 
-@register("q_llm_boilerplate", oracle=None, group="D")
+def _boilerplate_oracle() -> str:
+    from http_feeds_spark.operators import boilerplate as bp
+
+    planted = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '"
+        + BOILERPLATE_HEADER
+        + " ' || text ELSE text END AS text FROM documents"
+    )
+    inner = bp.strip_oracle_sql(planted, n=10, min_docs=5)
+    return (
+        "SELECT doc_id, n_segments, n_removed, n_chars_clean FROM ("
+        + inner
+        + ")"
+    )
+
+
+@register("q_llm_boilerplate", oracle=_boilerplate_oracle(), group="D")
 def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2d — sub-document dedup: strip segments recurring across >= 5
     documents (operators/boilerplate.py: aligned 10-token frames, md5
     frequency key, anti-join + in-order re-assembly). The header planted
     on every 7th doc must come OFF while every other doc round-trips
-    byte-identically. Rows-only at the driver; the full DuckDB value
-    parity (including reconstructed text) is pinned in
-    tests/test_boilerplate.py."""
+    byte-identically. r14 slot rotation: driver-oracle-checked (slot
+    from q_intersect); the full value parity INCLUDING the reconstructed
+    clean_text stays pinned in tests/test_boilerplate.py."""
     from http_feeds_spark.operators import boilerplate as bp
 
     docs = _docs(spark, sf_dir).select(
@@ -992,7 +1014,18 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_substr_scrub", oracle=None, group="D")
+def _substr_scrub_oracle() -> str:
+    from http_feeds_spark.operators import substr_dedup as sd
+
+    return (
+        "SELECT doc_id, n_tokens, dup_tokens, "
+        "CAST(length(scrubbed_text) AS INTEGER) AS n_chars_scrubbed FROM ("
+        + sd.scrub_oracle_sql(length=12, min_count=2)
+        + ")"
+    )
+
+
+@register("q_llm_substr_scrub", oracle=_substr_scrub_oracle(), group="D")
 def q_llm_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2e — exact-substring span dedup (Lee et al. ACL 2022 ExactSubstr,
     re-expressed as distributed stride-1 window hashing in
@@ -1000,8 +1033,9 @@ def q_llm_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim ANYWHERE in the corpus — any offset, across or within
     documents — is cut out; per-doc coverage stats ride alongside. The
     sliding-window complement of q_llm_boilerplate's aligned frames.
-    Rows-only at the driver; full DuckDB value parity for the stats AND
-    the scrubbed text is pinned in tests/test_substr_dedup.py."""
+    r14 slot rotation: driver-oracle-checked (slot from q_join_anti);
+    full value parity for the stats AND the scrubbed TEXT stays pinned
+    in tests/test_substr_dedup.py."""
     from http_feeds_spark.operators import substr_dedup as sd
 
     return sd.scrub_duplicated_spans(
@@ -1340,14 +1374,20 @@ def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(w))
 
 
-@register("q_llm_datacard", oracle=None, group="D")
+def _datacard_oracle() -> str:
+    from http_feeds_spark.operators import datacard as dc
+
+    return dc.data_card_oracle_sql()
+
+
+@register("q_llm_datacard", oracle=_datacard_oracle(), group="D")
 def q_llm_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D35 — corpus data card (operators/datacard.py): the published
     corpus-report composition table (Gebru et al. datasheets practice)
     as ONE rollup aggregation pass — (source, lang) cells, per-source
     margins, grand total, token quantiles via the mergeable GK sketch.
-    Rows-only at the driver (slot budget); full DuckDB value parity is
-    pinned in tests/test_datacard.py."""
+    r14 slot rotation: driver-oracle-checked (slot from q_fn_math); the
+    parity also stays pinned in tests/test_datacard.py."""
     from http_feeds_spark.operators import datacard as dc
 
     return dc.data_card(_docs(spark, sf_dir))
@@ -1430,14 +1470,27 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_chunks", oracle=None, group="D")
+def _chunks_oracle() -> str:
+    from http_feeds_spark.operators import chunking as ck
+
+    return (
+        "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+        "CAST(start_tok AS INTEGER) AS start_tok, n_tok, "
+        "CAST(length(chunk_text) AS INTEGER) AS n_chars FROM ("
+        + ck.chunk_oracle_sql(size=32, overlap=4)
+        + ")"
+    )
+
+
+@register("q_llm_chunks", oracle=_chunks_oracle(), group="D")
 def q_llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D40 — document chunking (operators/chunking.py): fixed-size
     overlapping token windows with provenance (doc_id, chunk_idx,
     start_tok) — the universal context-window / RAG pre-processing
     step. Pure map-only (one transform + posexplode, zero shuffles,
-    plan-pinned). Rows-only at the driver; full DuckDB value parity
-    including chunk text is pinned in tests/test_chunking.py."""
+    plan-pinned). r14 slot rotation: driver-oracle-checked (slot from
+    q_except); full value parity including the chunk TEXT stays pinned
+    in tests/test_chunking.py."""
     from http_feeds_spark.operators import chunking as ck
 
     return ck.chunk_documents(_docs(spark, sf_dir), size=32, overlap=4).select(

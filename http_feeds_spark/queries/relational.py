@@ -175,16 +175,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_anti",
-    oracle="""
+    oracle=None,
+    group="B",
+    pytest_oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
     """,
-    group="B",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6b — left-anti join (NOT EXISTS): the tombstone-removal shape
-    (SURVEY §2 A6) on relational data."""
+    (SURVEY §2 A6) on relational data. r14 slot rotation: ceded its
+    driver slot to q_llm_substr_scrub — the anti shape is now driver-
+    checked twice over (the promoted q_tombstone IS the A6 anti
+    semantics, and q_join_semi keeps the sibling semi shape); identical
+    DuckDB parity stays in tests/test_rotated_oracle.py."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -410,15 +415,19 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_intersect",
-    oracle="""
+    oracle=None,
+    group="B",
+    pytest_oracle="""
     SELECT user_id FROM events WHERE event_type = 'purchase'
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'error'
     """,
-    group="B",
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B13b — INTERSECT (distinct semantics; plans as an aggregate+semi-join)."""
+    """B13b — INTERSECT (distinct semantics; plans as an aggregate+semi-join).
+    r14 slot rotation: the set-op family ceded two of three slots
+    (q_union keeps its slot); identical DuckDB parity stays in
+    tests/test_rotated_oracle.py."""
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "purchase").select("user_id")
     b = ev.filter(F.col("event_type") == "error").select("user_id")
@@ -427,15 +436,17 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_except",
-    oracle="""
+    oracle=None,
+    group="B",
+    pytest_oracle="""
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
-    group="B",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B13c — EXCEPT (distinct anti-join shape)."""
+    """B13c — EXCEPT (distinct anti-join shape). r14 slot rotation: see
+    q_intersect — parity stays in tests/test_rotated_oracle.py."""
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
@@ -536,7 +547,9 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_math",
-    oracle="""
+    oracle=None,
+    group="B",
+    pytest_oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS disc_dev,
            CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
@@ -549,14 +562,16 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(l_tax, l_discount) AS min_rate
     FROM lineitem
     """,
-    group="B",
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16 — scalar math; identical double inputs ⇒ identical outputs.
     Only IEEE-exact operations (sqrt, sign, min/max) — transcendentals
     (exp/ln/pow with fractional exponents) go through platform libm and
     can differ by ULPs across engines, so they stay off the oracle
-    surface."""
+    surface. r14 slot rotation: ceded its driver slot to q_llm_datacard —
+    the scalar-function family stays slot-checked via
+    q_fn_string/q_fn_date/q_fn_json; identical DuckDB parity stays in
+    tests/test_rotated_oracle.py."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

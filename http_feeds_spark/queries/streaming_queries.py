@@ -57,7 +57,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_sliding",
-    oracle=f"""
+    oracle=None,
+    group="C",
+    pytest_oracle=f"""
     WITH b AS (
       SELECT *,
              unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -69,12 +71,14 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM({_VAL}) AS DOUBLE) AS total_value
     FROM b GROUP BY 1, 2
     """,
-    group="C",
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b — sliding window (1h length, 30min slide): every event lands in
     exactly two epoch-aligned windows; Spark expands them with an internal
-    Expand node (no self-union). The oracle unnests the same two starts."""
+    Expand node (no self-union). The oracle unnests the same two starts.
+    r14 slot rotation: ceded its driver slot to q_llm_bm25 — the windowed
+    Expand shape stays slot-checked via q_stream_tumbling; identical
+    DuckDB parity stays in tests/test_rotated_oracle.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")

@@ -82,7 +82,9 @@ def check_query(spark, name: str, sf_dir: str = SF_DEFAULT) -> dict:
 
     q = registry()[name]
     df = q.fn(spark, sf_dir)
-    if q.oracle is None:
+    # rotated-out queries (SURVEY §8 slot rotation) keep full parity here
+    sql = q.oracle if q.oracle is not None else q.pytest_oracle
+    if sql is None:
         n = df.count()
         return {"match": n >= 0, "rows_only": True, "spark_rows": n}
-    return compare(df, q.oracle, sf_dir)
+    return compare(df, sql, sf_dir)
