@@ -29,12 +29,12 @@ Codec tiers, honestly separated:
   genuinely decoded pixel arrays (pinned against hand-constructed
   files in tests/test_multimodal_dedup.py; JPEG within the classical
   DCT round-trip tolerance at quality 100).
-- **Import-gated stand-in for the one remaining compressed codec**
-  (MP4 — ffmpeg is NOT in this container): `decode_image` raises
-  NotImplementedError behind an import-try, and those pipelines are
-  exercised end-to-end with `fake_image_features` — a deterministic
-  byte-histogram extractor with the exact same schema, batching, and
-  partitioning as the real path would have.
+- **Documented remaining boundaries**: lossy-WebP VP8 and full MP4/H.264
+  video (`decode_rgb` / `functions/video.py` raise ValueError there and
+  callers follow the skip-row contract; AVI-MJPEG video IS decoded).
+  Plumbing-only pipelines are additionally exercised end-to-end with
+  `fake_image_features` — a deterministic byte-histogram extractor with
+  the exact same schema, batching, and partitioning as the real path.
 
 Scale posture: per-row Python cost is amortized by Arrow batches
 (spark.sql.execution.arrow.maxRecordsPerBatch); there is no shuffle — the
@@ -70,19 +70,12 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real image decode — requires PIL, not present in this container.
-
-    Kept as the documented integration point: swap in
-    ``PIL.Image.open(io.BytesIO(payload))`` when the codec is available.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "use fake_image_features for the plumbing path"
-        ) from e
-    raise NotImplementedError("real decode intentionally unimplemented in v1")
+    """Alias for :func:`decode_rgb` — the package's REAL image decoder
+    (PPM/BMP/PNG/GIF/VP8L-WebP/TIFF/ICO/JPEG, all pure stdlib+numpy; see
+    its docstring for the exact format matrix). The one remaining image
+    boundary is lossy WebP (VP8): ``decode_rgb`` raises ValueError there
+    and callers follow the skip-row contract."""
+    return decode_rgb(payload)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, "object"]:
@@ -1179,8 +1172,8 @@ def decode_rgb(payload: bytes):
     arithmetic-coded variants
     raise with the skip-row contract) — no external codec anywhere. Returns an
     (H, W, 3) uint8 array; raises ValueError for other formats (lossy WebP's
-    VP8 arithmetic coder stays the documented boundary; full video is
-    the ``decode_image`` import-gated tier)."""
+    VP8 arithmetic coder stays the documented boundary; video decode is
+    functions/video.py's MJPEG-in-AVI tier)."""
     import struct
 
     import numpy as np
