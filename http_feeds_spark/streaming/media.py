@@ -33,7 +33,10 @@ buckets holding erased docs, never the whole append-only store):
 
 Fold protocol (the streaming/dedup.py crash story, adapted): already-
 stored doc ids are dropped up front (ids-only anti-join against the
-META store), fingerprints are written FIRST and meta LAST — meta is
+META store, r14: bucket-pruned — the probe reads only the ≤N_BUCKETS
+meta partitions the batch's doc ids hash into, a constant fraction of
+the store instead of its whole doc_id column), fingerprints are
+written FIRST and meta LAST — meta is
 both the idempotence key and the commit point. A crash in the middle
 leaves fingerprint rows without meta rows; the at-least-once redelivery
 is then NOT filtered and re-folds the batch, and the read paths collapse
@@ -81,6 +84,24 @@ def _paths(media_root: str) -> tuple[str, str, str, str]:
     )
 
 
+def _seen_probe(spark: SparkSession, meta_path: str, batch: DataFrame) -> DataFrame:
+    """Bucket-pruned idempotence probe (the text_index.purge_erased
+    pattern): the batch's doc ids hash to ≤N_BUCKETS buckets —
+    model-sized, so the collect is bounded — and the anti-join probe
+    then reads ONLY those meta partitions instead of the full store's
+    doc_id column (which grows with store size). Plan-guarded in
+    tests/test_media_store.py."""
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    probe_buckets = sorted(
+        r.bucket for r in batch.select(bucket.alias("bucket")).distinct().collect()
+    )
+    return (
+        spark.read.parquet(meta_path)
+        .where(F.col("bucket").isin(probe_buckets))
+        .select("doc_id")
+    )
+
+
 def fold_batch(spark: SparkSession, batch: DataFrame, media_root: str) -> None:
     """Fold one micro-batch of (doc_id, payload) rows into the store.
 
@@ -88,18 +109,19 @@ def fold_batch(spark: SparkSession, batch: DataFrame, media_root: str) -> None:
     upstreams need no external dedup; write order is the crash story —
     see the module docstring."""
     meta_path, phash_path, fp_path, vfp_path = _paths(media_root)
-    if parquet_exists(spark, meta_path):
-        seen = spark.read.parquet(meta_path).select("doc_id")
-        batch = batch.join(seen, "doc_id", "left_anti")
-    # payloads feed up to FOUR Arrow passes (router + three fingerprint
-    # tiers):
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
     # snapshot the batch once so the upstream (a feed micro-batch) isn't
-    # re-read per pass
+    # re-read by the bucket probe + the Arrow passes below
     batch = batch.select("doc_id", "payload").localCheckpoint()
     if batch.limit(1).count() == 0:
         return
+    if parquet_exists(spark, meta_path):
+        seen = _seen_probe(spark, meta_path, batch)
+        # re-snapshot: the filtered batch feeds up to FOUR Arrow passes
+        batch = batch.join(seen, "doc_id", "left_anti").localCheckpoint()
+        if batch.limit(1).count() == 0:
+            return
     meta_new = mm.probe_media_meta(batch).localCheckpoint()
-    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
     imgs = batch.join(
         meta_new.where((F.col("modality") == "image") & F.col("decodable"))
         .select("doc_id"),

@@ -180,6 +180,31 @@ def test_fold_idempotent_and_torn_heal(spark, tmp_path):
     assert smedia.read_meta(spark, root).count() == 6
 
 
+def test_fold_idempotence_probe_is_bucket_pruned(spark, tmp_path):
+    """The fold's already-seen probe (r14) must reach the meta scan as a
+    PARTITION filter on the batch's own buckets — reading a constant
+    fraction of the store, never its whole doc_id column."""
+    from http_feeds_spark import plans
+
+    root = str(tmp_path / "media")
+    batch = spark.createDataFrame(_media_rows(), "doc_id long, payload binary")
+    smedia.fold_batch(spark, batch, root)
+
+    one = batch.where(F.col("doc_id") == 1000).localCheckpoint()
+    seen = smedia._seen_probe(spark, f"{root}/{smedia.META_DIR}", one)
+    p = plans.executed_plan(seen)
+    assert "PartitionFilters" in p, p
+    pf = p.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in pf, pf
+    # exactly the one bucket doc 1000 hashes to survives the probe
+    b1 = one.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(smedia.N_BUCKETS)).cast("int").alias("b")
+    ).collect()[0].b
+    meta = spark.read.parquet(f"{root}/{smedia.META_DIR}")
+    want = {r.doc_id for r in meta.where(F.col("bucket") == b1).collect()}
+    assert {r.doc_id for r in seen.collect()} == want
+
+
 def test_fsck_media_orphans_and_mismatch(spark, tmp_path):
     """fsck_media_index: fingerprint orphans (torn fold) warn; a
     modality mismatch (an audiofp row for an image doc) is a MUST-BE-
