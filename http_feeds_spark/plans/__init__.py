@@ -11,6 +11,7 @@ from http_feeds_spark.plans.inspect import (  # noqa: F401
 from http_feeds_spark.plans.inspect import (  # noqa: F401
     find_nodes,
     node_line,
+    node_metric,
     physical_root,
     plan_children,
     subtree_names,

@@ -102,3 +102,12 @@ def find_nodes(node, predicate) -> list:
     for c in plan_children(node):
         hits.extend(find_nodes(c, predicate))
     return hits
+
+
+def node_metric(node, name: str) -> int:
+    """Value of a node's SQL metric (e.g. "numOutputRows"). Only
+    meaningful after the plan EXECUTED — run an action on the SAME
+    DataFrame whose physical_root you walk (a derived frame like
+    df.count() executes a different queryExecution and leaves this one's
+    metrics at zero)."""
+    return int(node.metrics().apply(name).value())
