@@ -71,6 +71,15 @@ def _mono_samples(payload: bytes):
 
         pcm, _ = decode_flac(payload)
         return pcm.mean(axis=1) / 32768.0
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # r14: MP3 Layer III (functions/mp3.py — validated-table and
+        # synthesis-window boundaries documented there)
+        from http_feeds_spark.functions.mp3 import decode_mp3
+
+        _, _, x = decode_mp3(payload)
+        return x
     raise ValueError("no native PCM decoder for this container")
 
 

@@ -2521,7 +2521,17 @@ MEDIA_META_SCHEMA = (
 # largest entry's PNG-or-24/32-bit-DIB check) carry a per-payload
 # ``sub_decodable`` hint that parse_media_meta folds in.
 _DECODABLE_IMAGE = {"ppm", "bmp", "png", "jpeg", "gif", "webp_lossless", "tiff", "ico"}
-_DECODABLE_AUDIO = {"pcm", "flac"}  # r12: native FLAC decode (functions/flac.py)
+# r12: native FLAC decode (functions/flac.py); r14: MP3 Layer III
+# (functions/mp3.py — per-payload failures on that module's documented
+# boundaries follow the skip-row contract, like arithmetic JPEG)
+_DECODABLE_AUDIO = {"pcm", "flac"}
+_DECODABLE_AUDIO_PREFIXES = ("mp3/MPEG",)
+
+
+def _audio_decodable(codec: str) -> bool:
+    if codec in _DECODABLE_AUDIO:
+        return True
+    return codec.startswith(_DECODABLE_AUDIO_PREFIXES) and codec.endswith("-L3")
 
 
 def parse_media_meta(payload: bytes) -> dict:
@@ -2591,7 +2601,7 @@ def parse_media_meta(payload: bytes) -> dict:
         "width": 0, "height": 0,
         "duration_s": m["duration_s"], "sample_rate": m["sample_rate"],
         "channels": m["channels"], "bit_depth": m["bits_per_sample"],
-        "decodable": m["codec"] in _DECODABLE_AUDIO,
+        "decodable": _audio_decodable(m["codec"]),
     }
 
 

@@ -2424,9 +2424,10 @@ def q_mm_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D29-audio (r12) — CROSS-CONTAINER audio near-dup over natively
     decoded PCM: per-document rich-spectrum signals ship as 16-bit
-    WAV, and the first five docs are planted again (doc_id + 10^6) as
-    FLAC re-encodes of the SAME master — the dominant audio-dup mode
-    in mixed crawls (identical recording, different container).
+    WAV, and the first five docs are planted again as FLAC re-encodes
+    (doc_id + 10^6) AND as lossy MP3 re-encodes (doc_id + 2*10^6, r14)
+    of the SAME master — the dominant audio-dup mode in mixed crawls
+    (identical recording, different container).
     functions/audiofp.py frames the decoded mono signal, takes
     per-band spectral peaks, hashes 16-frame runs into band-chunk
     keys, and pairs documents through an ids-only equi-join on
@@ -2472,6 +2473,18 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, wav_of(master(i))) for i in ids]
     rows += [
         (i + 1_000_000, fl.encode_flac(master(i), 8000, subframe="fixed2"))
+        for i in ids[:5]
+    ]
+    # r14: LOSSY tier — the same masters as MP3 re-encodes (the dominant
+    # crawl audio container; functions/mp3.py, MPEG-2.5 at this rate).
+    # The coarse-quantization encoder twin preserves every per-band
+    # spectral peak bin and the decoder trims its algorithmic delay, so
+    # the chunk-tier constellation pairs lossy re-encode with lossless
+    # master at full matched fraction.
+    from http_feeds_spark.functions import mp3 as mp3c
+
+    rows += [
+        (i + 2_000_000, mp3c.encode_mp3(master(i) / 32768.0, 8000))
         for i in ids[:5]
     ]
     d = spark.createDataFrame(rows, "doc_id long, payload binary")

@@ -544,7 +544,7 @@ def test_media_router_one_scan_all_modalities(spark):
         (1, J.encode_jpeg(img, progressive=True)),          # image, decodable
         (2, b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 " + struct.pack("<I", 14)
             + b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48) + b"\x00\x00"),
-        (3, mp3_frame() * 2),                                # audio, not decodable
+        (3, mp3_frame() * 2),                    # audio, decodable since r14
         (4, wav_bytes()),                                    # audio, decodable
         (5, bmff([(b"vide", b"avc1"), (b"soun", b"mp4a")])),  # video wins
         (6, bmff([(b"soun", b"mp4a")])),                     # audio-only BMFF
@@ -562,7 +562,7 @@ def test_media_router_one_scan_all_modalities(spark):
     assert (got[1].modality, got[1].format, got[1].decodable) == ("image", "jpeg", True)
     assert (got[2].modality, got[2].format, got[2].decodable) == ("image", "webp", False)
     assert (got[2].width, got[2].height) == (64, 48)
-    assert (got[3].modality, got[3].decodable) == ("audio", False)
+    assert (got[3].modality, got[3].decodable) == ("audio", True)
     assert (got[4].modality, got[4].format, got[4].decodable) == ("audio", "pcm", True)
     assert (got[5].modality, got[5].format) == ("video", "avc1")
     assert (got[6].modality, got[6].format) == ("audio", "mp4a")

@@ -113,8 +113,14 @@ def test_near_dup_join_and_registered_query(spark, sf_dir):
 
     fn = registry()["q_mm_audio_dedup"].fn
     rows = fn(spark, sf_dir).collect()
-    planted = [(r.a, r.b) for r in rows if r.b >= 1_000_000]
-    assert len(planted) == 5 and all(b == a + 1_000_000 for a, b in planted)
+    # three planted tiers per master (r14): FLAC clone, MP3 re-encode,
+    # and the FLAC<->MP3 cross-lossy pair — all at full matched fraction
+    flac_pairs = [(r.a, r.b) for r in rows if r.a < 1_000_000 and 1_000_000 <= r.b < 2_000_000]
+    mp3_pairs = [(r.a, r.b) for r in rows if r.a < 1_000_000 and r.b >= 2_000_000]
+    cross = [(r.a, r.b) for r in rows if 1_000_000 <= r.a < 2_000_000 and r.b >= 2_000_000]
+    assert len(flac_pairs) == 5 and all(b == a + 1_000_000 for a, b in flac_pairs)
+    assert len(mp3_pairs) == 5 and all(b == a + 2_000_000 for a, b in mp3_pairs)
+    assert len(cross) == 5 and all(b == a + 1_000_000 for a, b in cross)
     assert all(r.similarity == 1.0 for r in rows if r.b >= 1_000_000)
     assert rows == fn(spark, sf_dir).collect()
 

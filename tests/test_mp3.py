@@ -1,0 +1,279 @@
+"""MP3 Layer III decoder/encoder (functions/mp3.py).
+
+The module's two constant-provenance boundaries each get their
+validation pinned here (see its docstring): every shipped Huffman table
+must be a COMPLETE prefix code (Kraft sum exactly 1, prefix-free —
+the property a misremembered spec constant breaks), and the in-repo
+PQMF prototype must actually reconstruct (measured SNR). Wire-level
+witnesses: the real LAME 3.98 stream in this container (digital
+silence — header walk, LSF side info, reservoir, zero spectra, and an
+exactly-zero PCM contract), a hand-packed MPEG-1 frame whose Huffman
+bits were computed by hand against the table listing, encoder-twin
+round trips at all nine sample rates, and the loud boundary errors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from http_feeds_spark.functions import mp3
+
+LAME_FILE = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+# --- constant-provenance validation -------------------------------------------
+
+
+def _assert_complete_prefix_code(pairs):
+    """pairs: iterable of (hlen, hcod)."""
+    kraft = 0.0
+    codes = set()
+    for ln, co in pairs:
+        assert 0 < ln <= 19 and 0 <= co < (1 << ln)
+        kraft += 2.0 ** -ln
+        bits = format(co, f"0{ln}b")
+        assert bits not in codes
+        codes.add(bits)
+    assert abs(kraft - 1.0) < 1e-12, kraft
+    # prefix-freeness
+    ordered = sorted(codes)
+    for a, b in zip(ordered, ordered[1:]):
+        assert not b.startswith(a), (a, b)
+
+
+@pytest.mark.parametrize("tid", sorted(mp3.HUFFMAN_TABLES))
+def test_big_value_tables_are_complete_prefix_codes(tid):
+    _, _, _, hlen, hcod = mp3.HUFFMAN_TABLES[tid]
+    _assert_complete_prefix_code(
+        (hlen[x][y], hcod[x][y]) for x in range(len(hlen)) for y in range(len(hlen[0]))
+    )
+
+
+def test_count1_tables_are_complete_prefix_codes():
+    _assert_complete_prefix_code(zip(*mp3.COUNT1_A))
+    _assert_complete_prefix_code(zip(*mp3.COUNT1_B))
+
+
+def test_scalefactor_band_tables_structural():
+    for rate, t in mp3.SFB_LONG.items():
+        assert len(t) == 23 and t[0] == 0 and t[-1] == 576, rate
+        assert all(a <= b for a, b in zip(t, t[1:])), rate
+    for rate, t in mp3.SFB_SHORT.items():
+        assert len(t) == 14 and t[0] == 0 and t[-1] == 192, rate
+        assert all(a <= b for a, b in zip(t, t[1:])), rate
+
+
+def test_pqmf_prototype_reconstructs():
+    """analysis∘synthesis SNR — the property an invented window table
+    cannot satisfy; pins the measured quality of the in-repo prototype
+    (the documented substitute for the spec's Table B.3 constants)."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(32 * 300)
+    y = mp3.synth_filterbank(mp3.analysis_filterbank(x))
+    d = 481
+    n = len(x) - d - 32
+    a, b = x[:n], y[d : d + n]
+    g = np.dot(a, b) / np.dot(b, b)
+    err = a - g * b
+    snr = 10 * np.log10(np.dot(a, a) / np.dot(err, err))
+    assert snr > 38.0, snr
+    assert abs(g - 1.0) < 0.01, g  # unity-gain calibration
+
+
+# --- real-stream witness --------------------------------------------------------
+
+
+def test_real_lame_stream_decodes_to_silence():
+    """A REAL LAME 3.98.2 MPEG-2 22.05 kHz mono stream (the only MP3 in
+    this container). It is digital silence, so it exercises the ID3
+    skip, header walk, LSF side info, bit reservoir pointers, and the
+    zero-spectrum pipeline — and its PCM must be EXACTLY zero (any
+    spurious energy anywhere in the chain would show)."""
+    data = open(LAME_FILE, "rb").read()
+    frames = list(mp3.iter_frames(data))
+    assert len(frames) == 45
+    hdr = frames[0][0]
+    assert (hdr["mpeg1"], hdr["rate"], hdr["nch"]) == (False, 22050, 1)
+    assert all(
+        g["part2_3_length"] == 0 and g["big_values"] == 0
+        for _, si, _ in frames
+        for gr in si["granules"]
+        for g in gr
+    )
+    rate, nch, x = mp3.decode_mp3(data)
+    assert (rate, nch) == (22050, 1)
+    assert len(x) == 45 * 576 - mp3.DECODER_DELAY
+    assert float(np.abs(x).max()) == 0.0
+
+
+# --- hand-packed frame (entropy + requantize stage, exact) -----------------------
+
+
+def test_handpacked_frame_exact_spectrum():
+    """One MPEG-1 44.1 kHz mono frame packed BY HAND: granule 0 carries
+    two big-value pairs under table 1 — codeword '1'->(0,0) then
+    '01'->(1,0) with a sign bit — and one count1 quad under table B
+    (code 15-v complement). The decoder's Huffman+requantize stages
+    must reproduce the hand-computed values exactly."""
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    # header: MPEG-1 L3 no CRC, 64 kbps, 44.1 kHz, mono
+    hdr = bytes([0xFF, 0xFB, (5 << 4) | (0 << 2), 3 << 6])
+    # side info: mdb 0, private 0, scfsi 0
+    w(0, 9)
+    w(0, 5)
+    w(0, 4)
+    # granule 0: 2 big-value pairs via table 1 + 1 quad via count1 B
+    # main bits: pair(0,0)='1'(1) ; pair(1,0)='01'+sign1(neg) (3)
+    # quad v=0b1010 -> code 15-10=5 '0101'(4) + signs for v,x: 0,1 (2)
+    # part2_3 = 1 + 3 + 4 + 2 = 10 bits
+    w(10, 12)
+    w(2, 9)  # big_values
+    w(210, 8)  # global_gain -> gain 1.0
+    w(0, 4)  # scalefac_compress
+    w(0, 1)  # wsf
+    for _ in range(3):
+        w(1, 5)  # table 1 everywhere
+    w(15, 4)
+    w(5, 3)
+    w(0, 1)
+    w(0, 1)
+    w(1, 1)  # count1 table B
+    # granule 1: empty
+    w(0, 12)
+    w(0, 9)
+    w(210, 8)
+    w(0, 4)
+    w(0, 1)
+    for _ in range(3):
+        w(0, 5)
+    w(0, 4)
+    w(0, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    # main data: 1 | 01 1 | 0101 0 1
+    for b in [1, 0, 1, 1, 0, 1, 0, 1, 0, 1]:
+        bits.append(b)
+    bits.extend([0] * (-len(bits) % 8))
+    body = bytes(
+        sum(bits[i + j] << (7 - j) for j in range(8)) for i in range(0, len(bits), 8)
+    )
+    flen = 144000 * 64 // 44100
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+
+    frames = list(mp3.iter_frames(frame))
+    assert len(frames) == 1
+    fhdr, si, main = frames[0]
+    g0 = si["granules"][0][0]
+    assert (g0["part2_3_length"], g0["big_values"]) == (10, 2)
+    b = mp3._Bits(main)
+    is_q = mp3._decode_spectrum(b, fhdr, g0, 10)
+    # pairs: (0,0) then (-1, 0); quad 1010 with signs (+1, 0, -1, 0)
+    want = np.zeros(576, dtype=np.int32)
+    want[2] = -1
+    want[4] = 1
+    want[6] = -1
+    assert np.array_equal(is_q, want), is_q[:10]
+    assert b.pos == 10  # exact bit accounting
+    # requantize with gg=210, no scalefactors: xr == is
+    xr = mp3._requantize(fhdr, g0, [0] * 22, [[0] * 3] * 13, 0, is_q)
+    assert np.allclose(xr[:8], [0, 0, -1, 0, 1, 0, -1, 0])
+
+
+# --- encoder twin round trips ------------------------------------------------------
+
+
+@pytest.mark.parametrize("rate", [44100, 32000, 22050, 8000])
+def test_encode_decode_round_trip(rate):
+    """Spectral peak bins survive the coarse (|is|<=5) quantization
+    exactly and overall SNR stays above the quantization floor."""
+    t = np.arange(int(rate * 1.2)) / rate
+    x = 0.5 * np.sin(2 * np.pi * rate * 0.03 * t) + 0.3 * np.sin(2 * np.pi * rate * 0.11 * t)
+    blob = mp3.encode_mp3(x, rate)
+    r2, nch, y = mp3.decode_mp3(blob)
+    assert (r2, nch) == (rate, 1)
+    n = min(len(x), len(y)) - 64
+    a, b = x[:n], y[:n]
+    g = np.dot(a, b) / np.dot(b, b)
+    err = a - g * b
+    snr = 10 * np.log10(np.dot(a, a) / np.dot(err, err))
+    assert snr > 14.0, snr
+    wa = np.abs(np.fft.rfft(a * np.hanning(n)))
+    wb = np.abs(np.fft.rfft(b * np.hanning(n)))
+    assert wa.argmax() == wb.argmax()
+
+
+def test_mp3_pairs_with_wav_master_in_constellation():
+    """The r13 verdict's gap: cross-container audio dedup paired only
+    lossless twins. The chunk-tier constellation must now pair an MP3
+    re-encode with its WAV master at FULL matched fraction (delay
+    trimmed, peak bins exact), and share nothing across documents."""
+    import io
+    import wave
+
+    from http_feeds_spark.functions import audiofp
+
+    def master(seed):
+        rng = np.random.RandomState(seed)
+        t = np.arange(20000)
+        edges = (1, 4, 16, 48, 128, 288, 513)
+        sig = 0.0
+        for i in range(6):
+            bb = rng.randint(edges[i], edges[i + 1])
+            sig = sig + (9000 - 900 * i) * np.sin(2 * np.pi * (bb * 8000 / 1024) * t / 8000 + i)
+        return (sig / (np.abs(sig).max() / 18000) + rng.randn(len(t)) * 40).astype(np.int64)
+
+    def wav_of(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    x = master(3)
+    a = set(audiofp._fingerprint(audiofp._mono_samples(wav_of(x))))
+    b = set(audiofp._fingerprint(audiofp._mono_samples(mp3.encode_mp3(x / 32768.0, 8000))))
+    assert a and a == b
+    # cross-document: stays far below the 0.8 pairing threshold (single
+    # low bands can collide by chance — band 0 has three possible bins)
+    c = set(audiofp._fingerprint(audiofp._mono_samples(mp3.encode_mp3(master(4) / 32768.0, 8000))))
+    assert len(a & c) / len(a) < 0.5
+
+
+# --- boundaries refuse loudly --------------------------------------------------------
+
+
+def test_unvalidated_huffman_table_raises():
+    t = np.arange(1152 * 2) / 44100.0
+    blob = bytearray(mp3.encode_mp3(np.sin(2 * np.pi * 700 * t), 44100))
+    # rewrite granule 0's three table_select fields (table 9 -> 16):
+    # side info layout bits: 9+5+4 +12+9+8+4+1 = 52 bits in, 3x5 bits
+    pos = 4 * 8 + 52
+    for k in range(3):
+        for i in range(5):
+            bit = (16 >> (4 - i)) & 1
+            p = pos + k * 5 + i
+            if bit:
+                blob[p // 8] |= 0x80 >> (p % 8)
+            else:
+                blob[p // 8] &= ~(0x80 >> (p % 8))
+    with pytest.raises(NotImplementedError, match="table 16"):
+        mp3.decode_mp3(bytes(blob))
+
+
+def test_non_mp3_payload_raises():
+    with pytest.raises(ValueError):
+        mp3.decode_mp3(b"RIFF" + b"\x00" * 64)
+
+
+def test_free_format_bitrate_raises():
+    hdr = bytes([0xFF, 0xFB, 0x00, 0xC0])
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3.parse_header(hdr)
