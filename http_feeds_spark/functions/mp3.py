@@ -362,27 +362,29 @@ def _lsf_slen_blocks(g) -> tuple[list[int], list[int], int]:
     """MPEG-2 LSF scalefactor layout (13818-3 §2.4.3.2, non-intensity):
     scalefac_compress -> 4 slen widths + 4 block lengths + preflag."""
     sfc = g["scalefac_compress"]
-    short = g["block_type"] == 2
-    mixed = short and g["mixed_block"]
+    short = g["block_type"] == 2  # mixed already refused by the caller
     preflag = 0
     if sfc < 400:
         slen = [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4]
-        nr = [6, 5, 5, 5] if not short else ([6, 5, 5, 5] if mixed else [9, 9, 9, 9])
-        if mixed:
-            nr = [6, 5, 5, 5]
+        nr = [9, 9, 9, 9] if short else [6, 5, 5, 5]
     elif sfc < 500:
         s = sfc - 400
         slen = [(s >> 2) // 5, (s >> 2) % 5, s % 4, 0]
-        nr = [6, 5, 7, 3] if not short else ([6, 5, 7, 3] if mixed else [9, 9, 12, 6])
+        nr = [9, 9, 12, 6] if short else [6, 5, 7, 3]
     else:
         s = sfc - 500
         slen = [s // 3, s % 3, 0, 0]
-        nr = [11, 10, 0, 0] if not short else ([11, 10, 0, 0] if mixed else [18, 18, 0, 0])
+        nr = [18, 18, 0, 0] if short else [11, 10, 0, 0]
         preflag = 1
     return slen, nr, preflag
 
 
 def _read_scalefactors_lsf(bits, g):
+    if g["block_type"] == 2 and g["mixed_block"]:
+        # the LSF mixed-block slen group lengths are a further spec
+        # constant table this module does not reproduce — refuse loudly
+        # rather than silently mis-partition the scalefactor bits
+        raise NotImplementedError("LSF mixed-block scalefactors are a documented boundary")
     slen, nr, preflag = _lsf_slen_blocks(g)
     vals: list[int] = []
     for width, count in zip(slen, nr):
@@ -431,11 +433,10 @@ def _decode_big_value(bits, tid: int, limit: int) -> tuple[int, int]:
 
 def _region_boundaries(hdr, g) -> tuple[int, int]:
     band = SFB_LONG[hdr["rate"]]
-    if g["block_type"] == 2:
-        # window switching: spec fixes region0 at 36 coefficients
-        # (mixed: 8 long bands), region1 = rest
-        r0 = band[g["region0_count"] + 1] if g["mixed_block"] else 36
-        return r0, 576
+    if g["block_type"] != 0:
+        # window switching: region0 is the first 36 lines (mixed and
+        # pure short alike), region1 the rest
+        return 36, 576
     r0 = band[min(g["region0_count"] + 1, 22)]
     r1 = band[min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)]
     return r0, r1
@@ -446,10 +447,8 @@ def _decode_spectrum(bits, hdr, g, limit: int) -> np.ndarray:
     exactly up to part2_3_length (the spec's bit-accounting contract)."""
     is_q = np.zeros(576, dtype=np.int32)
     r0, r1 = _region_boundaries(hdr, g)
-    idx = 0
     for pair in range(g["big_values"]):
-        pos = idx * 1  # two values per pair
-        lin_idx = idx * 2
+        lin_idx = pair * 2
         if lin_idx >= 576:
             raise ValueError("big_values overruns 576 coefficients")
         region = 0 if lin_idx < r0 else (1 if lin_idx < r1 else 2)
@@ -457,24 +456,31 @@ def _decode_spectrum(bits, hdr, g, limit: int) -> np.ndarray:
         x, y = _decode_big_value(bits, tid, limit)
         is_q[lin_idx] = x
         is_q[lin_idx + 1] = y
-        idx += 1
-    # count1 region: quads until the bit budget is exhausted
-    tree = _C1_TREES[g["count1table_select"]]
-    pos = idx * 2
-    while bits.pos < limit and pos + 4 <= 576:
-        v = _huff_symbol(bits, tree, limit)
-        quad = [(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1]
-        for k in range(4):
-            if quad[k]:
-                if bits.pos >= limit:
-                    raise ValueError("count1 sign bit past part2_3_length")
-                quad[k] = -1 if bits.read1() else 1
-        is_q[pos : pos + 4] = quad
-        pos += 4
     if bits.pos > limit:
         raise ValueError(
-            f"Huffman data overran part2_3_length by {bits.pos - limit} bits"
+            f"big-value data overran part2_3_length by {bits.pos - limit} bits"
         )
+    # count1 region: quads until the bit budget is exhausted. Encoders
+    # commonly let the LAST quad's codeword straddle the budget end
+    # (padding semantics) — the published decoder behavior is to roll
+    # that quad back, not to fail the granule.
+    tree = _C1_TREES[g["count1table_select"]]
+    pos = g["big_values"] * 2
+    while bits.pos < limit and pos + 4 <= 576:
+        mark = bits.pos
+        try:
+            v = _huff_symbol(bits, tree, limit)
+            quad = [(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1]
+            for k in range(4):
+                if quad[k]:
+                    if bits.pos >= limit:
+                        raise ValueError("count1 sign past budget")
+                    quad[k] = -1 if bits.read1() else 1
+        except ValueError:
+            bits.pos = mark
+            break
+        is_q[pos : pos + 4] = quad
+        pos += 4
     return is_q
 
 
@@ -741,8 +747,6 @@ def decode_mp3(payload: bytes):
             # spec-legal stream entry mid-reservoir: skip this frame's
             # audio, keep accumulating main data
             reservoir = (reservoir + main)[-511:]
-            for ch in range(nch):
-                pass
             continue
         data = (reservoir[len(reservoir) - mdb :] if mdb else b"") + main
         bits = _Bits(data)
