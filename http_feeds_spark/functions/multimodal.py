@@ -202,6 +202,51 @@ def flac_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_SCHEMA)
 
 
+def mp3_features(df: DataFrame) -> DataFrame:
+    """REAL audio features from MP3 payloads (r14 — the lossy sibling of
+    :func:`flac_features`, backed by the native functions/mp3.py Layer
+    III decoder; its validated-table and synthesis-window provenance
+    boundaries are documented there): per doc (sample_rate, n_channels,
+    n_samples, duration_s, rms, peak) over the genuinely decoded mono
+    samples on the same scale as the WAV path. Non-MP3 / torn /
+    boundary-table payloads produce an n_samples = -1 skip row.
+    Map-only, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from http_feeds_spark.functions.mp3 import decode_mp3
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "peak",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, nch, x = decode_mp3(bytes(payload))
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["n_samples"].append(len(x))
+                    out["duration_s"].append(len(x) / rate if rate else 0.0)
+                    out["rms"].append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+                    out["peak"].append(float(np.max(np.abs(x))) if len(x) else 0.0)
+                except Exception:
+                    out["sample_rate"].append(0)
+                    out["n_channels"].append(0)
+                    out["n_samples"].append(-1)
+                    out["duration_s"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_SCHEMA)
+
+
 def wav_features(df: DataFrame) -> DataFrame:
     """REAL audio features from WAV payloads (stdlib decode, no external
     codec): per doc (sample_rate, n_channels, n_samples, duration_s,

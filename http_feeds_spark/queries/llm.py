@@ -1964,6 +1964,50 @@ def q_mm_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("q_mm_mp3_real", oracle=None, group="D")
+def q_mm_mp3_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4h MP3 tier (r14) — REAL lossy-audio decoding: deterministic
+    sines are synthesized per document and encoded with the
+    functions/mp3.py encoder twin at a doc-dependent sample rate
+    cycling all three MPEG generations (MPEG-1 32k, MPEG-2 16k,
+    MPEG-2.5 8k); every sixth payload is replaced with garbage bytes
+    to exercise the skip-row contract. functions/multimodal.
+    mp3_features runs the NATIVE Layer III decoder (frame walk,
+    reservoir, Huffman, requantize, IMDCT, polyphase synthesis;
+    provenance boundaries in the module docstring) and reports
+    RMS/peak/duration over the decoded samples. Round-trip spectral
+    exactness is pinned in tests/test_mp3.py. Rows-only:
+    engine-synthesized binaries."""
+    import numpy as np
+
+    from http_feeds_spark.functions import mp3 as mp3c
+
+    ids = [int(r.doc_id) for r in _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(18).collect()]
+
+    def mp3_for(rank: int, doc_id: int) -> bytes:
+        if rank % 6 == 5:
+            return b"\x00not an mpeg stream" + bytes(64)
+        rate = [32000, 16000, 8000][doc_id % 3]
+        amp = 0.2 + (doc_id % 6) / 10.0
+        freq = rate * (0.02 + (doc_id % 8) / 100.0)
+        t = np.arange(int(rate * 0.6))
+        return mp3c.encode_mp3(amp * np.sin(2 * np.pi * freq * t / rate), rate)
+
+    d = spark.createDataFrame(
+        [(i, mp3_for(rank, i)) for rank, i in enumerate(ids)],
+        "doc_id long, payload binary",
+    )
+    return mm.mp3_features(d).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    ).orderBy("doc_id")
+
+
 @register("q_mm_wav_real", oracle=None, group="D")
 def q_mm_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4g — REAL audio decoding (no stand-in): deterministic 16-bit PCM

@@ -101,7 +101,8 @@ def test_registered_query_is_wired(spark, sf_dir):
     from http_feeds_spark.queries import registry
 
     q = registry()["q_llm_boilerplate"]
-    assert q.oracle is None
+    # r14 slot rotation: driver-oracle-checked (the wrapped strip_oracle_sql)
+    assert q.oracle is not None and "n_chars_clean" in q.oracle
     rows = {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
     assert rows and all(
         (r.n_removed >= 1) == (doc_id % 7 == 0) for doc_id, r in rows.items()

@@ -26,9 +26,9 @@ def test_oracle_parity(spark, sf_dir, name):
 
 
 def test_tombstone_oracle_parity(spark, sf_dir):
-    """q_tombstone lost its DRIVER oracle slot to q_hyper_rollup (A6 is a
-    strict sub-expression of the still-slot-checked A7), but the full
-    DuckDB parity check lives on here."""
+    """q_tombstone regained a DRIVER oracle slot in the r14 rotation;
+    this pytest-side parity stays as the second, driver-independent
+    checker (it predates the slot and costs nothing)."""
     from http_feeds_spark.queries import registry
     from http_feeds_spark.queries.feed_queries import TOMBSTONE_ORACLE_SQL
     from tests.oracle_harness import compare
@@ -39,8 +39,9 @@ def test_tombstone_oracle_parity(spark, sf_dir):
 
 
 def test_history_scd2_oracle_parity(spark, sf_dir):
-    """A7b (q_history_scd2, rows-only at the driver): full DuckDB value
-    parity for the SCD-2 validity intervals."""
+    """A7b (q_history_scd2, driver-oracle-checked since the r14
+    rotation): full DuckDB value parity for the SCD-2 validity
+    intervals, kept as the driver-independent second checker."""
     from http_feeds_spark.queries import registry
     from http_feeds_spark.queries.feed_queries import HISTORY_SCD2_ORACLE_SQL
     from tests.oracle_harness import compare

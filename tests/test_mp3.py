@@ -84,6 +84,10 @@ def test_pqmf_prototype_reconstructs():
 # --- real-stream witness --------------------------------------------------------
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists(LAME_FILE),
+    reason="container's gsutil test.mp3 not present — the real-stream witness needs it",
+)
 def test_real_lame_stream_decodes_to_silence():
     """A REAL LAME 3.98.2 MPEG-2 22.05 kHz mono stream (the only MP3 in
     this container). It is digital silence, so it exercises the ID3
@@ -277,3 +281,26 @@ def test_free_format_bitrate_raises():
     hdr = bytes([0xFF, 0xFB, 0x00, 0xC0])
     with pytest.raises(NotImplementedError, match="free-format"):
         mp3.parse_header(hdr)
+
+
+def test_registered_mp3_query(spark, sf_dir):
+    """q_mm_mp3_real: every healthy payload decodes (rate/duration as
+    synthesized, RMS near the sine's amp/sqrt(2)), every sixth is the
+    skip row, and the result is deterministic."""
+    from http_feeds_spark.queries import registry
+
+    q = registry()["q_mm_mp3_real"]
+    assert q.oracle is None
+    rows = q.fn(spark, sf_dir).collect()
+    assert len(rows) == 18
+    for rank, r in enumerate(rows):
+        if rank % 6 == 5:
+            assert r.n_samples == -1
+            continue
+        assert r.sample_rate == [32000, 16000, 8000][r.doc_id % 3]
+        # 0.6 s synthesized, minus frame flooring and the trimmed
+        # decoder delay (1057 samples — largest share at 8 kHz)
+        assert 0.4 < r.duration_s <= 0.6
+        amp = 0.2 + (r.doc_id % 6) / 10.0
+        assert abs(r.rms - amp / np.sqrt(2)) < 0.05 * amp, (r.doc_id, r.rms, amp)
+    assert rows == q.fn(spark, sf_dir).collect()

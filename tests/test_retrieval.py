@@ -87,7 +87,8 @@ def test_registered_query_is_wired(spark, sf_dir):
     from http_feeds_spark.queries import registry
 
     q = registry()["q_llm_bm25"]
-    assert q.oracle is None
+    # r14 slot rotation: driver-oracle-checked (bm25_oracle_sql)
+    assert q.oracle is not None and "ROW_NUMBER" in q.oracle
     out = q.fn(spark, sf_dir)
     n = out.count()
     assert 0 < n <= BM25_K
