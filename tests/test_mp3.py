@@ -304,3 +304,140 @@ def test_registered_mp3_query(spark, sf_dir):
         amp = 0.2 + (r.doc_id % 6) / 10.0
         assert abs(r.rms - amp / np.sqrt(2)) < 0.05 * amp, (r.doc_id, r.rms, amp)
     assert rows == q.fn(spark, sf_dir).collect()
+
+
+def test_handpacked_short_block_reorder_and_subblock_gain():
+    """A hand-packed window-switching granule (block_type 2, pure
+    short): three table-1 pairs land in the first short scalefactor
+    band, subblock gains (0,1,2) scale windows 1 and 2 down by exactly
+    2^-2 / 2^-4, and the wire->window-interleave reorder is pinned
+    value-exact; the full decode then runs the short-window IMDCT path
+    end-to-end (finite, deterministic)."""
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    hdr = bytes([0xFF, 0xFB, (5 << 4) | (0 << 2), 3 << 6])  # 64k 44.1 mono
+    w(0, 9)
+    w(0, 5)
+    w(0, 4)
+    # granule 0: wsf=1 bt=2 pure short; pairs (1,1),(1,0),(0,1) via table 1
+    # bits: '000'+2 signs(+,-) | '01'+sign(+) | '001'+sign(-) = 12
+    w(12, 12)
+    w(3, 9)
+    w(210, 8)
+    w(0, 4)
+    w(1, 1)  # window_switching_flag
+    w(2, 2)  # block_type 2
+    w(0, 1)  # mixed
+    w(1, 5)
+    w(1, 5)  # table_select x2
+    w(0, 3)
+    w(1, 3)
+    w(2, 3)  # subblock_gain 0,1,2
+    w(0, 1)  # preflag
+    w(0, 1)  # scalefac_scale
+    w(0, 1)  # count1table_select
+    # granule 1: empty long
+    w(0, 12)
+    w(0, 9)
+    w(210, 8)
+    w(0, 4)
+    w(0, 1)
+    for _ in range(3):
+        w(0, 5)
+    w(0, 4)
+    w(0, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    for b in [0, 0, 0, 0, 1, 0, 1, 0, 0, 0, 1, 1]:
+        bits.append(b)
+    bits.extend([0] * (-len(bits) % 8))
+    body = bytes(
+        sum(bits[i + j] << (7 - j) for j in range(8)) for i in range(0, len(bits), 8)
+    )
+    flen = 144000 * 64 // 44100
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+
+    fhdr, si, main = next(iter(mp3.iter_frames(frame)))
+    g0 = si["granules"][0][0]
+    assert (g0["block_type"], g0["subblock_gain"]) == (2, [0, 1, 2])
+    assert mp3._region_boundaries(fhdr, g0) == (36, 576)
+    b = mp3._Bits(main)
+    is_q = mp3._decode_spectrum(b, fhdr, g0, 12)
+    assert b.pos == 12  # exact bit accounting through the short path
+    assert list(is_q[:6]) == [1, -1, 1, 0, 0, -1]
+    # requantize in wire order: windows 1/2 scaled by 2^-2 / 2^-4
+    xr = mp3._requantize(fhdr, g0, [0] * 22, [[0] * 3 for _ in range(13)], 0, is_q)
+    assert np.allclose(xr[:8], [1, -1, 1, 0, 0, -0.25, 0, 0])
+    # reorder to window-interleaved line order (44.1k short band 0 = 4 lines)
+    re = mp3._reorder_short(fhdr, g0, xr)
+    assert np.allclose(re[:12], [1, 0, 0, -1, -0.25, 0, 1, 0, 0, 0, 0, 0])
+    # the short-window IMDCT path runs end-to-end
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert (rate, nch) == (44100, 1)
+    assert np.isfinite(pcm).all() and float(np.abs(pcm).max()) < 1.0
+    r2 = mp3.decode_mp3(frame)[2]
+    assert np.array_equal(pcm, r2)
+
+
+@pytest.mark.parametrize("bt", [1, 3])
+def test_handpacked_start_stop_block_windows(bt):
+    """Window-switching with long block types 1 (start) and 3 (stop):
+    the spectrum decodes exactly as a long granule and the block-shaped
+    IMDCT windows run end-to-end."""
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    hdr = bytes([0xFF, 0xFB, (5 << 4) | (0 << 2), 3 << 6])
+    w(0, 9)
+    w(0, 5)
+    w(0, 4)
+    # one pair (1,1) via table 1: '000' + 2 signs = 5 bits
+    w(5, 12)
+    w(1, 9)
+    w(210, 8)
+    w(0, 4)
+    w(1, 1)
+    w(bt, 2)
+    w(0, 1)
+    w(1, 5)
+    w(1, 5)
+    w(0, 3)
+    w(0, 3)
+    w(0, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    w(0, 12)
+    w(0, 9)
+    w(210, 8)
+    w(0, 4)
+    w(0, 1)
+    for _ in range(3):
+        w(0, 5)
+    w(0, 4)
+    w(0, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    # '000' (pair (1,1)) + signs: + then -
+    for x in [0, 0, 0, 0, 1]:
+        bits.append(x)
+    bits.extend([0] * (-len(bits) % 8))
+    body = bytes(
+        sum(bits[i + j] << (7 - j) for j in range(8)) for i in range(0, len(bits), 8)
+    )
+    flen = 144000 * 64 // 44100
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    fhdr, si, main = next(iter(mp3.iter_frames(frame)))
+    g0 = si["granules"][0][0]
+    assert g0["block_type"] == bt
+    is_q = mp3._decode_spectrum(mp3._Bits(main), fhdr, g0, 5)
+    assert list(is_q[:2]) == [1, -1]
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert np.isfinite(pcm).all() and float(np.abs(pcm).max()) < 1.0
