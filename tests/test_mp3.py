@@ -441,3 +441,176 @@ def test_handpacked_start_stop_block_windows(bt):
     assert list(is_q[:2]) == [1, -1]
     rate, nch, pcm = mp3.decode_mp3(frame)
     assert np.isfinite(pcm).all() and float(np.abs(pcm).max()) < 1.0
+
+
+def _pack(bits):
+    bits = bits + [0] * (-len(bits) % 8)
+    return bytes(
+        sum(bits[i + j] << (7 - j) for j in range(8)) for i in range(0, len(bits), 8)
+    )
+
+
+class _W:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        self.bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+
+def _granule_si(si, p23, bv, sfc=0, tables=(1, 1, 1)):
+    si.w(p23, 12)
+    si.w(bv, 9)
+    si.w(210, 8)
+    si.w(sfc, 4)
+    si.w(0, 1)
+    for t in tables:
+        si.w(t, 5)
+    si.w(15, 4)
+    si.w(5, 3)
+    si.w(0, 1)
+    si.w(0, 1)
+    si.w(0, 1)
+
+
+def test_handpacked_ms_stereo_frame():
+    """A hand-packed MPEG-1 joint-stereo frame with mode_ext=2 (MS on,
+    intensity off): 32-byte two-channel side info parses, the mid
+    channel's lone (1,1) pair spreads to both output channels through
+    the MS butterfly, and the stream decodes end-to-end."""
+    si = _W()
+    si.w(0, 9)
+    si.w(0, 3)  # private (3 bits, stereo)
+    si.w(0, 4)
+    si.w(0, 4)  # scfsi both channels
+    _granule_si(si, 5, 1)  # gr0 ch0 (mid): pair (1,1), signs +/+
+    _granule_si(si, 0, 0)  # gr0 ch1 (side): silent
+    _granule_si(si, 0, 0)
+    _granule_si(si, 0, 0)
+    side = _pack(si.bits)
+    assert len(side) == 32
+    hdr = bytes([0xFF, 0xFB, (5 << 4), (1 << 6) | (2 << 4)])  # joint, MS
+    flen = 144000 * 64 // 44100
+    body = side + _pack([0, 0, 0, 0, 0])  # '000' + two + signs
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    fhdr, sinfo, main = next(iter(mp3.iter_frames(frame)))
+    assert (fhdr["nch"], fhdr["mode_ext"]) == (2, 2)
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert (rate, nch) == (44100, 2)
+    assert np.isfinite(pcm).all() and float(np.abs(pcm).max()) > 0
+
+
+def test_handpacked_intensity_stereo_raises():
+    """mode_ext with the intensity bit set must refuse loudly."""
+    si = _W()
+    si.w(0, 9)
+    si.w(0, 3)
+    si.w(0, 8)
+    for _ in range(4):
+        _granule_si(si, 0, 0)
+    hdr = bytes([0xFF, 0xFB, (5 << 4), (1 << 6) | (1 << 4)])  # intensity
+    flen = 144000 * 64 // 44100
+    body = _pack(si.bits)
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mp3.decode_mp3(frame)
+
+
+def test_lsf_nonzero_scalefactors_requantize():
+    """MPEG-2 LSF 9-bit scalefac_compress with a nonzero slen group:
+    sfc=4 -> slen (0,0,1,0) over blocks (6,5,5,5), so sfbs 11-15 carry
+    one bit each. With those bits set, a pair planted at sfb 11
+    (line 96 at 22.05 kHz) must requantize to exactly ±2^-0.5."""
+    si = _W()
+    si.w(0, 8)
+    si.w(0, 1)
+    # LSF granule: p23 = 5 sf bits + 48 zero-pair bits + 5 = 58
+    si.w(58, 12)
+    si.w(49, 9)
+    si.w(210, 8)
+    si.w(4, 9)  # scalefac_compress (9 bits, LSF)
+    si.w(0, 1)
+    for _ in range(3):
+        si.w(1, 5)
+    si.w(15, 4)
+    si.w(5, 3)
+    # no preflag field in LSF
+    si.w(0, 1)
+    si.w(0, 1)
+    side = _pack(si.bits)
+    assert len(side) == 9
+    m = _W()
+    m.w(0b11111, 5)  # scalefactors: sfbs 11..15 = 1
+    for _ in range(48):
+        m.w(1, 1)  # 48 (0,0) pairs via table 1
+    m.w(0, 3)  # '000' -> (1,1)
+    m.w(0, 1)  # sign +
+    m.w(1, 1)  # sign -
+    hdr = bytes([0xFF, 0xF3, (8 << 4), 3 << 6])  # MPEG-2, 64k, 22.05k, mono
+    flen = 72000 * 64 // 22050
+    body = side + _pack(m.bits)
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    fhdr, sinfo, main = next(iter(mp3.iter_frames(frame)))
+    g0 = sinfo["granules"][0][0]
+    assert (fhdr["mpeg1"], g0["scalefac_compress"]) == (False, 4)
+    bits = mp3._Bits(main)
+    sf_l, sf_s, preflag = mp3._read_scalefactors_lsf(bits, g0)
+    assert sf_l[10] == 0 and sf_l[11] == 1 and sf_l[15] == 1 and sf_l[16] == 0
+    is_q = mp3._decode_spectrum(bits, fhdr, g0, 58)
+    assert bits.pos == 58
+    assert is_q[96] == 1 and is_q[97] == -1 and not is_q[:96].any()
+    xr = mp3._requantize(fhdr, g0, sf_l, sf_s, preflag, is_q)
+    assert np.allclose([xr[96], xr[97]], [2**-0.5, -(2**-0.5)])
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert (rate, nch) == (22050, 1) and np.isfinite(pcm).all()
+
+
+def test_mpeg1_scfsi_shares_scalefactors_into_granule_1():
+    """MPEG-1 scfsi: with groups 2+3 (sfbs 11-20) marked shared,
+    granule 1 reads NO bits for them and must reuse granule 0's values
+    — its sfb-11 pair requantizes to ±2^-0.5, not ±1."""
+    si = _W()
+    si.w(0, 9)
+    si.w(0, 5)
+    si.w(0b0011, 4)  # scfsi groups 2,3 shared
+    # gr0: sfc=1 -> slen (0,1): 10 scalefactor bits (sfbs 11-20)
+    # spectrum: 31 zero pairs + (1,1) at lines 62-63 = 36 bits
+    _granule_si(si, 46, 32, sfc=1)
+    # gr1: same spectrum, NO scalefactor bits (shared groups; slen1=0)
+    _granule_si(si, 36, 32, sfc=1)
+    side = _pack(si.bits)
+    assert len(side) == 17
+    m = _W()
+    m.w(0b1111111111, 10)  # gr0 scalefactors sfbs 11..20 = 1
+    for _ in range(31):
+        m.w(1, 1)
+    m.w(0, 3)
+    m.w(0, 1)
+    m.w(1, 1)  # (1,-1) at 62,63
+    for _ in range(31):
+        m.w(1, 1)
+    m.w(0, 3)
+    m.w(0, 1)
+    m.w(1, 1)  # gr1: same, no scalefactors
+    hdr = bytes([0xFF, 0xFB, (5 << 4), 3 << 6])
+    flen = 144000 * 64 // 44100
+    body = side + _pack(m.bits)
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    fhdr, sinfo, main = next(iter(mp3.iter_frames(frame)))
+    bits = mp3._Bits(main)
+    prev_sf = None
+    vals = []
+    for gr_idx in range(2):
+        g = sinfo["granules"][gr_idx][0]
+        start = bits.pos
+        scfsi = sinfo["scfsi"][0] if gr_idx == 1 else [0, 0, 0, 0]
+        sf_l, sf_s = mp3._read_scalefactors_mpeg1(bits, g, scfsi, prev_sf)
+        prev_sf = sf_l
+        is_q = mp3._decode_spectrum(bits, fhdr, g, start + g["part2_3_length"])
+        assert bits.pos == start + g["part2_3_length"]
+        xr = mp3._requantize(fhdr, g, sf_l, sf_s, g["preflag"], is_q)
+        vals.append((sf_l[11], xr[62], xr[63]))
+    assert vals[0] == (1, 2**-0.5, -(2**-0.5))
+    assert vals[1] == (1, 2**-0.5, -(2**-0.5))  # shared, not re-read
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert np.isfinite(pcm).all()
