@@ -20,9 +20,15 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; generated tiers (the r14
+        # scale_tier) are Spark-written parquet DIRECTORIES — glob those
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

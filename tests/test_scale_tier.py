@@ -82,3 +82,25 @@ def test_work_shape_preserved(spark, sf_dir, tmp_path):
     part = load_table(spark, dst, "part")
     orphan = li.join(part, li.l_partkey == part.p_partkey, "left_anti").count()
     assert orphan == 0
+
+
+def test_oracle_parity_holds_on_the_scaled_tier(spark, sf_dir, tmp_path):
+    """Correctness at scale, not just speed: driver-strict DuckDB
+    parity re-run against the GENERATED tier for one representative of
+    each headline family — aggregation, broadcast join, feed read
+    model (subjects scaled), text stats, exact dedup, cosine top-k.
+    Any replication bug (key collision, salt corruption, perturbation
+    breaking float exactness) shows up as a value-hash mismatch."""
+    from tests.oracle_harness import check_query
+
+    dst = _tier(spark, sf_dir, tmp_path)
+    for name in [
+        "q_agg_group",
+        "q_join_broadcast",
+        "q_read_model",
+        "q_llm_textstats",
+        "q_llm_dedup_exact",
+        "q_llm_cosine",
+    ]:
+        report = check_query(spark, name, dst)
+        assert report["match"], (name, {k: v for k, v in report.items() if k != "first_diffs"})
