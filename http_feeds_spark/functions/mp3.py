@@ -167,17 +167,23 @@ _C1_TREES = {
 
 
 class _Bits:
-    """MSB-first bit reader."""
+    """MSB-first bit reader. Reads past the end of ``data`` raise the
+    named ValueError of the loud-error contract (a torn granule whose
+    part2_3_length exceeds the available reservoir+main bytes must not
+    surface as an anonymous IndexError)."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
         self.pos = pos_bits
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
         v = 0
         d, p = self.data, self.pos
+        if p + n > self.nbits:
+            raise ValueError("bit read past end of main data (torn granule)")
         for _ in range(n):
             v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
             p += 1
@@ -186,6 +192,8 @@ class _Bits:
 
     def read1(self) -> int:
         p = self.pos
+        if p >= self.nbits:
+            raise ValueError("bit read past end of main data (torn granule)")
         self.pos = p + 1
         return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
@@ -275,9 +283,14 @@ def _parse_side_info(bits: _Bits, hdr: dict) -> dict:
                 g["subblock_gain"] = [bits.read(3) for _ in range(3)]
                 if g["block_type"] == 0:
                     raise ValueError("window switching with block_type 0 is forbidden")
-                # spec-implied region split under window switching
-                g["region0_count"] = 8 if g["block_type"] != 2 or g["mixed_block"] else 7
-                g["region1_count"] = 36
+                # implicit region counts under window switching — the
+                # de-facto decoder convention (dist10 III_get_side_info,
+                # pdmp3 Read_Side_Info): 8 for pure-short block_type 2,
+                # 7 otherwise (mixed and long types 1/3), region1 the
+                # complement to 20
+                r0c = 8 if g["block_type"] == 2 and not g["mixed_block"] else 7
+                g["region0_count"] = r0c
+                g["region1_count"] = 20 - r0c
             else:
                 g["block_type"] = 0
                 g["mixed_block"] = 0
@@ -300,8 +313,20 @@ def iter_frames(payload: bytes):
     the reservoir bytes as the spec intends)."""
     pos = skip_id3(payload)
     n = len(payload)
+    yielded = False
+    saw_free_format = False
     while pos + 4 <= n:
-        hdr = parse_header(payload[pos : pos + 4])
+        try:
+            hdr = parse_header(payload[pos : pos + 4])
+        except NotImplementedError:
+            # bitrate-index 0 at a sync candidate: a genuinely
+            # free-format stream never parses ANY frame (every real
+            # header carries bri==0), so the boundary raise is deferred
+            # to the end — a FALSE sync inside inter-frame garbage must
+            # resync like any other non-frame byte, not abort the decode
+            saw_free_format = True
+            pos += 1
+            continue
         if hdr is None:
             pos += 1
             continue
@@ -317,7 +342,10 @@ def iter_frames(payload: bytes):
         si = _parse_side_info(_Bits(payload[body_start : body_start + si_len]), hdr)
         main = payload[body_start + si_len : end]
         yield hdr, si, main
+        yielded = True
         pos = end
+    if saw_free_format and not yielded:
+        raise NotImplementedError("free-format bitrate is a documented boundary")
 
 
 # --- scalefactors ---------------------------------------------------------------
@@ -433,10 +461,13 @@ def _decode_big_value(bits, tid: int, limit: int) -> tuple[int, int]:
 
 def _region_boundaries(hdr, g) -> tuple[int, int]:
     band = SFB_LONG[hdr["rate"]]
-    if g["block_type"] != 0:
-        # window switching: region0 is the first 36 lines (mixed and
-        # pure short alike), region1 the rest
+    if g["block_type"] == 2:
+        # short blocks, pure and mixed: region1 at line 36, no region2
+        # (dist10 III_hufman_decode / pdmp3 Read_Huffman)
         return 36, 576
+    # long blocks — including window-switched types 1/3, whose implicit
+    # region0_count=7 puts the boundary at band[8]: 36 only where the
+    # MPEG-1 tables happen to have band[8]==36, 54/108 at LSF rates
     r0 = band[min(g["region0_count"] + 1, 22)]
     r1 = band[min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)]
     return r0, r1
@@ -757,6 +788,8 @@ def decode_mp3(payload: bytes):
                 g = gr[ch]
                 start = bits.pos
                 limit = start + g["part2_3_length"]
+                if limit > bits.nbits:
+                    raise ValueError("part2_3 overruns available main data")
                 if hdr["mpeg1"]:
                     scfsi = si["scfsi"][ch] if gr_idx == 1 else [0, 0, 0, 0]
                     sf_l, sf_s = _read_scalefactors_mpeg1(bits, g, scfsi, prev_sf[ch])

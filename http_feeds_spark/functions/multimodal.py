@@ -1932,7 +1932,7 @@ def parse_mp3_meta(payload: bytes) -> dict:
             p += f[0]
         vbr = len(rates) > 1
     duration = (n_frames * m["spf"] / m["sample_rate"]) if n_frames else None
-    return {
+    out = {
         "codec": f"mp3/{m['version']}-L{m['layer']}",
         "sample_rate": m["sample_rate"],
         "channels": m["channels"],
@@ -1942,6 +1942,46 @@ def parse_mp3_meta(payload: bytes) -> dict:
         "vbr": vbr,
         "n_frames": int(n_frames or 0),
     }
+    if m["layer"] == 3:
+        out["sub_decodable"] = _mp3_sub_decodable(payload)
+    return out
+
+
+def _mp3_sub_decodable(payload: bytes, probe_frames: int = 4) -> bool:
+    """Per-payload decode-tier probe for Layer III (r15, the audio twin
+    of the TIFF/ICO image ``sub_decodable`` hints): walk the first few
+    frames' SIDE INFO ONLY — no Huffman decode — and report whether
+    functions/mp3.py's documented boundaries (unvalidated Huffman
+    tables 10-31, intensity stereo) would refuse the stream. Without
+    this, every typical-bitrate real-world MP3 routes into the audiofp
+    Arrow passes decodable=True and then yields nothing; with it the
+    routing bit means what it means for images. Only tables selected by
+    regions that big_values actually reaches count — an unsupported
+    table_select for an empty region never executes."""
+    from http_feeds_spark.functions import mp3 as _mp3
+
+    try:
+        for fno, (fhdr, fsi, _main) in enumerate(_mp3.iter_frames(payload)):
+            if fhdr["mode"] == _mp3.MODE_JOINT and (fhdr["mode_ext"] & 1):
+                return False  # intensity stereo boundary
+            for gr in fsi["granules"]:
+                for g in gr:
+                    bv2 = g["big_values"] * 2
+                    if not bv2:
+                        continue
+                    r0, r1 = _mp3._region_boundaries(fhdr, g)
+                    used = [g["table_select"][0]]
+                    if bv2 > r0:
+                        used.append(g["table_select"][1])
+                    if bv2 > r1:
+                        used.append(g["table_select"][2])
+                    if any(t not in _mp3.SUPPORTED_TABLES for t in used):
+                        return False
+            if fno + 1 >= probe_frames:
+                break
+        return True
+    except Exception:
+        return False
 
 
 def parse_flac_meta(payload: bytes) -> dict:
@@ -2646,7 +2686,9 @@ def parse_media_meta(payload: bytes) -> dict:
         "width": 0, "height": 0,
         "duration_s": m["duration_s"], "sample_rate": m["sample_rate"],
         "channels": m["channels"], "bit_depth": m["bits_per_sample"],
-        "decodable": _audio_decodable(m["codec"]),
+        # format-level verdict refined by the per-payload probes where
+        # triage extracts enough (TIFF/ICO on images; MP3 side info)
+        "decodable": _audio_decodable(m["codec"]) and m.get("sub_decodable", True),
     }
 
 

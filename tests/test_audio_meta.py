@@ -575,3 +575,44 @@ def test_media_router_one_scan_all_modalities(spark):
     assert (got[11].modality, got[11].format, got[11].decodable) == ("audio", "flac", True)
     assert (got[12].modality, got[12].format, got[12].decodable) == ("audio", "pcm", True)
     assert (got[13].modality, got[13].decodable) == ("audio", False)  # aac
+
+
+def test_mp3_sub_decodable_probe_gates_routing():
+    """r15 (ADVICE r14): the MP3 decodable bit is a PER-PAYLOAD probe of
+    the first frames' side info, mirroring the TIFF/ICO image hints — a
+    stream selecting an unvalidated Huffman table (16) or intensity
+    stereo routes decodable=False instead of dying downstream in the
+    audiofp Arrow pass, while tables the decoder ships stay True."""
+    import numpy as np
+
+    from http_feeds_spark.functions import mp3
+
+    t = np.arange(1152 * 2) / 44100.0
+    good = mp3.encode_mp3(np.sin(2 * np.pi * 700 * t), 44100)
+    r = mm.parse_media_meta(good)
+    assert (r["modality"], r["decodable"]) == ("audio", True)
+
+    # rewrite granule 0's table_select fields to 16 (the unvalidated
+    # escape family) — same bit surgery as test_mp3's boundary test
+    blob = bytearray(good)
+    pos = 4 * 8 + 52
+    for k in range(3):
+        for i in range(5):
+            bit = (16 >> (4 - i)) & 1
+            p = pos + k * 5 + i
+            if bit:
+                blob[p // 8] |= 0x80 >> (p % 8)
+            else:
+                blob[p // 8] &= ~(0x80 >> (p % 8))
+    r16 = mm.parse_media_meta(bytes(blob))
+    assert (r16["modality"], r16["decodable"]) == ("audio", False)
+
+    # zero-spectrum frames (no big values) probe True regardless
+    r0 = mm.parse_media_meta(mp3_frame() * 2)
+    assert (r0["modality"], r0["decodable"]) == ("audio", True)
+
+    # intensity stereo (joint mode, mode_ext bit 0) probes False
+    joint = bytearray(mp3_frame())
+    joint[3] = (1 << 6) | (1 << 4)  # joint stereo, intensity on
+    r_int = mm.parse_media_meta(bytes(joint) + bytes(joint))
+    assert (r_int["modality"], r_int["decodable"]) == ("audio", False)

@@ -614,3 +614,153 @@ def test_mpeg1_scfsi_shares_scalefactors_into_granule_1():
     assert vals[1] == (1, 2**-0.5, -(2**-0.5))  # shared, not re-read
     rate, nch, pcm = mp3.decode_mp3(frame)
     assert np.isfinite(pcm).all()
+
+
+# --- r15: window-switched region boundaries (ADVICE r14, medium) ---------------
+
+
+def test_region_boundary_conventions():
+    """The de-facto decoder convention (dist10 III_hufman_decode /
+    pdmp3 Read_Huffman): block_type 2 (pure short AND mixed) splits at
+    line 36 with no region2; window-switched LONG blocks (types 1/3)
+    split at band[region0_count+1] = band[8] — 54 at the 22.05/24/16 kHz
+    LSF rates, 108 at 8 kHz, and 36 only where the MPEG-1 tables happen
+    to put band[8] there."""
+    ws_long = {"block_type": 1, "region0_count": 7, "region1_count": 13}
+    assert mp3._region_boundaries({"rate": 22050}, {"block_type": 2}) == (36, 576)
+    assert mp3._region_boundaries({"rate": 22050}, dict(ws_long)) == (54, 576)
+    assert mp3._region_boundaries({"rate": 16000}, dict(ws_long)) == (54, 576)
+    assert mp3._region_boundaries({"rate": 8000}, dict(ws_long)) == (108, 576)
+    assert mp3._region_boundaries({"rate": 44100}, dict(ws_long)) == (36, 576)
+    # normal long block: counts come from the bitstream
+    g = {"block_type": 0, "region0_count": 0, "region1_count": 0}
+    assert mp3._region_boundaries({"rate": 44100}, g) == (4, 8)
+
+
+def test_implicit_region_counts_in_side_info():
+    """Window-switching side info carries NO region counts; the implicit
+    values are 8 for pure-short block_type 2, 7 otherwise (dist10
+    III_get_side_info), with region1 the complement to 20."""
+
+    def side_info_for(bt, mixed):
+        si = _W()
+        si.w(0, 9)  # main_data_begin
+        si.w(0, 5)  # private (mono)
+        si.w(0, 4)  # scfsi
+        for _ in range(2):  # both granules identical
+            si.w(0, 12)
+            si.w(0, 9)
+            si.w(210, 8)
+            si.w(0, 4)
+            si.w(1, 1)  # window_switching_flag
+            si.w(bt, 2)
+            si.w(mixed, 1)
+            si.w(1, 5)
+            si.w(1, 5)
+            for _ in range(3):
+                si.w(0, 3)
+            si.w(0, 1)
+            si.w(0, 1)
+            si.w(0, 1)
+        hdr = {"nch": 1, "mpeg1": True, "ngr": 2}
+        return mp3._parse_side_info(mp3._Bits(_pack(si.bits)), hdr)
+
+    for bt, mixed, want in [(2, 0, 8), (2, 1, 7), (1, 0, 7), (3, 0, 7)]:
+        g = side_info_for(bt, mixed)["granules"][0][0]
+        assert (g["region0_count"], g["region1_count"]) == (want, 20 - want)
+
+
+@pytest.mark.parametrize("bt", [1, 3])
+def test_lsf_window_switched_long_block_region_boundary(bt):
+    """Hand-packed MPEG-2 22.05 kHz frame with a window-switched LONG
+    block (start/stop): 27 big-value pairs span lines 0..53, all inside
+    region0 because the boundary is band[8]=54 — NOT the 36 of the
+    short-block case. table_select[1] is table 7, where the final
+    '000' codeword (pair (1,1) under table 1) is no codeword at all:
+    a decoder that flips to region1 at line 36 desyncs instead of
+    producing the exact spectrum pinned here."""
+    si = _W()
+    si.w(0, 8)  # main_data_begin (LSF: 8 bits)
+    si.w(0, 1)  # private (mono)
+    si.w(31, 12)  # part2_3_length: 0 sf bits + 26 + 5 spectrum bits
+    si.w(27, 9)  # big_values: lines 0..53
+    si.w(210, 8)
+    si.w(0, 9)  # scalefac_compress (LSF: 9 bits) -> all slens 0
+    si.w(1, 1)  # window_switching_flag
+    si.w(bt, 2)
+    si.w(0, 1)  # mixed
+    si.w(1, 5)  # table_select[0] = 1
+    si.w(7, 5)  # table_select[1] = 7 (trap for a 36-line boundary)
+    for _ in range(3):
+        si.w(0, 3)
+    si.w(0, 1)
+    si.w(0, 1)
+    side = _pack(si.bits)
+    assert len(side) == 9
+    m = _W()
+    for _ in range(26):
+        m.w(1, 1)  # 26 (0,0) pairs via table 1
+    m.w(0, 3)  # '000' -> (1,1) under table 1
+    m.w(0, 1)  # sign +
+    m.w(1, 1)  # sign -
+    hdr = bytes([0xFF, 0xF3, (8 << 4), 3 << 6])  # MPEG-2, 64k, 22.05k, mono
+    flen = 72000 * 64 // 22050
+    body = side + _pack(m.bits)
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+    fhdr, sinfo, main = next(iter(mp3.iter_frames(frame)))
+    g0 = sinfo["granules"][0][0]
+    assert g0["block_type"] == bt
+    assert (g0["region0_count"], g0["region1_count"]) == (7, 13)
+    assert mp3._region_boundaries(fhdr, g0) == (54, 576)
+    bits = mp3._Bits(main)
+    is_q = mp3._decode_spectrum(bits, fhdr, g0, 31)
+    assert bits.pos == 31
+    assert is_q[52] == 1 and is_q[53] == -1 and not is_q[:52].any()
+    rate, nch, pcm = mp3.decode_mp3(frame)
+    assert (rate, nch) == (22050, 1) and np.isfinite(pcm).all()
+
+
+# --- r15: resync and torn-granule contracts (ADVICE r14, low) ------------------
+
+
+def test_false_free_format_sync_resyncs():
+    """A false sync whose bitrate index is 0 (0xFF 0xFB 0x0x) inside
+    leading garbage must be skipped like any non-frame byte — the
+    free-format boundary only fires when the stream itself is
+    free-format (no frame ever parses)."""
+    t = np.arange(1152 * 2) / 44100.0
+    stream = mp3.encode_mp3(np.sin(2 * np.pi * 700 * t), 44100)
+    n_clean = len(list(mp3.iter_frames(stream)))
+    assert n_clean >= 2
+    dirty = bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"junk" + stream
+    frames = list(mp3.iter_frames(dirty))
+    assert len(frames) == n_clean
+    rate, nch, pcm = mp3.decode_mp3(dirty)
+    assert rate == 44100 and np.isfinite(pcm).all()
+
+
+def test_free_format_stream_still_raises():
+    """A stream that IS free-format (every sync candidate has bri==0)
+    keeps the loud boundary."""
+    payload = bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"\x00" * 200
+    with pytest.raises(NotImplementedError, match="free-format"):
+        list(mp3.iter_frames(payload))
+
+
+def test_torn_granule_raises_named_error():
+    """part2_3_length promising more bits than reservoir+main provides
+    must raise the named ValueError, not an anonymous IndexError."""
+    with pytest.raises(ValueError, match="past end of main data"):
+        mp3._Bits(b"\x00").read(16)
+    si = _W()
+    si.w(0, 9)
+    si.w(0, 5)
+    si.w(0, 4)
+    _granule_si(si, 4000, 0)  # 4000-bit granule in a 187-byte frame
+    _granule_si(si, 0, 0)
+    side = _pack(si.bits)
+    hdr = bytes([0xFF, 0xFB, (5 << 4), 3 << 6])
+    flen = 144000 * 64 // 44100
+    frame = hdr + side + b"\x00" * (flen - 4 - len(side))
+    with pytest.raises(ValueError, match="part2_3 overruns"):
+        mp3.decode_mp3(frame)
