@@ -36,9 +36,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cube",
-    oracle=None,
     group="B",
-    pytest_oracle="""
+    oracle="""
     SELECT coalesce(l_returnflag, '__ALL__') AS returnflag,
            coalesce(l_linestatus, '__ALL__') AS linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -49,9 +48,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-ext — cube (all grouping-set combinations) in one Expand pass.
-    r14 slot rotation: ceded its driver slot to q_history_scd2 — the
-    grouping-sets/Expand family stays slot-checked via q_rollup; the
-    identical DuckDB parity runs in tests/test_rotated_oracle.py."""
+    r15 rotation wave 2: cycled back into a driver slot (q_rollup
+    rotated out in turn — the Expand family's slot alternates, so every
+    oracle string periodically re-earns a driver-run green row)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")

@@ -89,18 +89,16 @@ def q_last_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_batch_page",
-    oracle=None,
     group="A",
-    pytest_oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR} ORDER BY seq LIMIT {BATCH}",
+    oracle=f"SELECT * FROM ({EVENTS_AS_FEED_SQL}) WHERE seq > {CURSOR} ORDER BY seq LIMIT {BATCH}",
 )
 def q_batch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — one bounded batch after the cursor (README.md:11,:79-82).
 
     Plans as TakeOrderedAndProject: per-partition top-k, k-row driver merge.
-    r14 slot rotation: ceded its driver slot to q_tombstone — A3 is the
-    composition of the still-slot-checked A2 range predicate
-    (q_last_event_id) with the q_topk ordered-limit shape; the identical
-    DuckDB parity stays enforced via tests/test_rotated_oracle.py.
+    r15 rotation wave 2: cycled back into a driver slot after one
+    round in pytest-only parity (tests/test_rotated_oracle.py) — the
+    rotation cadence re-earns every oracle a driver-run green row.
     """
     return ops.paginate(_feed(spark, sf_dir), CURSOR, BATCH)
 

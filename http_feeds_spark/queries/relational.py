@@ -136,7 +136,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_left",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
     FROM customer c LEFT JOIN orders o
       ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
@@ -145,7 +146,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — left outer join with a join-side predicate (kept in the ON
-    clause: filtering after the join would drop the null-extended rows)."""
+    clause: filtering after the join would drop the null-extended rows).
+    r15 rotation wave 2: rotated out of its driver slot (q_join_inner /
+    q_join_broadcast keep the join family slot-checked); identical
+    DuckDB parity runs every pytest pass via tests/test_rotated_oracle.py."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
@@ -157,7 +161,8 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_semi",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
@@ -167,7 +172,9 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6a — left-semi join (EXISTS): customers with ≥1 urgent order.
     Semi joins ship only the key column of the probe side — the shape
-    behind the read-model's "subject exists" checks."""
+    behind the read-model's "subject exists" checks. r15 rotation
+    wave 2: rotated out as q_join_anti cycles back in (the semi/anti
+    siblings alternate); parity stays in tests/test_rotated_oracle.py."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -175,9 +182,8 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_anti",
-    oracle=None,
     group="B",
-    pytest_oracle="""
+    oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
@@ -185,11 +191,9 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6b — left-anti join (NOT EXISTS): the tombstone-removal shape
-    (SURVEY §2 A6) on relational data. r14 slot rotation: ceded its
-    driver slot to q_llm_substr_scrub — the anti shape is now driver-
-    checked twice over (the promoted q_tombstone IS the A6 anti
-    semantics, and q_join_semi keeps the sibling semi shape); identical
-    DuckDB parity stays in tests/test_rotated_oracle.py."""
+    (SURVEY §2 A6) on relational data. r15 rotation wave 2: cycled
+    back into a driver slot; q_join_semi rotates out this round (the
+    promoted q_tombstone keeps the anti shape double-checked)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -280,7 +284,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rollup",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT coalesce(n.n_name, '__ALL__') AS nation,
            coalesce(c.c_mktsegment, '__ALL__') AS segment,
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
@@ -293,7 +298,10 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — rollup (hierarchical grouping sets) over a dim join. Spark
     expands grouping sets in one pass (Expand node) — no per-level rescan.
-    Null markers are coalesced to a sentinel so they hash identically."""
+    Null markers are coalesced to a sentinel so they hash identically.
+    r15 rotation wave 2: rotated out as q_cube cycles back in (the
+    Expand family's slot alternates); parity stays in
+    tests/test_rotated_oracle.py."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -341,7 +349,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_window_frame",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -354,7 +363,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 — running total + lag with an explicit ROWS frame, deterministic
-    order (date, unique key). DECIMAL window sum ⇒ exact prefix sums."""
+    order (date, unique key). DECIMAL window sum ⇒ exact prefix sums.
+    r15 rotation wave 2: rotated out (q_window_rank keeps the window
+    family's slot); parity stays driver-strict in
+    tests/test_rotated_oracle.py."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -400,7 +412,8 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_union",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
     UNION ALL
     SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
@@ -408,48 +421,61 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="B",
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B13a — UNION ALL of two filtered slices (no dedup ⇒ no shuffle)."""
+    """B13a — UNION ALL of two filtered slices (no dedup ⇒ no shuffle).
+    r15 rotation wave 2: rotated out as q_intersect/q_except cycle back
+    in; parity stays in tests/test_rotated_oracle.py."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     return ev.filter(F.col("event_type") == "purchase").unionAll(ev.filter(F.col("event_type") == "signup"))
 
 
 @register(
     "q_intersect",
-    oracle=None,
     group="B",
-    pytest_oracle="""
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
     INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'error'
     """,
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13b — INTERSECT (distinct semantics; plans as an aggregate+semi-join).
-    r14 slot rotation: the set-op family ceded two of three slots
-    (q_union keeps its slot); identical DuckDB parity stays in
-    tests/test_rotated_oracle.py."""
+    r15 rotation wave 2: INTERSECT/EXCEPT cycle back into driver
+    slots while q_union rotates out — the set-op family's slots
+    alternate on the rotation cadence. r15 also moves both to the
+    (user_id, day) grain: at the plain user_id grain every user carried
+    every event type at sf0.01, so the results were all-or-nothing
+    (q_except was EMPTY every round since r10 — a trivially-green
+    driver row); day grain makes both sides discriminating (586 of
+    1604 purchase user-days also error at sf0.01)."""
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "error").select("user_id", day)
     return a.intersect(b)
 
 
 @register(
     "q_except",
-    oracle=None,
     group="B",
-    pytest_oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B13c — EXCEPT (distinct anti-join shape). r14 slot rotation: see
-    q_intersect — parity stays in tests/test_rotated_oracle.py."""
+    """B13c — EXCEPT (distinct anti-join shape) at the (user_id, day)
+    grain — see q_intersect for why (the user_id grain returned ZERO
+    rows at sf0.01, a vacuously-green check). r15 rotation wave 2:
+    cycled back into a driver slot with ~1060 real rows."""
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    a = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return a.subtract(b)
 
 
@@ -503,7 +529,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_date",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
@@ -521,7 +548,9 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 — scalar date/time functions; timestamps stay µs/UTC both
     sides. Day-of-week goes through ISO numbering (Mon=1..Sun=7), the
-    encoding the engines share."""
+    encoding the engines share. r15 rotation wave 2: rotated out as
+    q_fn_math cycles back in (scalar family alternation); parity stays
+    in tests/test_rotated_oracle.py."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -547,9 +576,8 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_math",
-    oracle=None,
     group="B",
-    pytest_oracle="""
+    oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS disc_dev,
            CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
@@ -568,10 +596,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only IEEE-exact operations (sqrt, sign, min/max) — transcendentals
     (exp/ln/pow with fractional exponents) go through platform libm and
     can differ by ULPs across engines, so they stay off the oracle
-    surface. r14 slot rotation: ceded its driver slot to q_llm_datacard —
-    the scalar-function family stays slot-checked via
-    q_fn_string/q_fn_date/q_fn_json; identical DuckDB parity stays in
-    tests/test_rotated_oracle.py."""
+    surface. r15 rotation wave 2: cycled back into a driver slot while
+    q_fn_date rotates out (the scalar family's slots alternate)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

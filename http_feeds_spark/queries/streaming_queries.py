@@ -57,9 +57,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_sliding",
-    oracle=None,
     group="C",
-    pytest_oracle=f"""
+    oracle=f"""
     WITH b AS (
       SELECT *,
              unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -76,9 +75,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b — sliding window (1h length, 30min slide): every event lands in
     exactly two epoch-aligned windows; Spark expands them with an internal
     Expand node (no self-union). The oracle unnests the same two starts.
-    r14 slot rotation: ceded its driver slot to q_llm_bm25 — the windowed
-    Expand shape stays slot-checked via q_stream_tumbling; identical
-    DuckDB parity stays in tests/test_rotated_oracle.py."""
+    r15 rotation wave 2: cycled back into a driver slot while
+    q_stream_session rotates out."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -95,7 +93,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_session",
-    oracle="""
+    oracle=None,
+    pytest_oracle="""
     WITH g AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -124,7 +123,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     events into a session while each arrives within the gap of the
     session's end; the oracle reproduces this with the classic
     gaps-and-islands window SQL (new session when gap >= 30 min).
-    In streaming the same expression runs with watermark-bounded state."""
+    In streaming the same expression runs with watermark-bounded state.
+    r15 rotation wave 2: rotated out (tumbling/watermark keep the
+    streaming-agg slots); parity stays in tests/test_rotated_oracle.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -37,19 +37,24 @@ def test_slot_invariants():
         assert not (q.oracle is not None and q.pytest_oracle is not None), n
 
 
-def test_r14_rotation_set_documented():
-    """The r14 rotation swapped exactly these seven slot pairs; update
-    this pin (and SURVEY §8) when rotating again."""
+def test_r15_rotation_set_documented():
+    """Rotation wave 2 (r15): the seven r14 rotated-out queries cycled
+    back into driver slots and seven composition shapes rotated out in
+    their place — establishing the alternation cadence so every oracle
+    string periodically re-earns a driver-run green row. Update this pin
+    (and SURVEY §8) when rotating again."""
     assert _rotated_names() == [
-        "q_batch_page",
-        "q_cube",
-        "q_except",
-        "q_fn_math",
-        "q_intersect",
-        "q_join_anti",
-        "q_stream_sliding",
+        "q_fn_date",
+        "q_join_left",
+        "q_join_semi",
+        "q_rollup",
+        "q_stream_session",
+        "q_union",
+        "q_window_frame",
     ]
+    # the full r14+r15 promoted set all hold real driver slots
     promoted = [
+        # r14 wave
         "q_tombstone",
         "q_history_scd2",
         "q_llm_bm25",
@@ -57,6 +62,14 @@ def test_r14_rotation_set_documented():
         "q_llm_substr_scrub",
         "q_llm_datacard",
         "q_llm_chunks",
+        # r15 wave (cycled back in)
+        "q_batch_page",
+        "q_cube",
+        "q_except",
+        "q_fn_math",
+        "q_intersect",
+        "q_join_anti",
+        "q_stream_sliding",
     ]
     reg = registry()
     for name in promoted:
