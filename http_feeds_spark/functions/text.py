@@ -340,6 +340,8 @@ def add_repetition_stats(
     text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 10),
+    explode_over_tokens: int | None = None,
+    id_col: str = "doc_id",
 ):
     """Gopher/MassiveText repetition signals (Rae et al. 2021, Table A1)
     as per-row columns:
@@ -364,8 +366,23 @@ def add_repetition_stats(
     Cost: per-row O(G·D) count lookups (G grams × D distinct) — pure
     scan-parallel expressions, shuffle-free, whole-stage codegen.
     Quadratic in DOC length only: right for web-doc corpora (G in the
-    hundreds); book-length docs should use an exploded
-    groupBy((doc, gram)) form, trading one shuffle for linear rows."""
+    hundreds). For book-length docs pass ``explode_over_tokens=T``:
+    rows with more than T whitespace tokens run through the EXPLODED
+    groupBy((doc, gram)) form instead (one shuffle, O(G) rows/doc —
+    :func:`_repetition_stats_exploded`, value-identical by pinned
+    equivalence in tests/test_repetition.py), short rows keep the
+    shuffle-free path, and the two halves union. The r15 A/B in
+    BASELINE.md measured the crossover near ~2-4K tokens/doc on the
+    bench box; the dispatch needs ``id_col`` to be row-unique."""
+    if explode_over_tokens is not None:
+        n_toks = F.size(words(text_col))
+        short = add_repetition_stats(
+            df.where(n_toks <= explode_over_tokens), text_col, top_ns, dup_ns
+        )
+        long_ = _repetition_stats_exploded(
+            df.where(n_toks > explode_over_tokens), text_col, top_ns, dup_ns, id_col
+        )
+        return short.unionByName(long_)
     text = F.col(text_col)
     df = df.withColumn("__rep_toks", words(text_col))
     drop = ["__rep_toks"]
@@ -419,6 +436,90 @@ def add_repetition_stats(
                 ).otherwise(F.lit(0.0)),
             )
     return df.drop(*drop)
+
+
+def _repetition_stats_exploded(
+    df,
+    text_col: str,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+    id_col: str,
+):
+    """The linear-rows twin of :func:`add_repetition_stats` for long
+    documents: explode every (n, gram) to a row, count per (doc, n,
+    gram) with one map-side-combined shuffle, reduce to per-(doc, n)
+    top/dup aggregates, and join the fractions back onto the original
+    rows. O(G) rows per doc where the per-row form is O(G·D) WORK per
+    doc — a 100K-token book is ~10^5 rows here vs ~10^10 count lookups
+    there. Value-identical to the per-row form (same tokenizer, same
+    (count, len, gram) lexicographic tie-break, same rounding —
+    equivalence pinned in tests/test_repetition.py); requires ``id_col``
+    to be row-unique for the join-back."""
+    text = F.col(text_col)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = words(text_col)
+    def _tag(n):
+        # single-parameter lambda only: a second (defaulted) parameter
+        # would make transform() pass the ARRAY INDEX as its value —
+        # the same (element, index) trap the per-row form documents
+        return lambda x: F.struct(F.lit(n).alias("n"), x.alias("g"))
+
+    gram_arrays = [F.transform(word_shingles(toks, n), _tag(n)) for n in ns]
+    ex = df.select(
+        F.col(id_col).alias("__rid"), F.explode(F.flatten(F.array(*gram_arrays))).alias("__ng")
+    ).select("__rid", F.col("__ng.n").alias("__n"), F.col("__ng.g").alias("__g"))
+    counts = ex.groupBy("__rid", "__n", "__g").agg(F.count("*").alias("__c"))
+    per_n = counts.groupBy("__rid", "__n").agg(
+        F.max(
+            F.struct(
+                F.col("__c").alias("c"),
+                F.length("__g").alias("l"),
+                F.col("__g").alias("g"),
+            )
+        ).alias("__top"),
+        F.sum(
+            F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__dupchars"),
+    )
+    wide = per_n.groupBy("__rid").agg(
+        *[
+            F.max(F.when(F.col("__n") == n, F.col("__top"))).alias(f"__top{n}")
+            for n in ns
+        ],
+        *[
+            F.max(F.when(F.col("__n") == n, F.col("__dupchars"))).alias(f"__dup{n}")
+            for n in ns
+        ],
+    )
+    out = df.join(wide, df[id_col] == wide["__rid"], "left")
+    for n in ns:
+        if n in top_ns:
+            top = F.col(f"__top{n}")
+            out = out.withColumn(
+                f"top_{n}gram_frac",
+                F.when(
+                    top.isNotNull(),
+                    F.round(
+                        (top["c"] * top["l"]).cast("double") / F.length(text), 9
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+        if n in dup_ns:
+            dup = F.col(f"__dup{n}")
+            out = out.withColumn(
+                f"dup_{n}gram_frac",
+                F.when(
+                    dup.isNotNull(),
+                    F.round(
+                        F.least(dup.cast("double") / F.length(text), F.lit(1.0)), 9
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+    return out.drop("__rid", *[f"__top{n}" for n in ns], *[f"__dup{n}" for n in ns])
 
 
 def add_winnow_fingerprints(

@@ -143,6 +143,10 @@ def bm25_topk(
         .limit(k)
         .withColumn(
             "rank",
+            # k rows by construction (limit above): the global rank
+            # window is single-partition over k rows, so WindowExec's
+            # unpartitioned-window warning is noise here, not a scale
+            # bug (a foldable partition key would be optimized away)
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )

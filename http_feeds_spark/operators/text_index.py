@@ -576,6 +576,10 @@ def search(
         .limit(k)
         .withColumn(
             "rank",
+            # k rows by construction (limit above): the global rank
+            # window is single-partition over k rows, so WindowExec's
+            # unpartitioned-window warning is noise here, not a scale
+            # bug (a foldable partition key would be optimized away)
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )
@@ -671,6 +675,10 @@ def phrase_search(
         .limit(k)
         .withColumn(
             "rank",
+            # k rows by construction (limit above): the global rank
+            # window is single-partition over k rows, so WindowExec's
+            # unpartitioned-window warning is noise here, not a scale
+            # bug (a foldable partition key would be optimized away)
             F.row_number().over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))),
         )
     )
@@ -772,6 +780,10 @@ def proximity_search(
         .limit(k)
         .withColumn(
             "rank",
+            # k rows by construction (limit above): the global rank
+            # window is single-partition over k rows, so WindowExec's
+            # unpartitioned-window warning is noise here, not a scale
+            # bug (a foldable partition key would be optimized away)
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )
@@ -870,6 +882,10 @@ def proximity_search_any(
         .limit(k)
         .withColumn(
             "rank",
+            # k rows by construction (limit above): the global rank
+            # window is single-partition over k rows, so WindowExec's
+            # unpartitioned-window warning is noise here, not a scale
+            # bug (a foldable partition key would be optimized away)
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
         )
     )

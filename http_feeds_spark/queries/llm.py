@@ -703,9 +703,17 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate actually rejects; exact fraction values are pinned against an
     independent Python reference in tests/test_repetition.py.
 
-    Scale: pure per-row higher-order expressions with the gram arrays
+    Scale: per-row higher-order expressions with the gram arrays
     materialized once per row (functions/text.add_repetition_stats) —
-    scan-parallel, shuffle-free, codegen'd; no corpus-wide state."""
+    scan-parallel, shuffle-free, codegen'd; no corpus-wide state
+    (tests/test_plans.py pins the no-Exchange plan). The per-row form
+    is O(G·D) in doc length; for book-length corpora the exploded
+    groupBy((doc, gram)) twin exists behind
+    ``add_repetition_stats(explode_over_tokens=T)`` (r15 — one shuffle,
+    linear rows; equivalence pinned in tests/test_repetition.py, the
+    crossover A/B in BASELINE.md). This registered query keeps the
+    shuffle-free winner for its web-doc-shaped corpus; the dispatch is
+    the documented switch for corpora that need it."""
     base = _docs(spark, sf_dir).select("doc_id", "text")
     planted = spark.createDataFrame(
         [
@@ -1370,6 +1378,8 @@ def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+    # 10 rows by construction (limit above): the unpartitioned-window
+    # warning this rank emits is noise, not a scale bug
     w = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return fused.withColumn("rank", F.row_number().over(w))
 

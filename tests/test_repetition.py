@@ -145,3 +145,34 @@ def test_compression_ratio_orders_degeneracy(spark):
     assert got[2] < got[1] < got[3]  # repetition < prose < junk
     assert got[2] < 0.2
     assert got[4] == 1.0 and got[5] == 1.0
+
+
+def test_exploded_form_matches_per_row_form(spark):
+    """r15 (SCALING.md's long-doc switch, r14 verdict item 4): the
+    exploded groupBy((doc, gram)) form is value-IDENTICAL to the
+    shuffle-free per-row form — same tokenizer, tie-break and rounding —
+    on every handbuilt case including the tie exerciser, the empties,
+    and docs long enough to actually take the exploded branch."""
+    rows = [(i, t) for i, t in enumerate(CASES)]
+    rows.append((100, ("lorem ipsum dolor sit amet " * 600).strip()))  # 3000 toks
+    rows.append((101, ("spam ham " * 2000).strip()))  # 4000 toks, all dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(top_ns=(2, 3), dup_ns=(5, 10))
+    per_row = tx.add_repetition_stats(df, "text", **kw)
+    exploded = tx._repetition_stats_exploded(df, "text", (2, 3), (5, 10), "doc_id")
+    stat_cols = [
+        "top_2gram_frac", "top_3gram_frac", "dup_5gram_frac", "dup_10gram_frac",
+    ]
+    a = {r.doc_id: tuple(r[c] for c in stat_cols) for r in per_row.collect()}
+    b = {r.doc_id: tuple(r[c] for c in stat_cols) for r in exploded.collect()}
+    assert a == b
+
+    # threshold dispatch: short rows per-row, long rows exploded, union
+    mixed = tx.add_repetition_stats(df, "text", explode_over_tokens=64, **kw)
+    c = {r.doc_id: tuple(r[c] for c in stat_cols) for r in mixed.collect()}
+    assert c == a
+    # and the reference agrees on the long docs too
+    for i in (100, 101):
+        ref = _ref_stats(rows[-2:][i - 100][1], (2, 3), (5, 10))
+        assert c[i] == tuple(ref[k] for k in stat_cols)
