@@ -457,17 +457,40 @@ def _repetition_stats_exploded(
     to be row-unique for the join-back."""
     text = F.col(text_col)
     ns = sorted(set(top_ns) | set(dup_ns))
-    toks = words(text_col)
     def _tag(n):
         # single-parameter lambda only: a second (defaulted) parameter
         # would make transform() pass the ARRAY INDEX as its value —
         # the same (element, index) trap the per-row form documents
         return lambda x: F.struct(F.lit(n).alias("n"), x.alias("g"))
 
-    gram_arrays = [F.transform(word_shingles(toks, n), _tag(n)) for n in ns]
-    ex = df.select(
-        F.col(id_col).alias("__rid"), F.explode(F.flatten(F.array(*gram_arrays))).alias("__ng")
-    ).select("__rid", F.col("__ng.n").alias("__n"), F.col("__ng.g").alias("__g"))
+    # explode_OUTER, not explode, and tokens as a materialized column —
+    # both load-bearing (r15, measured quadratic until fixed): with a
+    # plain explode Catalyst's InferFiltersFromGenerate plants
+    # Filter(size(__ngs) > 0) under the Generate, and predicate pushdown
+    # then substitutes the alias straight through both projections, so
+    # the filter re-derives the WHOLE 5-way gram-array build from raw
+    # text — with the tokenizer re-run inside every lambda element_at
+    # (no CSE across higher-order-function boundaries): O(G·n·T) per row
+    # in the filter alone, while the generator itself stayed linear.
+    # explode_outer infers no such filter; its extra all-null row for a
+    # gram-less doc flows through the aggregates to NULL and the final
+    # CASE turns it into the same 0.0 fractions the per-row form emits.
+    ex = (
+        df.select(F.col(id_col).alias("__rid"), words(text_col).alias("__toks"))
+        .withColumn(
+            "__ngs",
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(word_shingles(F.col("__toks"), n), _tag(n))
+                        for n in ns
+                    ]
+                )
+            ),
+        )
+        .select("__rid", F.explode_outer("__ngs").alias("__ng"))
+        .select("__rid", F.col("__ng.n").alias("__n"), F.col("__ng.g").alias("__g"))
+    )
     counts = ex.groupBy("__rid", "__n", "__g").agg(F.count("*").alias("__c"))
     per_n = counts.groupBy("__rid", "__n").agg(
         F.max(
@@ -550,10 +573,18 @@ def add_winnow_fingerprints(
     collect_set, and the join), which is also the 100 TB-correct shape —
     a book-length document no longer costs O(G²) anything."""
     key = F.col(key_col)
+    # posexplode_OUTER (r15): the plain posexplode made Catalyst's
+    # InferFiltersFromGenerate plant a size(shingles)>0 filter whose
+    # alias-substituted pushdown re-derived the caller's whole
+    # shingle/tokenize lineage from raw text inside per-element lambdas
+    # — O(G·n·T) per row even when the caller had materialized its
+    # token column. The outer variant infers no filter; the null row an
+    # empty shingle array generates is dropped on the generated column,
+    # restoring exact plain-posexplode semantics.
     hashed = df.select(
         key.alias("__wf_key"),
-        F.posexplode(F.col(shingles_col)).alias("__wf_pos", "__wf_sh"),
-    ).select(
+        F.posexplode_outer(F.col(shingles_col)).alias("__wf_pos", "__wf_sh"),
+    ).where(F.col("__wf_sh").isNotNull()).select(
         "__wf_key",
         "__wf_pos",
         F.substring(F.md5("__wf_sh"), 1, 16).alias("__wf_h"),

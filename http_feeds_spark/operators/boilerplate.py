@@ -50,7 +50,14 @@ def doc_segments(
     """(doc_id, pos, seg, seg_hash): the aligned n-token frames of each
     document. The final frame may be shorter than n (the tail). Map-only:
     one slice-and-explode per row, no shuffle."""
-    toks = F.split(F.col(text_col), " ")
+    # token array as a materialized COLUMN + the OUTER generate (r15
+    # plan-lint incident, same fix as chunking.chunk_documents): inline
+    # split() re-tokenized the doc per frame inside the lambda, and a
+    # plain explode's inferred size()>0 filter re-derived the whole
+    # frame build from raw text via alias-substituted pushdown — O(T²)
+    # per doc both ways. explode_outer infers no filter; the null row a
+    # null-text doc generates is dropped on the generated column.
+    toks = F.col("__toks")
     nseg = F.ceil(F.size(toks) / F.lit(n)).cast("int")
     frames = F.transform(
         F.sequence(F.lit(0), nseg - 1),
@@ -60,7 +67,12 @@ def doc_segments(
         ),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(frames).alias("f"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        .select("doc_id", F.explode_outer(frames).alias("f"))
+        .where(F.col("f").isNotNull())
         .select(
             "doc_id",
             F.col("f.pos").alias("pos"),

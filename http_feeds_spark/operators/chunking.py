@@ -39,7 +39,18 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
     stride = size - overlap
-    toks = F.split(F.col(text_col), " ")
+    # the token array is materialized as a COLUMN and the generate is the
+    # OUTER variant — both load-bearing (r15 plan-lint incident): with the
+    # split() expression inline, the transform lambda re-tokenized the
+    # whole document per chunk (no CSE across lambda boundaries), and
+    # with a plain posexplode Catalyst's InferFiltersFromGenerate plants
+    # a size()>0 filter whose alias-substituted pushdown re-derives the
+    # full chunk build from raw text — O(T²) per doc either way. The
+    # outer generate infers no filter; its one null row per null-token
+    # doc is dropped on the cheap generated column, which for split() is
+    # exactly the rows a plain posexplode would drop (split never yields
+    # an empty array).
+    toks = F.col("__toks")
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)
     # (a start inside the previous chunk's tail would duplicate it)
@@ -55,8 +66,11 @@ def chunk_documents(
         ),
     )
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "c")
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
     ).select(
+        "doc_id", F.posexplode_outer(chunks).alias("chunk_idx", "c")
+    ).where(F.col("c").isNotNull()).select(
         "doc_id",
         "chunk_idx",
         F.col("c.start_tok").alias("start_tok"),

@@ -63,6 +63,11 @@ EXPENSIVE_MARKERS = (
     "regexp_replace(",
     "regexp_count(",
     "rlike(",
+    # split is the regex engine too — and it is how the r15 repetition
+    # incident re-tokenized a whole document per lambda element: an
+    # InferFiltersFromGenerate size()>0 filter, alias-substituted through
+    # two projections, re-derived element_at(split(text), i) per gram
+    "split(",
     "from_json(",
     "to_json(",
     "get_json_object(",
