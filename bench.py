@@ -85,23 +85,16 @@ def _load_gate(threshold: float = 5.0, max_wait_s: float = 240.0) -> dict:
     }
 
 
-def _ensure_bench_text_corpus(spark, path: str, n_docs: int, n_words: int) -> bool:
-    """Deterministic punctuated benchmark corpus (r10): the driver
-    tables' documents at sf0.1 are 5K docs × ~300 chars, so every
-    text-index plan change lands inside job overhead (the r9 verdict
-    measured the whole family moving 25-40% with no plan change). This
-    builds ~n_docs × ~3 KB real-shaped text — Zipf-skewed vocabulary,
-    punctuation glued to words, occasional uppercase — entirely with
-    Spark expressions (no driver-side generation, no randomness:
-    xxhash64 of (doc, position) drives every choice, so the corpus is
-    bit-identical across rounds and the index builds once). Returns
-    True when it built."""
+def synth_text_docs(spark, n_docs: int, n_words: int = 450, start: int = 0):
+    """Deterministic real-shaped (doc_id, text) rows — the generator
+    behind the bench text corpus, reusable for any id range (r15:
+    platform_curve.py generates its incremental-wave documents from the
+    same distribution so wave postings look like corpus postings).
+    Zipf-skewed vocabulary, punctuation glued to words, occasional
+    uppercase, xxhash64(doc, position)-driven: bit-identical across
+    runs for a given (start, n_docs, n_words)."""
     from pyspark.sql import functions as F
 
-    from http_feeds_spark.stores import parquet_exists
-
-    if parquet_exists(spark, path):
-        return False
     syl = [
         "an", "ber", "cor", "dal", "en", "fi", "gor", "hul", "in", "jor",
         "kel", "lum", "mor", "nex", "or", "pel", "qui", "rol", "sta", "tur",
@@ -129,17 +122,28 @@ def _ensure_bench_text_corpus(spark, path: str, n_docs: int, n_words: int) -> bo
         )
         return F.concat(w, punct)
 
-    (
-        spark.range(n_docs)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.array_join(
-                F.transform(F.sequence(F.lit(1), F.lit(n_words)), word), " "
-            ).alias("text"),
-        )
-        .write.mode("overwrite")
-        .parquet(path)
+    return spark.range(start, start + n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(n_words)), word), " "
+        ).alias("text"),
     )
+
+
+def _ensure_bench_text_corpus(spark, path: str, n_docs: int, n_words: int) -> bool:
+    """Deterministic punctuated benchmark corpus (r10): the driver
+    tables' documents at sf0.1 are 5K docs × ~300 chars, so every
+    text-index plan change lands inside job overhead (the r9 verdict
+    measured the whole family moving 25-40% with no plan change). This
+    builds ~n_docs × ~3 KB real-shaped text via :func:`synth_text_docs`
+    (no driver-side generation, no randomness — bit-identical across
+    rounds, so the corpus and index build once into the warehouse).
+    Returns True when it built."""
+    from http_feeds_spark.stores import parquet_exists
+
+    if parquet_exists(spark, path):
+        return False
+    synth_text_docs(spark, n_docs, n_words).write.mode("overwrite").parquet(path)
     return True
 
 

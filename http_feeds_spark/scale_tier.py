@@ -43,42 +43,42 @@ SCALED_TABLES = ("lineitem", "orders", "customer", "events", "documents", "embed
 COPIED_TABLES = ("part", "supplier", "nation", "region")
 
 
-def _copies(df: DataFrame, factor: int, transform) -> DataFrame:
-    out = transform(df, 0)
+def _copies(df: DataFrame, factor: int, transform, offset: int, salt: str) -> DataFrame:
+    out = transform(df, 0, offset, salt)
     for i in range(1, factor):
-        out = out.unionByName(transform(df, i))
+        out = out.unionByName(transform(df, i, offset, salt))
     return out
 
 
-def _scale_lineitem(df: DataFrame, i: int) -> DataFrame:
-    return df.withColumn("l_orderkey", F.col("l_orderkey") + i * KEY_OFFSET)
+def _scale_lineitem(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
+    return df.withColumn("l_orderkey", F.col("l_orderkey") + i * offset)
 
 
-def _scale_orders(df: DataFrame, i: int) -> DataFrame:
-    return df.withColumn("o_orderkey", F.col("o_orderkey") + i * KEY_OFFSET).withColumn(
-        "o_custkey", F.col("o_custkey") + i * KEY_OFFSET
+def _scale_orders(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
+    return df.withColumn("o_orderkey", F.col("o_orderkey") + i * offset).withColumn(
+        "o_custkey", F.col("o_custkey") + i * offset
     )
 
 
-def _scale_customer(df: DataFrame, i: int) -> DataFrame:
-    return df.withColumn("c_custkey", F.col("c_custkey") + i * KEY_OFFSET)
+def _scale_customer(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
+    return df.withColumn("c_custkey", F.col("c_custkey") + i * offset)
 
 
-def _scale_events(df: DataFrame, i: int) -> DataFrame:
+def _scale_events(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
     # new event ids keep seq unique; new user ids scale the feed's
     # subject cardinality (sources/tables.events_as_feed maps
     # user_id → subject)
-    return df.withColumn("event_id", F.col("event_id") + i * KEY_OFFSET).withColumn(
-        "user_id", F.col("user_id") + i * KEY_OFFSET
+    return df.withColumn("event_id", F.col("event_id") + i * offset).withColumn(
+        "user_id", F.col("user_id") + i * offset
     )
 
 
-def _scale_documents(df: DataFrame, i: int) -> DataFrame:
+def _scale_documents(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
     if i == 0:
         return df
-    salted = F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+    salted = F.regexp_replace("text", r"(\S+)", rf"$1{salt}{i}")
     return df.select(
-        (F.col("doc_id") + i * KEY_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + i * offset).alias("doc_id"),
         salted.alias("text"),
         "lang",
         "source",
@@ -86,7 +86,7 @@ def _scale_documents(df: DataFrame, i: int) -> DataFrame:
     )
 
 
-def _scale_embeddings(df: DataFrame, i: int) -> DataFrame:
+def _scale_embeddings(df: DataFrame, i: int, offset: int, salt: str) -> DataFrame:
     if i == 0:
         return df
     vid = F.col("vec_id")
@@ -99,7 +99,7 @@ def _scale_embeddings(df: DataFrame, i: int) -> DataFrame:
         ).cast("float"),
     )
     return df.select(
-        (vid + i * KEY_OFFSET).alias("vec_id"),
+        (vid + i * offset).alias("vec_id"),
         perturbed.alias("embedding"),
         "label",
     )
@@ -116,12 +116,25 @@ _SCALERS = {
 
 
 def ensure_scale_tier(
-    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    factor: int = 10,
+    key_offset: int = KEY_OFFSET,
+    salt: str = "x",
 ) -> bool:
     """Materialize the scaled tier under ``dst_dir`` (one ``{table}.parquet``
     directory per driver table, the testdata layout load_table expects).
     Build-once: returns True when it built, False when every table
-    already existed. Deterministic, so later rounds reuse the artifact."""
+    already existed. Deterministic, so later rounds reuse the artifact.
+
+    Tiers COMPOSE (r15, the sf100 rung): pass an already-scaled tier as
+    ``src_dir`` with a ``key_offset`` at least ``first_factor ×
+    first_offset`` (so second-level key shifts clear the first level's
+    whole key range) and a fresh ``salt`` letter (level-1 copy 0 salted
+    "y3" at level 2 must not collide with level-1 copy 3's "x3" tokens —
+    same-letter composition would recreate exactly the shared shingles
+    the salting exists to prevent)."""
     built = False
     dst = dst_dir.rstrip("/")
     for name in SCALED_TABLES:
@@ -129,7 +142,9 @@ def ensure_scale_tier(
         if parquet_exists(spark, path):
             continue
         src = load_table(spark, src_dir, name)
-        _copies(src, factor, _SCALERS[name]).write.mode("overwrite").parquet(path)
+        _copies(src, factor, _SCALERS[name], key_offset, salt).write.mode(
+            "overwrite"
+        ).parquet(path)
         built = True
     for name in COPIED_TABLES:
         path = f"{dst}/{name}.parquet"
