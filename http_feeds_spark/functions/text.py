@@ -372,8 +372,14 @@ def add_repetition_stats(
     :func:`_repetition_stats_exploded`, value-identical by pinned
     equivalence in tests/test_repetition.py), short rows keep the
     shuffle-free path, and the two halves union. The r15 A/B in
-    BASELINE.md measured the crossover near ~2-4K tokens/doc on the
-    bench box; the dispatch needs ``id_col`` to be row-unique."""
+    BASELINE.md measured the crossover near ~250-500 tokens/doc at
+    fixed corpus size on the bench box (the exploded form is flat in
+    doc length; the per-row form doubles per doubling), so ~512 is a
+    sound threshold for mixed corpora — the per-row default remains
+    right for short-doc web corpora like the driver tables, where the
+    whole corpus sits below the crossover and the exploded form's
+    shuffle+join floor dominates. The dispatch needs ``id_col`` to be
+    row-unique."""
     if explode_over_tokens is not None:
         n_toks = F.size(words(text_col))
         short = add_repetition_stats(

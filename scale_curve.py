@@ -49,8 +49,17 @@ SCALE_SET = LEGACY12 + HEADS
 
 
 def main() -> None:
+    """Two modes. Default: sf0.1 -> sf{factor/10} single-level tier over
+    the full SCALE_SET (the r14 rungs). COMPOSED mode (r15, the sf100
+    rung): SPARK_GRAFT_SCALE_COMPOSE=1 builds dst from the EXISTING
+    sf10 tier (factor 10 on top, key offset cleared past level 1's
+    range, fresh salt letter — see ensure_scale_tier) and compares
+    sf10 -> sf100 over SPARK_GRAFT_SCALE_QUERIES (comma list, default
+    the non-CPU-monster subset below; min-of-2, each rep is ~10 the
+    work of an sf10 rep)."""
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    compose = os.environ.get("SPARK_GRAFT_SCALE_COMPOSE") == "1"
     gate = _load_gate()
 
     from http_feeds_spark.queries import registry
@@ -61,21 +70,49 @@ def main() -> None:
     reg = registry()
 
     wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    sf_label = round(0.1 * factor, 1)
-    dst_dir = f"{wh}/scale_sf{sf_label}"
-    t0 = time.perf_counter()
-    built = ensure_scale_tier(spark, src_dir, dst_dir, factor=factor)
+    if compose:
+        # level 1 must exist (the r14 sf10 artifact); level 2 stacks on it
+        base_dir = f"{wh}/scale_sf10.0"
+        ensure_scale_tier(spark, src_dir, base_dir, factor=100)
+        src_dir, factor, sf_label = base_dir, 10, 100.0
+        dst_dir = f"{wh}/scale_sf{sf_label}"
+        t0 = time.perf_counter()
+        built = ensure_scale_tier(
+            spark, base_dir, dst_dir, factor=10,
+            key_offset=10_000_000_000, salt="y",
+        )
+    else:
+        sf_label = round(0.1 * factor, 1)
+        dst_dir = f"{wh}/scale_sf{sf_label}"
+        t0 = time.perf_counter()
+        built = ensure_scale_tier(spark, src_dir, dst_dir, factor=factor)
     build_s = round(time.perf_counter() - t0, 3) if built else 0.0
 
     spark.read.parquet(f"{src_dir}/lineitem.parquet").count()  # warm-up
     calib_s = _calibrate(spark)
 
+    names = SCALE_SET
+    reps = 3
+    if compose:
+        reps = 2  # each sf100 rep is real minutes; the ratio is the datum
+        names = os.environ.get(
+            "SPARK_GRAFT_SCALE_QUERIES",
+            # the subset whose sf10 walls leave room for a 10x rep:
+            # shuffle-bound heads + broadcast/pruned/fixed-output plans.
+            # substr_scrub/tokens are excluded: already proven linear
+            # map CPU at sf10, a 10-minute rep adds no information.
+            "q_agg_group,q_join_broadcast,q_join_inner,q_window_rank,"
+            "q_topk,q_read_model,q_stream_tumbling,q_llm_dedup_exact,"
+            "q_llm_cosine,q_llm_dedup_near,q_llm_textstats,"
+            "q_llm_dedup_groups,q_llm_ann_index",
+        ).split(",")
+
     def bench(sf_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}
-        for name in SCALE_SET:
+        for name in names:
             fn = reg[name].fn
             runs = []
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
@@ -85,19 +122,24 @@ def main() -> None:
     small = bench(src_dir)
     large = bench(dst_dir)
 
+    base_label = "sf10_s" if compose else "sf0.1_s"
     curve = {
         name: {
-            "sf0.1_s": small[name],
+            base_label: small[name],
             f"sf{sf_label}_s": large[name],
             "ratio": round(large[name] / small[name], 2),
         }
-        for name in SCALE_SET
+        for name in names
     }
     suspects = [n for n, r in curve.items() if r["ratio"] > 1.6 * factor]
     print(
         json.dumps(
             {
-                "metric": f"scale_curve_sf01_to_sf{sf_label}",
+                "metric": (
+                    f"scale_curve_sf10_to_sf{sf_label}"
+                    if compose
+                    else f"scale_curve_sf01_to_sf{sf_label}"
+                ),
                 "factor": factor,
                 "queries": curve,
                 "superlinear_suspects": suspects,

@@ -208,3 +208,36 @@ def test_registry_wide_lint_is_clean(spark, sf_dir):
         if rules:
             flagged[name] = sorted(rules)
     assert not flagged, flagged
+
+
+def test_inferred_generate_filter_rederivation_fires_and_outer_clears(texts):
+    """The r15 incident class in miniature: a plain explode over an
+    alias of a lambda-built gram array makes InferFiltersFromGenerate
+    plant a size()>0 filter whose alias-substituted pushdown re-derives
+    element_at(split(text), i) per lambda element — quadratic in doc
+    length (measured 130 s -> 2 s at 8K-word docs once fixed). The
+    split() marker catches it; the explode_outer form (no inferred
+    filter) with the token array materialized lints clean."""
+    from http_feeds_spark.functions.text import word_shingles, words
+
+    def grams_over(col):
+        return word_shingles(col, 2)
+
+    bad = (
+        texts.select(F.col("doc_id").alias("__rid"), words("text").alias("__toks"))
+        .withColumn("__gs", grams_over(F.col("__toks")))
+        .select("__rid", F.explode("__gs").alias("__g"))
+        .groupBy("__rid")
+        .count()
+    )
+    assert "expensive_in_lambda" in _rules(lint(bad))
+
+    good = (
+        texts.select(F.col("doc_id").alias("__rid"), words("text").alias("__toks"))
+        .withColumn("__gs", grams_over(F.col("__toks")))
+        .select("__rid", F.explode_outer("__gs").alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .groupBy("__rid")
+        .count()
+    )
+    assert lint(good) == []
