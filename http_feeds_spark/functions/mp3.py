@@ -18,13 +18,18 @@ with a loud error naming the boundary, never a silent wrong answer):
   table is a COMPLETE prefix code, so its Kraft sum is exactly 1 and
   no codeword prefixes another; a misremembered entry breaks one or
   both (tests/test_mp3.py pins this for every shipped table). That
-  holds for tables 0-3 and 5-9 plus both count1 quadruple tables.
-  Tables 10-31 did not validate and are NOT shipped: a frame selecting
-  them raises NotImplementedError naming the table. (Tables 16-23 and
-  24-31 share two code matrices with varying linbits, so two more
-  validated matrices would unlock all escape coding; the structure —
-  linbits widths, escape-15 semantics — is implemented and tested via
-  the boundary error.)
+  holds for tables 0-3, 5-9, 11-13, 15, both escape-family code
+  matrices (16-23 and 24-31 share two matrices with per-table
+  linbits), and both count1 quadruple tables — i.e. every table real
+  encoders select EXCEPT table 10, whose recollection carried
+  multiple internal collisions and is NOT shipped: a frame selecting
+  it raises NotImplementedError naming the table. Table 12 is
+  recollection plus one pinned completion (see the note at its data).
+  Residual risk, stated honestly: completeness cannot rule out a
+  same-length code-value swap within a table (the stream would decode
+  to a permuted pair); no in-sandbox ground truth exists to refute
+  that, and the fingerprint tier consuming this output is
+  lossy-tolerant by design.
 - **Synthesis window**: the spec's 512-coefficient prototype (Table
   B.3) is likewise non-derivable constant data. The filterbank is
   implemented exactly in the spec's windowed-matrix structure, with an
@@ -134,6 +139,212 @@ HUFFMAN_TABLES: dict[int, tuple[int, int, int, list[list[int]], list[list[int]]]
          [15, 6, 9, 10, 5, 1], [11, 7, 9, 6, 4, 1], [14, 4, 6, 2, 6, 0]]),
 }
 
+# linbits per escape table id (ISO 11172-3 2.4.2.7: tables 16-23 share
+# one code matrix, 24-31 the other; only linbits varies within a family)
+LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+           24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
+
+
+def _mat(flat: list[int], dim: int) -> list[list[int]]:
+    return [list(flat[r * dim : (r + 1) * dim]) for r in range(dim)]
+
+
+# Tables 11-13, 15 and the two escape-family code matrices (16-23 /
+# 24-31), recollected from the public Annex B.7 listings (the same
+# (code, length) row-major layout every public encoder/decoder table
+# file mirrors) and shipped ONLY because each passes the completeness
+# validation independently: 64-256 entries forming a complete prefix
+# code (Kraft sum exactly 1, all distinct, prefix-free) — a property
+# corrupted recall essentially cannot satisfy by accident, as the
+# rejected tables demonstrate (table 10's recollection carried 5+
+# internal collisions and stays OUT; a frame selecting it refuses
+# loudly). Table 12 is recollection + one pinned completion: 64/64
+# codes and 63/64 lengths validated as recalled, with a Kraft deficit
+# of exactly 1/512 whose repair is UNIQUE over every possible
+# single-length modification (entry (x=6, y=4): 9 -> 8 bits, exactly
+# the entry the prefix-overlap implicated); tests/test_mp3.py pins
+# both the completeness and the uniqueness argument.
+_T11_C = [
+    3, 4, 10, 24, 34, 33, 21, 15,
+    5, 3, 4, 10, 32, 17, 11, 10,
+    11, 7, 13, 18, 30, 31, 20, 5,
+    25, 11, 19, 59, 27, 18, 12, 5,
+    35, 33, 31, 58, 30, 16, 7, 5,
+    28, 26, 32, 19, 17, 15, 8, 14,
+    14, 12, 9, 13, 14, 9, 4, 1,
+    11, 4, 6, 6, 6, 3, 2, 0]
+_T11_L = [
+    2, 3, 5, 7, 8, 9, 8, 9,
+    3, 3, 4, 6, 8, 8, 7, 8,
+    5, 5, 6, 7, 8, 9, 8, 8,
+    7, 6, 7, 9, 8, 10, 8, 9,
+    8, 8, 8, 9, 9, 10, 9, 10,
+    8, 8, 9, 10, 10, 11, 10, 11,
+    8, 7, 7, 8, 9, 10, 10, 10,
+    8, 7, 8, 9, 10, 10, 10, 10]
+_T12_C = [
+    9, 6, 16, 33, 41, 39, 38, 26,
+    7, 5, 6, 9, 23, 16, 26, 11,
+    17, 7, 11, 14, 21, 30, 10, 7,
+    17, 10, 15, 12, 18, 28, 14, 5,
+    32, 13, 22, 19, 18, 16, 9, 5,
+    40, 17, 31, 29, 17, 13, 4, 2,
+    27, 12, 11, 15, 10, 7, 4, 1,
+    27, 12, 8, 12, 6, 3, 1, 0]
+_T12_L = [
+    4, 3, 5, 7, 8, 9, 9, 9,
+    3, 3, 4, 5, 7, 7, 8, 8,
+    5, 4, 5, 6, 7, 8, 7, 8,
+    6, 5, 6, 6, 7, 8, 8, 8,
+    7, 6, 7, 7, 8, 8, 8, 9,
+    8, 7, 8, 8, 8, 9, 8, 9,
+    8, 7, 7, 8, 8, 9, 9, 10,  # (6,4): the unique 9->8 completion
+    9, 8, 8, 9, 9, 9, 9, 10]
+_T13_C = [
+    1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+    3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+    15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+    22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+    35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+    58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+    47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+    72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+    43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+    53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+    35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+    53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+    34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+    45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+    48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+    16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1]
+_T13_L = [
+    1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+    3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+    6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+    7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+    8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+    9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+    9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+    9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+    10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+    10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+    11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+    11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+    12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+    13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+    12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16]
+_T15_C = [
+    7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+    13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+    19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+    29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+    52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+    77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+    125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+    109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+    90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+    71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+    109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+    86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+    118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+    91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+    123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+    71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0]
+_T15_L = [
+    3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+    4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+    5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+    6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+    9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+    9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+    11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+    11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+    12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13,
+    12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13]
+_T16_C = [
+    1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225, 195, 376, 17,
+    3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107, 207, 9,
+    15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110, 209, 206, 16,
+    45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199, 387, 365, 26,
+    75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226, 395, 382, 362, 9,
+    66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400, 388, 378, 445, 16,
+    111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217, 385, 366, 715, 10,
+    98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372, 380, 889, 884, 8,
+    85, 84, 81, 159, 156, 143, 260, 249, 427, 401, 392, 383, 727, 713, 708, 7,
+    154, 76, 73, 141, 131, 256, 245, 426, 406, 394, 384, 735, 359, 710, 352, 11,
+    139, 129, 67, 125, 247, 233, 229, 219, 393, 743, 737, 720, 885, 882, 439, 4,
+    243, 120, 118, 115, 227, 223, 396, 746, 742, 736, 721, 712, 706, 223, 436, 6,
+    202, 224, 222, 218, 216, 389, 386, 381, 364, 888, 443, 707, 440, 437, 1728, 4,
+    747, 211, 210, 208, 370, 379, 734, 723, 714, 1735, 883, 877, 876, 3459, 865, 2,
+    377, 369, 102, 187, 726, 722, 358, 711, 709, 866, 1734, 871, 3458, 870, 434, 0,
+    12, 10, 7, 11, 10, 17, 11, 9, 13, 12, 10, 7, 5, 3, 1, 3]
+_T16_L = [
+    1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9,
+    3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8,
+    6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9,
+    8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 10,
+    9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13, 9,
+    9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 10,
+    10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14, 10,
+    10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15, 10,
+    10, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 14, 14, 14, 10,
+    11, 10, 10, 11, 11, 12, 12, 13, 13, 13, 13, 14, 13, 14, 13, 11,
+    11, 11, 10, 11, 12, 12, 12, 12, 13, 14, 14, 14, 15, 15, 14, 10,
+    12, 11, 11, 11, 12, 12, 13, 14, 14, 14, 14, 14, 14, 13, 14, 11,
+    12, 12, 12, 12, 12, 13, 13, 13, 13, 15, 14, 14, 14, 14, 16, 11,
+    14, 12, 12, 12, 13, 13, 14, 14, 14, 16, 15, 15, 15, 17, 15, 11,
+    13, 13, 11, 12, 14, 14, 13, 14, 14, 15, 16, 15, 17, 15, 14, 11,
+    9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8]
+_T24_C = [
+    15, 13, 46, 80, 146, 262, 248, 434, 426, 669, 653, 649, 621, 517, 1032, 88,
+    14, 12, 21, 38, 71, 130, 122, 216, 209, 198, 327, 345, 319, 297, 279, 42,
+    47, 22, 41, 74, 68, 128, 120, 221, 207, 194, 182, 340, 315, 295, 541, 18,
+    81, 39, 75, 70, 134, 125, 116, 220, 204, 190, 178, 325, 311, 293, 271, 16,
+    147, 72, 69, 135, 127, 118, 112, 210, 200, 188, 352, 323, 306, 285, 540, 14,
+    263, 66, 129, 126, 119, 114, 214, 202, 192, 180, 341, 317, 301, 281, 262, 12,
+    249, 123, 121, 117, 113, 215, 206, 195, 185, 347, 330, 308, 291, 272, 520, 10,
+    435, 115, 111, 109, 211, 203, 196, 187, 353, 332, 313, 298, 283, 531, 381, 17,
+    427, 212, 208, 205, 201, 193, 186, 177, 169, 320, 303, 286, 268, 514, 377, 16,
+    335, 199, 197, 191, 189, 181, 174, 333, 321, 305, 289, 275, 521, 379, 371, 11,
+    668, 184, 183, 179, 175, 344, 331, 314, 304, 290, 277, 530, 383, 373, 366, 10,
+    652, 346, 171, 168, 164, 318, 309, 299, 287, 276, 263, 513, 375, 368, 362, 6,
+    648, 322, 316, 312, 307, 302, 292, 284, 269, 261, 512, 376, 370, 364, 359, 4,
+    620, 300, 296, 294, 288, 282, 273, 266, 515, 380, 374, 369, 365, 361, 357, 2,
+    1033, 280, 278, 274, 267, 264, 259, 382, 378, 372, 367, 363, 360, 358, 356, 0,
+    43, 20, 19, 17, 15, 13, 11, 9, 7, 6, 4, 7, 5, 3, 1, 3]
+_T24_L = [
+    4, 4, 6, 7, 8, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 9,
+    4, 4, 5, 6, 7, 8, 8, 9, 9, 9, 10, 10, 10, 10, 10, 8,
+    6, 5, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7,
+    7, 6, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 7,
+    8, 7, 7, 8, 8, 8, 8, 9, 9, 9, 10, 10, 10, 10, 11, 7,
+    9, 7, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 7,
+    9, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 7,
+    10, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 8,
+    10, 9, 9, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 8,
+    10, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 8,
+    11, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+    11, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+    11, 10, 10, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 8,
+    11, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8,
+    12, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11, 8,
+    8, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8, 8, 4]
+
+HUFFMAN_TABLES[11] = (8, 8, 0, _mat(_T11_L, 8), _mat(_T11_C, 8))
+HUFFMAN_TABLES[12] = (8, 8, 0, _mat(_T12_L, 8), _mat(_T12_C, 8))
+HUFFMAN_TABLES[13] = (16, 16, 0, _mat(_T13_L, 16), _mat(_T13_C, 16))
+HUFFMAN_TABLES[15] = (16, 16, 0, _mat(_T15_L, 16), _mat(_T15_C, 16))
+for _tid in LINBITS:
+    _l, _c = (_T16_L, _T16_C) if _tid < 24 else (_T24_L, _T24_C)
+    HUFFMAN_TABLES[_tid] = (16, 16, LINBITS[_tid], _mat(_l, 16), _mat(_c, 16))
+
 # count1 quadruple tables: table A (count1table_select=0), B (=1).
 # A: (hlen, hcod) per vwxy value 0..15; B: fixed 4-bit complement code.
 COUNT1_A = (
@@ -143,12 +354,6 @@ COUNT1_A = (
 COUNT1_B = ([4] * 16, [15 - i for i in range(16)])
 
 SUPPORTED_TABLES = frozenset({0} | set(HUFFMAN_TABLES))
-
-# linbits per escape table id (structure implemented; the shared code
-# matrices for 16-23 / 24-31 are outside the validated set — see module
-# docstring)
-LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
-           24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
 
 
 def _decode_tree(hlen: list[list[int]], hcod: list[list[int]]) -> dict[str, tuple[int, int]]:
@@ -445,8 +650,8 @@ def _decode_big_value(bits, tid: int, limit: int) -> tuple[int, int]:
             f"{sorted(SUPPORTED_TABLES)} (see functions/mp3.py docstring)"
         )
     x, y = _huff_symbol(bits, _TREES[tid], limit)
-    # escape/linbits structure (tables 16-31) — unreachable until those
-    # code matrices validate, kept for the documented boundary's shape
+    # escape coding (tables 16-31): symbol 15 carries a linbits-wide
+    # unsigned extension, then the sign bit as usual
     lin = HUFFMAN_TABLES[tid][2]
     if lin and x == 15:
         x += bits.read(lin)
@@ -838,13 +1043,15 @@ def decode_mp3(payload: bytes):
 # Mono MPEG-1 Layer III, long blocks, scalefactors all zero, no bit
 # reservoir (main_data_begin = 0 every frame), big-value region only
 # (count1 empty — the big-value region may legally carry ±1 values), and
-# only VALIDATED Huffman tables: quantized magnitudes are capped at 5
-# (table 9's range) by the global_gain choice. A quality-first encoder
-# would use the escape tables (16-31) for fine quantization — exactly
-# the boundary documented in the module docstring — so this twin is a
-# coarse but spec-shaped encoder: spectral peak locations are exact,
-# amplitudes carry ~3-bit resolution. That is the fidelity the
-# constellation fingerprint tier needs (prominence ratios, not levels).
+# only VALIDATED Huffman tables. Two quantization modes via ``max_q``:
+# the default (max_q=5) caps magnitudes at table 9's range via the
+# global_gain choice — coarse but spec-shaped, peak locations exact,
+# ~3-bit amplitude resolution; max_q > 5 quantizes finely and encodes
+# each granule with the cheapest escape table (16-23) whose linbits
+# field covers the granule's max magnitude — the same table family
+# real encoders select at standard bitrates for non-quiet content,
+# which is what makes the encode∘decode witness for the escape decode
+# path a realistic one.
 
 
 class _BitWriter:
@@ -869,6 +1076,35 @@ _ENC_CODES = {
     for y in range(6)
 }
 _ENC_MAX = 5
+
+
+def _enc_pick_table(max_mag: int) -> int:
+    """Smallest-range table covering ``max_mag``: table 9 for <= 5,
+    else the 16-family escape table with the fewest linbits whose
+    escape range (15 + 2^linbits - 1) covers it."""
+    if max_mag <= _ENC_MAX:
+        return _ENC_TABLE_ID
+    for tid in (16, 17, 18, 19, 20, 21, 22, 23):
+        if max_mag <= 15 + (1 << LINBITS[tid]) - 1:
+            return tid
+    raise ValueError(f"quantized magnitude {max_mag} exceeds table 23's escape range")
+
+
+def _enc_write_pair(w: "_BitWriter", tid: int, a: int, b: int) -> None:
+    """Emit one big-value pair in the decoder's exact read order:
+    codeword, x linbits (escape symbol only), x sign, y linbits, y sign."""
+    t = HUFFMAN_TABLES[tid]
+    lin = t[2]
+    xs, ys = min(abs(a), 15) if lin else abs(a), min(abs(b), 15) if lin else abs(b)
+    w.write(t[4][xs][ys], t[3][xs][ys])
+    if lin and xs == 15:
+        w.write(abs(a) - 15, lin)
+    if a:
+        w.write(1 if a < 0 else 0, 1)
+    if lin and ys == 15:
+        w.write(abs(b) - 15, lin)
+    if b:
+        w.write(1 if b < 0 else 0, 1)
 
 _MDCT36_FWD = _IMDCT36.T * (4.0 / 36.0)
 
@@ -897,11 +1133,14 @@ def _antialias_inverse(xr: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_mp3(x: np.ndarray, rate: int) -> bytes:
+def encode_mp3(x: np.ndarray, rate: int, max_q: int = _ENC_MAX) -> bytes:
     """Encode mono float samples ([-1, 1]) to a Layer III stream (see
     the encoder-twin notes above). MPEG-1 rates (32/44.1/48 kHz) pack
     two granules per frame; MPEG-2 (16/22.05/24 kHz) and MPEG-2.5
-    (8/11.025/12 kHz) rates use the LSF single-granule layout."""
+    (8/11.025/12 kHz) rates use the LSF single-granule layout.
+    ``max_q`` caps the quantized magnitude: the default 5 keeps the
+    historical coarse table-9 twin byte-identical; larger values select
+    escape tables (16-23) per granule as real encoders do."""
     version = next((v for v, rs in SAMPLE_RATES.items() if rate in rs), None)
     if version is None:
         raise ValueError(f"not a Layer III sample rate: {rate}")
@@ -927,30 +1166,25 @@ def encode_mp3(x: np.ndarray, rate: int) -> bytes:
             xr = _granule_spectrum(prev, cur)
             prev = cur
             xr = _antialias_inverse(xr)
-            # global_gain: smallest A with round((max/2^A)^(3/4)) <= 5
+            # global_gain: smallest A with round((max/2^A)^(3/4)) <= max_q
             mx = float(np.abs(xr).max())
             if mx == 0.0:
                 gg, is_q = 210, np.zeros(576, dtype=np.int64)
             else:
-                a_min = math.log2(mx / (_ENC_MAX + 0.4) ** (4.0 / 3.0))
+                a_min = math.log2(mx / (max_q + 0.4) ** (4.0 / 3.0))
                 gg = min(255, max(0, 210 + math.ceil(4 * a_min)))
                 q = (np.abs(xr) / 2.0 ** ((gg - 210) / 4.0)) ** 0.75
                 is_q = (np.sign(xr) * np.round(q)).astype(np.int64)
-                is_q = np.clip(is_q, -_ENC_MAX, _ENC_MAX)
+                is_q = np.clip(is_q, -max_q, max_q)
             nz = np.nonzero(is_q)[0]
             last = int(nz[-1]) + 1 if len(nz) else 0
             big_values = (last + 1) // 2
+            tid = _enc_pick_table(int(np.abs(is_q).max()) if last else 0)
             w = _BitWriter()
             for p in range(big_values):
-                a, b = int(is_q[2 * p]), int(is_q[2 * p + 1])
-                ln, code = _ENC_CODES[(abs(a), abs(b))]
-                w.write(code, ln)
-                if a:
-                    w.write(1 if a < 0 else 0, 1)
-                if b:
-                    w.write(1 if b < 0 else 0, 1)
+                _enc_write_pair(w, tid, int(is_q[2 * p]), int(is_q[2 * p + 1]))
             granule_bits.append(
-                {"gg": gg, "big_values": big_values, "bits": w.bits}
+                {"gg": gg, "big_values": big_values, "bits": w.bits, "tid": tid}
             )
         # side info (mono: MPEG-1 17 bytes / LSF 9 bytes)
         si = _BitWriter()
@@ -969,7 +1203,7 @@ def encode_mp3(x: np.ndarray, rate: int) -> bytes:
             si.write(0, 4 if mpeg1 else 9)
             si.write(0, 1)  # window_switching_flag
             for _ in range(3):
-                si.write(_ENC_TABLE_ID, 5)
+                si.write(g["tid"], 5)
             si.write(15, 4)  # region0_count
             si.write(5, 3)  # region1_count (15+5+2 == 22 bands: legal)
             if mpeg1:

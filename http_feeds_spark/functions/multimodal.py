@@ -1951,8 +1951,8 @@ def _mp3_sub_decodable(payload: bytes, probe_frames: int = 4) -> bool:
     """Per-payload decode-tier probe for Layer III (r15, the audio twin
     of the TIFF/ICO image ``sub_decodable`` hints): walk the first few
     frames' SIDE INFO ONLY — no Huffman decode — and report whether
-    functions/mp3.py's documented boundaries (unvalidated Huffman
-    tables 10-31, intensity stereo) would refuse the stream. Without
+    functions/mp3.py's documented boundaries (the one unvalidated
+    Huffman table 10, intensity stereo) would refuse the stream. Without
     this, every typical-bitrate real-world MP3 routes into the audiofp
     Arrow passes decodable=True and then yields nothing; with it the
     routing bit means what it means for images. Only tables selected by

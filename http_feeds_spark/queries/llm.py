@@ -2001,7 +2001,13 @@ def q_mm_mp3_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         amp = 0.2 + (doc_id % 6) / 10.0
         freq = rate * (0.02 + (doc_id % 8) / 100.0)
         t = np.arange(int(rate * 0.6))
-        return mp3c.encode_mp3(amp * np.sin(2 * np.pi * freq * t / rate), rate)
+        # every third healthy payload is fine-quantized (r15): the
+        # encoder selects an escape table (16-23), so the driver-run
+        # tier exercises the escape decode path, not just table 9
+        max_q = 120 if rank % 3 == 1 else 5
+        return mp3c.encode_mp3(
+            amp * np.sin(2 * np.pi * freq * t / rate), rate, max_q=max_q
+        )
 
     d = spark.createDataFrame(
         [(i, mp3_for(rank, i)) for rank, i in enumerate(ids)],
@@ -2531,14 +2537,16 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # r14: LOSSY tier — the same masters as MP3 re-encodes (the dominant
     # crawl audio container; functions/mp3.py, MPEG-2.5 at this rate).
-    # The coarse-quantization encoder twin preserves every per-band
-    # spectral peak bin and the decoder trims its algorithmic delay, so
-    # the chunk-tier constellation pairs lossy re-encode with lossless
-    # master at full matched fraction.
+    # r15: fine quantization (max_q=120), so every planted stream runs
+    # the ESCAPE-table decode path (tables 16-23 — what real encoders
+    # select for non-quiet content at standard bitrates); per-band
+    # spectral peak bins survive and the decoder trims its algorithmic
+    # delay, so the chunk-tier constellation pairs lossy re-encode with
+    # lossless master at full matched fraction.
     from http_feeds_spark.functions import mp3 as mp3c
 
     rows += [
-        (i + 2_000_000, mp3c.encode_mp3(master(i) / 32768.0, 8000))
+        (i + 2_000_000, mp3c.encode_mp3(master(i) / 32768.0, 8000, max_q=120))
         for i in ids[:5]
     ]
     d = spark.createDataFrame(rows, "doc_id long, payload binary")

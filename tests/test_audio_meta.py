@@ -580,9 +580,11 @@ def test_media_router_one_scan_all_modalities(spark):
 def test_mp3_sub_decodable_probe_gates_routing():
     """r15 (ADVICE r14): the MP3 decodable bit is a PER-PAYLOAD probe of
     the first frames' side info, mirroring the TIFF/ICO image hints — a
-    stream selecting an unvalidated Huffman table (16) or intensity
+    stream selecting an unvalidated Huffman table (10) or intensity
     stereo routes decodable=False instead of dying downstream in the
-    audiofp Arrow pass, while tables the decoder ships stay True."""
+    audiofp Arrow pass, while tables the decoder ships stay True —
+    including, as of the r15 escape-table landing, streams the encoder
+    twin emits through the 16-family escape tables."""
     import numpy as np
 
     from http_feeds_spark.functions import mp3
@@ -592,20 +594,34 @@ def test_mp3_sub_decodable_probe_gates_routing():
     r = mm.parse_media_meta(good)
     assert (r["modality"], r["decodable"]) == ("audio", True)
 
-    # rewrite granule 0's table_select fields to 16 (the unvalidated
-    # escape family) — same bit surgery as test_mp3's boundary test
+    # a fine-quantized stream selecting an escape table (16-23) is now
+    # inside the validated set and probes True
+    fine = mp3.encode_mp3(np.sin(2 * np.pi * 700 * t), 44100, max_q=120)
+    tids = {
+        ch["table_select"][0]
+        for _, si, _ in mp3.iter_frames(fine)
+        for gr in si["granules"]
+        for ch in gr
+    }
+    assert tids & set(range(16, 24)), tids
+    r_fine = mm.parse_media_meta(fine)
+    assert (r_fine["modality"], r_fine["decodable"]) == ("audio", True)
+
+    # rewrite granule 0's table_select fields to 10 (the one big-value
+    # table still outside the validated set) — same bit surgery as
+    # test_mp3's boundary test
     blob = bytearray(good)
     pos = 4 * 8 + 52
     for k in range(3):
         for i in range(5):
-            bit = (16 >> (4 - i)) & 1
+            bit = (10 >> (4 - i)) & 1
             p = pos + k * 5 + i
             if bit:
                 blob[p // 8] |= 0x80 >> (p % 8)
             else:
                 blob[p // 8] &= ~(0x80 >> (p % 8))
-    r16 = mm.parse_media_meta(bytes(blob))
-    assert (r16["modality"], r16["decodable"]) == ("audio", False)
+    r10 = mm.parse_media_meta(bytes(blob))
+    assert (r10["modality"], r10["decodable"]) == ("audio", False)
 
     # zero-spectrum frames (no big values) probe True regardless
     r0 = mm.parse_media_meta(mp3_frame() * 2)

@@ -251,24 +251,259 @@ def test_mp3_pairs_with_wav_master_in_constellation():
     assert len(a & c) / len(a) < 0.5
 
 
+def test_table12_unique_completion_pin():
+    """Table 12 ships as recollection + ONE completion (mp3.py data
+    note): with entry (x=6, y=4) at its recalled 9 bits the table has a
+    Kraft deficit of exactly 1/512 and a prefix overlap; at 8 bits it is
+    complete. The pin re-runs the uniqueness argument: across EVERY
+    single-length modification of the shipped table, only the identity
+    keeps it a complete prefix code — so the shipped form is the unique
+    completion of the recalled data."""
+    from fractions import Fraction
+
+    _, _, _, hlen, hcod = mp3.HUFFMAN_TABLES[12]
+    assert hlen[6][4] == 8 and hcod[6][4] == 10
+
+    def complete(lens):
+        kraft, codes = Fraction(0), set()
+        for x in range(8):
+            for y in range(8):
+                ln = lens[x][y]
+                if hcod[x][y] >= (1 << ln):
+                    return False
+                bits = format(hcod[x][y], f"0{ln}b")
+                if bits in codes:
+                    return False
+                codes.add(bits)
+                kraft += Fraction(1, 1 << ln)
+        if kraft != 1:
+            return False
+        ordered = sorted(codes)
+        return all(not b.startswith(a) for a, b in zip(ordered, ordered[1:]))
+
+    assert complete(hlen)
+    for x in range(8):
+        for y in range(8):
+            for ln in range(1, 14):
+                if ln == hlen[x][y]:
+                    continue
+                trial = [row[:] for row in hlen]
+                trial[x][y] = ln
+                assert not complete(trial), (x, y, ln)
+
+
+def test_handpacked_escape_frame_exact_spectrum():
+    """One MPEG-1 frame whose granule 0 uses escape table 19 (linbits
+    4): three big-value pairs exercising the full escape grammar —
+    x-escape with extension (17 = 15+2), x-escape with ZERO extension
+    (-15), and y-escape (-18 = -(15+3)) — in the decoder's exact read
+    order (codeword, x linbits, x sign, y linbits, y sign), with exact
+    bit accounting."""
+    t19 = mp3.HUFFMAN_TABLES[19]
+    assert t19[2] == 4  # linbits
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    main = []
+
+    def m(v, n):
+        main.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    def pair(a, b):
+        xs, ys = min(abs(a), 15), min(abs(b), 15)
+        m(t19[4][xs][ys], t19[3][xs][ys])
+        if xs == 15:
+            m(abs(a) - 15, 4)
+        if a:
+            m(1 if a < 0 else 0, 1)
+        if ys == 15:
+            m(abs(b) - 15, 4)
+        if b:
+            m(1 if b < 0 else 0, 1)
+
+    want_pairs = [(17, 2), (-15, 0), (3, -18)]
+    for a, b in want_pairs:
+        pair(a, b)
+    p23 = len(main)
+
+    hdr = bytes([0xFF, 0xFB, (5 << 4) | (0 << 2), 3 << 6])
+    w(0, 9)
+    w(0, 5)
+    w(0, 4)
+    w(p23, 12)
+    w(3, 9)  # big_values
+    w(210, 8)
+    w(0, 4)
+    w(0, 1)
+    for _ in range(3):
+        w(19, 5)
+    w(15, 4)
+    w(5, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    # granule 1: empty
+    w(0, 12)
+    w(0, 9)
+    w(210, 8)
+    w(0, 4)
+    w(0, 1)
+    for _ in range(3):
+        w(0, 5)
+    w(0, 4)
+    w(0, 3)
+    w(0, 1)
+    w(0, 1)
+    w(0, 1)
+    bits.extend(main)
+    bits.extend([0] * (-len(bits) % 8))
+    body = bytes(
+        sum(bits[i + j] << (7 - j) for j in range(8)) for i in range(0, len(bits), 8)
+    )
+    flen = 144000 * 64 // 44100
+    frame = hdr + body + b"\x00" * (flen - 4 - len(body))
+
+    frames = list(mp3.iter_frames(frame))
+    assert len(frames) == 1
+    fhdr, si, mdata = frames[0]
+    g0 = si["granules"][0][0]
+    assert (g0["part2_3_length"], g0["big_values"], g0["table_select"][0]) == (p23, 3, 19)
+    b = mp3._Bits(mdata)
+    is_q = mp3._decode_spectrum(b, fhdr, g0, p23)
+    want = np.zeros(576, dtype=np.int32)
+    want[:6] = [17, 2, -15, 0, 3, -18]
+    assert np.array_equal(is_q, want), is_q[:8]
+    assert b.pos == p23  # exact bit accounting
+
+
+@pytest.mark.parametrize("tid", sorted(mp3.LINBITS))
+def test_escape_grammar_fuzz_exact(tid):
+    """Seeded fuzz over the full escape grammar for EVERY escape table
+    (16-31): random signed big-value pairs spanning the table's whole
+    range — zeros, the 0..14 direct band, exactly 15 (zero-width
+    extension reads on linbits tables), and deep escape values up to
+    15 + 2^linbits - 1 — written by the encoder's pair writer and
+    decoded back value-exact with exact bit accounting."""
+    rng = np.random.RandomState(100 + tid)
+    lin = mp3.LINBITS[tid]
+    top = 15 + (1 << lin) - 1
+    mags = rng.randint(0, top + 1, size=40)
+    mags[:4] = [0, 14, 15, top]  # force the grammar's corner cases
+    signs = rng.choice([-1, 1], size=40)
+    vals = (mags * signs).astype(int)
+    pairs = list(zip(vals[0::2], vals[1::2]))
+
+    w = mp3._BitWriter()
+    for a, b in pairs:
+        mp3._enc_write_pair(w, tid, int(a), int(b))
+    data = w.to_bytes()
+    bits = mp3._Bits(data)
+    out = []
+    for _ in pairs:
+        out.append(mp3._decode_big_value(bits, tid, len(w.bits)))
+    assert out == [(int(a), int(b)) for a, b in pairs]
+    assert bits.pos == len(w.bits)  # exact bit accounting
+
+
+def test_escape_encode_decode_round_trip():
+    """The r14 verdict's 'Done' witness: a NON-SILENT standard-shape
+    stream whose granules select an escape table (>= 16) — the family
+    real encoders pick for non-quiet content — decodes
+    sample-plausibly: fine quantization lifts round-trip SNR close to
+    the PQMF prototype's measured ceiling (~41 dB), spectral peak bins
+    are exact, and the constellation tier pairs the decode with its
+    lossless master at full matched fraction."""
+    import io
+    import wave
+
+    from http_feeds_spark.functions import audiofp
+
+    rate = 44100
+    t = np.arange(1152 * 6) / rate
+    music = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 554.37 * t)
+        + 0.2 * np.sin(2 * np.pi * 659.25 * t)
+        + 0.15 * np.sin(2 * np.pi * 1760 * t)
+    )
+    music /= np.abs(music).max() * 1.1
+
+    blob = mp3.encode_mp3(music, rate, max_q=120)
+    tids = {
+        ch["table_select"][0]
+        for _, si, _ in mp3.iter_frames(blob)
+        for gr in si["granules"]
+        for ch in gr
+        if ch["big_values"]
+    }
+    assert tids and all(tid >= 16 for tid in tids), tids
+
+    r2, nch, pcm = mp3.decode_mp3(blob)
+    assert (r2, nch) == (rate, 1)
+    w = np.hanning(4096)
+    spec_m = np.abs(np.fft.rfft(music[1200 : 1200 + 4096] * w))
+    spec_d = np.abs(np.fft.rfft(pcm[1200 : 1200 + 4096] * w))
+    assert set(np.argsort(spec_m)[-4:]) == set(np.argsort(spec_d)[-4:])
+    a, b = music[1200 : 1200 + 4096], pcm[1200 : 1200 + 4096]
+    g = np.dot(a, b) / np.dot(b, b)
+    err = a - g * b
+    snr = 10 * np.log10(np.dot(a, a) / np.dot(err, err))
+    assert snr > 30.0, snr  # coarse table-9 mode measures ~16 dB here
+
+    # constellation pairing with the lossless master (8 kHz tier, the
+    # fingerprint's native rate) through an escape-table stream. The
+    # master carries one strong partial per fingerprint band (the
+    # constellation is prominence-gated per band — a 4-tone chord
+    # leaves the upper bands keyless).
+    rng = np.random.RandomState(7)
+    tt = np.arange(24000)
+    edges = (1, 4, 16, 48, 128, 288, 513)
+    sig = 0.0
+    for i, amp in enumerate((8000, 6000, 5000, 4000, 3000, 2500)):
+        bb = rng.randint(edges[i], edges[i + 1])
+        sig = sig + amp * np.sin(2 * np.pi * (bb * 8000 / 1024) * tt / 8000 + i)
+    x = (sig / (np.abs(sig).max() / 20000) + rng.randn(len(tt)) * 50).astype(np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(x.astype("<i2").tobytes())
+    fine8k = mp3.encode_mp3(x / 32768.0, 8000, max_q=120)
+    tids8k = {
+        ch["table_select"][0]
+        for _, si, _ in mp3.iter_frames(fine8k)
+        for gr in si["granules"]
+        for ch in gr
+        if ch["big_values"]
+    }
+    assert tids8k and all(tid >= 16 for tid in tids8k), tids8k
+    keys_master = set(audiofp._fingerprint(audiofp._mono_samples(buf.getvalue())))
+    keys_mp3 = set(audiofp._fingerprint(audiofp._mono_samples(fine8k)))
+    assert keys_master and keys_master == keys_mp3
+
+
 # --- boundaries refuse loudly --------------------------------------------------------
 
 
 def test_unvalidated_huffman_table_raises():
     t = np.arange(1152 * 2) / 44100.0
     blob = bytearray(mp3.encode_mp3(np.sin(2 * np.pi * 700 * t), 44100))
-    # rewrite granule 0's three table_select fields (table 9 -> 16):
+    # rewrite granule 0's three table_select fields (table 9 -> 10, the
+    # one big-value table whose recollection did not validate):
     # side info layout bits: 9+5+4 +12+9+8+4+1 = 52 bits in, 3x5 bits
     pos = 4 * 8 + 52
     for k in range(3):
         for i in range(5):
-            bit = (16 >> (4 - i)) & 1
+            bit = (10 >> (4 - i)) & 1
             p = pos + k * 5 + i
             if bit:
                 blob[p // 8] |= 0x80 >> (p % 8)
             else:
                 blob[p // 8] &= ~(0x80 >> (p % 8))
-    with pytest.raises(NotImplementedError, match="table 16"):
+    with pytest.raises(NotImplementedError, match="table 10"):
         mp3.decode_mp3(bytes(blob))
 
 
