@@ -359,26 +359,11 @@ def test_retire_refuses_null_seq_zone(spark, tmp_path):
     """A raw zone with null seqs (opaque wire ids) has no meaningful seq
     horizon — refuse with the remedy instead of retiring arbitrarily."""
     root = str(tmp_path / "landing")
-    q = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", "20")
-        .load()
-        .selectExpr(
-            "CAST(NULL AS BIGINT) AS seq",
-            "CAST(value AS STRING) AS id",
-            "concat('s', value % 3) AS subject",
-            "'PUT' AS method",
-            "timestamp AS time",
-        )
-        .writeStream.format("parquet")
-        .option("path", f"{root}/raw")
-        .option("checkpointLocation", f"{root}/_checkpoint")
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
-    time.sleep(2)
-    q.stop()
-    q.awaitTermination(30)
+    # r15: wait for >= 1 COMMITTED null-seq row (the shared polling
+    # helper) instead of a fixed 2 s sleep — on a slow/loaded box the
+    # first micro-batch may not commit inside the sleep, leaving an
+    # empty raw zone with nothing to refuse (observed flake)
+    _stream_feed_rows(spark, root, "NULL", "concat('s', value % 3)", min_rows=1)
     with pytest.raises(ValueError, match="mint seq"):
         ingest.retire_landing_history(spark, root, horizon_seq=5)
 
