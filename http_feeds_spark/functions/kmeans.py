@@ -53,6 +53,35 @@ def _d(x: float) -> str:
     return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
 
 
+def _model_array(centroids: list[tuple[int, list[float]]]) -> Column | None:
+    """[(cid, vector), ...] with cid = 0..k-1 in order → ONE
+    array<array<double>> literal column (index = cid + 1), or None when
+    the fast form does not apply (non-contiguous cids, empty model, or
+    non-finite values JSON cannot carry — callers fall back to
+    :func:`_centroid_literal`).
+
+    Why (r15, guide §1/§7.2): the parsed ``array(named_struct(...))``
+    form builds a k×dim-node expression TREE. Catalyst constant-folds it
+    to a single Literal before execution either way, but every query
+    that embeds the model pays analysis + optimization + codegen of the
+    whole tree first — measured 3-4 s of driver time per ANN search
+    build at 16×64, with explain output in the 100-500 KB range. Routing
+    the same doubles through ``from_json`` of ONE string literal yields
+    the identical folded Literal from a 3-node tree: construction is one
+    py4j call, analysis is O(1), and the executed plan (and results) are
+    bit-identical — json.dumps/from_json round-trips doubles exactly
+    like the ``repr`` literal path."""
+    import json
+    import math
+
+    if not centroids or [cid for cid, _ in centroids] != list(range(len(centroids))):
+        return None
+    if any(not math.isfinite(float(x)) for _, vec in centroids for x in vec):
+        return None
+    payload = json.dumps([[float(x) for x in vec] for _, vec in centroids])
+    return F.from_json(F.lit(payload), "array<array<double>>")
+
+
 def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     """[(cid, vector), ...] → one array<struct<cid,cvec>> literal column.
 
@@ -81,13 +110,29 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Map-only nearest-centroid assignment (see module docstring)."""
-    best = F.array_min(
-        F.transform(
-            _centroid_literal(centroids),
-            lambda c: F.struct(sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")),
+    """Map-only nearest-centroid assignment (see module docstring).
+
+    The centroid model rides as one folded Literal (``_model_array``)
+    when its cids are the contiguous 0..k-1 the trainer produces — the
+    transform index IS the cid then; the parsed named_struct tree
+    remains as fallback. Identical folded plan, identical results."""
+    arr = _model_array(centroids)
+    if arr is not None:
+        best = F.array_min(
+            F.transform(
+                arr,
+                lambda c, i: F.struct(
+                    sq_dist(F.col(vec_col), c).alias("d2"), i.alias("cid")
+                ),
+            )
         )
-    )
+    else:
+        best = F.array_min(
+            F.transform(
+                _centroid_literal(centroids),
+                lambda c: F.struct(sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")),
+            )
+        )
     return emb.withColumn(out_col, best["cid"])
 
 
@@ -143,12 +188,21 @@ def probe_clusters(
     explode) instead of the single argmin. Output = input columns plus
     one `cluster` row per probed cluster — queries replicate nprobe×,
     corpus vectors not at all."""
-    arr = F.transform(
-        _centroid_literal(centroids),
-        lambda c: F.struct(
-            sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")
-        ),
-    )
+    marr = _model_array(centroids)
+    if marr is not None:
+        arr = F.transform(
+            marr,
+            lambda c, i: F.struct(
+                sq_dist(F.col(vec_col), c).alias("d2"), i.alias("cid")
+            ),
+        )
+    else:
+        arr = F.transform(
+            _centroid_literal(centroids),
+            lambda c: F.struct(
+                sq_dist(F.col(vec_col), c["cvec"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
     return (
         queries.withColumn("__probe", F.explode(F.slice(F.array_sort(arr), 1, nprobe)))
         .withColumn("cluster", F.col("__probe.cid"))

@@ -144,19 +144,31 @@ def project_col(
     vec_col: str = "embedding",
 ) -> Column:
     """array<double> of k principal coordinates — map-only JVM dot
-    products against ONE parsed component literal (kmeans form)."""
-    lit = km._centroid_literal(list(enumerate(components)))
-    mean_lit = km._centroid_literal([(0, mean)])[0]["cvec"]
+    products against ONE folded model Literal (kmeans._model_array r15
+    form; the parsed named_struct tree remains as fallback for
+    non-finite models — identical folded plan and results either way)."""
+    comp_arr = km._model_array(list(enumerate(components)))
+    mean_arr = km._model_array([(0, mean)])
+    scale_arr = km._model_array([(0, scales)])
+    if comp_arr is not None and mean_arr is not None and scale_arr is not None:
+        mean_lit = F.element_at(mean_arr, 1)
+        scale_lit = F.element_at(scale_arr, 1)
+        component = lambda c: c  # 2-D array element IS the vector  # noqa: E731
+        lit = comp_arr
+    else:
+        lit = km._centroid_literal(list(enumerate(components)))
+        mean_lit = km._centroid_literal([(0, mean)])[0]["cvec"]
+        scale_lit = km._centroid_literal([(0, scales)])[0]["cvec"]
+        component = lambda c: c["cvec"]  # noqa: E731
     centered = F.zip_with(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         mean_lit,
         lambda x, m: x.cast("double") - m,
     )
-    scale_lit = km._centroid_literal([(0, scales)])[0]["cvec"]
     dots = F.transform(
         lit,
         lambda c: F.aggregate(
-            F.zip_with(centered, c["cvec"], lambda x, w: x * w),
+            F.zip_with(centered, component(c), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),

@@ -88,11 +88,48 @@ def _code_type(ksub: int) -> str:
     return "tinyint" if ksub <= 128 else "smallint"
 
 
+def _books_array(codebooks: Codebooks) -> Column | None:
+    """All m codebooks as ONE array<array<array<double>>> folded Literal
+    (books[s][cid]), or None when the kmeans._model_array fast form does
+    not apply to every book (see its docstring — r15: one 3-node tree
+    instead of an m×ksub×subdim-node tree; folded plan and results are
+    bit-identical)."""
+    import json
+    import math
+
+    for book in codebooks:
+        if not book or [cid for cid, _ in book] != list(range(len(book))):
+            return None
+        if any(not math.isfinite(float(x)) for _, vec in book for x in vec):
+            return None
+    payload = json.dumps(
+        [[[float(x) for x in vec] for _, vec in book] for book in codebooks]
+    )
+    return F.from_json(F.lit(payload), "array<array<array<double>>>")
+
+
 def encode_col(codebooks: Codebooks, vec_col: str = "embedding") -> Column:
     """array<tinyint> of m nearest-subcentroid codes — map-only, one
-    projection, all m codebooks as broadcast parsed literals."""
+    projection, all m codebooks as one broadcast folded Literal."""
     subdim = len(codebooks[0][0][1])
     ksub = len(codebooks[0])
+    books = _books_array(codebooks)
+    if books is not None:
+        v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return F.transform(
+            books,
+            lambda book, s: F.array_min(
+                F.transform(
+                    book,
+                    lambda c, i: F.struct(
+                        km.sq_dist(
+                            F.slice(v, s * subdim + F.lit(1), F.lit(subdim)), c
+                        ).alias("d2"),
+                        i.alias("cid"),
+                    ),
+                )
+            )["cid"].cast(_code_type(ksub)),
+        )
     codes = []
     for s, book in enumerate(codebooks):
         sub = subvector(vec_col, s, subdim)
@@ -116,6 +153,18 @@ def adc_table_col(codebooks: Codebooks, vec_col: str = "embedding") -> Column:
     the driver never sees a query vector. Codebook cids are 0..ksub-1 in
     order (kmeans contract), so dt[s] indexes by code directly."""
     subdim = len(codebooks[0][0][1])
+    books = _books_array(codebooks)
+    if books is not None:
+        v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return F.transform(
+            books,
+            lambda book, s: F.transform(
+                book,
+                lambda c: km.sq_dist(
+                    F.slice(v, s * subdim + F.lit(1), F.lit(subdim)), c
+                ),
+            ),
+        )
     tables = []
     for s, book in enumerate(codebooks):
         sub = subvector(vec_col, s, subdim)

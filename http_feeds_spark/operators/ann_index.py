@@ -343,18 +343,26 @@ def search(
     # (no-op plan while the ledger is absent — erasure.not_erased)
     corpus = erasure.not_erased(spark, index_root, corpus, id_col)
     if broadcast_queries:
-        probed = (
-            km.probe_clusters(
-                queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
-                cents,
-                nprobe,
-                "__qv",
-            )
-            .select("cluster")
-            .distinct()
-            .collect()
-        )  # ≤ nlist ints of model-sized metadata
-        corpus = corpus.where(F.col("cluster").isin([r.cluster for r in probed]))
+        from http_feeds_spark.operators.pq_index import _dpp_enabled
+
+        if not _dpp_enabled(spark):
+            # no runtime pruning: pre-collect the probed cluster set
+            # (one job on the SMALL query table) as a static filter
+            probed = (
+                km.probe_clusters(
+                    queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+                    cents,
+                    nprobe,
+                    "__qv",
+                )
+                .select("cluster")
+                .distinct()
+                .collect()
+            )  # ≤ nlist ints of model-sized metadata
+            corpus = corpus.where(F.col("cluster").isin([r.cluster for r in probed]))
+        # else: dynamic partition pruning on the probes⋈corpus cluster
+        # join prunes the scan to probed cluster=N/ dirs at runtime —
+        # same read set, one job fewer per search (r15, guide §2.4)
     return km.search_assigned(
         corpus,
         queries,

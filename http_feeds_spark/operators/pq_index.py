@@ -65,6 +65,18 @@ def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
     return rewrite_partitioned_store(spark, codes_path, "cluster")
 
 
+def _dpp_enabled(spark: SparkSession) -> bool:
+    """Is dynamic partition pruning available to prune the cluster=N/
+    dirs at runtime (default on since Spark 3.0)? When it is, the
+    search paths skip their static probed-cluster pre-collect job."""
+    return (
+        spark.conf.get(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        ).lower()
+        == "true"
+    )
+
+
 def _paths(index_root: str) -> tuple[str, str, str]:
     root = index_root.rstrip("/")
     return (
@@ -89,6 +101,13 @@ def _residual_col(cents: list[tuple[int, list[float]]], vec_col) -> F.Column:
     (assign_clusters/probe_clusters output). Map-only JVM zip_with
     against the broadcast centroid map literal."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    arr = km._model_array(cents)
+    if arr is not None:
+        # contiguous cids: index the folded array Literal directly
+        # (element_at is 1-based) instead of parsing a k×dim map tree
+        return F.zip_with(
+            v, F.element_at(arr, F.col("cluster") + F.lit(1)), lambda x, c: x - c
+        )
     return F.zip_with(
         v, F.element_at(_cent_map_expr(cents), F.col("cluster")), lambda x, c: x - c
     )
@@ -253,13 +272,28 @@ def load_model(
         return cents, [sorted(b) for b in books], residual
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
-    crows = spark.read.parquet(cent_path).collect()
+    # ONE collect for both model stores (r15, guide §1: each tiny
+    # driver job costs fixed scheduling latency ×3 bench runs; the union
+    # tags centroids sub=-1 — schemas differ only in the residual flag,
+    # probed footer-only via .columns)
+    cent_df = spark.read.parquet(cent_path)
+    if "residual" not in cent_df.columns:  # pre-residual store layout
+        cent_df = cent_df.withColumn("residual", F.lit(None).cast("boolean"))
+    books_df = spark.read.parquet(books_path).withColumn(
+        "residual", F.lit(None).cast("boolean")
+    )
+    rows = (
+        cent_df.select(F.lit(-1).alias("sub"), "cid", "cvec", "residual")
+        .unionByName(books_df.select("sub", "cid", "cvec", "residual"))
+        .collect()
+    )
+    crows = [r for r in rows if r.sub == -1]
+    brows = [r for r in rows if r.sub >= 0]
     cents = sorted((int(r.cid), [float(x) for x in r.cvec]) for r in crows)
-    residual = bool(getattr(crows[0], "residual", False)) if crows else False
-    rows = spark.read.parquet(books_path).collect()
-    n_sub = 1 + max(r.sub for r in rows)
+    residual = bool(crows[0].residual) if crows and crows[0].residual is not None else False
+    n_sub = 1 + max(r.sub for r in brows)
     books: pq.Codebooks = [[] for _ in range(n_sub)]
-    for r in rows:
+    for r in brows:
         books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
     return cents, [sorted(b) for b in books], residual
 
@@ -328,10 +362,19 @@ def search(
     # (no-op plan while the ledger is absent — erasure.not_erased)
     codes = erasure.not_erased(spark, index_root, codes, id_col)
     if broadcast_queries:
-        probed = [
-            r.cluster for r in probes.select("cluster").distinct().collect()
-        ]  # ≤ nlist ints of model-sized metadata — pushed as partition filter
-        codes = codes.where(F.col("cluster").isin(probed))
+        if not _dpp_enabled(spark):
+            # no runtime pruning available: pre-collect the probed
+            # cluster set (one job on the SMALL query table) and push it
+            # as a static partition filter
+            probed = [
+                r.cluster for r in probes.select("cluster").distinct().collect()
+            ]  # ≤ nlist ints of model-sized metadata
+            codes = codes.where(F.col("cluster").isin(probed))
+        # else: dynamic partition pruning on the broadcast join's cluster
+        # key prunes the code scan to the probed cluster=N/ dirs at
+        # runtime (verified: dynamicpruningexpression in PartitionFilters)
+        # without paying a separate probe-collect job per search (r15,
+        # guide §2.4)
         probes = F.broadcast(probes)
     scored = codes.join(probes, "cluster")
     if exclude_self:

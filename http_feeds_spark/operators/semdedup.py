@@ -127,12 +127,16 @@ def semantic_dedup(
     )
     comps = connected_components(pairs, "a", "b")  # ids-only exchange
     assigned = km.assign_clusters(emb, centroids, vec_col)
-    cent_lit = km._centroid_literal(centroids)
     # cosine to own centroid: per-row O(k + dim) against the broadcast
-    # literal — map-only, no shuffle
-    own = F.element_at(
-        F.filter(cent_lit, lambda c: c["cid"] == F.col("cluster")), 1
-    )["cvec"]
+    # literal — map-only, no shuffle (folded-Literal fast form when the
+    # cids are contiguous, same as assign_clusters — r15)
+    marr = km._model_array(centroids)
+    if marr is not None:
+        own = F.element_at(marr, F.col("cluster") + F.lit(1))
+    else:
+        own = F.element_at(
+            F.filter(km._centroid_literal(centroids), lambda c: c["cid"] == F.col("cluster")), 1
+        )["cvec"]
     scored = assigned.select(
         F.col(id_col),
         "cluster",
