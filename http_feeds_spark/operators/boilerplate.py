@@ -16,7 +16,7 @@ DataFrame stages:
     count:    frames -> distinct-doc frequency           [one shuffle]
     strip:    anti-join frequent frames, re-assemble     [join + regroup]
 
-100 TB posture: the frequency key is a 16-hex md5 prefix (32 B), never
+100 TB posture: the frequency key is an 8-byte xxhash64, never
 the segment text, so the counting shuffle carries hash + doc id per
 frame; the frequent set is ids-only and joined (AQE broadcasts it when
 small — it usually is: boilerplate is by definition low-cardinality);
@@ -77,7 +77,11 @@ def doc_segments(
             "doc_id",
             F.col("f.pos").alias("pos"),
             F.col("f.seg").alias("seg"),
-            F.substring(F.md5("f.seg"), 1, 16).alias("seg_hash"),
+            # r15: 8-byte xxhash64 frequency key (was a 16-hex md5
+            # prefix) — cheaper to compute, half the counting-shuffle
+            # bytes; same ~2⁻⁶⁴ collision class, outputs identical (the
+            # DuckDB parity twin keeps its md5 formulation and agrees)
+            F.xxhash64("f.seg").alias("seg_hash"),
         )
     )
 

@@ -54,9 +54,23 @@ def doc_windows(
 ) -> DataFrame:
     """(doc_id, pos, whash): every stride-1 window of `length` tokens,
     pos 0-based. Docs shorter than `length` yield no windows (they can
-    still CONTAIN no duplicated span by definition). Map-only."""
-    toks = F.split(F.col(text_col), " ")
-    nwin = F.size(toks) - F.lit(length) + 1
+    still CONTAIN no duplicated span by definition). Map-only.
+
+    r15 (guide §2.3/§4): window identity is a chained ``xxhash64`` over
+    a PRE-HASHED token array materialized below the Generate — the
+    previous form inlined ``slice(split(text), i, L)`` into the
+    per-window lambda, so every window re-split the whole document
+    (O(T²) tokenization per doc, the same class 6f413c7 fixed in
+    chunking/boilerplate) and then built + md5'd an ~L-word string per
+    window. Now the text is split and token-hashed once per doc, and
+    each window is L long-hash chain steps; ``whash`` is 8 bytes instead
+    of a 16-char string, halving the checkpoint and count-shuffle bytes.
+    Two windows hash equal iff their token sequences are equal (modulo
+    ~2⁻⁶⁴ chain collisions — the md5-prefix form carried the same class
+    of risk); the scrub/stats outputs are value-identical, which the
+    DuckDB oracle (which keeps its md5 formulation) re-proves."""
+    th = F.col("__th")
+    nwin = F.size(th) - F.lit(length) + 1
     # sequence(1, 0) DESCENDS in Spark — docs shorter than `length`
     # must produce an empty window array, not a bogus pos-0 window
     idx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
@@ -66,14 +80,23 @@ def doc_windows(
         idx,
         lambda i: F.struct(
             (i - 1).alias("pos"),
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, length))), 1, 16
+            F.aggregate(
+                F.slice(th, i, length),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: F.xxhash64(acc, x),
             ).alias("whash"),
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+            ).alias("__th"),
+        )
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash"))
+    )
 
 
 def duplicated_windows(

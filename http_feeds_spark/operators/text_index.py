@@ -233,13 +233,15 @@ def _bucket(term_col) -> F.Column:
 
 def _buckets_of(spark: SparkSession, terms: list[str]) -> dict[str, int]:
     """term → posting bucket for every distinct term, computed with the
-    engine's OWN xxhash64 in ONE job (a 1-row select of |terms|
-    expressions) — never one spark.range(1).collect() per term."""
+    engine's OWN xxhash64 over a 1-row LOCAL relation: xxhash64(literal)
+    constant-folds and a LocalTableScan collects driver-side, so this
+    costs NO scheduled job (r15 — spark.range(1) scheduled a real 1-task
+    job per search call; guide §1 job-overhead audit)."""
     uniq = sorted(set(terms))
     if not uniq:
         return {}
     row = (
-        spark.range(1)
+        spark.createDataFrame([(1,)], "__one int")
         .select(*[_bucket(F.lit(t)).alias(f"b{i}") for i, t in enumerate(uniq)])
         .collect()[0]
     )
@@ -444,14 +446,16 @@ def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **k
     post_path, _, meta_path = _paths(index_root)
     if parquet_exists(spark, meta_path):
         batches = _complete_batches(spark, post_path)
-        if (
-            batches
-            and "positions" in spark.read.parquet(batches[0][1]).columns
-            and "analyzer" in spark.read.parquet(meta_path).columns
-        ):
-            want = kw.get("analyzer")
-            if want is None or want == index_analyzer(spark, index_root):
-                return False
+        if batches and "positions" in spark.read.parquet(batches[0][1]).columns:
+            # ONE meta read answers both probes (r15: the separate
+            # .columns schema probe + index_analyzer collect cost two
+            # driver passes per ensure call)
+            meta = spark.read.parquet(meta_path).collect()[0]
+            if "analyzer" in meta.__fields__:
+                want = kw.get("analyzer")
+                stored = meta.analyzer or "whitespace"
+                if want is None or want == stored:
+                    return False
     build_text_index(spark, docs, index_root, **kw)
     return True
 

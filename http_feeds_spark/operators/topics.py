@@ -94,7 +94,11 @@ def topic_profile(
         F.col("rank") <= top_terms
     )
     sizes = joined.groupBy("cluster").agg(F.count("*").cast("long").alias("n_docs"))
-    return top.join(sizes, "cluster").select(
+    # sizes is k rows (the cluster count) but post-aggregate size
+    # estimates blow past the broadcast threshold, so the planner chose
+    # a SortMergeJoin (2 sorts + an exchange — plans/r15, guide §3.1);
+    # broadcast it explicitly
+    return top.join(F.broadcast(sizes), "cluster").select(
         "cluster",
         "n_docs",
         F.col("rank").cast("int").alias("rank"),
