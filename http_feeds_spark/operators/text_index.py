@@ -232,20 +232,17 @@ def _bucket(term_col) -> F.Column:
 
 
 def _buckets_of(spark: SparkSession, terms: list[str]) -> dict[str, int]:
-    """term → posting bucket for every distinct term, computed with the
-    engine's OWN xxhash64 over a 1-row LOCAL relation: xxhash64(literal)
-    constant-folds and a LocalTableScan collects driver-side, so this
-    costs NO scheduled job (r15 — spark.range(1) scheduled a real 1-task
-    job per search call; guide §1 job-overhead audit)."""
-    uniq = sorted(set(terms))
-    if not uniq:
-        return {}
-    row = (
-        spark.createDataFrame([(1,)], "__one int")
-        .select(*[_bucket(F.lit(t)).alias(f"b{i}") for i, t in enumerate(uniq)])
-        .collect()[0]
-    )
-    return {t: int(row[i]) for i, t in enumerate(uniq)}
+    """term → posting bucket for every distinct term, computed DRIVER-
+    side with the pure-Python XXH64 twin of the engine's xxhash64
+    (functions/sketch_xxh64.py; exact-parity pinned in
+    tests/test_text_index.py). r15: the previous spark.range(1) form
+    scheduled a real 1-task job per search call just to hash a handful
+    of literal terms (guide §1 job-overhead audit); this costs no Spark
+    work at all. ``pmod`` semantics match Spark's (result sign follows
+    the divisor — Python's % already does that for positive divisors)."""
+    from http_feeds_spark.functions.sketch_xxh64 import spark_xxhash64_str
+
+    return {t: spark_xxhash64_str(t) % N_BUCKETS for t in set(terms)}
 
 
 def build_text_index(
@@ -494,7 +491,55 @@ def search(
     post_path, terms_path, meta_path = _paths(index_root)
     if not parquet_exists(spark, meta_path):
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    meta = spark.read.parquet(meta_path).collect()[0]
+    meta_df = spark.read.parquet(meta_path)
+    mcols = meta_df.columns
+    msel = meta_df.select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("avgdl").cast("double").alias("avgdl"),
+        (
+            F.col("n_batches").cast("int")
+            if "n_batches" in mcols
+            else F.lit(None).cast("int")
+        ).alias("n_batches"),
+        (
+            F.col("analyzer").cast("string")
+            if "analyzer" in mcols
+            else F.lit(None).cast("string")
+        ).alias("analyzer"),
+    )
+    # ONE collect for meta + the term-store lookup (r15, guide §1: two
+    # tiny sequential driver jobs → one). The stored analyzer — inside
+    # meta — decides the query tokenization, so the candidate term set
+    # is the union over the 4-member analyzer family (driver-side
+    # tokenization); the actual analyzer's subset is taken after the
+    # collect. Falls back to the separate read when the merged rows are
+    # unusable (pinned epoch, missing store, stale heal path).
+    store_dfs: dict[str, int] | None = None
+    if batches is None and parquet_exists(spark, terms_path):
+        cand = sorted({t for a in tx.ANALYZERS for t in tx.tokenize_query(terms, a)})
+        if cand:
+            cbuckets = sorted(set(_buckets_of(spark, cand).values()))
+            tsel = (
+                spark.read.parquet(terms_path)
+                .where(F.col("bucket").isin(cbuckets) & F.col("term").isin(cand))
+                .select(
+                    "term",
+                    F.col("df").cast("long").alias("df"),
+                    F.lit(None).cast("long").alias("n_docs"),
+                    F.lit(None).cast("double").alias("avgdl"),
+                    F.lit(None).cast("int").alias("n_batches"),
+                    F.lit(None).cast("string").alias("analyzer"),
+                )
+            )
+            rows = msel.unionByName(tsel).collect()
+            store_dfs = {r.term: int(r.df) for r in rows if r.term is not None}
+        else:
+            rows = msel.collect()
+    else:
+        rows = msel.collect()
+    meta = next(r for r in rows if r.term is None)
     n, avgdl = int(meta.n_docs), float(meta.avgdl)
     stored_analyzer = getattr(meta, "analyzer", None) or "whitespace"
     _require_index_analyzer(stored_analyzer, analyzer, index_root)
@@ -546,16 +591,20 @@ def search(
         n, avgdl = int(row[0]), float(row[1])
 
     terms = sorted(set(terms))
-    buckets = sorted(set(_buckets_of(spark, terms).values()))  # one job
+    buckets = sorted(set(_buckets_of(spark, terms).values()))  # driver-side
     if stale:
         tstore = post_df.where(F.col("term").isin(terms)).groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
+        dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
+    elif store_dfs is not None:
+        # the merged collect above already holds the term store rows
+        dfs = {t: store_dfs[t] for t in terms if t in store_dfs}
     else:
         tstore = spark.read.parquet(terms_path).where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
-    dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
+        dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     idf_rows = [

@@ -489,10 +489,12 @@ def test_proximity_search_repeated_terms_and_windows(spark, tmp_path):
     }
 
 
-def test_buckets_of_computes_all_terms_in_one_job(spark):
-    """The r8 fix for phrase_search's per-term spark.range(1).collect():
-    _buckets_of hashes EVERY term in a single 1-row job, with values
-    identical to the engine's per-term hash."""
+def test_buckets_of_computes_all_terms_with_zero_jobs(spark):
+    """r8 fixed phrase_search's per-term spark.range(1).collect() down
+    to one 1-row job; r15 removes the job entirely — _buckets_of hashes
+    driver-side with the pure-Python XXH64 twin. Pin BOTH properties:
+    no Spark job is scheduled, and values stay identical to the
+    engine's per-term hash."""
     import uuid
 
     sc = spark.sparkContext
@@ -502,7 +504,7 @@ def test_buckets_of_computes_all_terms_in_one_job(spark):
         got = ti._buckets_of(spark, ["alpha", "beta", "gamma", "alpha"])
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 1
+    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 0
     for t, v in got.items():
         single = (
             spark.range(1).select(ti._bucket(F.lit(t)).alias("b")).collect()[0].b
@@ -854,3 +856,37 @@ def test_text_index_maintenance_interleave_fuzz(spark, tmp_path):
                 ]
                 assert got == want, (step, terms)
     assert checkpoints >= 3 and len(live) > 4
+
+
+def test_python_xxh64_twin_matches_engine(spark):
+    """The driver-side XXH64 twin (functions/sketch_xxh64.py) must equal
+    the engine's xxhash64 EXACTLY — a divergence would misroute query
+    terms to the wrong posting bucket and silently miss hits. Covers
+    every input-length class of the algorithm (empty, <4, <8, <32, 32+
+    bytes), multi-byte UTF-8, and the bucket mapping itself."""
+    from http_feeds_spark.functions.sketch_xxh64 import spark_xxhash64_str
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "window", "filter", "merge", "rollup",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "héllo wörld", "日本語テキスト",
+        "mixed ascii と 日本語 1234567890" * 3,
+        "\x00\x01", "tab\tsep", " lead", "trail ",
+    ]
+    row = (
+        spark.sql("select 1")
+        .select(*[F.xxhash64(F.lit(c)).alias(f"h{i}") for i, c in enumerate(cases)])
+        .collect()[0]
+    )
+    for i, c in enumerate(cases):
+        assert row[i] == spark_xxhash64_str(c), repr(c)
+    # and the derived bucket routing agrees with the engine's _bucket
+    brow = (
+        spark.sql("select 1")
+        .select(*[ti._bucket(F.lit(c)).alias(f"b{i}") for i, c in enumerate(cases)])
+        .collect()[0]
+    )
+    got = ti._buckets_of(spark, cases)
+    for i, c in enumerate(cases):
+        assert brow[i] == got[c], repr(c)
