@@ -134,12 +134,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev = _sig(e)
-    n_edges = int(prev[0] or 0)
-    if n_edges <= driver_threshold:
+    # r15 (guide §1 job audit): decide the adaptive path with ONE
+    # limit-collect instead of a full count job followed by a second
+    # collect — ≤ threshold+1 ids-only rows come back (the same driver
+    # bound the old path paid); when the graph is bigger, the
+    # short-circuiting limit pull is cheap and the distributed loop
+    # computes its signature as before.
+    rows = (
+        e.limit(driver_threshold + 1).collect() if driver_threshold > 0 else None
+    )
+    if rows is not None and len(rows) <= driver_threshold:
         from pyspark.sql import types as T
-
-        rows = e.collect()  # ids-only, size-gated above — bounded memory
         parent: dict = {}
 
         def find(x):
@@ -165,6 +170,7 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             [(n, find(n)) for n in parent], schema
         )
+    prev = _sig(e)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint()
         sig = _sig(nxt)
