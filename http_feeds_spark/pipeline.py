@@ -134,10 +134,11 @@ def prepare_training_corpus(
     unpersists its predecessor, so steady-state storage is one stage's
     corpus; the last pin is dropped before returning, leaving the
     result frames as the usual lazy DAG."""
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     split_weights = dict(split_weights or DEFAULT_SPLIT)
-    report: list[tuple[str, int]] = [("input", docs.count())]
+    report: list[tuple[str, int]] = []
     pinned: list[DataFrame] = []
 
     def _boundary(df: DataFrame, stage: str) -> DataFrame:
@@ -148,9 +149,23 @@ def prepare_training_corpus(
         pinned.append(df)
         return df
 
+    # The input audit count rides the quality boundary's job as an
+    # observed metric instead of its own full pass: the CollectMetrics
+    # node sits below the quality filter, so it counts every input row
+    # exactly once while the quality stage materializes. (The quality
+    # predicates no longer push into the scan — the input count needs
+    # every row read anyway, so the fused pass is never wider than the
+    # two passes it replaces.) Re-executing the lineage later leaves the
+    # first-action metric untouched per the Observation contract.
+    obs = Observation()
     cur = _boundary(
-        quality_gate(docs, langs, min_chars, max_chars, min_words), "quality"
+        quality_gate(
+            docs.observe(obs, F.count(F.lit(1)).alias("rows")),
+            langs, min_chars, max_chars, min_words,
+        ),
+        "quality",
     )
+    report.insert(0, ("input", int(obs.get["rows"])))
 
     if zlib_ratio_bounds is not None:
         # entropy gate (functions/text.compression_ratio, r10): both
