@@ -311,6 +311,7 @@ def search(
     broadcast_queries: bool = True,
     exclude_self: bool = False,
     snapshot: dict | None = None,
+    _keep_cluster: bool = False,
 ) -> DataFrame:
     """SEARCH-ONLY IVF+PQ: no training jobs in this path.
 
@@ -379,8 +380,12 @@ def search(
     scored = codes.join(probes, "cluster")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(qid_col))
+    # _keep_cluster (internal, search_rerank): expose each candidate's
+    # code-tier cluster so the raw-tier re-rank join can include the
+    # partition column — the ranking itself never reads it
+    extra = ["cluster"] if _keep_cluster else []
     scored = scored.select(
-        qid_col, id_col, pq.adc_dist_col("codes", "__dt").alias("adc_d2")
+        qid_col, id_col, *extra, pq.adc_dist_col("codes", "__dt").alias("adc_d2")
     )
     from pyspark.sql import Window
 
@@ -524,28 +529,45 @@ def search_rerank(
         qid_col=qid_col,
         vec_col=vec_col,
         exclude_self=exclude_self,
-    ).select(qid_col, id_col)
+        _keep_cluster=True,
+    ).select(qid_col, id_col, "cluster")
     _, corpus_path = ai._paths(ann_index_root)
     corpus = spark.read.parquet(corpus_path)
     cents_pq, _, _ = load_model(spark, index_root)
     cents_ann = ai.load_centroids(spark, ann_index_root)
-    if cents_ann == cents_pq:
-        # shared coarse quantizer: candidates live in the probed
-        # clusters — push them as a partition filter on the raw scan
-        probed = [
-            r.cluster
-            for r in km.probe_clusters(
-                queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
-                cents_ann,
-                nprobe,
-                "__qv",
-            )
-            .select("cluster")
-            .distinct()
-            .collect()
-        ]  # ≤ nlist ints of model-sized metadata
-        corpus = corpus.where(F.col("cluster").isin(probed))
-    corpus = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    shared = cents_ann == cents_pq
+    join_keys = [id_col]
+    if shared and _dpp_enabled(spark):
+        # shared coarse quantizer: a candidate's raw-tier cluster IS its
+        # code-tier cluster, so joining on (cluster, id) puts the
+        # partition column into the broadcast join and dynamic partition
+        # pruning trims the raw scan to the probed cluster=N/ dirs at
+        # runtime — the same pruning as the static filter below, minus
+        # its per-search probe-collect job (r15, guide §2.4)
+        join_keys = ["cluster", id_col]
+        corpus = corpus.select(
+            "cluster", F.col(id_col), F.col(vec_col).alias("__cv")
+        )
+    else:
+        if shared:
+            # DPP unavailable: pre-collect the probed cluster set (one
+            # job on the SMALL query table) and push it as a static
+            # partition filter on the raw scan
+            probed = [
+                r.cluster
+                for r in km.probe_clusters(
+                    queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+                    cents_ann,
+                    nprobe,
+                    "__qv",
+                )
+                .select("cluster")
+                .distinct()
+                .collect()
+            ]  # ≤ nlist ints of model-sized metadata
+            corpus = corpus.where(F.col("cluster").isin(probed))
+        shortlist = shortlist.drop("cluster")
+        corpus = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     # stage 1 already filtered THIS index's ledger; the raw-vector tier
     # has its own — filter it too (no-op plan while absent)
     corpus = erasure.not_erased(spark, ann_index_root, corpus, id_col)
@@ -555,7 +577,7 @@ def search_rerank(
         ),
         qid_col,
     )
-    scored = corpus.join(F.broadcast(cands), id_col).select(
+    scored = corpus.join(F.broadcast(cands), join_keys).select(
         qid_col, id_col, vec.cosine("__cv", "__qv").alias("cosine_sim")
     )
     w = Window.partitionBy(qid_col).orderBy(
