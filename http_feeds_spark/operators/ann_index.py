@@ -345,8 +345,10 @@ def search(
     if broadcast_queries:
         from http_feeds_spark.operators.pq_index import _dpp_enabled
 
-        if not _dpp_enabled(spark):
-            # no runtime pruning: pre-collect the probed cluster set
+        if snapshot is not None or not _dpp_enabled(spark):
+            # no runtime pruning, or a pinned file-list read (whose scan
+            # the optimizer may decline to dynamically prune — r16,
+            # ADVICE): pre-collect the probed cluster set
             # (one job on the SMALL query table) as a static filter
             probed = (
                 km.probe_clusters(

@@ -111,6 +111,12 @@ def connected_components(
     untouched above the threshold; both paths are pinned identical on
     the same graphs in tests/test_components.py, and round-bound tests
     force ``driver_threshold=0``.
+
+    ``driver_threshold=0`` DISABLES the driver path entirely (no
+    limit-collect is even attempted; every graph — including an empty
+    edge set — runs the distributed loop). This is deliberate: 0 is the
+    "force the distributed path" switch the round-bound tests rely on,
+    not a size bound of zero.
     """
 
     def _sig(df: DataFrame) -> tuple:

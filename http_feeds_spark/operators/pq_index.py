@@ -363,8 +363,10 @@ def search(
     # (no-op plan while the ledger is absent — erasure.not_erased)
     codes = erasure.not_erased(spark, index_root, codes, id_col)
     if broadcast_queries:
-        if not _dpp_enabled(spark):
-            # no runtime pruning available: pre-collect the probed
+        if snapshot is not None or not _dpp_enabled(spark):
+            # no runtime pruning available, or a pinned file-list read
+            # (whose scan the optimizer may decline to dynamically
+            # prune — r16, ADVICE): pre-collect the probed
             # cluster set (one job on the SMALL query table) and push it
             # as a static partition filter
             probed = [
@@ -380,9 +382,13 @@ def search(
     scored = codes.join(probes, "cluster")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(qid_col))
-    # _keep_cluster (internal, search_rerank): expose each candidate's
-    # code-tier cluster so the raw-tier re-rank join can include the
-    # partition column — the ranking itself never reads it
+    # _keep_cluster (internal): expose each candidate's code-tier
+    # cluster alongside the ranking for callers that want it as a
+    # locality hint — the ranking itself never reads it. (search_rerank
+    # stopped consuming it in r16: its raw-tier fetch joins on id only,
+    # with the probe set as a pruning semi-join, so a desynced raw tier
+    # degrades to the static-filter semantics instead of dropping
+    # candidates on a cluster mismatch.)
     extra = ["cluster"] if _keep_cluster else []
     scored = scored.select(
         qid_col, id_col, *extra, pq.adc_dist_col("codes", "__dt").alias("adc_d2")
@@ -529,45 +535,48 @@ def search_rerank(
         qid_col=qid_col,
         vec_col=vec_col,
         exclude_self=exclude_self,
-        _keep_cluster=True,
-    ).select(qid_col, id_col, "cluster")
+    ).select(qid_col, id_col)
     _, corpus_path = ai._paths(ann_index_root)
     corpus = spark.read.parquet(corpus_path)
     cents_pq, _, _ = load_model(spark, index_root)
     cents_ann = ai.load_centroids(spark, ann_index_root)
     shared = cents_ann == cents_pq
-    join_keys = [id_col]
-    if shared and _dpp_enabled(spark):
-        # shared coarse quantizer: a candidate's raw-tier cluster IS its
-        # code-tier cluster, so joining on (cluster, id) puts the
-        # partition column into the broadcast join and dynamic partition
-        # pruning trims the raw scan to the probed cluster=N/ dirs at
-        # runtime — the same pruning as the static filter below, minus
-        # its per-search probe-collect job (r15, guide §2.4)
-        join_keys = ["cluster", id_col]
-        corpus = corpus.select(
-            "cluster", F.col(id_col), F.col(vec_col).alias("__cv")
+    if shared:
+        # shared coarse quantizer: every candidate's raw-tier cluster is
+        # one of the PROBED clusters, so the probe set prunes the raw
+        # scan. The probe set is a map-only projection of the small
+        # query table (no collect); the candidate fetch itself stays an
+        # id-only join, so the cluster is a PRUNING HINT, never a match
+        # key — if the two independently-maintained tiers ever desync
+        # (an id re-upserted with a changed embedding into one tier
+        # only), the degradation is the pre-r15 static-filter one
+        # (candidate missing only when its raw row left the probed
+        # clusters), not a silent drop on a cluster mismatch (r16,
+        # ADVICE).
+        probes_df = (
+            km.probe_clusters(
+                queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
+                cents_ann,
+                nprobe,
+                "__qv",
+            )
+            .select("cluster")
+            .distinct()
         )
-    else:
-        if shared:
+        if _dpp_enabled(spark):
+            # broadcast semi-join on the partition column: dynamic
+            # partition pruning trims the raw scan to the probed
+            # cluster=N/ dirs at runtime without a per-search
+            # probe-collect job (r15/r16, guide §2.4)
+            corpus = corpus.join(F.broadcast(probes_df), "cluster", "left_semi")
+        else:
             # DPP unavailable: pre-collect the probed cluster set (one
             # job on the SMALL query table) and push it as a static
             # partition filter on the raw scan
-            probed = [
-                r.cluster
-                for r in km.probe_clusters(
-                    queries.select(F.col(qid_col), F.col(vec_col).alias("__qv")),
-                    cents_ann,
-                    nprobe,
-                    "__qv",
-                )
-                .select("cluster")
-                .distinct()
-                .collect()
-            ]  # ≤ nlist ints of model-sized metadata
+            probed = [r.cluster for r in probes_df.collect()]
+            # ≤ nlist ints of model-sized metadata
             corpus = corpus.where(F.col("cluster").isin(probed))
-        shortlist = shortlist.drop("cluster")
-        corpus = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    corpus = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     # stage 1 already filtered THIS index's ledger; the raw-vector tier
     # has its own — filter it too (no-op plan while absent)
     corpus = erasure.not_erased(spark, ann_index_root, corpus, id_col)
@@ -577,7 +586,7 @@ def search_rerank(
         ),
         qid_col,
     )
-    scored = corpus.join(F.broadcast(cands), join_keys).select(
+    scored = corpus.join(F.broadcast(cands), [id_col]).select(
         qid_col, id_col, vec.cosine("__cv", "__qv").alias("cosine_sim")
     )
     w = Window.partitionBy(qid_col).orderBy(

@@ -446,11 +446,14 @@ def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **k
         if batches and "positions" in spark.read.parquet(batches[0][1]).columns:
             # ONE meta read answers both probes (r15: the separate
             # .columns schema probe + index_analyzer collect cost two
-            # driver passes per ensure call)
-            meta = spark.read.parquet(meta_path).collect()[0]
-            if "analyzer" in meta.__fields__:
+            # driver passes per ensure call). A committed-but-EMPTY meta
+            # (zero rows) is a torn/stale artifact, not a present index —
+            # fall through to the rebuild instead of indexing [0] (r16,
+            # ADVICE).
+            meta_rows = spark.read.parquet(meta_path).collect()
+            if meta_rows and "analyzer" in meta_rows[0].__fields__:
                 want = kw.get("analyzer")
-                stored = meta.analyzer or "whitespace"
+                stored = meta_rows[0].analyzer or "whitespace"
                 if want is None or want == stored:
                     return False
     build_text_index(spark, docs, index_root, **kw)

@@ -222,3 +222,18 @@ def test_registered_query_matches_ann_batch(spark, sf_dir):
         }
 
     assert rows("q_llm_ann_index") == rows("q_llm_ann_batch")
+
+
+def test_search_plan_carries_dynamic_pruning(spark, sf_dir, tmp_path):
+    """ADVICE r16: _dpp_enabled gates out the static probed-cluster
+    filter on the conf flag alone — if the optimizer ever DECLINES to
+    insert dynamic partition pruning at plan time, every search would
+    silently scan all cluster=N/ dirs. Pin the dynamicpruningexpression
+    into the live search plan so such a regression surfaces here, not
+    as an unnoticed full-store scan."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann_dpp")
+    ai.build_index(spark, emb, root, k=8, iters=1)
+    df = ai.search(spark, _queries(emb, 4), root, k=5, nprobe=2, exclude_self=True)
+    p = plans.executed_plan(df)
+    assert "dynamicpruningexpression" in p, p

@@ -440,3 +440,31 @@ def test_residual_variant_beats_flat_recall_and_upserts(spark, tmp_path):
     )
     top = pqi.search(spark, q, root, k=3, nprobe=8).collect()
     assert any(r.vec_id == 10_000 for r in top), top
+
+
+def test_pq_search_plans_carry_dynamic_pruning(spark, sf_dir, tmp_path):
+    """ADVICE r16: same pin as test_ann_index's — the live pq search
+    (and the rerank raw-tier fetch) must carry dynamicpruningexpression
+    in their scans' PartitionFilters; a planner regression that drops
+    DPP must fail here rather than silently scanning every cluster."""
+    from http_feeds_spark.operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    pq_root = str(tmp_path / "pq_dpp")
+    ann_root = str(tmp_path / "ann_dpp")
+    pqi.build_pq_index(spark, emb, pq_root, nlist=8, m=4, ksub=16, iters=1)
+    ai.build_index(spark, emb, ann_root, k=8, iters=1)
+
+    p = plans.executed_plan(
+        pqi.search(spark, _queries(emb, 4), pq_root, k=5, nprobe=2)
+    )
+    assert "dynamicpruningexpression" in p, p
+
+    p2 = plans.executed_plan(
+        pqi.search_rerank(
+            spark, _queries(emb, 4), pq_root, ann_root, k=5, rerank=20, nprobe=2
+        )
+    )
+    # both tiers pruned: the codes scan (stage 1) and the raw corpus
+    # scan (stage 2's probe-set semi-join)
+    assert p2.count("dynamicpruningexpression") >= 2, p2
