@@ -68,14 +68,44 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decontaminate_against(
-    corpus: DataFrame, eval_docs: DataFrame, min_shared: int
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    min_shared: int,
+    corpus_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Drop corpus docs sharing >= min_shared winnowing fingerprints
     with any eval/benchmark document (queries/llm.decontaminate run
     with the corpus as 'train' and the eval set as 'test'). Eval ids are
     remapped to a negative id space so they can never collide with
-    corpus ids."""
-    from http_feeds_spark.queries.llm import decontaminate
+    corpus ids.
+
+    ``corpus_tokens`` (r16, guide §1.2 "don't compute things twice"):
+    a pre-tokenized ``(doc_id, tokens)`` frame covering exactly the
+    corpus ids, under the SAME "standard" analyzer ``decontaminate``
+    would apply — when the near-dup stage already tokenized the corpus,
+    passing its (filtered) token table here removes decontamination's
+    own full-corpus tokenize pass; fingerprints are identical because
+    ``tx.analyze`` is deterministic per row."""
+    from http_feeds_spark.queries.llm import _decontaminate_tokens, decontaminate
+
+    if corpus_tokens is not None:
+        from http_feeds_spark.functions import text as _tx
+
+        tagged = corpus_tokens.select(
+            "doc_id", F.lit("train").alias("split"), "tokens"
+        ).unionByName(
+            eval_docs.select(
+                (-F.col("doc_id") - 1).alias("doc_id"),
+                F.lit("test").alias("split"),
+                _tx.analyze(F.col("text"), "standard").alias("tokens"),
+            )
+        )
+        contaminated = (
+            _decontaminate_tokens(tagged, min_shared=min_shared)
+            .select(F.col("train_doc_id").alias("doc_id"))
+            .distinct()
+        )
+        return corpus.join(contaminated, "doc_id", "left_anti")
 
     tagged = corpus.select("doc_id", "text", F.lit("train").alias("split")).unionByName(
         eval_docs.select(
@@ -122,50 +152,70 @@ def prepare_training_corpus(
          "train_packed": DataFrame(doc_id, n_tokens, bin),
          "report":       [(stage, n_docs), ...]  # in pipeline order}
 
-    The report counts force one job per stage boundary — that is the
-    point (a pipeline run IS an audit); callers needing a single lazy
-    DAG can compose the stage functions directly.
+    Audit counts (r16, guide §1 "remove passes outright" + the r15 §10
+    Observation precedent): every stage boundary's count is an
+    ``Observation`` riding the NEXT job that consumes the stage's frame
+    — a ``CollectMetrics`` node directly below the stage's persist, so
+    the count materializes with the cache instead of scheduling its own
+    full pass per stage. Stage set, report order and values are
+    byte-identical to the eager form (pinned in tests/test_pipeline.py);
+    the first action that materializes a stage fixes its metric per the
+    Observation contract. Counts resolve before this function returns
+    (the split/pack passes at the tail consume the whole chain, so
+    every boundary is guaranteed materialized).
 
-    Stage boundaries are PERSISTED (memory-and-disk) for exactly one
-    stage: without the pin, every boundary count re-executes the whole
-    lineage back to the scan — the near-dup LSH pipeline alone would
-    re-run once per LATER stage, turning an n-stage audit into
-    O(n²) stage executions (measured ~10× wall at sf0.1). Each boundary
-    unpersists its predecessor, so steady-state storage is one stage's
-    corpus; the last pin is dropped before returning, leaving the
-    result frames as the usual lazy DAG."""
+    Stage boundaries are PERSISTED (memory-and-disk): without the pin,
+    every downstream consumer re-executes the whole lineage back to the
+    scan — the near-dup LSH pipeline alone would re-run once per LATER
+    stage, turning an n-stage audit into O(n²) stage executions
+    (measured ~10× wall at sf0.1). Caches materialize lazily under the
+    deferred counts; after each EAGER intra-stage pass (a tokenize or
+    LSH checkpoint, an LM vocab count, a mixture count) every older
+    boundary is fully consumed and is unpersisted then, so the
+    steady-state footprint stays 1-2 stage corpora (3 briefly at the
+    split/pack tail when near-dup's token table fed decontamination).
+    The last pins drop before returning, leaving the result frames as
+    the usual lazy DAG."""
     from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     split_weights = dict(split_weights or DEFAULT_SPLIT)
-    report: list[tuple[str, int]] = []
+    # value = int (already known) | Observation (resolves at the end)
+    report: list[tuple[str, object]] = []
     pinned: list[DataFrame] = []
 
     def _boundary(df: DataFrame, stage: str) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        report.append((stage, df.count()))
-        if pinned:
-            pinned.pop().unpersist()
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        report.append((stage, obs))
         pinned.append(df)
         return df
 
-    # The input audit count rides the quality boundary's job as an
-    # observed metric instead of its own full pass: the CollectMetrics
-    # node sits below the quality filter, so it counts every input row
-    # exactly once while the quality stage materializes. (The quality
-    # predicates no longer push into the scan — the input count needs
-    # every row read anyway, so the fused pass is never wider than the
-    # two passes it replaces.) Re-executing the lineage later leaves the
-    # first-action metric untouched per the Observation contract.
-    obs = Observation()
+    def _settled() -> None:
+        # an eager pass just consumed the NEWEST boundary's whole chain:
+        # every older pinned cache is materialized and its consumers are
+        # done — release all but the newest (the next stage reads it)
+        while len(pinned) > 1:
+            pinned.pop(0).unpersist()
+
+    # The input audit count rides the quality boundary's materialization
+    # as an observed metric instead of its own full pass: the
+    # CollectMetrics node sits below the quality filter, so it counts
+    # every input row exactly once whenever the quality stage first
+    # materializes. (The quality predicates no longer push into the
+    # scan — the input count needs every row read anyway, so the fused
+    # pass is never wider than the two passes it replaces.)
+    obs_in = Observation()
     cur = _boundary(
         quality_gate(
-            docs.observe(obs, F.count(F.lit(1)).alias("rows")),
+            docs.observe(obs_in, F.count(F.lit(1)).alias("rows")),
             langs, min_chars, max_chars, min_words,
         ),
         "quality",
     )
-    report.insert(0, ("input", int(obs.get["rows"])))
+    report.insert(0, ("input", obs_in))
 
     if zlib_ratio_bounds is not None:
         # entropy gate (functions/text.compression_ratio, r10): both
@@ -187,6 +237,8 @@ def prepare_training_corpus(
 
         ref = ppl_reference if ppl_reference is not None else cur
         uni, bi, vocab = nlm.train_bigram_lm(ref.select("text"))
+        if ppl_reference is None:
+            _settled()  # the vocab count consumed cur's chain
         keep = (
             nlm.perplexity(cur, uni, bi, vocab)
             .filter(F.col("ppl") <= max_ppl)
@@ -220,6 +272,7 @@ def prepare_training_corpus(
             F.col("scrubbed_text").alias("text"),
             F.length("scrubbed_text").cast("long").alias("n_chars"),
         )
+        _settled()  # the window checkpoint inside scrub consumed cur
         cur = _boundary(
             scrubbed.filter(F.col("n_chars") > 0)
             .join(cur.select("doc_id", "lang", "source"), "doc_id"),
@@ -228,31 +281,57 @@ def prepare_training_corpus(
 
     cur = _boundary(exact_dedup(cur), "exact_dedup")
 
+    # near-dup's token table doubles as decontamination's corpus-side
+    # tokenization (one tokenize pass, not two — guide §1.2); filtered
+    # to the near-dup survivors by the same losers anti-join that
+    # filters the corpus itself.
+    corpus_tokens: DataFrame | None = None
     if near_dup:
-        from http_feeds_spark.operators.components import dedup_corpus
-        from http_feeds_spark.queries.llm import _near_dup_pairs
+        from http_feeds_spark.operators.components import connected_components
+        from http_feeds_spark.queries.llm import _near_dup_pairs, tokenized
 
-        cur = _boundary(
-            dedup_corpus(cur, _near_dup_pairs(cur.select("doc_id", "text"))),
-            "near_dedup",
+        toks = tokenized(cur.select("doc_id", "text"))
+        _settled()  # the token checkpoint consumed cur's chain
+        pairs = _near_dup_pairs(cur.select("doc_id", "text"), tokens=toks)
+        losers = (
+            connected_components(pairs, src="a", dst="b")
+            .where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
         )
+        cur = _boundary(cur.join(losers, "doc_id", "left_anti"), "near_dedup")
+        if eval_docs is not None:
+            corpus_tokens = toks.join(losers, "doc_id", "left_anti")
 
     if eval_docs is not None:
-        cur = _boundary(
-            _decontaminate_against(cur, eval_docs, min_shared_fps), "decontaminate"
+        dec = _decontaminate_against(
+            cur, eval_docs, min_shared_fps, corpus_tokens=corpus_tokens
         )
+        if corpus_tokens is None:
+            _settled()  # the fingerprint checkpoint consumed cur's chain
+        cur = _boundary(dec, "decontaminate")
 
     if mixture:
-        cur = _boundary(smp.resample_to_mixture(cur, mixture, seed=seed), "mixture")
+        mixed = smp.resample_to_mixture(cur, mixture, seed=seed)
+        _settled()  # the per-source count collect consumed cur's chain
+        cur = _boundary(mixed, "mixture")
 
     corpus = smp.with_split(cur, "doc_id", split_weights, seed=seed)
     train = corpus.filter(F.col("split") == "train").select(
         "doc_id", F.size(tx.words("text")).alias("n_tokens")
     )
-    train_packed = smp.pack_into_bins(train, "n_tokens", pack_budget, seed=seed)
-    report.append(("train", train.count()))
+    # the train count rides pack's own passes over the train frame (its
+    # percentile probe and its two-pass snapshot both consume it)
+    obs_train = Observation()
+    train_packed = smp.pack_into_bins(
+        train.observe(obs_train, F.count(F.lit(1)).alias("rows")),
+        "n_tokens",
+        pack_budget,
+        seed=seed,
+    )
+    _settled()  # pack's eager passes consumed the whole chain
+    report.append(("train", obs_train))
 
-    out = {"corpus": corpus, "train_packed": train_packed, "report": report}
+    out = {"corpus": corpus, "train_packed": train_packed}
     if shard_root is not None:
         # terminal artifact: trainer-ready shards in consumption order
         out["n_shards"] = smp.export_training_shards(
@@ -263,9 +342,15 @@ def prepare_training_corpus(
             seed=seed,
         )
         report.append(("shards", out["n_shards"]))
-    # drop the final pin: every eager pass (counts, shard export) is
-    # done, and the returned frames stay the usual lazy DAG — a caller
+    # every deferred count has fired by now (pack's passes consumed the
+    # full chain); resolve the audit report in stage order, then drop
+    # the final pins — every eager pass (metrics, shard export) is
+    # done, and the returned frames stay the usual lazy DAG: a caller
     # consuming them recomputes the pipeline once, exactly as before
+    out["report"] = [
+        (stage, v if isinstance(v, int) else int(v.get["rows"]))
+        for stage, v in report
+    ]
     while pinned:
         pinned.pop().unpersist()
     return out

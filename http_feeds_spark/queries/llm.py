@@ -1852,9 +1852,24 @@ def decontaminate(
     computed over ANALYZED tokens (functions/text.analyze) so an eval
     question matches its corpus twin across punctuation/case variants —
     the whole point of decontamination on real text."""
+    staged = split_docs.select(
+        "doc_id", "split", tx.analyze("text", analyzer).alias("tokens")
+    )
+    return _decontaminate_tokens(staged, min_shared, max_fp_train_df)
+
+
+def _decontaminate_tokens(
+    tok_docs: DataFrame,
+    min_shared: int = 2,
+    max_fp_train_df: int = 100,
+) -> DataFrame:
+    """:func:`decontaminate` over PRE-TOKENIZED rows (doc_id, split,
+    tokens) — the shared back half. Split out in r16 so the pipeline
+    composition can feed the near-dup stage's existing token table here
+    instead of re-tokenizing the whole corpus (guide §1.2: the only
+    full-text passes should be the ones that must read text)."""
     staged = (
-        split_docs.withColumn("tokens", tx.analyze("text", analyzer))
-        .filter(F.size("tokens") >= 6)
+        tok_docs.filter(F.size("tokens") >= 6)
         .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
     )
     staged = tx.add_winnow_fingerprints(staged, "shingles", "fps", 4)
