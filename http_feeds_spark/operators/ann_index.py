@@ -75,6 +75,7 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     removed = erasure.purge_partitioned_store(
         spark, corpus_path, erased, id_col, "cluster", dedup_keys=[id_col]
     )
+    invalidate_corpus_cache(index_root)  # partitions were rewritten/deleted
     erasure.clear_ledger_batches(spark, index_root, nos)
     return removed
 
@@ -87,7 +88,9 @@ def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
     from http_feeds_spark.stores import rewrite_partitioned_store
 
     _, corpus_path = _paths(index_root)
-    return rewrite_partitioned_store(spark, corpus_path, "cluster")
+    out = rewrite_partitioned_store(spark, corpus_path, "cluster")
+    invalidate_corpus_cache(index_root)  # the file set was rewritten
+    return out
 
 
 def _paths(index_root: str) -> tuple[str, str]:
@@ -126,6 +129,8 @@ def build_index(
     honored verbatim: the feed-bootstrap path (ingest.run_ann_index)
     deliberately passes one, because sizing from the FIRST BATCH of a
     growing feed would freeze a too-small quantizer."""
+    invalidate_centroid_cache(index_root)  # the store is being rewritten
+    invalidate_corpus_cache(index_root)
     cent_path, corpus_path = _paths(index_root)
     if k is None:
         from http_feeds_spark.functions.vectuner import suggest_params
@@ -148,10 +153,55 @@ def build_index(
         .write.mode("overwrite")
         .parquet(cent_path)
     )
+    invalidate_centroid_cache(index_root)  # readers must reload the model
+    invalidate_corpus_cache(index_root)
+
+
+# --- model metadata cache (r16, the pq_index._MODEL_CACHE pattern) ----------
+# The centroid store is a single-write artifact: only build_index rewrites
+# it (upserts/updates keep the quantizer frozen by contract). Memoizing the
+# k-row model per root removes the one scheduled collect every search paid
+# to re-load an unchanged model. Metadata only — corpus scans, the erasure
+# filter and the search aggregates still execute per call.
+_CENTROID_CACHE: dict[str, list] = {}
+
+
+def invalidate_centroid_cache(index_root: str) -> None:
+    """Drop the cached model for ``index_root`` — build_index calls this
+    around the rebuild (the only path that rewrites the centroid store)."""
+    _CENTROID_CACHE.pop(index_root.rstrip("/"), None)
+
+
+# The corpus-store SCAN HANDLE is memoized too (the pq_index._codes_df
+# pattern): spark.read.parquet schedules one file-listing/footer job per
+# call even though the frame is lazy. Metadata only (a plan handle, never
+# rows); every corpus writer (build/upsert/update/purge/compact)
+# invalidates, and a hit is served only to the session that built it.
+_CORPUS_DF_CACHE: dict[str, DataFrame] = {}
+
+
+def invalidate_corpus_cache(index_root: str) -> None:
+    """Drop the cached corpus scan for ``index_root`` — called by every
+    path that writes, rewrites or deletes files under corpus/."""
+    _CORPUS_DF_CACHE.pop(index_root.rstrip("/"), None)
+
+
+def _corpus_df(spark: SparkSession, index_root: str) -> DataFrame:
+    key = index_root.rstrip("/")
+    hit = _CORPUS_DF_CACHE.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
+    df = spark.read.parquet(_paths(index_root)[1])
+    _CORPUS_DF_CACHE[key] = df
+    return df
 
 
 def ensure_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
-    """Build the index iff absent; returns True when a build ran."""
+    """Build the index iff absent; returns True when a build ran. A
+    cached model (r16) answers the presence probe without touching the
+    filesystem — the cache is populated only from committed stores."""
+    if index_root.rstrip("/") in _CENTROID_CACHE:
+        return False
     cent_path, _ = _paths(index_root)
     if parquet_exists(spark, cent_path):
         return False
@@ -188,7 +238,7 @@ def upsert_vectors(
     is the reset, exactly the streaming/dedup.py artifact pattern."""
     cents = load_centroids(spark, index_root)
     _, corpus_path = _paths(index_root)
-    store = spark.read.parquet(corpus_path)
+    store = _corpus_df(spark, index_root)
     existing = store.select(F.col(id_col))
     fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
     # conform to the store's schema: appending (say) array<double> rows
@@ -227,6 +277,7 @@ def upsert_vectors(
     n = assigned.count()
     if n:
         assigned.write.mode("append").partitionBy("cluster").parquet(corpus_path)
+        invalidate_corpus_cache(index_root)  # new files are visible
     return n
 
 
@@ -290,10 +341,16 @@ def load_centroids(
             spark, cent_path, files, "ANN centroid"
         ).collect()
         return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+    key = index_root.rstrip("/")
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit  # callers never mutate the model (module contract)
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no ANN index at {index_root}; build_index first")
     rows = spark.read.parquet(cent_path).collect()
-    return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+    cents = sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+    _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def search(
@@ -338,7 +395,7 @@ def search(
         )
     else:
         cents = load_centroids(spark, index_root)
-        corpus = spark.read.parquet(corpus_path)
+        corpus = _corpus_df(spark, index_root)
     # logical-erasure window: ids in the erase ledger must not surface
     # (no-op plan while the ledger is absent — erasure.not_erased)
     corpus = erasure.not_erased(spark, index_root, corpus, id_col)

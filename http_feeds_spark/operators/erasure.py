@@ -60,6 +60,16 @@ def _ledger_root(index_root: str) -> str:
     return f"{index_root.rstrip('/')}/{ERASED_DIR}"
 
 
+def _invalidate_reader_caches(index_root: str) -> None:
+    """Every ledger mutation changes what readers must filter — drop the
+    committed-frontier metadata cache for this root (text_index.py; a
+    no-op for roots that never populated it). Lazy import: text_index
+    imports this module at top level."""
+    from http_feeds_spark.operators import text_index as _ti
+
+    _ti.invalidate_frontier(index_root)
+
+
 def _ledger_batches(spark: SparkSession, index_root: str) -> list[tuple[int, str]]:
     """(number, path) of every _SUCCESS-committed erase batch, ascending
     (the text_index.py batch-visibility rule)."""
@@ -117,6 +127,7 @@ def erase_ids(
         fresh.coalesce(1).write.mode("overwrite").parquet(
             f"{_ledger_root(index_root)}/batch={nxt:06d}"
         )
+        _invalidate_reader_caches(index_root)
     return n
 
 
@@ -139,6 +150,7 @@ def clear_ledger(spark: SparkSession, index_root: str) -> None:
     fs, root = hadoop_fs(spark, _ledger_root(index_root))
     if fs.exists(root):
         fs.delete(root, True)
+        _invalidate_reader_caches(index_root)
 
 
 def clear_ledger_batches(
@@ -154,6 +166,8 @@ def clear_ledger_batches(
         _, p = hadoop_fs(spark, f"{_ledger_root(index_root)}/batch={no:06d}")
         if fs.exists(p):
             fs.delete(p, True)
+    if batch_nos:
+        _invalidate_reader_caches(index_root)
 
 
 def purge_partitioned_store(

@@ -52,6 +52,49 @@ CODES_DIR = "codes"
 CODEBOOKS_DIR = "codebooks"
 CENTROIDS_DIR = "centroids"
 
+# --- model metadata cache (r16) ----------------------------------------------
+# Every search call paid one scheduled collect to re-load the SAME frozen
+# model (centroids + codebooks): both model stores are single-write
+# artifacts that change ONLY on build_pq_index — upserts, compaction and
+# erasure never touch them (the frozen-quantizer contract). Memoize the
+# model per index root, invalidated by the one writer. Metadata caching
+# only (the model is nlist + m·ksub rows); code scans, the erase-ledger
+# filter and every search aggregate still execute per call. Callers must
+# not mutate the returned lists (module-internal consumers never do).
+_MODEL_CACHE: dict[str, tuple] = {}
+
+
+def invalidate_model_cache(index_root: str) -> None:
+    """Drop the cached model for ``index_root`` — build_pq_index calls
+    this around the rebuild (the only path that rewrites model stores)."""
+    _MODEL_CACHE.pop(index_root.rstrip("/"), None)
+
+
+# The code-store SCAN HANDLE is memoized too: spark.read.parquet schedules
+# one file-listing/footer job per call even though the returned frame is
+# lazy — per-search fixed cost for a listing that changes only when a
+# writer commits. Metadata only (a plan handle, never rows); EVERY code
+# writer below (build/upsert/update/purge/compact) invalidates, and a hit
+# is served only to the session that built it (a restarted session must
+# not receive a dead plan).
+_CODES_DF_CACHE: dict[str, DataFrame] = {}
+
+
+def invalidate_codes_cache(index_root: str) -> None:
+    """Drop the cached code-store scan for ``index_root`` — called by
+    every path that writes, rewrites or deletes files under codes/."""
+    _CODES_DF_CACHE.pop(index_root.rstrip("/"), None)
+
+
+def _codes_df(spark: SparkSession, index_root: str) -> DataFrame:
+    key = index_root.rstrip("/")
+    hit = _CODES_DF_CACHE.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
+    df = spark.read.parquet(_paths(index_root)[0])
+    _CODES_DF_CACHE[key] = df
+    return df
+
 
 def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
     """Small-file compaction for the code store: each upsert appends one
@@ -62,7 +105,9 @@ def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
     from http_feeds_spark.stores import rewrite_partitioned_store
 
     codes_path, _, _ = _paths(index_root)
-    return rewrite_partitioned_store(spark, codes_path, "cluster")
+    out = rewrite_partitioned_store(spark, codes_path, "cluster")
+    invalidate_codes_cache(index_root)  # the file set was rewritten
+    return out
 
 
 def _dpp_enabled(spark: SparkSession) -> bool:
@@ -160,6 +205,8 @@ def build_pq_index(
     the (model-sized) table work, identical code-scan bytes."""
     from http_feeds_spark.functions import vectuner as vt
 
+    invalidate_model_cache(index_root)  # the stores are being rewritten
+    invalidate_codes_cache(index_root)
     codes_path, books_path, cent_path = _paths(index_root)
     if nlist is None or m is None or ksub is None or validate:
         n_vectors = emb.count()
@@ -216,10 +263,16 @@ def build_pq_index(
         ],
         "cid int, cvec array<double>, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    invalidate_model_cache(index_root)  # readers must reload the new model
+    invalidate_codes_cache(index_root)
 
 
 def ensure_pq_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
-    """Build iff absent (presence = centroids/, the last-written store)."""
+    """Build iff absent (presence = centroids/, the last-written store).
+    A cached model (r16) answers the presence probe without touching the
+    filesystem — the cache is populated only from committed stores."""
+    if index_root.rstrip("/") in _MODEL_CACHE:
+        return False
     _, _, cent_path = _paths(index_root)
     if parquet_exists(spark, cent_path):
         return False
@@ -270,6 +323,10 @@ def load_model(
         for r in rows:
             books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
         return cents, [sorted(b) for b in books], residual
+    key = index_root.rstrip("/")
+    hit = _MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit  # callers never mutate the model (module contract)
     if not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
     # ONE collect for both model stores (r15, guide §1: each tiny
@@ -295,7 +352,9 @@ def load_model(
     books: pq.Codebooks = [[] for _ in range(n_sub)]
     for r in brows:
         books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
-    return cents, [sorted(b) for b in books], residual
+    model = (cents, [sorted(b) for b in books], residual)
+    _MODEL_CACHE[key] = model
+    return model
 
 
 def search(
@@ -358,7 +417,7 @@ def search(
 
         codes = read_pinned_files(spark, codes_path, snapshot["codes"], "PQ code")
     else:
-        codes = spark.read.parquet(codes_path)
+        codes = _codes_df(spark, index_root)
     # logical-erasure window: ids in the erase ledger must not surface
     # (no-op plan while the ledger is absent — erasure.not_erased)
     codes = erasure.not_erased(spark, index_root, codes, id_col)
@@ -422,7 +481,7 @@ def upsert_vectors(
     cluster layout; rebuild policy is the caller's."""
     cents, books, residual = load_model(spark, index_root)
     codes_path, _, _ = _paths(index_root)
-    existing = spark.read.parquet(codes_path).select(F.col(id_col))
+    existing = _codes_df(spark, index_root).select(F.col(id_col))
     fresh = new_vectors.select(id_col, vec_col).join(existing, id_col, "left_anti")
     enc = (
         pq.encode_col(books, _residual_col(cents, vec_col))
@@ -437,6 +496,7 @@ def upsert_vectors(
     n = assigned.count()
     if n:
         assigned.write.mode("append").partitionBy("cluster").parquet(codes_path)
+        invalidate_codes_cache(index_root)  # new files are visible
     return n
 
 
@@ -458,6 +518,7 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
     removed = erasure.purge_partitioned_store(
         spark, codes_path, erased, id_col, "cluster", dedup_keys=[id_col]
     )
+    invalidate_codes_cache(index_root)  # partitions were rewritten/deleted
     erasure.clear_ledger_batches(spark, index_root, nos)
     return removed
 
@@ -536,8 +597,7 @@ def search_rerank(
         vec_col=vec_col,
         exclude_self=exclude_self,
     ).select(qid_col, id_col)
-    _, corpus_path = ai._paths(ann_index_root)
-    corpus = spark.read.parquet(corpus_path)
+    corpus = ai._corpus_df(spark, ann_index_root)
     cents_pq, _, _ = load_model(spark, index_root)
     cents_ann = ai.load_centroids(spark, ann_index_root)
     shared = cents_ann == cents_pq

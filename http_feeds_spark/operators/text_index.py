@@ -107,11 +107,29 @@ def _manifests(spark: SparkSession, index_root: str) -> list[tuple[int, int, lis
             and committed(spark, st.getPath().toString())
         ):
             gens.append(int(name))
-    out = []
-    for g in sorted(gens):
-        row = spark.read.parquet(f"{root}/{g:06d}").collect()[0]
-        out.append((g, int(row.new_batch), [int(b) for b in row.sources]))
-    return out
+    if not gens:
+        return []
+    # ONE tiny collect over every committed manifest dir (r16, guide §1
+    # job audit): the previous per-generation collect scheduled one job
+    # per manifest, making every frontier listing O(generations)
+    # scheduled jobs on a long-lived store. The generation comes back
+    # from the file path, so one read answers all of them.
+    rows = (
+        spark.read.parquet(*[f"{root}/{g:06d}" for g in sorted(gens)])
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), f"/{COMPACTION_DIR}/(\\d+)/", 1
+            ).cast("int").alias("gen"),
+            "new_batch",
+            "sources",
+        )
+        .collect()
+    )
+    by_gen = {int(r.gen): r for r in rows}
+    return [
+        (g, int(by_gen[g].new_batch), [int(b) for b in by_gen[g].sources])
+        for g in sorted(gens)
+    ]
 
 
 def _complete_batches(spark: SparkSession, post_root: str) -> list[tuple[int, str]]:
@@ -135,6 +153,84 @@ def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | 
         return None, 0
     paths = [p for _, p in batches]
     return spark.read.option("basePath", post_root).parquet(*paths), len(paths)
+
+
+# --- committed-frontier metadata cache (r16) ---------------------------------
+#
+# Every search/ensure call previously re-derived the same COMMITTED STORE
+# METADATA per call: a meta/ read + collect (one scheduled driver job), a
+# postings/ directory listing, a collect over the compaction manifests and
+# an erase-ledger probe — fixed costs that change only when a write commits.
+# The cache memoizes exactly that metadata per index root and is INVALIDATED
+# BY EVERY WRITE PATH in this module (build/upsert/replace/purge/vacuum) and
+# by the erasure-ledger mutators (operators/erasure.py), so a warm read
+# serves the same committed frontier a cold read would, and the first read
+# after any commit re-derives everything. This is METADATA caching, never
+# result caching: no query output, no posting row and no aggregate over data
+# is ever stored — every search still executes from the parquet inputs.
+# Cross-process writers sit outside the single-writer assumption the store
+# commit protocols already make (the usual engine-catalog-cache contract);
+# ``invalidate_frontier`` is the explicit refresh hook for such callers.
+
+_FRONTIER_CACHE: dict[str, dict] = {}
+
+
+def invalidate_frontier(index_root: str) -> None:
+    """Drop the cached read frontier for ``index_root`` — called by every
+    write path whose commit changes what readers see."""
+    _FRONTIER_CACHE.pop(index_root.rstrip("/"), None)
+
+
+def _frontier(spark: SparkSession, index_root: str) -> dict | None:
+    """The committed read-state of the index, cached: meta-row fields,
+    visible batch dirs, the visible-postings frame, the layout probes and
+    the erase-ledger filter. ``None`` when no usable meta store exists
+    (a zero-row committed meta is a torn artifact and reads as absent —
+    r16 ADVICE); absence is never cached, a build may land any moment."""
+    key = index_root.rstrip("/")
+    hit = _FRONTIER_CACHE.get(key)
+    if hit is not None and hit["session"] is spark:
+        return hit  # session-checked: a restarted session never gets a dead plan
+    post_path, terms_path, meta_path = _paths(index_root)
+    if not parquet_exists(spark, meta_path):
+        return None
+    meta_rows = spark.read.parquet(meta_path).collect()
+    if not meta_rows:
+        return None
+    m = meta_rows[0]
+    batches = _complete_batches(spark, post_path)
+    post_df = (
+        spark.read.option("basePath", post_path).parquet(*[p for _, p in batches])
+        if batches
+        else None
+    )
+    fr = {
+        "n_docs": int(m.n_docs),
+        "avgdl": float(m.avgdl),
+        "n_batches_meta": int(
+            getattr(m, "n_batches", len(batches)) or len(batches)
+        ),
+        "analyzer": getattr(m, "analyzer", None) or "whitespace",
+        # a pre-analyzer meta (no such column) answers queries as
+        # "whitespace" but reads as a stale LAYOUT to ensure_text_index
+        "has_analyzer_col": "analyzer" in m.__fields__,
+        "batches": batches,
+        "post_df": post_df,
+        # ensure's layout probe reads the OLDEST batch's schema (footer
+        # only), exactly as the uncached form did
+        "first_batch_positional": bool(
+            batches and "positions" in spark.read.parquet(batches[0][1]).columns
+        ),
+        "erased": erasure.erased_ids(spark, index_root),
+        "terms_df": (
+            spark.read.parquet(terms_path)
+            if parquet_exists(spark, terms_path)
+            else None
+        ),
+        "session": spark,
+    }
+    _FRONTIER_CACHE[key] = fr
+    return fr
 
 
 def visible_batches(spark: SparkSession, index_root: str) -> list[int]:
@@ -165,11 +261,10 @@ def index_analyzer(spark: SparkSession, index_root: str) -> str:
     pre-analyzer meta (no such column) reads as "whitespace" — exactly
     the tokenization those indexes were built under, so old stores keep
     answering correctly without a rebuild."""
-    _, _, meta_path = _paths(index_root)
-    if not parquet_exists(spark, meta_path):
+    fr = _frontier(spark, index_root)
+    if fr is None:
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    meta = spark.read.parquet(meta_path).collect()[0]
-    return getattr(meta, "analyzer", None) or "whitespace"
+    return fr["analyzer"]
 
 
 def _require_index_analyzer(stored: str, requested: str | None, index_root: str) -> str:
@@ -271,6 +366,7 @@ def build_text_index(
     multi-batch store must not leave stale dirs visible next to the new
     batch 0), then the fresh stores land with meta/ last."""
     tx._require_analyzer(analyzer)
+    invalidate_frontier(index_root)  # the store stops being readable NOW
     post_path, _, meta_path = _paths(index_root)
     fs, jmeta = hadoop_fs(spark, meta_path)
     if fs.exists(jmeta):
@@ -281,6 +377,7 @@ def build_text_index(
             fs.delete(jp, True)
     _write_postings_batch(spark, docs, post_path, 0, id_col, text_col, analyzer)
     _write_derived(spark, index_root, 1, analyzer)
+    invalidate_frontier(index_root)  # readers must see the fresh build
 
 
 def _exploded_postings(
@@ -393,6 +490,7 @@ def upsert_documents(
             id_col, text_col, analyzer,
         )
         _write_derived(spark, index_root, n_batches + 1, analyzer)
+        invalidate_frontier(index_root)  # a new batch is visible
     return n
 
 
@@ -440,22 +538,20 @@ def ensure_text_index(spark: SparkSession, docs: DataFrame, index_root: str, **k
     differs from a present index's also rebuilds (the caller is asking
     for a different tokenization, and an index cannot change analyzers
     in place)."""
-    post_path, _, meta_path = _paths(index_root)
-    if parquet_exists(spark, meta_path):
-        batches = _complete_batches(spark, post_path)
-        if batches and "positions" in spark.read.parquet(batches[0][1]).columns:
-            # ONE meta read answers both probes (r15: the separate
-            # .columns schema probe + index_analyzer collect cost two
-            # driver passes per ensure call). A committed-but-EMPTY meta
-            # (zero rows) is a torn/stale artifact, not a present index —
-            # fall through to the rebuild instead of indexing [0] (r16,
-            # ADVICE).
-            meta_rows = spark.read.parquet(meta_path).collect()
-            if meta_rows and "analyzer" in meta_rows[0].__fields__:
-                want = kw.get("analyzer")
-                stored = meta_rows[0].analyzer or "whitespace"
-                if want is None or want == stored:
-                    return False
+    fr = _frontier(spark, index_root)
+    # the cached frontier answers every probe (meta presence + row, batch
+    # listing, oldest-batch layout) — a warm ensure call costs no Spark
+    # work at all (r16); a committed-but-EMPTY meta reads as absent
+    # (fr is None) and rebuilds (r16, ADVICE)
+    if (
+        fr is not None
+        and fr["batches"]
+        and fr["first_batch_positional"]
+        and fr["has_analyzer_col"]
+    ):
+        want = kw.get("analyzer")
+        if want is None or want == fr["analyzer"]:
+            return False
     build_text_index(spark, docs, index_root, **kw)
     return True
 
@@ -492,59 +588,16 @@ def search(
     A pinned batch that a later compaction has vacuumed raises (an
     epoch pin is a short-lived consistency token, not time travel)."""
     post_path, terms_path, meta_path = _paths(index_root)
-    if not parquet_exists(spark, meta_path):
+    # ALL store metadata — the meta row, the visible batch listing, the
+    # manifest set, the erase-ledger filter — comes from the committed-
+    # frontier cache (r16): a warm search call schedules no meta job and
+    # lists no directories; the only per-call driver work left on the
+    # fresh path is the |terms|-row term-store lookup below.
+    fr = _frontier(spark, index_root)
+    if fr is None:
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    meta_df = spark.read.parquet(meta_path)
-    mcols = meta_df.columns
-    msel = meta_df.select(
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("long").alias("df"),
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("avgdl").cast("double").alias("avgdl"),
-        (
-            F.col("n_batches").cast("int")
-            if "n_batches" in mcols
-            else F.lit(None).cast("int")
-        ).alias("n_batches"),
-        (
-            F.col("analyzer").cast("string")
-            if "analyzer" in mcols
-            else F.lit(None).cast("string")
-        ).alias("analyzer"),
-    )
-    # ONE collect for meta + the term-store lookup (r15, guide §1: two
-    # tiny sequential driver jobs → one). The stored analyzer — inside
-    # meta — decides the query tokenization, so the candidate term set
-    # is the union over the 4-member analyzer family (driver-side
-    # tokenization); the actual analyzer's subset is taken after the
-    # collect. Falls back to the separate read when the merged rows are
-    # unusable (pinned epoch, missing store, stale heal path).
-    store_dfs: dict[str, int] | None = None
-    if batches is None and parquet_exists(spark, terms_path):
-        cand = sorted({t for a in tx.ANALYZERS for t in tx.tokenize_query(terms, a)})
-        if cand:
-            cbuckets = sorted(set(_buckets_of(spark, cand).values()))
-            tsel = (
-                spark.read.parquet(terms_path)
-                .where(F.col("bucket").isin(cbuckets) & F.col("term").isin(cand))
-                .select(
-                    "term",
-                    F.col("df").cast("long").alias("df"),
-                    F.lit(None).cast("long").alias("n_docs"),
-                    F.lit(None).cast("double").alias("avgdl"),
-                    F.lit(None).cast("int").alias("n_batches"),
-                    F.lit(None).cast("string").alias("analyzer"),
-                )
-            )
-            rows = msel.unionByName(tsel).collect()
-            store_dfs = {r.term: int(r.df) for r in rows if r.term is not None}
-        else:
-            rows = msel.collect()
-    else:
-        rows = msel.collect()
-    meta = next(r for r in rows if r.term is None)
-    n, avgdl = int(meta.n_docs), float(meta.avgdl)
-    stored_analyzer = getattr(meta, "analyzer", None) or "whitespace"
+    n, avgdl = fr["n_docs"], fr["avgdl"]
+    stored_analyzer = fr["analyzer"]
     _require_index_analyzer(stored_analyzer, analyzer, index_root)
     terms = tx.tokenize_query(terms, stored_analyzer)
     if not terms:  # every query term analyzed away (pure punctuation)
@@ -563,7 +616,8 @@ def search(
         n_batches = len(paths)
         stale = True  # recompute df/avgdl/N from exactly the pinned postings
     else:
-        post_df, n_batches = _visible_postings(spark, post_path)
+        post_df = fr["post_df"]
+        n_batches = len(fr["batches"])
         if post_df is None:
             if n == 0:
                 # fully-purged index: every document was erased and
@@ -574,8 +628,10 @@ def search(
                 f"no committed posting batches at {index_root} (stale or "
                 "incompatible layout); rebuild with build_text_index"
             )
-        stale = int(getattr(meta, "n_batches", n_batches) or n_batches) != n_batches
-    erased = erasure.erased_ids(spark, index_root)
+        stale = fr["n_batches_meta"] != n_batches
+    # the ledger mutators invalidate the frontier cache, so the cached
+    # filter IS the live ledger (erasure trumps pins, epochs.py contract)
+    erased = fr["erased"]
     if erased is not None:
         # logical-erasure window (ledger set, purge not yet run): erased
         # docs must not surface AND must not influence idf/avgdl — filter
@@ -599,15 +655,13 @@ def search(
         tstore = post_df.where(F.col("term").isin(terms)).groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
-        dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
-    elif store_dfs is not None:
-        # the merged collect above already holds the term store rows
-        dfs = {t: store_dfs[t] for t in terms if t in store_dfs}
     else:
-        tstore = spark.read.parquet(terms_path).where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
-        dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
+        tstore = (
+            fr["terms_df"]
+            if batches is None and fr["terms_df"] is not None
+            else spark.read.parquet(terms_path)
+        ).where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    dfs = {r.term: int(r.df) for r in tstore.select("term", "df").collect()}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     idf_rows = [
@@ -647,14 +701,15 @@ def _positional_postings(
     """The guarded positional-posting view the phrase/proximity queries
     share: (visible postings — None when fully purged, index analyzer),
     positions column required, erase-ledger filter applied, analyzer
-    conformance enforced (an explicit mismatched ``analyzer`` raises)."""
-    post_path, _, meta_path = _paths(index_root)
-    if not parquet_exists(spark, meta_path):
+    conformance enforced (an explicit mismatched ``analyzer`` raises).
+    Served entirely from the committed-frontier cache (r16): a warm
+    phrase/proximity call schedules NO driver job before its search."""
+    fr = _frontier(spark, index_root)
+    if fr is None:
         raise FileNotFoundError(f"no text index at {index_root}; build_text_index first")
-    meta = spark.read.parquet(meta_path).collect()[0]
-    stored = getattr(meta, "analyzer", None) or "whitespace"
+    stored = fr["analyzer"]
     _require_index_analyzer(stored, analyzer, index_root)
-    post_df, _ = _visible_postings(spark, post_path)
+    post_df = fr["post_df"]
     if post_df is None:
         return None, stored
     if "positions" not in post_df.columns:
@@ -662,7 +717,7 @@ def _positional_postings(
             f"index at {index_root} predates positional postings; rebuild "
             "with build_text_index to enable phrase queries"
         )
-    erased = erasure.erased_ids(spark, index_root)
+    erased = fr["erased"]
     if erased is not None:
         post_df = post_df.join(
             erased.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
@@ -988,8 +1043,10 @@ def _replace_batches(
         .partitionBy("bucket")
         .parquet(f"{post_path}/batch={new_no:06d}")
     )  # commit point: this _SUCCESS swaps sources -> merge atomically
+    invalidate_frontier(index_root)  # visibility flipped at the commit
     _write_derived(spark, index_root, len(_complete_batches(spark, post_path)))
     vacuum_postings(spark, index_root)
+    invalidate_frontier(index_root)
     return new_no
 
 
@@ -1139,6 +1196,7 @@ def purge_erased(spark: SparkSession, index_root: str) -> int:
                     "n_docs long, avgdl double, n_batches int, analyzer string",
                 ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     erasure.clear_ledger_batches(spark, index_root, ledger_nos)
+    invalidate_frontier(index_root)  # postings and ledger both changed
     return removed
 
 
@@ -1170,4 +1228,9 @@ def vacuum_postings(spark: SparkSession, index_root: str) -> int:
         if gone and fs.exists(man):
             fs.delete(man, True)
             removed += 1
+    if removed:
+        # the deleted source dirs may back a cached frontier's file list
+        # (e.g. a manifest that landed outside this module's writers —
+        # the crash-recovery path); readers must re-list
+        invalidate_frontier(index_root)
     return removed

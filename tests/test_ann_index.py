@@ -237,3 +237,29 @@ def test_search_plan_carries_dynamic_pruning(spark, sf_dir, tmp_path):
     df = ai.search(spark, _queries(emb, 4), root, k=5, nprobe=2, exclude_self=True)
     p = plans.executed_plan(df)
     assert "dynamicpruningexpression" in p, p
+
+
+def test_centroid_cache_warm_search_and_rebuild_invalidation(spark, sf_dir, tmp_path):
+    """r16 model cache: the centroid store loads ONCE per root — a warm
+    search construction schedules zero driver jobs — and build_index
+    (the only writer) invalidates it, so the next load serves the new
+    quantizer."""
+    import uuid
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "ann")
+    ai.build_index(spark, emb, root, k=8, iters=1)
+    q = _queries(emb, 4)
+    cold = [tuple(r) for r in ai.search(spark, q, root, k=5, nprobe=2, exclude_self=True).collect()]
+    sc = spark.sparkContext
+    gid = f"warm-cent-{uuid.uuid4()}"
+    sc.setJobGroup(gid, "warm ann search construction")
+    try:
+        warm_df = ai.search(spark, q, root, k=5, nprobe=2, exclude_self=True)
+        assert ai.ensure_index(spark, emb, root, k=8, iters=1) is False
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 0
+    assert [tuple(r) for r in warm_df.collect()] == cold
+    ai.build_index(spark, emb, root, k=4, iters=1)
+    assert len(ai.load_centroids(spark, root)) == 4

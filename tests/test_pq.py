@@ -468,3 +468,30 @@ def test_pq_search_plans_carry_dynamic_pruning(spark, sf_dir, tmp_path):
     # both tiers pruned: the codes scan (stage 1) and the raw corpus
     # scan (stage 2's probe-set semi-join)
     assert p2.count("dynamicpruningexpression") >= 2, p2
+
+
+def test_model_cache_warm_search_and_rebuild_invalidation(spark, sf_dir, tmp_path):
+    """r16 model cache: the frozen model loads ONCE per root — a warm
+    search construction schedules zero driver jobs — and a rebuild (the
+    only writer of the model stores) invalidates it, so the next load
+    serves the NEW model, results included."""
+    import uuid
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "pq")
+    pqi.build_pq_index(spark, emb, root, nlist=8, m=4, ksub=16, iters=1)
+    cold = [tuple(r) for r in pqi.search(spark, _queries(emb, 2), root, k=3, nprobe=2).collect()]
+    sc = spark.sparkContext
+    gid = f"warm-model-{uuid.uuid4()}"
+    sc.setJobGroup(gid, "warm pq search construction")
+    try:
+        warm_df = pqi.search(spark, _queries(emb, 2), root, k=3, nprobe=2)
+        assert pqi.ensure_pq_index(spark, emb, root) is False
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 0
+    assert [tuple(r) for r in warm_df.collect()] == cold
+    # rebuild with a different geometry: the cached model must not survive
+    pqi.build_pq_index(spark, emb, root, nlist=4, m=4, ksub=8, iters=1)
+    cents, books, _ = pqi.load_model(spark, root)
+    assert len(cents) == 4 and len(books[0]) == 8

@@ -890,3 +890,75 @@ def test_python_xxh64_twin_matches_engine(spark):
     got = ti._buckets_of(spark, cases)
     for i, c in enumerate(cases):
         assert brow[i] == got[c], repr(c)
+
+
+def test_warm_search_serves_metadata_from_frontier_cache(spark, sf_dir, tmp_path):
+    """r16 committed-frontier cache: the FIRST call on an index pays the
+    meta collect + directory listing; building the SAME searches again
+    (warm frontier) schedules exactly ONE driver job total — the bm25
+    terms lookup — and phrase/proximity construction schedules ZERO.
+    Results must be identical cold vs warm (same committed frontier)."""
+    import uuid
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    cold_bm25 = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    cold_phrase = [
+        tuple(r) for r in ti.phrase_search(spark, root, ["the", "data"], k=10).collect()
+    ]
+    sc = spark.sparkContext
+    gid = f"warm-frontier-{uuid.uuid4()}"
+    sc.setJobGroup(gid, "warm search construction")
+    try:
+        warm_bm25_df = ti.search(spark, root, TERMS, k=10)
+        warm_phrase_df = ti.phrase_search(spark, root, ["the", "data"], k=10)
+        ti.proximity_search(spark, root, ["the", "data"], slop=2, k=10)
+        ti.proximity_search_any(spark, root, ["the", "data"], slop=2, k=10)
+        assert ti.ensure_text_index(spark, docs, root) is False  # zero work
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup(gid)) == 1
+    assert [tuple(r) for r in warm_bm25_df.collect()] == cold_bm25
+    assert [tuple(r) for r in warm_phrase_df.collect()] == cold_phrase
+
+
+def test_frontier_cache_invalidated_by_direct_ledger_write(spark, sf_dir, tmp_path):
+    """erasure.erase_ids called DIRECTLY (not through update_documents)
+    must invalidate the cached frontier: the very next search filters
+    the erased doc — no staleness window. clear_ledger restores it."""
+    from http_feeds_spark.operators import erasure
+
+    docs = _docs(spark, sf_dir)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, docs, root)
+    top = ti.search(spark, root, TERMS, k=1).collect()[0].doc_id  # warms the cache
+    erasure.erase_ids(
+        spark, root, spark.createDataFrame([(int(top),)], "id long")
+    )
+    assert top not in {
+        r.doc_id for r in ti.search(spark, root, TERMS, k=10).collect()
+    }
+    assert top not in {
+        r.doc_id
+        for r in ti.proximity_search_any(spark, root, TERMS, slop=50, k=50).collect()
+    }
+    erasure.clear_ledger(spark, root)
+    assert ti.search(spark, root, TERMS, k=1).collect()[0].doc_id == top
+
+
+def test_frontier_cache_invalidated_by_upsert_and_compaction(spark, sf_dir, tmp_path):
+    """A warm frontier must not outlive a commit: upsert makes the new
+    batch visible to the NEXT search; compaction keeps results
+    bit-identical through the swapped batch set."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "ti")
+    ti.build_text_index(spark, old, root)
+    before = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    ti.upsert_documents(spark, new, root)
+    after = [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()]
+    assert after != before  # the appended half is visible immediately
+    ti.compact_postings(spark, root, upto=10**6)
+    assert [tuple(r) for r in ti.search(spark, root, TERMS, k=10).collect()] == after
