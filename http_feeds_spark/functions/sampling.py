@@ -172,8 +172,20 @@ def pack_into_bins(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
     if order_col is None:
         key = F.xxhash64(F.col(id_col), F.lit(seed))
+        # The default order key is a full-range 64-bit hash — uniform by
+        # construction — so equi-spaced cuts bucket it as evenly as a
+        # percentile sketch would, WITHOUT the sketch's full pass over
+        # the input chain (r16, guide §1.2 "remove passes outright": at
+        # pipeline tail this was one extra execution of the whole
+        # upstream lineage). Bucketing is plumbing for the distributed
+        # running sum: any monotone bucketing of the order key yields
+        # the identical global concatenation, so bins are byte-identical
+        # to the sketch form (determinism + parity pinned in tests).
+        step = (1 << 64) // max(parts, 1)
+        cuts = [(-(1 << 63)) + i * step for i in range(1, parts)]
     else:
         from pyspark.sql.types import NumericType
 
@@ -186,14 +198,14 @@ def pack_into_bins(
                 "rank column first)"
             )
         key = F.col(order_col)
-
-    parts = spark.sparkContext.defaultParallelism
-    fracs = [i / parts for i in range(1, parts)]
-    cuts = (
-        df.agg(F.percentile_approx(key, fracs).alias("qs")).collect()[0]["qs"]
-        if fracs
-        else []
-    ) or []
+        # explicit order keys have no known distribution — keep the
+        # percentile sketch (one small aggregate) for balanced buckets
+        fracs = [i / parts for i in range(1, parts)]
+        cuts = (
+            df.agg(F.percentile_approx(key, fracs).alias("qs")).collect()[0]["qs"]
+            if fracs
+            else []
+        ) or []
     bounds = sorted(set(cuts))
     bkt = F.lit(0)
     for b in bounds:

@@ -67,11 +67,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.join(keep, id_col, "left_semi")
 
 
+def _eval_fp_rows(eval_docs: DataFrame) -> DataFrame:
+    """The eval/benchmark side of decontamination as its own frame:
+    negative-remapped ids (never collide with corpus ids), "standard"
+    tokenization, exploded winnow fingerprints. Independent of every
+    corpus stage — the pipeline materializes it CONCURRENTLY with the
+    near-dup stage (guide §2.6) so the eval tokenize+winnow pass rides
+    executors the corpus stages leave idle."""
+    from http_feeds_spark.queries.llm import _fp_rows
+
+    return _fp_rows(
+        eval_docs.select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.lit("test").alias("split"),
+            tx.analyze(F.col("text"), "standard").alias("tokens"),
+        )
+    )
+
+
 def _decontaminate_against(
     corpus: DataFrame,
     eval_docs: DataFrame,
     min_shared: int,
     corpus_tokens: DataFrame | None = None,
+    eval_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Drop corpus docs sharing >= min_shared winnowing fingerprints
     with any eval/benchmark document (queries/llm.decontaminate run
@@ -85,23 +104,29 @@ def _decontaminate_against(
     would apply — when the near-dup stage already tokenized the corpus,
     passing its (filtered) token table here removes decontamination's
     own full-corpus tokenize pass; fingerprints are identical because
-    ``tx.analyze`` is deterministic per row."""
-    from http_feeds_spark.queries.llm import _decontaminate_tokens, decontaminate
+    ``tx.analyze`` is deterministic per row.
+
+    ``eval_fps`` (r16, guide §2.6): a pre-MATERIALIZED
+    :func:`_eval_fp_rows` frame, computed concurrently with earlier
+    stages; identical rows to computing it here (same deterministic
+    per-row expressions), so the union the back half sees is unchanged."""
+    from http_feeds_spark.queries.llm import (
+        _decontaminate_fps,
+        _fp_rows,
+        decontaminate,
+    )
 
     if corpus_tokens is not None:
-        from http_feeds_spark.functions import text as _tx
-
-        tagged = corpus_tokens.select(
-            "doc_id", F.lit("train").alias("split"), "tokens"
-        ).unionByName(
-            eval_docs.select(
-                (-F.col("doc_id") - 1).alias("doc_id"),
-                F.lit("test").alias("split"),
-                _tx.analyze(F.col("text"), "standard").alias("tokens"),
-            )
+        corpus_fps = _fp_rows(
+            corpus_tokens.select("doc_id", F.lit("train").alias("split"), "tokens")
+        ).localCheckpoint()
+        fps = corpus_fps.unionByName(
+            eval_fps
+            if eval_fps is not None
+            else _eval_fp_rows(eval_docs).localCheckpoint()
         )
         contaminated = (
-            _decontaminate_tokens(tagged, min_shared=min_shared)
+            _decontaminate_fps(fps, min_shared=min_shared)
             .select(F.col("train_doc_id").alias("doc_id"))
             .distinct()
         )
@@ -286,9 +311,38 @@ def prepare_training_corpus(
     # to the near-dup survivors by the same losers anti-join that
     # filters the corpus itself.
     corpus_tokens: DataFrame | None = None
+    eval_fps_future = None
     if near_dup:
         from http_feeds_spark.operators.components import connected_components
         from http_feeds_spark.queries.llm import _near_dup_pairs, tokenized
+
+        if eval_docs is not None:
+            # overlap independent jobs (guide §2.6): the eval side of
+            # decontamination (tokenize + winnow fingerprints of the
+            # benchmark slice) depends on NOTHING the corpus stages
+            # compute — materialize it on a driver thread so its tasks
+            # back-fill executors while the near-dup stage's shuffles
+            # run, instead of serializing after them. Rows are identical
+            # to the inline form (deterministic per-row expressions);
+            # only the schedule changes.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            def _eval_side() -> DataFrame:
+                spark.sparkContext.setJobDescription(
+                    "decontaminate: eval fingerprints (overlapped)"
+                )
+                try:
+                    return _eval_fp_rows(eval_docs).localCheckpoint()
+                finally:
+                    spark.sparkContext.setJobDescription(None)
+
+            _eval_pool = ThreadPoolExecutor(max_workers=1)
+            eval_fps_future = _eval_pool.submit(
+                inheritable_thread_target(_eval_side)
+            )
+            _eval_pool.shutdown(wait=False)
 
         toks = tokenized(cur.select("doc_id", "text"))
         _settled()  # the token checkpoint consumed cur's chain
@@ -304,7 +358,11 @@ def prepare_training_corpus(
 
     if eval_docs is not None:
         dec = _decontaminate_against(
-            cur, eval_docs, min_shared_fps, corpus_tokens=corpus_tokens
+            cur,
+            eval_docs,
+            min_shared_fps,
+            corpus_tokens=corpus_tokens,
+            eval_fps=eval_fps_future.result() if eval_fps_future else None,
         )
         if corpus_tokens is None:
             _settled()  # the fingerprint checkpoint consumed cur's chain
@@ -320,7 +378,8 @@ def prepare_training_corpus(
         "doc_id", F.size(tx.words("text")).alias("n_tokens")
     )
     # the train count rides pack's own passes over the train frame (its
-    # percentile probe and its two-pass snapshot both consume it)
+    # two-pass bucketing snapshot consumes it; the percentile probe is
+    # gone on the default hash order — r16, fixed equi-spaced cuts)
     obs_train = Observation()
     train_packed = smp.pack_into_bins(
         train.observe(obs_train, F.count(F.lit(1)).alias("rows")),

@@ -1858,6 +1858,22 @@ def decontaminate(
     return _decontaminate_tokens(staged, min_shared, max_fp_train_df)
 
 
+def _fp_rows(tok_docs: DataFrame) -> DataFrame:
+    """(doc_id, split, tokens) → exploded winnow-fingerprint rows
+    (doc_id, split, n_fps, fp) — the map-only front of decontamination,
+    split out (r16) so the pipeline can fingerprint its corpus and eval
+    sides as INDEPENDENT jobs (the eval side overlaps the near-dup
+    stage, guide §2.6) and union the materialized halves."""
+    staged = (
+        tok_docs.filter(F.size("tokens") >= 6)
+        .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
+    )
+    staged = tx.add_winnow_fingerprints(staged, "shingles", "fps", 4)
+    return staged.select(
+        "doc_id", "split", F.size("fps").alias("n_fps"), F.explode("fps").alias("fp")
+    )
+
+
 def _decontaminate_tokens(
     tok_docs: DataFrame,
     min_shared: int = 2,
@@ -1868,15 +1884,20 @@ def _decontaminate_tokens(
     composition can feed the near-dup stage's existing token table here
     instead of re-tokenizing the whole corpus (guide §1.2: the only
     full-text passes should be the ones that must read text)."""
-    staged = (
-        tok_docs.filter(F.size("tokens") >= 6)
-        .withColumn("shingles", tx.word_shingles(F.col("tokens"), 3))
+    return _decontaminate_fps(
+        _fp_rows(tok_docs).localCheckpoint(), min_shared, max_fp_train_df
     )
-    staged = tx.add_winnow_fingerprints(staged, "shingles", "fps", 4)
-    fps = staged.select(
-        "doc_id", "split", F.size("fps").alias("n_fps"), F.explode("fps").alias("fp")
-    ).localCheckpoint()
 
+
+def _decontaminate_fps(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_fp_train_df: int = 100,
+) -> DataFrame:
+    """Contamination pairs from MATERIALIZED fingerprint rows (the
+    :func:`_fp_rows` schema; callers own the checkpoint barrier — fps
+    feeds three consumers: the train side, the stop-fp rule, the test
+    side)."""
     train = fps.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc_id"), "fp"
     )
