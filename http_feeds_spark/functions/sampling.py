@@ -213,11 +213,35 @@ def pack_into_bins(
     # one snapshot for the two passes: the per-bucket counts collected
     # below and the final running-sum join must see the SAME rows and
     # bucket assignment — a nondeterministic upstream recomputed across
-    # the two jobs would give base offsets that disagree with the data
-    bucketed = df.withColumn("__pk", key).withColumn("__pbkt", bkt).localCheckpoint()
+    # the two jobs would give base offsets that disagree with the data.
+    # The per-bucket size totals RIDE the snapshot job as observed
+    # metrics (r16, guide §1/§2.4: the separate groupBy-collect was one
+    # extra scheduled job per pack call over data the checkpoint already
+    # scans): bucket count is bounded (|bounds|+1 ≤ defaultParallelism),
+    # so one conditional sum per bucket is a fixed-width CollectMetrics
+    # row, identical totals to the groupBy form.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    n_bkts = len(bounds) + 1
+    metrics = []
+    for b in range(n_bkts):
+        hit = F.col("__pbkt") == b
+        metrics.append(
+            F.sum(F.when(hit, F.col(size_col)).otherwise(F.lit(0))).alias(f"s{b}")
+        )
+        # presence, not just totals: a bucket whose rows all have size 0
+        # must still reach base_df (the running-sum join is inner)
+        metrics.append(F.sum(hit.cast("long")).alias(f"n{b}"))
+    bucketed = (
+        df.withColumn("__pk", key)
+        .withColumn("__pbkt", bkt)
+        .observe(obs, *metrics)
+        .localCheckpoint()
+    )
+    got = obs.get
     counts = {
-        r["__pbkt"]: r["s"]
-        for r in bucketed.groupBy("__pbkt").agg(F.sum(size_col).alias("s")).collect()
+        b: got[f"s{b}"] for b in range(n_bkts) if (got[f"n{b}"] or 0) > 0
     }
     bases, acc = [], 0
     for bucket in sorted(counts):
