@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_feeds_spark import stores
 from http_feeds_spark.functions import kmeans as km
 from http_feeds_spark.operators import erasure
 from http_feeds_spark.stores import parquet_exists, require_lossless_cast
@@ -162,8 +163,11 @@ def build_index(
 # it (upserts/updates keep the quantizer frozen by contract). Memoizing the
 # k-row model per root removes the one scheduled collect every search paid
 # to re-load an unchanged model. Metadata only — corpus scans, the erasure
-# filter and the search aggregates still execute per call.
-_CENTROID_CACHE: dict[str, list] = {}
+# filter and the search aggregates still execute per call. Entries carry
+# the centroid dir's modification stamp and a hit re-validates it (one
+# driver-side stat, no Spark job) so even an out-of-band rebuild by
+# another process reads as a miss.
+_CENTROID_CACHE: dict[str, tuple[int, list]] = {}
 
 
 def invalidate_centroid_cache(index_root: str) -> None:
@@ -172,37 +176,27 @@ def invalidate_centroid_cache(index_root: str) -> None:
     _CENTROID_CACHE.pop(index_root.rstrip("/"), None)
 
 
-# The corpus-store SCAN HANDLE is memoized too (the pq_index._codes_df
-# pattern): spark.read.parquet schedules one file-listing/footer job per
-# call even though the frame is lazy. Metadata only (a plan handle, never
-# rows); every corpus writer (build/upsert/update/purge/compact)
-# invalidates, and a hit is served only to the session that built it.
-_CORPUS_DF_CACHE: dict[str, DataFrame] = {}
-
-
 def invalidate_corpus_cache(index_root: str) -> None:
     """Drop the cached corpus scan for ``index_root`` — called by every
-    path that writes, rewrites or deletes files under corpus/."""
-    _CORPUS_DF_CACHE.pop(index_root.rstrip("/"), None)
+    path that writes, rewrites or deletes files under corpus/. (The
+    handle itself lives in stores._SCAN_HANDLES so the shared
+    rewrite/purge protocols invalidate it too.)"""
+    stores.invalidate_scan(_paths(index_root)[1])
 
 
 def _corpus_df(spark: SparkSession, index_root: str) -> DataFrame:
-    key = index_root.rstrip("/")
-    hit = _CORPUS_DF_CACHE.get(key)
-    if hit is not None and hit.sparkSession is spark:
-        return hit
-    df = spark.read.parquet(_paths(index_root)[1])
-    _CORPUS_DF_CACHE[key] = df
-    return df
+    return stores.cached_scan(spark, _paths(index_root)[1])
 
 
 def ensure_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
     """Build the index iff absent; returns True when a build ran. A
-    cached model (r16) answers the presence probe without touching the
-    filesystem — the cache is populated only from committed stores."""
-    if index_root.rstrip("/") in _CENTROID_CACHE:
-        return False
+    stamp-validated cached model (r16) answers the presence probe with
+    one driver-side stat — the cache is populated only from committed
+    stores."""
     cent_path, _ = _paths(index_root)
+    hit = _CENTROID_CACHE.get(index_root.rstrip("/"))
+    if hit is not None and hit[0] == stores.modification_stamp(spark, cent_path):
+        return False
     if parquet_exists(spark, cent_path):
         return False
     build_index(spark, emb, index_root, **kw)
@@ -342,14 +336,15 @@ def load_centroids(
         ).collect()
         return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
     key = index_root.rstrip("/")
+    stamp = stores.modification_stamp(spark, cent_path)
     hit = _CENTROID_CACHE.get(key)
-    if hit is not None:
-        return hit  # callers never mutate the model (module contract)
-    if not parquet_exists(spark, cent_path):
+    if hit is not None and hit[0] == stamp:
+        return hit[1]  # callers never mutate the model (module contract)
+    if stamp < 0 or not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no ANN index at {index_root}; build_index first")
     rows = spark.read.parquet(cent_path).collect()
     cents = sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
-    _CENTROID_CACHE[key] = cents
+    _CENTROID_CACHE[key] = (stamp, cents)
     return cents
 
 

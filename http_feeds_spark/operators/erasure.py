@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_feeds_spark import stores
 from http_feeds_spark.stores import committed, hadoop_fs
 
 ERASED_DIR = "erased"
@@ -236,6 +237,9 @@ def purge_partitioned_store(
                             fs.rename(fst.getPath(), tgt)
                         merged_parts.append(name[len(part_col) + 1 :])
         fs.delete(jstage, True)
+        # the resume renamed/merged partition dirs — any cached scan
+        # handle for this store predates that file set (r16)
+        stores.invalidate_scan(store_path)
 
     df = spark.read.parquet(store_path)
     key = erased.withColumnRenamed("id", id_col)
@@ -275,6 +279,7 @@ def purge_partitioned_store(
         if fs.exists(staged):
             fs.rename(staged, live)
     fs.delete(jstage, True)
+    stores.invalidate_scan(store_path)  # partitions were rewritten/deleted
     return removed
 
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_feeds_spark import stores
 from http_feeds_spark.functions import kmeans as km
 from http_feeds_spark.functions import pq
 from http_feeds_spark.operators import erasure
@@ -61,6 +62,9 @@ CENTROIDS_DIR = "centroids"
 # only (the model is nlist + m·ksub rows); code scans, the erase-ledger
 # filter and every search aggregate still execute per call. Callers must
 # not mutate the returned lists (module-internal consumers never do).
+# Entries carry the centroid dir's modification stamp and a hit
+# re-validates it (one driver-side stat, no Spark job) so even an
+# out-of-band rebuild by another process reads as a miss.
 _MODEL_CACHE: dict[str, tuple] = {}
 
 
@@ -73,27 +77,23 @@ def invalidate_model_cache(index_root: str) -> None:
 # The code-store SCAN HANDLE is memoized too: spark.read.parquet schedules
 # one file-listing/footer job per call even though the returned frame is
 # lazy — per-search fixed cost for a listing that changes only when a
-# writer commits. Metadata only (a plan handle, never rows); EVERY code
-# writer below (build/upsert/update/purge/compact) invalidates, and a hit
-# is served only to the session that built it (a restarted session must
-# not receive a dead plan).
-_CODES_DF_CACHE: dict[str, DataFrame] = {}
+# writer commits. Metadata only (a plan handle, never rows). The handle
+# lives in stores._SCAN_HANDLES so EVERY writer invalidates it: the code
+# paths below (build/upsert/update/purge/compact) explicitly, and the
+# shared stage→swap protocols (stores.rewrite_partitioned_store,
+# erasure.purge_partitioned_store) at the file-set swap itself — a
+# maintenance rewrite or crash-window resume can never leave this module
+# holding a dead plan.
 
 
 def invalidate_codes_cache(index_root: str) -> None:
     """Drop the cached code-store scan for ``index_root`` — called by
     every path that writes, rewrites or deletes files under codes/."""
-    _CODES_DF_CACHE.pop(index_root.rstrip("/"), None)
+    stores.invalidate_scan(_paths(index_root)[0])
 
 
 def _codes_df(spark: SparkSession, index_root: str) -> DataFrame:
-    key = index_root.rstrip("/")
-    hit = _CODES_DF_CACHE.get(key)
-    if hit is not None and hit.sparkSession is spark:
-        return hit
-    df = spark.read.parquet(_paths(index_root)[0])
-    _CODES_DF_CACHE[key] = df
-    return df
+    return stores.cached_scan(spark, _paths(index_root)[0])
 
 
 def compact_store(spark: SparkSession, index_root: str) -> tuple[int, int]:
@@ -269,11 +269,13 @@ def build_pq_index(
 
 def ensure_pq_index(spark: SparkSession, emb: DataFrame, index_root: str, **kw) -> bool:
     """Build iff absent (presence = centroids/, the last-written store).
-    A cached model (r16) answers the presence probe without touching the
-    filesystem — the cache is populated only from committed stores."""
-    if index_root.rstrip("/") in _MODEL_CACHE:
-        return False
+    A stamp-validated cached model (r16) answers the presence probe with
+    one driver-side stat — the cache is populated only from committed
+    stores."""
     _, _, cent_path = _paths(index_root)
+    hit = _MODEL_CACHE.get(index_root.rstrip("/"))
+    if hit is not None and hit[0] == stores.modification_stamp(spark, cent_path):
+        return False
     if parquet_exists(spark, cent_path):
         return False
     build_pq_index(spark, emb, index_root, **kw)
@@ -324,10 +326,11 @@ def load_model(
             books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
         return cents, [sorted(b) for b in books], residual
     key = index_root.rstrip("/")
+    stamp = stores.modification_stamp(spark, cent_path)
     hit = _MODEL_CACHE.get(key)
-    if hit is not None:
-        return hit  # callers never mutate the model (module contract)
-    if not parquet_exists(spark, cent_path):
+    if hit is not None and hit[0] == stamp:
+        return hit[1]  # callers never mutate the model (module contract)
+    if stamp < 0 or not parquet_exists(spark, cent_path):
         raise FileNotFoundError(f"no PQ index at {index_root}; build_pq_index first")
     # ONE collect for both model stores (r15, guide §1: each tiny
     # driver job costs fixed scheduling latency ×3 bench runs; the union
@@ -353,7 +356,7 @@ def load_model(
     for r in brows:
         books[r.sub].append((int(r.cid), [float(x) for x in r.cvec]))
     model = (cents, [sorted(b) for b in books], residual)
-    _MODEL_CACHE[key] = model
+    _MODEL_CACHE[key] = (stamp, model)
     return model
 
 

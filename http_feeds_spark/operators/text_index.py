@@ -168,9 +168,13 @@ def _visible_postings(spark: SparkSession, post_root: str) -> tuple[DataFrame | 
 # after any commit re-derives everything. This is METADATA caching, never
 # result caching: no query output, no posting row and no aggregate over data
 # is ever stored — every search still executes from the parquet inputs.
-# Cross-process writers sit outside the single-writer assumption the store
-# commit protocols already make (the usual engine-catalog-cache contract);
-# ``invalidate_frontier`` is the explicit refresh hook for such callers.
+# Out-of-band writers (another process, a crash-recovery hand-edit, a
+# legacy-layout store swapped in) are caught by the FRONTIER STAMP: every
+# writer in this module lands its commit by rewriting meta/ LAST, and the
+# ledger mutators create/delete batch dirs under erased/, so a hit
+# re-validates the (meta, erased) directory modification stamps — two
+# driver-side stats, never a Spark job — before serving;
+# ``invalidate_frontier`` remains the explicit hook.
 
 _FRONTIER_CACHE: dict[str, dict] = {}
 
@@ -187,12 +191,20 @@ def _frontier(spark: SparkSession, index_root: str) -> dict | None:
     the erase-ledger filter. ``None`` when no usable meta store exists
     (a zero-row committed meta is a torn artifact and reads as absent —
     r16 ADVICE); absence is never cached, a build may land any moment."""
+    from http_feeds_spark.stores import modification_stamp
+
     key = index_root.rstrip("/")
-    hit = _FRONTIER_CACHE.get(key)
-    if hit is not None and hit["session"] is spark:
-        return hit  # session-checked: a restarted session never gets a dead plan
     post_path, terms_path, meta_path = _paths(index_root)
-    if not parquet_exists(spark, meta_path):
+    stamp = (
+        modification_stamp(spark, meta_path),
+        modification_stamp(spark, erasure._ledger_root(index_root)),
+    )
+    hit = _FRONTIER_CACHE.get(key)
+    if hit is not None and hit["session"] is spark and hit["stamp"] == stamp:
+        # session-checked (a restarted session never gets a dead plan) and
+        # stamp-checked (an out-of-band meta/ledger commit reads as a miss)
+        return hit
+    if stamp[0] < 0 or not parquet_exists(spark, meta_path):
         return None
     meta_rows = spark.read.parquet(meta_path).collect()
     if not meta_rows:
@@ -228,6 +240,7 @@ def _frontier(spark: SparkSession, index_root: str) -> dict | None:
             else None
         ),
         "session": spark,
+        "stamp": stamp,
     }
     _FRONTIER_CACHE[key] = fr
     return fr

@@ -138,6 +138,54 @@ def require_lossless_cast(incoming, store, what: str) -> None:
     )
 
 
+# --- cached parquet scan handles (r16) ---------------------------------------
+# spark.read.parquet schedules one file-listing/footer job per call even
+# though the returned frame is lazy — a fixed per-call cost for a file set
+# that changes only when a writer commits. The handle cache lives HERE, in
+# the same module as the shared stage→swap rewrite protocols, so the
+# low-level store rewriters (rewrite_partitioned_store, and
+# erasure.purge_partitioned_store which builds on the same stage pattern)
+# invalidate it directly — a maintenance pass or crash-window resume that
+# re-materializes a store under new file names can never leave a consumer
+# module holding a dead plan (the module-level write paths invalidate too).
+# METADATA caching only: a plan handle, never rows; a hit is served only
+# to the session that built it.
+_SCAN_HANDLES: dict[str, tuple] = {}
+
+
+def cached_scan(spark: SparkSession, store_path: str):
+    """Memoized ``spark.read.parquet(store_path)`` handle — the listing/
+    footer work runs once per committed layout instead of once per call.
+    Callers must invalidate on every write (see module writers and the
+    rewrite/purge protocols in this package)."""
+    key = store_path.rstrip("/")
+    hit = _SCAN_HANDLES.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(store_path)
+    _SCAN_HANDLES[key] = (spark, df)
+    return df
+
+
+def invalidate_scan(store_path: str) -> None:
+    """Drop the cached scan handle for ``store_path`` — called by every
+    path that writes, rewrites or deletes files under it."""
+    _SCAN_HANDLES.pop(store_path.rstrip("/"), None)
+
+
+def modification_stamp(spark: SparkSession, path: str) -> int:
+    """Modification time (ms) of ``path`` via the Hadoop FS API, −1 when
+    absent — the cheap committed-frontier token the metadata caches
+    validate against (a driver-side stat, never a Spark job). Every
+    store writer in this package lands its commit by replacing or
+    appending under the stamped directory, so a changed layout reads as
+    a changed stamp even when the writer was another process."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return -1
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def data_file_stats(spark: SparkSession, store_path: str) -> tuple[int, int]:
     """(n_data_files, n_partition_dirs) of a key=value-partitioned
     parquet store — the metadata-only signal a maintenance policy
@@ -242,6 +290,10 @@ def rewrite_partitioned_store(
     from pyspark.sql import functions as F
 
     merged = resume_stage_swap(spark, store_path, "__rewrite_stage")
+    # the resume may have renamed/merged a stage in, and the rewrite
+    # below re-materializes under NEW file names either way: any cached
+    # scan handle for this store is dead from here on (r16)
+    invalidate_scan(store_path)
     # one namespace walk serves both the before-count and the dir count
     # (at a 100K-partition store each listing is a full metadata pass)
     before, n_dirs = data_file_stats(spark, store_path)
@@ -274,5 +326,6 @@ def rewrite_partitioned_store(
     )
     fs.delete(jlive, True)
     fs.rename(jstage, jlive)
+    invalidate_scan(store_path)  # the swapped-in file set is the store now
     after, _ = data_file_stats(spark, store_path)
     return before, after

@@ -29,6 +29,7 @@ def _dir_count(path):
     return sum(1 for n in os.listdir(path) if n.startswith("batch="))
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_maintenance_bounds_growth_answers_identical(spark, tmp_path):
     """20 waves of folds, maintenance at compact_after=4: visible counts
     AND on-disk batch-dir counts collapse, BM25 search / monitor stats /
@@ -80,6 +81,7 @@ def test_run_maintenance_bounds_growth_answers_identical(spark, tmp_path):
     assert again["monitor"]["vacuumed"] == 0
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_maintenance_converges_after_crash_before_vacuum(
     spark, tmp_path, monkeypatch
 ):
@@ -113,6 +115,7 @@ def test_run_maintenance_converges_after_crash_before_vacuum(
     assert ti.search(spark, ti_root, ["window"], k=30).collect() == search_mid
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_platform_invokes_maintenance(spark, tmp_path):
     """run_platform with compact_after wired: waves of feed catch-ups
     keep the stores at one batch dir while search still answers."""
@@ -321,3 +324,24 @@ def test_rewrite_resume_merges_when_fold_recreated_live(spark, tmp_path):
         for row in rows:
             assert row in after, "staged row lost"
         assert len(after) == len(set(after)), "merge duplicates survived"
+
+
+def test_cached_scan_survives_low_level_rewrite(spark, tmp_path):
+    """r16 scan-handle cache: the shared stage→swap rewrite re-materializes
+    a store under NEW file names — stores.rewrite_partitioned_store must
+    invalidate the cached handle itself (module writers cannot see a
+    direct low-level call), so the next cached_scan reads the swapped-in
+    file set instead of dying on the deleted one."""
+    from http_feeds_spark import stores
+
+    store = str(tmp_path / "store" / "data")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"p{i}") for i in range(60)],
+        "doc_id long, bucket int, body string",
+    )
+    df.repartition(4).write.partitionBy("bucket").parquet(store)
+    before = sorted(tuple(r) for r in stores.cached_scan(spark, store).collect())
+    assert stores.cached_scan(spark, store) is stores.cached_scan(spark, store)
+    stores.rewrite_partitioned_store(spark, store, "bucket")
+    # the handle was invalidated at the swap: this read sees the new files
+    assert sorted(tuple(r) for r in stores.cached_scan(spark, store).collect()) == before
