@@ -180,6 +180,7 @@ def test_pure_punctuation_query_returns_empty(spark, tmp_path):
 # --- dl counts exactly the posted tokens ----------------------------------
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_dl_counts_posted_tokens_not_raw_split_slots(spark, tmp_path):
     """Multi-space text: raw split('  ') slots would inflate dl; the
     analyzer counts exactly the tokens that land in the postings."""

@@ -5,6 +5,8 @@ registered weak-supervision query learns its label."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -82,6 +84,7 @@ def test_scoring_is_map_only(spark):
     assert not any(n.startswith("Exchange") for n in names), names
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_registered_query_learns_weak_label(spark, sf_dir):
     """q_llm_quality_model: the in-engine trained model actually learns
     the (lang == 'en') weak label, and the run is deterministic."""

@@ -17,6 +17,9 @@ from http_feeds_spark.streaming import dedup as sd
 from http_feeds_spark.streaming import monitor as mon
 
 
+
+pytestmark = pytest.mark.slow  # platform-integration tier (see pytest.ini)
+
 def _wave(spark, ids, tag):
     return spark.createDataFrame(
         [(i, f"window filter merge body{i} {tag} tail{i}") for i in ids],

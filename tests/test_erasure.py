@@ -246,6 +246,7 @@ def test_dedup_index_erasure_and_purge(spark, tmp_path):
     assert persisted == filtered
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_propagate_erasure_all_four_stores(spark, sf_dir, tmp_path):
     """One request fanned to every store, purge=True end to end."""
     docs = _docs(spark, sf_dir)
@@ -284,6 +285,7 @@ def test_propagate_erasure_all_four_stores(spark, sf_dir, tmp_path):
         )
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_feed_delete_tombstone_to_erasure_composition(spark, tmp_path):
     """The operational path: documents ingested from the feed into the
     text + dedup indexes; a DELETE tombstone lands; run_erasure derives
@@ -334,6 +336,7 @@ def test_feed_delete_tombstone_to_erasure_composition(spark, tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_platform_one_call_end_to_end(spark, tmp_path):
     """The one-call orchestration: landing zone + text/dedup indexes +
     monitor follow the feed, and DELETE tombstones propagate through
@@ -415,6 +418,7 @@ def test_run_platform_one_call_end_to_end(spark, tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_dedup_rebuild_splits_bridge_merged_clusters(spark, tmp_path):
     """Purge keeps history's merges (A~E~B stays one cluster after E is
     erased — documented); rebuild_assignment recomputes the closure from
@@ -451,6 +455,7 @@ def test_dedup_rebuild_splits_bridge_merged_clusters(spark, tmp_path):
     assert split[1] != split[3]  # the bridge-only merge is gone
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_update_paths_replace_in_place(spark, sf_dir, tmp_path):
     """The explicit update paths (upsert is insert-only by design):
     text_index.update_documents makes the NEW text searchable and the
@@ -498,6 +503,7 @@ def test_update_paths_replace_in_place(spark, sf_dir, tmp_path):
     assert {r.vec_id for r in top} == {7, 3}  # id 3 now lives next to 7
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_platform_with_vector_indexes(spark, tmp_path):
     """Platform with the vector tiers on: one feed whose payloads carry
     text AND an embedding grows all five stores; the DELETE tombstone
@@ -676,6 +682,7 @@ def test_purge_resume_merge_distinct_for_keyless_store(spark, tmp_path):
     assert after.where(F.col("doc_id") == 2).count() == 0
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_platform_rebuilds_clusters_after_purge(spark, tmp_path):
     """Opt-in cluster hygiene: a DELETE tombstone for the bridge doc of
     a chain-connected cluster triggers purge + full re-closure inside

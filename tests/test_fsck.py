@@ -4,6 +4,7 @@ owns it."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from http_feeds_spark.operators import ann_index as ai
@@ -11,6 +12,9 @@ from http_feeds_spark.operators import erasure
 from http_feeds_spark.operators import fsck
 from http_feeds_spark.operators import text_index as ti
 
+
+
+pytestmark = pytest.mark.slow  # platform-integration tier (see pytest.ini)
 
 def _docs(spark, sf_dir):
     from http_feeds_spark.sources.tables import load_table

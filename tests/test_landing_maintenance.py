@@ -53,6 +53,7 @@ def _log_entries(root: str) -> list[str]:
     return sorted(f for f in os.listdir(meta) if not f.startswith("."))
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_bounded_bit_identical_and_sink_continues(spark, tmp_path):
     root = str(tmp_path / "landing")
     # enough batches to cross the sink's first compaction boundary (10)

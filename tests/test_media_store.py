@@ -66,6 +66,7 @@ def _append_media(state, doc_id: int, payload: bytes) -> None:
     )
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_platform_media_two_wave_e2e(spark, tmp_path):
     """The r13 'Done' criterion: a two-wave run_platform where a
     binary-payload feed yields a queryable, fsck'd, epoch-pinned media

@@ -192,6 +192,7 @@ LINT_ALLOW = {
 }
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_registry_wide_lint_is_clean(spark, sf_dir):
     """EVERY registered query's executed plan lints clean (modulo the
     documented brute-force allowlist above) — the linter as a standing

@@ -5,10 +5,15 @@ span stats, and stratified sampling quotas."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
 
+
+
+pytestmark = pytest.mark.slow  # platform-integration tier (see pytest.ini)
 
 def _random_corpus(rng, n_docs, vocab, max_len):
     return [

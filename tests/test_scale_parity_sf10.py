@@ -63,6 +63,9 @@ SF10_QUERIES = [
 SF1_QUERIES = ["q_llm_substr_scrub"]
 
 
+
+pytestmark = pytest.mark.slow  # platform-integration tier (see pytest.ini)
+
 @pytest.fixture(scope="module")
 def sf10_dir(spark):
     ensure_scale_tier(spark, SRC, SF10_DIR, factor=100)

@@ -5,6 +5,8 @@ batches — and the survivor filter must honor the final assignment."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -175,6 +177,7 @@ def test_feed_grows_dedup_index_e2e(spark, tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_torn_assignment_write_never_loses_prior_clusters(spark, sf_dir, tmp_path):
     """ADVICE r5: the assignment rewrite must be crash-safe. A torn
     epoch directory (data files, no _SUCCESS marker — exactly what a
@@ -232,6 +235,7 @@ def test_torn_assignment_write_never_loses_prior_clusters(spark, sf_dir, tmp_pat
     ]
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_survivors_filter_and_refold_safety(spark, sf_dir, tmp_path):
     from http_feeds_spark.streaming import dedup as sd
 

@@ -701,6 +701,7 @@ def test_proximity_any_matches_reference_on_corpus(spark, sf_dir, tmp_path):
             assert got == want, (terms, slop)
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_tiered_compaction_merges_runs_not_settled_batches(spark, sf_dir, tmp_path):
     """Size-tiered compaction (r8): a run of same-class small batches
     merges into one; the settled LARGE batch's files are untouched on
@@ -751,6 +752,7 @@ def test_tiered_compaction_merges_runs_not_settled_batches(spark, sf_dir, tmp_pa
     assert ti.compact_postings_tiered(spark, root, min_run=4) == after
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_run_maintenance_uses_tiering_with_prefix_fallback(spark, tmp_path):
     """The policy path: tiering bounds amplification when runs exist;
     the full-prefix merge still guarantees the compact_after bound when
@@ -772,6 +774,7 @@ def test_run_maintenance_uses_tiering_with_prefix_fallback(spark, tmp_path):
     assert hits == set(range(8))
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_text_index_maintenance_interleave_fuzz(spark, tmp_path):
     """Seeded random interleave of every text-index lifecycle op —
     upsert batches, in-place updates, erasure purges, size-tiered and

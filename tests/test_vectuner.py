@@ -107,6 +107,7 @@ def test_tune_nprobe_pq_tier(spark, tmp_path):
     assert out["nprobe"] < p["nlist"]  # clustered data: pruning is safe
 
 
+@pytest.mark.slow  # >30 s platform-integration (see pytest.ini)
 def test_build_with_defaults_auto_params(spark, tmp_path):
     """r9 wiring: build_index / build_pq_index with NO explicit params
     size themselves from the corpus (verdict done-criteria: recall@10 of
